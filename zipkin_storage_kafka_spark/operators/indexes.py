@@ -1,0 +1,107 @@
+"""Name/tag index materialization — the reference's queryable stores.
+
+Reference: TraceStorageTopology.java builds four stores from the spans
+stream: span names per service (:151-185), remote service names per service
+(:187-205), autocomplete tag values per configured key (:207-228), and the
+traces-by-id store (:96-126).  Each is a set-accumulation keyed by a string.
+
+Spark-first: each store is a ``collect_set`` aggregation — map-side partial
+aggregation makes these cheap (the distinct-set cardinality is tiny compared
+to the span count, so the shuffle carries only partial sets).  At 100 TB
+these produce KB-scale outputs; the shuffle is bounded by
+(#services x #distinct names), not by row count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Default autocomplete keys, mirroring the reference test config
+# (TraceStorageTopologyTest.java:49 configures the "environment" key).
+DEFAULT_AUTOCOMPLETE_KEYS = ("environment",)
+
+
+def service_names(spans: DataFrame) -> DataFrame:
+    """All services with at least one indexed span (store key scan,
+    reference KafkaStorageHttpService.java:98-115).  Only spans with a
+    local service are indexed (TraceStorageTopology.java:168)."""
+    return (
+        spans.filter(F.col("local_service").isNotNull())
+        .select(F.col("local_service").alias("service_name"))
+        .distinct()
+    )
+
+
+def span_names(spans: DataFrame) -> DataFrame:
+    """service -> sorted distinct span names (zipkin-span-names store,
+    TraceStorageTopology.java:151-185).  Output one row per service with a
+    comma-joined sorted name list (array order pinned for hashing)."""
+    return (
+        spans.filter(F.col("local_service").isNotNull() & F.col("name").isNotNull())
+        .groupBy(F.col("local_service").alias("service_name"))
+        .agg(F.array_join(F.array_sort(F.collect_set("name")), ",").alias("names"))
+    )
+
+
+def remote_service_names(spans: DataFrame) -> DataFrame:
+    """service -> sorted distinct remote service names
+    (zipkin-remote-service-names store, TraceStorageTopology.java:187-205)."""
+    return (
+        spans.filter(
+            F.col("local_service").isNotNull() & F.col("remote_service").isNotNull()
+        )
+        .groupBy(F.col("local_service").alias("service_name"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("remote_service")), ","
+            ).alias("remote_services")
+        )
+    )
+
+
+def autocomplete_tags(
+    spans: DataFrame, keys: Sequence[str] = DEFAULT_AUTOCOMPLETE_KEYS
+) -> DataFrame:
+    """tag key -> sorted distinct values for configured autocomplete keys
+    (zipkin-autocomplete-tags store, TraceStorageTopology.java:207-228).
+
+    The scalar span layout carries the fixture's tag columns directly; the
+    nested-layout variant explodes the tags map and filters ``key.isin``.
+    """
+    pairs = []
+    if "environment" in keys:
+        pairs.append(
+            spans.filter(F.col("env").isNotNull()).select(
+                F.lit("environment").alias("tag_key"), F.col("env").alias("value")
+            )
+        )
+    if "k" in keys:
+        pairs.append(
+            spans.filter(F.col("tag_k").isNotNull()).select(
+                F.lit("k").alias("tag_key"), F.col("tag_k").alias("value")
+            )
+        )
+    if not pairs:
+        raise ValueError(f"no supported autocomplete keys in {keys!r}")
+    union = pairs[0]
+    for p in pairs[1:]:
+        union = union.unionByName(p)
+    return union.groupBy("tag_key").agg(
+        F.array_join(F.array_sort(F.collect_set("value")), ",").alias("tag_values")
+    )
+
+
+def autocomplete_tags_nested(
+    spans_nested: DataFrame, keys: Sequence[str] = DEFAULT_AUTOCOMPLETE_KEYS
+) -> DataFrame:
+    """Same store from the canonical nested layout: explode the tags map,
+    keep configured keys (TraceStorageTopology.java:209 ``tags().get``)."""
+    return (
+        spans_nested.select(F.explode("tags").alias("tag_key", "value"))
+        .filter(F.col("tag_key").isin(list(keys)))
+        .groupBy("tag_key")
+        .agg(F.array_join(F.array_sort(F.collect_set("value")), ",").alias("tag_values"))
+    )

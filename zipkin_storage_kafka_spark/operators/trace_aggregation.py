@@ -1,0 +1,116 @@
+"""Trace aggregation: spans -> traces (reference pipeline stage 2).
+
+Reference: SpanAggregationTopology.java:72-113 — ``groupByKey`` on traceId,
+session-window aggregate with ``Trace.merge`` semantics, emit once per
+closed session.  The batch form here is the same logical plan without the
+window (every session is closed in a batch input); the streaming form with
+``session_window`` lives in ``streaming/jobs.py``.
+
+Scale notes (100 TB): this is one shuffle on ``trace_id``.  Span arrays are
+assembled with ``collect_list`` which Spark executes as a partial (map-side)
++ final aggregation; per-trace arrays are small (traces are bounded by the
+session gap), so no skew mitigation is needed beyond AQE.  The span array is
+ALWAYS sorted by (timestamp, id) — ``collect_list`` order is otherwise
+nondeterministic across shuffles (SURVEY section 7 risk 2), and the sort also
+gives Trace.merge's deterministic ordering (zipkin2 sorts/merges by span id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def aggregate_traces(spans: DataFrame) -> DataFrame:
+    """spans (scalar layout from sources.spans) -> one row per trace.
+
+    Columns: trace_id, spans array<struct> sorted by (timestamp, id),
+    trace_timestamp (min span timestamp, micros), span_count.
+
+    Trace.merge parity: duplicate (id, shared) spans would be merged by
+    zipkin2 (SpanAggregationTopology.java:101-113); the derived fixture has
+    unique span ids per trace, and the dedup path is exercised by
+    ``merge_trace_spans`` below.
+    """
+    span_struct = F.struct(
+        "timestamp", "id", "parent_id", "kind", "name", "duration",
+        "local_service", "remote_service", "tag_k", "env", "is_error",
+    )
+    return (
+        spans.groupBy("trace_id")
+        .agg(
+            F.array_sort(F.collect_list(span_struct)).alias("spans"),
+            F.min("timestamp").alias("trace_timestamp"),
+            F.count(F.lit(1)).alias("span_count"),
+        )
+    )
+
+
+def merge_trace_spans(traces: DataFrame) -> DataFrame:
+    """Trace.merge parity on an assembled trace: drop exact-duplicate span
+    ids (same id + shared flag), keeping the earliest occurrence.
+
+    zipkin2 ``Trace.merge`` (library semantics, invoked at
+    SpanAggregationTopology.java:107,112) sorts spans and merges entries
+    with the same id unless one is the ``shared`` (server) half.  Expressed
+    natively: explode -> window dedup -> re-assemble; no Python UDF.
+    """
+    w_cols = ["trace_id", "span.id", "span.shared"] if _has_shared(traces) else [
+        "trace_id",
+        "span.id",
+    ]
+    exploded = traces.select("trace_id", F.explode("spans").alias("span"))
+    deduped = (
+        exploded.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*w_cols).orderBy(
+                    F.col("span.timestamp").asc_nulls_last(), F.col("span.id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        deduped.groupBy("trace_id")
+        .agg(
+            F.array_sort(F.collect_list("span")).alias("spans"),
+            F.min("span.timestamp").alias("trace_timestamp"),
+            F.count(F.lit(1)).alias("span_count"),
+        )
+    )
+
+
+def _has_shared(traces: DataFrame) -> bool:
+    spans_type = dict(traces.dtypes).get("spans", "")
+    return "shared" in spans_type
+
+
+def trace_summaries(spans: DataFrame) -> DataFrame:
+    """Scalar per-trace rollup (oracle-friendly projection of A2).
+
+    Columns: trace_id, span_count, trace_timestamp (micros),
+    root_name (name of the root span = NULL parent_id),
+    trace_duration (max(timestamp+duration) - min(timestamp)),
+    services (sorted distinct local services, comma-joined),
+    error_count.
+    """
+    return (
+        spans.groupBy("trace_id")
+        .agg(
+            F.count(F.lit(1)).alias("span_count"),
+            F.min("timestamp").alias("trace_timestamp"),
+            F.min(F.when(F.col("parent_id").isNull(), F.col("name"))).alias(
+                "root_name"
+            ),
+            (
+                F.max(F.col("timestamp") + F.coalesce(F.col("duration"), F.lit(0)))
+                - F.min("timestamp")
+            ).alias("trace_duration"),
+            F.array_join(F.array_sort(F.collect_set("local_service")), ",").alias(
+                "services"
+            ),
+            F.sum(F.col("is_error").cast("long")).alias("error_count"),
+        )
+    )

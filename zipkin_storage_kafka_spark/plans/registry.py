@@ -1,0 +1,285 @@
+"""Query registry: every implemented operator from SURVEY.md section 2 as a
+(spark_callable, duckdb_oracle_sql) pair.
+
+The driver's t2 gate runs both sides at sf0.01 and compares row count,
+schema, and an order-insensitive value hash — so every Spark query here has
+its columns aliased identically to the oracle, avoids float outputs unless
+explicitly rounded, and makes every LIMIT deterministic via total-order sort
+keys.
+
+Keys are prefixed with the SURVEY section-2 operator ids they cover
+(a2 = session trace aggregation, j1 = dependency linking, ...).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zipkin_storage_kafka_spark.operators import (
+    autocomplete_tags,
+    dependency_links,
+    merge_links,
+    remote_service_names,
+    service_names,
+    span_names,
+    trace_summaries,
+    windowed_link_counters,
+)
+from zipkin_storage_kafka_spark.plans.query_api import QueryRequest, SpanStore
+from zipkin_storage_kafka_spark.sources.spans import spans_from_events, with_spans_cte
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Shared oracle CTE fragments -------------------------------------------------
+
+_SUMMARIES_CTE = """
+summaries AS (
+  SELECT
+    trace_id,
+    CAST(count(*) AS BIGINT) AS span_count,
+    min(timestamp) AS trace_timestamp,
+    min(CASE WHEN parent_id IS NULL THEN name END) AS root_name,
+    max(timestamp + coalesce(duration, 0)) - min(timestamp) AS trace_duration,
+    CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT) AS error_count
+  FROM spans GROUP BY trace_id
+),
+svc AS (
+  SELECT trace_id,
+         string_agg(local_service, ',' ORDER BY local_service) AS services
+  FROM (SELECT DISTINCT trace_id, local_service FROM spans)
+  GROUP BY trace_id
+),
+trace_summaries AS (
+  SELECT s.trace_id, s.span_count, s.trace_timestamp, s.root_name,
+         s.trace_duration, v.services, s.error_count
+  FROM summaries s JOIN svc v USING (trace_id)
+)
+"""
+
+_LINKS_CTE = """
+links AS (
+  SELECT c.trace_id, p.local_service AS parent, c.local_service AS child,
+         c.is_error, c.timestamp
+  FROM spans c JOIN spans p
+    ON c.trace_id = p.trace_id AND c.parent_id = p.id
+)
+"""
+
+# find_traces fixture parameters (P4/O1/O3): a realistic request over the
+# middle of the data's time range.
+FIND_TRACES_REQUEST = QueryRequest(
+    service_name="svc_1",
+    min_duration=50_000,  # micros
+    end_ts=1_705_363_200_000,  # 2024-01-16T00:00:00Z millis
+    lookback=7 * 86_400_000,  # 7 d
+    limit=10,
+)
+
+DEPENDENCIES_END_TS = 1_705_363_200_000
+DEPENDENCIES_LOOKBACK = 7 * 86_400_000
+
+
+def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spans_from_events(spark, sf_dir)
+
+
+# Spark-side queries ----------------------------------------------------------
+
+
+def q_trace_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trace_summaries(_spans(spark, sf_dir))
+
+
+def q_dependency_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return merge_links(dependency_links(_spans(spark, sf_dir)))
+
+
+def q_dependency_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_link_counters(dependency_links(_spans(spark, sf_dir)))
+
+
+def q_span_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_names(_spans(spark, sf_dir))
+
+
+def q_remote_service_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return remote_service_names(_spans(spark, sf_dir))
+
+
+def q_autocomplete_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return autocomplete_tags(_spans(spark, sf_dir), keys=("environment", "k"))
+
+
+def q_service_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return service_names(_spans(spark, sf_dir))
+
+
+def q_find_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = SpanStore(_spans(spark, sf_dir))
+    return store.get_traces(FIND_TRACES_REQUEST)
+
+
+def q_get_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup of the busiest trace (deterministic target: max span
+    count, then smallest trace_id) — S9 single-key fetch."""
+    spans = _spans(spark, sf_dir)
+    target = (
+        spans.groupBy("trace_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("trace_id"))
+        .limit(1)
+        .select("trace_id")
+    )
+    return spans.join(F.broadcast(target), "trace_id", "inner").select(
+        "trace_id", "id", "parent_id", "kind", "name", "timestamp", "duration",
+        "local_service", "remote_service",
+    )
+
+
+def q_latest_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O3: newest 10 traces by root timestamp (top-k, no full sort)."""
+    return (
+        trace_summaries(_spans(spark, sf_dir))
+        .orderBy(F.col("trace_timestamp").desc(), F.col("trace_id"))
+        .limit(10)
+    )
+
+
+def q_get_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = SpanStore(_spans(spark, sf_dir))
+    return store.get_dependencies(DEPENDENCIES_END_TS, DEPENDENCIES_LOOKBACK)
+
+
+# Registry --------------------------------------------------------------------
+
+
+def zipkin_queries() -> dict[str, QueryFn]:
+    return {
+        "a2_trace_summaries": q_trace_summaries,
+        "j1_a8_dependency_links": q_dependency_links,
+        "a7_dependency_windows": q_dependency_windows,
+        "a4_span_names": q_span_names,
+        "a5_remote_service_names": q_remote_service_names,
+        "a6_autocomplete_tags": q_autocomplete_tags,
+        "s7_service_names": q_service_names,
+        "p4_find_traces": q_find_traces,
+        "s9_get_trace": q_get_trace,
+        "o1_latest_traces": q_latest_traces,
+        "s8_get_dependencies": q_get_dependencies,
+    }
+
+
+def zipkin_oracles() -> dict[str, str]:
+    lo_ms = FIND_TRACES_REQUEST.end_ts - FIND_TRACES_REQUEST.lookback
+    hi_ms = FIND_TRACES_REQUEST.end_ts
+    dep_lo_ms = DEPENDENCIES_END_TS - DEPENDENCIES_LOOKBACK
+    dep_hi_ms = DEPENDENCIES_END_TS
+    return {
+        "a2_trace_summaries": with_spans_cte(
+            "SELECT * FROM trace_summaries", _SUMMARIES_CTE
+        ),
+        "j1_a8_dependency_links": with_spans_cte(
+            """
+            SELECT parent, child,
+                   CAST(count(*) AS BIGINT) AS call_count,
+                   CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                     AS error_count,
+                   parent || ':' || child AS link_key
+            FROM links GROUP BY parent, child
+            """,
+            _LINKS_CTE,
+        ),
+        "a7_dependency_windows": with_spans_cte(
+            """
+            SELECT (timestamp // 60000000) * 60000 AS window_start_ms,
+                   parent, child,
+                   CAST(count(*) AS BIGINT) AS call_count,
+                   CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                     AS error_count
+            FROM links GROUP BY 1, 2, 3
+            """,
+            _LINKS_CTE,
+        ),
+        "a4_span_names": with_spans_cte(
+            """
+            SELECT local_service AS service_name,
+                   string_agg(name, ',' ORDER BY name) AS names
+            FROM (SELECT DISTINCT local_service, name FROM spans
+                  WHERE local_service IS NOT NULL AND name IS NOT NULL)
+            GROUP BY local_service
+            """
+        ),
+        "a5_remote_service_names": with_spans_cte(
+            """
+            SELECT local_service AS service_name,
+                   string_agg(remote_service, ',' ORDER BY remote_service)
+                     AS remote_services
+            FROM (SELECT DISTINCT local_service, remote_service FROM spans
+                  WHERE local_service IS NOT NULL AND remote_service IS NOT NULL)
+            GROUP BY local_service
+            """
+        ),
+        "a6_autocomplete_tags": with_spans_cte(
+            """
+            SELECT tag_key, string_agg(value, ',' ORDER BY value) AS tag_values
+            FROM (
+              SELECT DISTINCT 'environment' AS tag_key, env AS value FROM spans
+              WHERE env IS NOT NULL
+              UNION ALL
+              SELECT DISTINCT 'k' AS tag_key, tag_k AS value FROM spans
+              WHERE tag_k IS NOT NULL
+            ) GROUP BY tag_key
+            """
+        ),
+        "s7_service_names": with_spans_cte(
+            "SELECT DISTINCT local_service AS service_name FROM spans "
+            "WHERE local_service IS NOT NULL"
+        ),
+        "p4_find_traces": with_spans_cte(
+            f"""
+            SELECT t.* FROM trace_summaries t
+            JOIN (SELECT DISTINCT trace_id FROM spans
+                  WHERE local_service = 'svc_1' AND duration >= 50000) m
+              USING (trace_id)
+            WHERE t.trace_timestamp
+              BETWEEN {lo_ms} * 1000 AND {hi_ms} * 1000
+            ORDER BY t.trace_timestamp DESC, t.trace_id
+            LIMIT 10
+            """,
+            _SUMMARIES_CTE,
+        ),
+        "s9_get_trace": with_spans_cte(
+            """
+            SELECT trace_id, id, parent_id, kind, name, timestamp, duration,
+                   local_service, remote_service
+            FROM spans
+            WHERE trace_id = (
+              SELECT trace_id FROM spans GROUP BY trace_id
+              ORDER BY count(*) DESC, trace_id LIMIT 1
+            )
+            """
+        ),
+        "o1_latest_traces": with_spans_cte(
+            """
+            SELECT * FROM trace_summaries
+            ORDER BY trace_timestamp DESC, trace_id LIMIT 10
+            """,
+            _SUMMARIES_CTE,
+        ),
+        "s8_get_dependencies": with_spans_cte(
+            f"""
+            SELECT parent, child,
+                   CAST(count(*) AS BIGINT) AS call_count,
+                   CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                     AS error_count,
+                   parent || ':' || child AS link_key
+            FROM links
+            WHERE timestamp BETWEEN {dep_lo_ms} * 1000 AND {dep_hi_ms} * 1000
+            GROUP BY parent, child
+            """,
+            _LINKS_CTE,
+        ),
+    }
