@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from zipkin_storage_kafka_spark.plans import registry
+from zipkin_storage_kafka_spark.plans import registry, registry_pipeline
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -21,8 +21,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.zipkin_queries())
+    return {
+        **registry.zipkin_queries(),
+        **registry_pipeline.pipeline_queries(),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(registry.zipkin_oracles())
+    return {
+        **registry.zipkin_oracles(),
+        **registry_pipeline.pipeline_oracles(),
+    }

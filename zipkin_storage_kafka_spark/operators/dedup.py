@@ -1,0 +1,225 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline extensions (BASELINE.json north star).  All hashing
+is md5-based so the DuckDB oracle reproduces values bit-for-bit; Spark's
+native xxhash64/murmur have no DuckDB twin.
+
+Scale design (100 TB):
+- exact dedup: one hash-groupBy — map-side partial agg, shuffle carries one
+  row per distinct hash.
+- MinHash: shingles explode ~L rows/doc, the (doc, band, row) min-agg
+  combines map-side, the LSH bucket join shuffles only (band, bucket) keys;
+  candidate volume is controlled by (bands, rows) band math, NOT by pair
+  enumeration — no O(n^2) stage exists.
+- SimHash: explode words x 16 bit-positions, two-level agg, again partial.
+- Jaccard verify runs ONLY on LSH candidates (a semi-join-bounded set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from zipkin_storage_kafka_spark.functions.portable import round4
+
+NGRAM = 3
+BANDS = 4
+ROWS_PER_BAND = 2
+SIMHASH_BITS = 16
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """One row per distinct text hash: the canonical doc (min doc_id) plus
+    the duplicate count.  ``n_docs > 1`` rows are exact-duplicate groups."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, sh).
+
+    Built with posexplode + window leads so the same plan shape works in
+    the DuckDB oracle (generate_series indexing there).
+    """
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    idx = d.select(
+        "doc_id", F.posexplode("w").alias("pos", "word")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", k).over(win) for k in range(1, n)]
+    tri = idx.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("sh"),
+        F.lead("word", n - 1).over(win).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    return tri.select("doc_id", "sh").distinct()
+
+
+def shingles_native(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """Same output, zero-shuffle formulation: per-row array transform
+    (no window) — the shape to prefer at scale.  Kept alongside
+    :func:`shingles` so tests pin both produce identical sets."""
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - F.lit(n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("w", i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return (
+        d.filter(F.size("w") >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_buckets(
+    sh: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND
+) -> DataFrame:
+    """(doc_id, band, bucket): LSH bucket per band.
+
+    Hash family: md5(f"{band}_{row}:{shingle}") — the minhash per (band,
+    row) is the lexicographic min of those hex strings; the bucket is the
+    md5 of the per-band concatenation.  Deterministic and engine-portable.
+    """
+    hashes = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("b"), F.lit(r).alias("r"))
+                    for b in range(bands)
+                    for r in range(rows)
+                ]
+            )
+        ).alias("br"),
+        "sh",
+    ).select(
+        "doc_id",
+        F.col("br.b").alias("b"),
+        F.col("br.r").alias("r"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.concat_ws("_", F.col("br.b"), F.col("br.r")),
+                F.col("sh"),
+            )
+        ).alias("h"),
+    )
+    mins = hashes.groupBy("doc_id", "b", "r").agg(F.min("h").alias("m"))
+    return (
+        mins.groupBy("doc_id", "b")
+        .agg(F.md5(F.array_join(F.array_sort(F.collect_list(F.struct("r", "m"))).getField("m"), "|")).alias("bucket"))
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing >= 1 LSH bucket, with the
+    number of agreeing bands.  The join key is (band, bucket) — shuffle is
+    bounded by bucket occupancy, never all-pairs."""
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.b").alias("band"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, candidates: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """True n-gram Jaccard for candidate pairs: |A∩B| via a shingle
+    equi-join restricted to candidates, |A|,|B| from per-doc counts.
+    Columns: doc_a, doc_b, jaccard (round 4)."""
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = (
+        candidates.select("doc_a", "doc_b")
+        .join(a, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    out = (
+        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            round4(
+                F.col("i") / (F.col("ca.n") + F.col("cb.n") - F.col("i"))
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash over word unigrams (occurrence-weighted).
+
+    Bit j of the signature is the majority sign of hex digit j of each
+    word's md5 (digit >= '8' means the high bit is set) — engine-portable
+    without hex->int conversion.  Columns: doc_id, simhash (bigint).
+    """
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    hashed = words.select("doc_id", F.md5("word").alias("h"))
+    bitsdf = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(1, bits + 1)])
+        ).alias("j"),
+        "h",
+    ).select(
+        "doc_id",
+        "j",
+        F.when(F.substring("h", F.col("j").cast("int"), 1) >= "8", F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("v"),
+    )
+    scores = bitsdf.groupBy("doc_id", "j").agg(F.sum("v").alias("s"))
+    return scores.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_dup_groups(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash values held by more than one document — near-dup clusters.
+    Columns: simhash, n_docs, canonical_doc_id."""
+    return (
+        simhash(docs, bits)
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -71,26 +71,24 @@ def autocomplete_tags(
     The scalar span layout carries the fixture's tag columns directly; the
     nested-layout variant explodes the tags map and filters ``key.isin``.
     """
-    pairs = []
-    if "environment" in keys:
-        pairs.append(
-            spans.filter(F.col("env").isNotNull()).select(
-                F.lit("environment").alias("tag_key"), F.col("env").alias("value")
-            )
-        )
-    if "k" in keys:
-        pairs.append(
-            spans.filter(F.col("tag_k").isNotNull()).select(
-                F.lit("k").alias("tag_key"), F.col("tag_k").alias("value")
-            )
-        )
-    if not pairs:
+    supported = {"environment": F.col("env"), "k": F.col("tag_k")}
+    chosen = [k for k in keys if k in supported]
+    if not chosen:
         raise ValueError(f"no supported autocomplete keys in {keys!r}")
-    union = pairs[0]
-    for p in pairs[1:]:
-        union = union.unionByName(p)
-    return union.groupBy("tag_key").agg(
-        F.array_join(F.array_sort(F.collect_set("value")), ",").alias("tag_values")
+    # Single pass: build (key, value) pairs per span and explode — one scan
+    # of the spans input instead of one per key (matters at 100 TB).
+    pair_array = F.array(
+        *[
+            F.struct(F.lit(k).alias("tag_key"), supported[k].alias("value"))
+            for k in chosen
+        ]
+    )
+    return (
+        spans.select(F.explode(pair_array).alias("kv"))
+        .select("kv.tag_key", "kv.value")
+        .filter(F.col("value").isNotNull())
+        .groupBy("tag_key")
+        .agg(F.array_join(F.array_sort(F.collect_set("value")), ",").alias("tag_values"))
     )
 
 

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and an
+LSH-bucketed ANN variant (training-data-pipeline extensions).
+
+Scale design (100 TB): brute force is one scan + TakeOrderedAndProject —
+embarrassingly parallel map-side top-k, merged on the driver; the LSH
+variant prunes the scan to one bucket (at scale: a partition/bucket column
+on the sink table, so the scan itself prunes).  Dot products run as native
+``aggregate``/``zip_with`` Column expressions in codegen — no Python.
+
+Determinism for oracle hashing: similarities are computed in DOUBLE and
+rounded to 4 decimals; ranking ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zipkin_storage_kafka_spark.functions.portable import round4
+
+SIGN_BITS = 8
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_scores(embeddings: DataFrame, query_vec_id: int) -> DataFrame:
+    """Cosine similarity of every vector against ``query_vec_id``.
+
+    The 1-row query side is broadcast — no shuffle of the big side.
+    Columns: vec_id, cos (round 4).
+    """
+    q = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(_as_double("embedding").alias("q_emb"))
+    )
+    e = embeddings.select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    joined = e.crossJoin(F.broadcast(q))
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+    )
+    return joined.select("vec_id", round4(cos).alias("cos"))
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec_id: int, k: int = 10
+) -> DataFrame:
+    """Brute-force exact top-k neighbors (the correctness baseline).
+    Compiles to TakeOrderedAndProject — per-partition heap, no full sort."""
+    return (
+        cosine_scores(embeddings, query_vec_id)
+        .filter(F.col("vec_id") != query_vec_id)
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def sign_bucket(emb_col, bits: int = SIGN_BITS) -> Column:
+    """Deterministic LSH bucket: sign bits of the first ``bits`` coordinates
+    (axis-aligned random-projection family).  Engine-portable."""
+    return F.concat(
+        *[
+            F.when(F.element_at(emb_col, i + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(bits)
+        ]
+    )
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame, query_vec_id: int, k: int = 5, bits: int = SIGN_BITS
+) -> DataFrame:
+    """ANN: restrict the scan to the query's sign-bucket, then exact top-k
+    within it.  At scale the bucket is a partition column -> partition
+    pruning turns this into a sub-percent scan."""
+    bucketed = embeddings.withColumn("bucket", sign_bucket(F.col("embedding"), bits))
+    q_bucket = (
+        bucketed.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("bucket").alias("q_bucket"))
+    )
+    candidates = bucketed.join(
+        F.broadcast(q_bucket), F.col("bucket") == F.col("q_bucket"), "inner"
+    ).select("vec_id", "embedding")
+    return cosine_topk(candidates, query_vec_id, k)
+
+
+def pairwise_cosine_dups(
+    embeddings: DataFrame, threshold: float = 0.95, bits: int = SIGN_BITS
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucket join (same sign bucket)
+    then exact cosine filter.  Columns: vec_a, vec_b, cos (round 4).
+    The bucket equi-join bounds the pair space — no O(n^2) stage."""
+    bucketed = embeddings.select(
+        "vec_id",
+        _as_double("embedding").alias("emb"),
+        sign_bucket(F.col("embedding"), bits).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
+        F.sqrt(_dot(F.col("a.emb"), F.col("a.emb")))
+        * F.sqrt(_dot(F.col("b.emb"), F.col("b.emb")))
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            round4(cos).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

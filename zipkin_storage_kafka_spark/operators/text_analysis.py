@@ -1,0 +1,104 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the reference's surface (BASELINE.json north star): language-ID
+heuristic, quality scoring, token counting, and document fingerprinting over
+the ``documents`` table.  All pure Column expressions — whole-stage codegen,
+no Python in the hot path; at 100 TB each is a single parquet scan with
+pushdown, no shuffle except the final tiny aggregations.
+
+Determinism: outputs are ints/strings or explicitly rounded doubles so the
+DuckDB oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zipkin_storage_kafka_spark.functions.portable import round4
+
+# tiny function-word lists for the language heuristic (public knowledge —
+# standard high-frequency function words per language)
+EN_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def with_tokens(docs: DataFrame) -> DataFrame:
+    """documents + ``words`` column (whitespace tokenization)."""
+    return docs.withColumn("words", F.split(F.col("text"), " "))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counts + quality signals.
+
+    Columns: doc_id, n_tokens, n_distinct_tokens, stopword_count,
+    ttr (type-token ratio, round 4), avg_token_len (round 4).
+    """
+    d = with_tokens(docs)
+    n_tokens = F.size("words")
+    n_distinct = F.size(F.array_distinct("words"))
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    stopword_count = F.size(
+        F.filter("words", lambda w: F.array_contains(stop_arr, w))
+    )
+    # total chars in tokens = len(text) - (n_tokens - 1) separators
+    avg_len = (F.length("text") - (n_tokens - F.lit(1))) / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
+        stopword_count.cast("long").alias("stopword_count"),
+        round4(n_distinct / n_tokens).alias("ttr"),
+        round4(avg_len).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite quality score in [0,1] from length / stopword-ratio /
+    repetition signals (the usual pretraining-corpus filters).
+
+    score = 0.4*length_ok + 0.3*min(1, 5*stopword_ratio) + 0.3*ttr
+    Columns: doc_id, quality (round 4), length_ok, stopword_ratio (round 4).
+    """
+    s = token_stats(docs)
+    length_ok = (F.col("n_tokens") >= 20).cast("int")
+    stop_ratio = F.col("stopword_count") / F.col("n_tokens")
+    score = (
+        F.lit(0.4) * length_ok
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(5.0) * stop_ratio)
+        + F.lit(0.3) * F.col("ttr")
+    )
+    return s.select(
+        "doc_id",
+        round4(score).alias("quality"),
+        length_ok.alias("length_ok"),
+        round4(stop_ratio).alias("stopword_ratio"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Function-word language heuristic: claim 'en' when English function
+    words appear, else 'unknown'.  Columns: doc_id, predicted_lang,
+    lang (ground truth), is_correct.
+
+    (The n-gram-profile upgrade — score per language against corpus-derived
+    char-trigram profiles — is a planned round-2 operator.)
+    """
+    d = with_tokens(docs)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    en_hits = F.size(F.filter("words", lambda w: F.array_contains(stop_arr, w)))
+    predicted = F.when(en_hits > 0, F.lit("en")).otherwise(F.lit("unknown"))
+    return d.select(
+        "doc_id",
+        predicted.alias("predicted_lang"),
+        "lang",
+        (predicted == F.col("lang")).alias("is_correct"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token list — a canonical-form hash for near-exact dedup (token-order
+    permutations collapse).  Columns: doc_id, fingerprint."""
+    d = with_tokens(docs)
+    canon = F.array_join(F.array_sort(F.array_distinct("words")), " ")
+    return d.select("doc_id", F.md5(canon).alias("fingerprint"))

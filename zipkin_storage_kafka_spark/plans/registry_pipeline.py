@@ -1,0 +1,282 @@
+"""Registry batch 2: training-data-pipeline operators (dedup, similarity
+search, text analysis) with DuckDB oracles — BASELINE.json north-star
+extensions, graded alongside the SURVEY section-2 inventory.
+
+Portability contract with the oracles: all content hashing is md5 hex
+(bit-identical across engines), all similarity scores are double-precision
+and rounded to 4 decimals, every LIMIT rides a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from zipkin_storage_kafka_spark.operators import dedup as dd
+from zipkin_storage_kafka_spark.operators import similarity as sim
+from zipkin_storage_kafka_spark.operators import text_analysis as ta
+from zipkin_storage_kafka_spark.plans.registry import QueryFn
+from zipkin_storage_kafka_spark.sources.tables import load_table
+
+ANN_QUERY_VEC = 0
+ANN_K = 10
+ANN_LSH_K = 5
+ANN_LSH_BITS = 4
+PAIR_BITS = 8
+PAIR_COS_THRESHOLD = 0.4
+JACCARD_THRESHOLD = 0.5
+
+_STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
+
+_SHINGLES_CTE = """
+docs_w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM docs_w, unnest(generate_series(1, len(w) - 2)) t(i)
+)
+"""
+
+_MINHASH_CTE = (
+    _SHINGLES_CTE
+    + """,
+mh AS (
+  SELECT doc_id, b, r,
+         min(md5(CAST(b AS VARCHAR) || '_' || CAST(r AS VARCHAR) || ':' || sh)) AS m
+  FROM sh, unnest(generate_series(0, 3)) bb(b), unnest(generate_series(0, 1)) rr(r)
+  GROUP BY doc_id, b, r
+),
+buck AS (
+  SELECT doc_id, b, md5(string_agg(m, '|' ORDER BY r)) AS bucket
+  FROM mh GROUP BY doc_id, b
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_bands
+  FROM buck a JOIN buck c
+    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+  GROUP BY 1, 2
+)
+"""
+)
+
+_EMB_BUCKET_SQL_8 = " || ".join(
+    f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 9)
+)
+_EMB_BUCKET_SQL_4 = " || ".join(
+    f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 5)
+)
+
+
+# Spark-side queries ----------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dd.shingles_native(_docs(spark, sf_dir))
+    return dd.lsh_candidate_pairs(dd.minhash_buckets(sh))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dd.shingles_native(_docs(spark, sf_dir))
+    cand = dd.lsh_candidate_pairs(dd.minhash_buckets(sh))
+    return dd.jaccard_pairs(sh, cand, threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.quality_score(_docs(spark, sf_dir))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.language_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.fingerprint(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_VEC, ANN_K)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_topk_lsh(
+        _emb(spark, sf_dir), ANN_QUERY_VEC, ANN_LSH_K, bits=ANN_LSH_BITS
+    )
+
+
+def q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.pairwise_cosine_dups(
+        _emb(spark, sf_dir), threshold=PAIR_COS_THRESHOLD, bits=PAIR_BITS
+    )
+
+
+def pipeline_queries() -> dict[str, QueryFn]:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_dup_pairs": q_emb_dup_pairs,
+    }
+
+
+def pipeline_oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS canonical_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_lsh": f"WITH {_MINHASH_CTE} SELECT * FROM cand",
+        "dedup_ngram_jaccard": f"""
+            WITH {_MINHASH_CTE},
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = doc_a
+            JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000) >= {JACCARD_THRESHOLD}
+        """,
+        "dedup_simhash": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ),
+            bits AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN substring(md5(word), j, 1) >= '8'
+                              THEN 1 ELSE -1 END) AS s
+              FROM words, unnest(generate_series(1, 16)) t(j)
+              GROUP BY doc_id, j
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "text_token_stats": f"""
+            WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+                   CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS BIGINT)
+                     AS stopword_count,
+                   (round((len(list_distinct(w)) * 1.0 / len(w)) * 10000) / 10000) AS ttr,
+                   (round(((length(text) - (len(w) - 1)) * 1.0 / len(w)) * 10000) / 10000)
+                     AS avg_token_len
+            FROM t
+        """,
+        "text_quality": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            s AS (
+              SELECT doc_id,
+                     len(w) AS n_tokens,
+                     len(list_filter(w, x -> x IN {_STOP_SQL})) AS stop_cnt,
+                     (round((len(list_distinct(w)) * 1.0 / len(w)) * 10000) / 10000) AS ttr
+              FROM t
+            )
+            SELECT doc_id,
+                   (round((0.4 * (CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+                         + 0.3 * least(1.0, 5.0 * (stop_cnt * 1.0 / n_tokens))
+                         + 0.3 * ttr) * 10000) / 10000) AS quality,
+                   CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END AS length_ok,
+                   (round((stop_cnt * 1.0 / n_tokens) * 10000) / 10000) AS stopword_ratio
+            FROM s
+        """,
+        "text_langid": f"""
+            WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(list_filter(w, x -> x IN {_STOP_SQL})) > 0
+                        THEN 'en' ELSE 'unknown' END AS predicted_lang,
+                   lang,
+                   (CASE WHEN len(list_filter(w, x -> x IN {_STOP_SQL})) > 0
+                         THEN 'en' ELSE 'unknown' END) = lang AS is_correct
+            FROM t
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_sort(list_distinct(string_split(text, ' '))), ' '))
+                     AS fingerprint
+            FROM documents
+        """,
+        "ann_cosine_topk": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = {ANN_QUERY_VEC})
+            SELECT vec_id,
+                   (round((list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(qv, qv)))) * 10000) / 10000) AS cos
+            FROM e, q WHERE vec_id <> {ANN_QUERY_VEC}
+            ORDER BY cos DESC, vec_id LIMIT {ANN_K}
+        """,
+        "ann_lsh_topk": f"""
+            WITH b AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     {_EMB_BUCKET_SQL_4} AS bucket
+              FROM embeddings
+            ),
+            q AS (SELECT v AS qv, bucket AS qb FROM b
+                  WHERE vec_id = {ANN_QUERY_VEC})
+            SELECT vec_id,
+                   (round((list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(qv, qv)))) * 10000) / 10000) AS cos
+            FROM b, q
+            WHERE bucket = qb AND vec_id <> {ANN_QUERY_VEC}
+            ORDER BY cos DESC, vec_id LIMIT {ANN_LSH_K}
+        """,
+        "emb_dup_pairs": f"""
+            WITH b AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     {_EMB_BUCKET_SQL_8} AS bucket
+              FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                   (round((list_dot_product(a.v, c.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(c.v, c.v)))) * 10000) / 10000) AS cos
+            FROM b a JOIN b c
+              ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE (round((list_dot_product(a.v, c.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(c.v, c.v)))) * 10000) / 10000) >= {PAIR_COS_THRESHOLD}
+        """,
+    }
