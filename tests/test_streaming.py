@@ -1,0 +1,191 @@
+"""Streaming-layer tests mirroring the reference topology tests
+(SpanAggregationTopologyTest / DependencyStorageTopologyTest choreography:
+pipe records, advance stream time with an unrelated record, assert emission).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from zipkin_storage_kafka_spark.streaming.jobs import (
+    SPANS_STREAM_SCHEMA,
+    dependency_counter_stream,
+    index_stream,
+    run_aggregation_pipeline,
+    spans_stream_from_dir,
+)
+
+MICROS = 1_000_000
+
+
+def _span(trace_id, sid, ts_s, parent=None, svc="svc_a", name="op_a",
+          kind="CLIENT", error=False):
+    return Row(
+        trace_id=trace_id, id=sid, parent_id=parent, kind=kind, name=name,
+        timestamp=ts_s * MICROS, duration=1000, local_service=svc,
+        remote_service=None, tag_k="1", env="dev", is_error=error,
+    )
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "in": str(tmp_path / "in"),
+        "traces": str(tmp_path / "traces"),
+        "links": str(tmp_path / "links"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["in"])
+    return d
+
+
+def _write_batch(spark, path, rows, name):
+    """Write ONE flat parquet file (the file stream source reads files, not
+    subdirectories — Spark's own writer would create a directory)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = [f.name for f in SPANS_STREAM_SCHEMA.fields]
+    data = {c: [getattr(r, c) for r in rows] for c in cols}
+    schema = pa.schema(
+        [
+            (c, pa.int64() if c in ("timestamp", "duration")
+             else pa.bool_() if c == "is_error" else pa.string())
+            for c in cols
+        ]
+    )
+    fpath = os.path.join(path, f"{name}.parquet")
+    pq.write_table(pa.Table.from_pydict(data, schema=schema), fpath)
+    # the file source orders by modification time — make it explicit so
+    # arrival order in tests is deterministic (files written sub-second)
+    seq = int(name.strip("batch").strip("b"))
+    t = 1_000_000_000 + seq * 100
+    os.utime(fpath, (t, t))
+
+
+def test_session_close_emits_trace_and_links(spark, dirs):
+    """Fixture 1 (FIXTURES.md section 5): two spans, same trace, within the
+    gap -> ONE trace [a,b] and one link svc_a->svc_b, emitted only after
+    stream time passes the gap (flushed by an unrelated later record,
+    mirroring SpanAggregationTopologyTest.java:84-93)."""
+    base = 1_700_000_000
+    _write_batch(spark, dirs["in"], [
+        _span("a", "1", base, svc="svc_a", name="op_a", kind="CLIENT"),
+        _span("a", "2", base + 1, parent="1", svc="svc_b", name="op_b",
+              kind="SERVER"),
+    ], "batch1")
+    # unrelated record 10 min later advances the watermark past the session
+    _write_batch(spark, dirs["in"], [
+        _span("zz", "9", base + 600, svc="svc_z"),
+    ], "batch2")
+
+    run_aggregation_pipeline(
+        spark, dirs["in"], dirs["traces"], dirs["links"], dirs["ckpt"]
+    )
+
+    traces = spark.read.parquet(dirs["traces"])
+    got = {r["trace_id"]: r for r in traces.collect()}
+    assert "a" in got, "closed session for trace a must be emitted"
+    assert got["a"]["span_count"] == 2
+    assert [s["id"] for s in got["a"]["spans"]] == ["1", "2"]
+    # the flush trace's session never closes -> exactly-once, no partial emit
+    assert "zz" not in got
+
+    links = spark.read.parquet(dirs["links"])
+    link_rows = links.collect()
+    assert len(link_rows) == 1
+    assert (link_rows[0]["parent"], link_rows[0]["child"]) == ("svc_a", "svc_b")
+
+
+def test_late_fragment_dropped_by_aggregation(spark, dirs):
+    """W5: a fragment arriving after its session closed is dropped by the
+    aggregation stream (grace 0 == zero watermark delay)."""
+    base = 1_700_000_000
+    _write_batch(spark, dirs["in"], [_span("a", "1", base)], "b1")
+    _write_batch(spark, dirs["in"], [_span("zz", "9", base + 600, svc="svc_z")], "b2")
+    # second advance: the watermark from b2 evicts + emits trace a HERE
+    _write_batch(spark, dirs["in"], [_span("xx", "7", base + 700, svc="svc_x")], "b3")
+    # late fragment for trace a arrives after its session was evicted
+    _write_batch(spark, dirs["in"], [_span("a", "2", base + 1, parent="1")], "b4")
+    # another flush record even later
+    _write_batch(spark, dirs["in"], [_span("yy", "8", base + 1200, svc="svc_y")], "b5")
+
+    run_aggregation_pipeline(
+        spark, dirs["in"], dirs["traces"], dirs["links"], dirs["ckpt"]
+    )
+    traces = spark.read.parquet(dirs["traces"])
+    a_rows = traces.filter(F.col("trace_id") == "a").collect()
+    assert len(a_rows) == 1
+    assert a_rows[0]["span_count"] == 1, "late fragment must not reopen session"
+
+
+def test_dependency_counter_stream(spark, tmp_path):
+    """Fixture 2: same link twice within one 1-min bucket -> call_count 2
+    (DependencyStorageTopologyTest.java:79-90)."""
+    links_in = str(tmp_path / "links_in")
+    base_ms = 1_700_000_000_000
+    rows = [
+        Row(parent="svc_a", child="svc_b", is_error=False, ts_ms=base_ms),
+        Row(parent="svc_a", child="svc_b", is_error=True, ts_ms=base_ms + 1000),
+        Row(parent="svc_a", child="svc_b", is_error=False,
+            ts_ms=base_ms + 600_000),  # different bucket (and flushes first)
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.parquet(links_in)
+
+    stream = (
+        spark.readStream.schema("parent string, child string, is_error boolean, ts_ms long")
+        .parquet(links_in)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+    )
+    counters = dependency_counter_stream(stream)
+    q = (
+        counters.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dep_counters")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        r["window_start_ms"]: r
+        for r in spark.sql("select * from dep_counters").collect()
+    }
+    first_bucket = (base_ms // 60_000) * 60_000
+    assert out[first_bucket]["call_count"] == 2
+    assert out[first_bucket]["error_count"] == 1
+
+
+def test_index_stream_complete_mode(spark, tmp_path):
+    """Fixture 3: name indexes accumulate distinct sets; storage path has
+    no watermark so even 'late' spans are indexed (W5 split)."""
+    spans_in = str(tmp_path / "spans_in")
+    base = 1_700_000_000
+    rows = [
+        _span("a", "1", base, svc="svc_a", name="op_a"),
+        _span("a", "2", base + 1, svc="svc_b", name="op_b"),
+        _span("b", "3", base - 10_000, svc="svc_a", name="op_a"),  # very late
+    ]
+    spark.createDataFrame(rows, SPANS_STREAM_SCHEMA).coalesce(1).write.parquet(
+        spans_in
+    )
+    stream = spark.readStream.schema(SPANS_STREAM_SCHEMA).parquet(spans_in)
+    q = (
+        index_stream(stream, "span_names")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("span_names_idx")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["service_name"]: sorted(r["names"])
+        for r in spark.sql("select * from span_names_idx").collect()
+    }
+    assert got == {"svc_a": ["op_a"], "svc_b": ["op_b"]}

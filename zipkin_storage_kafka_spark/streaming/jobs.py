@@ -1,0 +1,232 @@
+"""Structured Streaming topologies — the reference's three Kafka-Streams
+apps re-expressed (SURVEY.md section 3.2):
+
+1. span aggregation: session-window spans into traces, emit once on close
+   (SpanAggregationTopology.java:72-99 — groupByKey -> SessionWindows(gap,
+   grace 0) -> aggregate(Trace.merge) -> suppress(untilWindowCloses));
+   links derived from each emitted trace batch.
+2. trace/index storage: materialize queryable stores
+   (TraceStorageTopology.java:81-241).
+3. dependency storage: 1-minute tumbling counters
+   (DependencyStorageTopology.java:52-108).
+
+Spark mapping:
+- suppress-until-close == APPEND output mode on a session_window agg: a
+  window emits exactly once, when the watermark passes it.  grace(ZERO) ==
+  a zero (or minimal) watermark delay.  Window close is driven by event
+  time of newer records from ANY key, exactly like Kafka Streams stream
+  time (reference test pipes an unrelated record to flush —
+  SpanAggregationTopologyTest.java:84-86; our tests do the same).
+- the W5 lateness split is preserved: the aggregation stream drops late
+  fragments (watermark), while the storage path consumes the raw spans
+  stream with no watermark and still indexes them
+  (TraceStorageTopology.java:93-126 consumes the spans topic directly).
+  One timing divergence (documented, strictly more lenient): a late
+  fragment landing in the SAME micro-batch in which its session is
+  evicted still merges in before emission; once the session state is
+  evicted in an earlier batch, late fragments are dropped exactly like
+  the reference's grace(ZERO).
+- state lives in Spark's state store; checkpointing gives exactly-once to
+  idempotent sinks — strictly stronger than the reference's
+  logging-disabled stores rebuilt from source (TraceStorageTopology.java:85-86).
+
+File-based streams in dev/test; swap ``readStream.format('kafka')`` +
+``from_json``/``from_protobuf`` for production ingest (S3 in SURVEY 2.1).
+At scale: shuffle partitions sized to executor count, RocksDB state store
+provider for big session state, sink tables partitioned by event date for
+retention-by-partition-drop (W4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Scalar span layout (sources.spans.spans_from_events output).
+SPANS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("parent_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("duration", T.LongType()),
+        T.StructField("local_service", T.StringType()),
+        T.StructField("remote_service", T.StringType()),
+        T.StructField("tag_k", T.StringType()),
+        T.StructField("env", T.StringType()),
+        T.StructField("is_error", T.BooleanType()),
+    ]
+)
+
+DEFAULT_TRACE_TIMEOUT = "1 minute"  # reference default traceTimeout 60000 ms
+
+
+def spans_stream_from_dir(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based spans stream (dev/test stand-in for the zipkin-spans
+    topic).  One file per micro-batch mirrors the reference tests' pipe-one-
+    record-at-a-time choreography."""
+    return (
+        spark.readStream.schema(SPANS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .withColumn("ts", F.timestamp_micros("timestamp"))
+    )
+
+
+def trace_aggregation_stream(
+    spans: DataFrame,
+    gap: str = DEFAULT_TRACE_TIMEOUT,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Session-window trace assembly (W1/W2): one output row per closed
+    trace session, emitted exactly once (append mode downstream).
+
+    Output: trace_id, session_start_ms, session_end_ms, spans (sorted
+    array), trace_timestamp, span_count.
+    """
+    span_struct = F.struct(
+        "timestamp", "id", "parent_id", "kind", "name", "duration",
+        "local_service", "remote_service", "tag_k", "env", "is_error",
+    )
+    return (
+        spans.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "trace_id")
+        .agg(
+            F.array_sort(F.collect_list(span_struct)).alias("spans"),
+            F.min("timestamp").alias("trace_timestamp"),
+            F.count(F.lit(1)).alias("span_count"),
+        )
+        .select(
+            "trace_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "spans",
+            "trace_timestamp",
+            "span_count",
+        )
+    )
+
+
+def links_from_trace_batch(traces: DataFrame) -> DataFrame:
+    """Per-trace dependency links from an emitted (closed-trace) batch —
+    the ``spansToDependencyLinks`` stage (SpanAggregationTopology.java:
+    115-121), run inside foreachBatch on the small closed-trace batch."""
+    exploded = traces.select("trace_id", F.explode("spans").alias("s"))
+    child = exploded.select(
+        "trace_id",
+        F.col("s.id").alias("id"),
+        F.col("s.parent_id").alias("parent_id"),
+        F.col("s.local_service").alias("child"),
+        F.col("s.is_error").alias("is_error"),
+        F.col("s.timestamp").alias("timestamp"),
+    ).alias("c")
+    parent = exploded.select(
+        "trace_id",
+        F.col("s.id").alias("p_id"),
+        F.col("s.local_service").alias("parent"),
+    ).alias("p")
+    return child.join(
+        parent,
+        (F.col("c.trace_id") == F.col("p.trace_id"))
+        & (F.col("c.parent_id") == F.col("p.p_id")),
+        "inner",
+    ).select(
+        F.col("c.trace_id").alias("trace_id"),
+        "parent",
+        "child",
+        "is_error",
+        "timestamp",
+    )
+
+
+def dependency_counter_stream(
+    links: DataFrame, window: str = "1 minute", watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """1-minute tumbling link counters (A7/W3) — the zipkin-dependencies
+    store.  ``links`` must carry a ``ts`` timestamp column."""
+    return (
+        links.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window).alias("w"), "parent", "child")
+        .agg(
+            F.count(F.lit(1)).alias("call_count"),
+            F.sum(F.col("is_error").cast("long")).alias("error_count"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "parent",
+            "child",
+            "call_count",
+            "error_count",
+        )
+    )
+
+
+def index_stream(spans: DataFrame, which: str) -> DataFrame:
+    """Name/tag index streams (A4-A6) in complete/update mode — the
+    in-memory set stores of TraceStorageTopology.java:131-149.  No
+    watermark: the storage path accepts late data (W5 split)."""
+    if which == "span_names":
+        return (
+            spans.filter(
+                F.col("local_service").isNotNull() & F.col("name").isNotNull()
+            )
+            .groupBy(F.col("local_service").alias("service_name"))
+            .agg(F.collect_set("name").alias("names"))
+        )
+    if which == "remote_service_names":
+        return (
+            spans.filter(
+                F.col("local_service").isNotNull()
+                & F.col("remote_service").isNotNull()
+            )
+            .groupBy(F.col("local_service").alias("service_name"))
+            .agg(F.collect_set("remote_service").alias("remote_services"))
+        )
+    if which == "autocomplete_tags":
+        return (
+            spans.filter(F.col("env").isNotNull())
+            .groupBy(F.lit("environment").alias("tag_key"))
+            .agg(F.collect_set("env").alias("tag_values"))
+        )
+    raise ValueError(f"unknown index {which!r}")
+
+
+def run_aggregation_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    traces_out: str,
+    links_out: str,
+    checkpoint_dir: str,
+    gap: str = DEFAULT_TRACE_TIMEOUT,
+) -> None:
+    """End-to-end aggregation app: spans stream -> closed traces (append)
+    -> foreachBatch fanout writing BOTH the traces sink and the derived
+    links sink — the micro-batch analog of the topology's two ``.to()``
+    sinks (SpanAggregationTopology.java:92-96).  Runs to completion on
+    available input (availableNow), exactly-once via checkpoint."""
+    closed = trace_aggregation_stream(spans_stream_from_dir(spark, input_dir), gap)
+
+    def emit(batch: DataFrame, epoch_id: int) -> None:
+        batch.persist()
+        try:
+            batch.write.mode("append").parquet(traces_out)
+            links = links_from_trace_batch(batch)
+            links.withColumn("ts", F.timestamp_micros("timestamp")).write.mode(
+                "append"
+            ).parquet(links_out)
+        finally:
+            batch.unpersist()
+
+    q = (
+        closed.writeStream.outputMode("append")
+        .foreachBatch(emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
