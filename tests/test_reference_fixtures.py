@@ -1,0 +1,169 @@
+"""Canonical micro-fixtures from the reference test corpus (FIXTURES.md
+section 5 / SURVEY.md section 5) pinned against the batch operators:
+
+1. two-span trace -> one trace [a,b] + link (svc_a, svc_b, 1, 0)
+   (SpanAggregationTopologyTest.java:56-108)
+2. counter accumulation within a window bucket
+   (DependencyStorageTopologyTest.java:56-101)
+3. index build: span names / autocomplete
+   (TraceStorageTopologyTest.java:123-196)
+4. query semantics: find by service, newest-first limit, by ids
+   (ITKafkaStorage.java:204-233)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from zipkin_storage_kafka_spark.functions.zipkin import normalize_trace_id
+from zipkin_storage_kafka_spark.operators import (
+    aggregate_traces,
+    autocomplete_tags,
+    dependency_links,
+    merge_links,
+    span_names,
+    windowed_link_counters,
+)
+from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+    merge_trace_spans,
+)
+from zipkin_storage_kafka_spark.plans.query_api import QueryRequest, SpanStore
+from zipkin_storage_kafka_spark.streaming.jobs import SPANS_STREAM_SCHEMA
+
+MICROS = 1_000_000
+
+
+def _span(trace_id, sid, ts_us, parent=None, svc="svc_a", name="op_a",
+          kind="CLIENT", remote=None, env=None, error=False, dur=1000):
+    return Row(
+        trace_id=trace_id, id=sid, parent_id=parent, kind=kind, name=name,
+        timestamp=ts_us, duration=dur, local_service=svc,
+        remote_service=remote, tag_k="1", env=env, is_error=error,
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_spans(spark):
+    base = 1_700_000_000 * MICROS
+    rows = [
+        # trace a: client svc_a -> server svc_b (fixture 1)
+        _span("000000000000000a", "1", base, svc="svc_a", name="op_a",
+              kind="CLIENT", remote="svc_b", env="dev"),
+        _span("000000000000000a", "2", base + 10, parent="1", svc="svc_b",
+              name="op_b", kind="SERVER"),
+        # trace b: newer, single error span on svc_c
+        _span("000000000000000b", "3", base + 120 * MICROS, svc="svc_c",
+              name="op_c", kind=None, error=True, dur=50_000),
+    ]
+    return spark.createDataFrame(rows, SPANS_STREAM_SCHEMA)
+
+
+def test_two_span_trace_aggregation(fixture_spans):
+    traces = {r["trace_id"]: r for r in aggregate_traces(fixture_spans).collect()}
+    a = traces["000000000000000a"]
+    assert a["span_count"] == 2
+    assert [s["id"] for s in a["spans"]] == ["1", "2"]  # sorted (ts, id)
+    assert a["trace_timestamp"] == 1_700_000_000 * MICROS
+
+
+def test_dependency_link_fixture(fixture_spans):
+    links = merge_links(dependency_links(fixture_spans)).collect()
+    assert len(links) == 1
+    link = links[0]
+    assert (link["parent"], link["child"]) == ("svc_a", "svc_b")
+    assert (link["call_count"], link["error_count"]) == (1, 0)
+    assert link["link_key"] == "svc_a:svc_b"
+
+
+def test_counter_accumulation_within_bucket(spark):
+    """Same link twice within one 1-min bucket -> call_count 2; a later
+    bucket starts fresh at 1 (DependencyStorageTopologyTest.java:79-97)."""
+    base = 1_700_000_000 * MICROS
+    rows = [
+        _span("000000000000000a", "1", base, svc="svc_a"),
+        _span("000000000000000a", "2", base + 1000, parent="1", svc="svc_b"),
+        _span("000000000000000a", "3", base + 2000, parent="1", svc="svc_b"),
+        _span("000000000000000c", "7", base + 120 * MICROS, svc="svc_a"),
+        _span("000000000000000c", "8", base + 121 * MICROS, parent="7",
+              svc="svc_b"),
+    ]
+    counters = windowed_link_counters(
+        dependency_links(spark.createDataFrame(rows, SPANS_STREAM_SCHEMA))
+    ).collect()
+    by_window = {r["window_start_ms"]: r for r in counters}
+    assert len(by_window) == 2
+    first, second = sorted(by_window)
+    assert by_window[first]["call_count"] == 2
+    assert by_window[second]["call_count"] == 1
+
+
+def test_index_build(fixture_spans):
+    names = {r["service_name"]: r["names"] for r in span_names(fixture_spans).collect()}
+    assert names == {"svc_a": "op_a", "svc_b": "op_b", "svc_c": "op_c"}
+    tags = {
+        r["tag_key"]: r["tag_values"]
+        for r in autocomplete_tags(fixture_spans, keys=("environment",)).collect()
+    }
+    assert tags == {"environment": "dev"}
+
+
+def test_find_traces_semantics(fixture_spans):
+    store = SpanStore(fixture_spans)
+    base_ms = 1_700_000_000_000
+    # by service: only trace a involves svc_a
+    got = store.get_traces(
+        QueryRequest(service_name="svc_a", end_ts=base_ms + 600_000,
+                     lookback=3_600_000)
+    ).collect()
+    assert [r["trace_id"] for r in got] == ["000000000000000a"]
+    # unfiltered limit=1 returns the NEWEST trace first
+    got = store.get_traces(
+        QueryRequest(end_ts=base_ms + 600_000, lookback=3_600_000, limit=1)
+    ).collect()
+    assert [r["trace_id"] for r in got] == ["000000000000000b"]
+    # min_duration co-occurring with service on a single span (P4)
+    got = store.get_traces(
+        QueryRequest(service_name="svc_c", min_duration=10_000,
+                     end_ts=base_ms + 600_000, lookback=3_600_000)
+    ).collect()
+    assert [r["trace_id"] for r in got] == ["000000000000000b"]
+    # annotation query: tag exists + equals
+    got = store.get_traces(
+        QueryRequest(annotation_query={"environment": "dev"},
+                     end_ts=base_ms + 600_000, lookback=3_600_000)
+    ).collect()
+    assert [r["trace_id"] for r in got] == ["000000000000000a"]
+
+
+def test_get_traces_by_ids(fixture_spans):
+    store = SpanStore(fixture_spans)
+    got = store.get_traces_by_ids(["000000000000000a", "000000000000000b"])
+    assert got.count() == 2
+
+
+def test_normalize_trace_id(spark):
+    df = spark.createDataFrame(
+        [Row(t="ABC"), Row(t="a" * 17)]
+    ).select(normalize_trace_id("t").alias("n"))
+    vals = [r["n"] for r in df.collect()]
+    assert vals[0] == "0" * 13 + "abc"
+    assert vals[1] == "0" * 15 + "a" * 17
+
+
+def test_trace_merge_dedups_spans(spark):
+    """Trace.merge parity: duplicate span id (same shared flag) collapses
+    to one (zipkin2 semantics via SpanAggregationTopology.java:101-113)."""
+    base = 1_700_000_000 * MICROS
+    rows = [
+        _span("000000000000000a", "1", base),
+        _span("000000000000000a", "1", base + 5),  # duplicate id, later ts
+        _span("000000000000000a", "2", base + 10, parent="1", svc="svc_b"),
+    ]
+    traces = aggregate_traces(spark.createDataFrame(rows, SPANS_STREAM_SCHEMA))
+    merged = {r["trace_id"]: r for r in merge_trace_spans(traces).collect()}
+    a = merged["000000000000000a"]
+    assert a["span_count"] == 2
+    assert [s["id"] for s in a["spans"]] == ["1", "2"]
+    assert a["spans"][0]["timestamp"] == base  # earliest occurrence kept

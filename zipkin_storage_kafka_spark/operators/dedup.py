@@ -185,23 +185,40 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     Bit j of the signature is the majority sign of hex digit j of each
     word's md5 (digit >= '8' means the high bit is set) — engine-portable
     without hex->int conversion.  Columns: doc_id, simhash (bigint).
+
+    Dictionary formulation: md5 is computed once per DISTINCT word (the
+    vocabulary), then broadcast-joined back to per-(doc, word) occurrence
+    counts — sum(count * sign) per occurrence equals the naive per-row
+    sum, at vocabulary cost instead of corpus cost.  At 100 TB the
+    vocabulary side stays MB-scale -> broadcast, no big-side shuffle
+    beyond the (doc, word) partial count.
     """
-    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    hashed = words.select("doc_id", F.md5("word").alias("h"))
-    bitsdf = hashed.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.lit(j) for j in range(1, bits + 1)])
-        ).alias("j"),
-        "h",
+    word_counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = word_counts.select("word").distinct().withColumn(
+        "h", F.md5("word")
+    )
+    vocab_bits = vocab.select(
+        "word",
+        F.explode(F.array(*[F.lit(j) for j in range(1, bits + 1)])).alias("j"),
     ).select(
-        "doc_id",
+        "word",
         "j",
-        F.when(F.substring("h", F.col("j").cast("int"), 1) >= "8", F.lit(1))
+        F.when(
+            F.substring(F.md5("word"), F.col("j").cast("int"), 1) >= "8",
+            F.lit(1),
+        )
         .otherwise(F.lit(-1))
         .alias("v"),
     )
-    scores = bitsdf.groupBy("doc_id", "j").agg(F.sum("v").alias("s"))
+    scores = (
+        word_counts.join(F.broadcast(vocab_bits), "word")
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.col("cnt") * F.col("v")).alias("s"))
+    )
     return scores.groupBy("doc_id").agg(
         F.sum(
             F.when(

@@ -29,7 +29,7 @@ from zipkin_storage_kafka_spark.operators import (
     windowed_link_counters,
 )
 from zipkin_storage_kafka_spark.plans.query_api import QueryRequest, SpanStore
-from zipkin_storage_kafka_spark.sources.spans import spans_from_events, with_spans_cte
+from zipkin_storage_kafka_spark.sources.spans import spans_table, with_spans_cte
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -83,7 +83,7 @@ DEPENDENCIES_LOOKBACK = 7 * 86_400_000
 
 
 def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spans_from_events(spark, sf_dir)
+    return spans_table(spark, sf_dir)
 
 
 # Spark-side queries ----------------------------------------------------------

