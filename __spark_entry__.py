@@ -12,7 +12,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from zipkin_storage_kafka_spark.plans import registry, registry_pipeline
+from zipkin_storage_kafka_spark.plans import (
+    registry,
+    registry_analytics,
+    registry_pipeline,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -24,6 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         **registry.zipkin_queries(),
         **registry_pipeline.pipeline_queries(),
+        **registry_analytics.analytics_queries(),
     }
 
 
@@ -31,4 +36,5 @@ def oracle_sql() -> dict[str, str]:
     return {
         **registry.zipkin_oracles(),
         **registry_pipeline.pipeline_oracles(),
+        **registry_analytics.analytics_oracles(),
     }

@@ -44,4 +44,7 @@ def to_epoch_micros(df, col_name: str):
     dtype = dict(df.dtypes).get(col_name)
     if dtype == "bigint":
         return F.expr(f"{col_name} div 1000")
+    if dtype == "timestamp_ntz":
+        # session TZ is pinned to UTC, so NTZ -> TZ cast is the identity
+        return F.unix_micros(F.col(col_name).cast("timestamp"))
     return F.unix_micros(F.col(col_name))
