@@ -1,0 +1,67 @@
+"""Materialized store tests: layout, partition pruning, retention drop."""
+
+from __future__ import annotations
+
+import io
+import os
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from zipkin_storage_kafka_spark.plans.materialize import (
+    DATE_COL,
+    drop_expired_partitions,
+    materialize_stores,
+    read_store,
+    traces_in_range,
+)
+from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+
+
+def test_materialize_and_query(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "stores")
+    spans = spans_from_events(spark, sf_dir)
+    materialize_stores(spark, spans, out)
+
+    # traces partitioned by date; row parity with the live aggregation
+    trace_dirs = [
+        d for d in os.listdir(os.path.join(out, "traces"))
+        if d.startswith(f"{DATE_COL}=")
+    ]
+    assert len(trace_dirs) >= 25  # ~30 days of data
+    assert read_store(spark, out, "traces").count() == (
+        spans.select("trace_id").distinct().count()
+    )
+
+    # range query prunes partitions (PartitionFilters in the scan)
+    df = traces_in_range(
+        spark, out, end_ts_ms=1_704_326_400_000, lookback_ms=2 * 86_400_000
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    assert "PartitionFilters: [" in buf.getvalue()
+    got_dates = {str(r[DATE_COL]) for r in df.select(DATE_COL).distinct().collect()}
+    assert got_dates <= {"2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"}
+
+    # name stores match live aggregations
+    assert read_store(spark, out, "span_names").count() == 7
+    tags = {
+        r["tag_key"] for r in read_store(spark, out, "autocomplete_tags").collect()
+    }
+    assert tags == {"environment", "k"}
+
+
+def test_retention_partition_drop(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "stores")
+    materialize_stores(spark, spans_from_events(spark, sf_dir), out)
+    before = read_store(spark, out, "traces").count()
+    dropped = drop_expired_partitions(out, "traces", min_date="2024-01-10")
+    assert dropped and all(d < f"{DATE_COL}=2024-01-10" for d in dropped)
+    after = read_store(spark, out, "traces").count()
+    assert after < before
+    remaining = {
+        str(r[DATE_COL])
+        for r in read_store(spark, out, "traces").select(DATE_COL).distinct().collect()
+    }
+    assert min(remaining) >= "2024-01-10"

@@ -1,0 +1,104 @@
+"""Materialized sink tables — the engine's analog of the reference's
+queryable state stores (SURVEY.md section 1.4), laid out for 100 TB.
+
+Each store becomes a parquet table partitioned by event DATE:
+- ``traces``       (zipkin-traces store: 1 d retention / 1 h segments —
+                    TraceStorageTopology.java:87-91)
+- ``span_names`` / ``remote_service_names`` / ``autocomplete_tags``
+                    (7 d retention in-memory stores — :131-149; tiny, one
+                    unpartitioned file each)
+- ``dependency_links`` (zipkin-dependencies: 7 d TTL / 1-min buckets —
+                    DependencyStorageTopology.java:56-66; partitioned by day,
+                    bucket column inside)
+
+Retention (W4) = partition drop: deleting date directories replaces the
+reference's windowed-store segment eviction, and partition pruning on the
+date column replaces ``fetchAll(from, to)`` segment selection.  Queries
+over the materialized tables are the S7/S8/S9 scan shapes with pruning.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zipkin_storage_kafka_spark.operators import (
+    aggregate_traces,
+    autocomplete_tags,
+    dependency_links,
+    remote_service_names,
+    span_names,
+    windowed_link_counters,
+)
+
+DATE_COL = "event_date"
+
+
+def _with_event_date(df: DataFrame, micros_col: str) -> DataFrame:
+    return df.withColumn(
+        DATE_COL, F.to_date(F.timestamp_micros(F.col(micros_col)))
+    )
+
+
+def materialize_stores(spark: SparkSession, spans: DataFrame, out_dir: str) -> None:
+    """Build every queryable store from a spans DataFrame."""
+    traces = _with_event_date(aggregate_traces(spans), "trace_timestamp")
+    traces.write.mode("overwrite").partitionBy(DATE_COL).parquet(
+        os.path.join(out_dir, "traces")
+    )
+
+    links = dependency_links(spans)
+    counters = windowed_link_counters(links).withColumn(
+        DATE_COL, F.to_date(F.timestamp_millis(F.col("window_start_ms")))
+    )
+    counters.write.mode("overwrite").partitionBy(DATE_COL).parquet(
+        os.path.join(out_dir, "dependency_links")
+    )
+
+    for name, df in (
+        ("span_names", span_names(spans)),
+        ("remote_service_names", remote_service_names(spans)),
+        ("autocomplete_tags", autocomplete_tags(spans, keys=("environment", "k"))),
+    ):
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, name))
+
+
+def read_store(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, name))
+
+
+def drop_expired_partitions(out_dir: str, store: str, min_date: str) -> list[str]:
+    """Retention by partition drop (W4): remove date partitions older than
+    ``min_date`` (ISO yyyy-mm-dd).  Returns dropped partition names.
+
+    The batch analog of windowed-store segment eviction; on object storage
+    this is a prefix delete, never a rewrite."""
+    store_dir = os.path.join(out_dir, store)
+    dropped = []
+    for entry in sorted(os.listdir(store_dir)):
+        if not entry.startswith(f"{DATE_COL}="):
+            continue
+        date_val = entry.split("=", 1)[1]
+        if date_val < min_date:
+            shutil.rmtree(os.path.join(store_dir, entry))
+            dropped.append(entry)
+    return dropped
+
+
+def traces_in_range(
+    spark: SparkSession, out_dir: str, end_ts_ms: int, lookback_ms: int
+) -> DataFrame:
+    """S8 range scan over the materialized traces table: the date-partition
+    filter prunes directories, the timestamp filter pushes to parquet."""
+    lo_us = (end_ts_ms - lookback_ms) * 1000
+    hi_us = end_ts_ms * 1000
+    lo_date = F.to_date(F.timestamp_micros(F.lit(lo_us)))
+    hi_date = F.to_date(F.timestamp_micros(F.lit(hi_us)))
+    return (
+        read_store(spark, out_dir, "traces")
+        .filter(F.col(DATE_COL).between(lo_date, hi_date))
+        .filter(F.col("trace_timestamp").between(lo_us, hi_us))
+    )
