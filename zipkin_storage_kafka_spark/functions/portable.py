@@ -18,10 +18,12 @@ SCALE = 10_000.0  # 4 decimal places
 
 
 def round4(col: Column) -> Column:
-    """Spark side of the portable 4-decimal round."""
-    return F.round(col * F.lit(SCALE), 0) / F.lit(SCALE)
+    """Spark side of the portable 4-decimal round.  The trailing ``+ 0.0``
+    canonicalizes IEEE negative zero (DuckDB's round emits -0.0 for small
+    negatives; -0.0 + 0.0 == +0.0)."""
+    return F.round(col * F.lit(SCALE), 0) / F.lit(SCALE) + F.lit(0.0)
 
 
 def round4_sql(expr: str) -> str:
     """DuckDB side — textually identical computation."""
-    return f"(round(({expr}) * 10000) / 10000)"
+    return f"((round(({expr}) * 10000) / 10000) + 0.0)"

@@ -97,6 +97,20 @@ def ann_topk_lsh(
     return cosine_topk(candidates, query_vec_id, k)
 
 
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid vectors, long form: (label, dim 1-based,
+    centroid round4).  One explode + grouped avg — the IVF coarse-quantizer
+    training step; at 100 TB this is the map-side-combined shuffle of
+    (label x dim) partial sums, output KB-scale."""
+    exploded = embeddings.select(
+        "label", F.posexplode(_as_double("embedding")).alias("pos", "x")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(round4(F.avg("x")).alias("centroid"))
+    )
+
+
 def pairwise_cosine_dups(
     embeddings: DataFrame, threshold: float = 0.95, bits: int = SIGN_BITS
 ) -> DataFrame:

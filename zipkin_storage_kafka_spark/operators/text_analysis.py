@@ -95,6 +95,84 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def char_trigrams(docs: DataFrame) -> DataFrame:
+    """Distinct character trigrams per document: (doc_id, lang, tg)."""
+    grams = F.expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))")
+    return (
+        docs.filter(F.length("text") >= 3)
+        .select("doc_id", "lang", F.explode(F.array_distinct(grams)).alias("tg"))
+    )
+
+
+def language_profiles(docs: DataFrame, top_k: int = 30) -> DataFrame:
+    """Corpus-derived language profiles: the ``top_k`` most frequent char
+    trigrams per language (the classic n-gram language-ID training step,
+    Cavnar-Trenkle style).  Rank ties break lexicographically so the
+    profile is deterministic.  Output: (lang, tg)."""
+    from pyspark.sql import Window
+
+    counts = (
+        char_trigrams(docs)
+        .groupBy("lang", "tg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tg"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("lang", "tg")
+    )
+
+
+def language_id_ngram(docs: DataFrame, top_k: int = 30) -> DataFrame:
+    """n-gram language-ID: score each document against every language
+    profile by distinct-trigram overlap, predict the argmax (ties -> lang
+    ascending; no overlap at all -> 'unknown').
+
+    Columns: doc_id, predicted_lang, lang, is_correct.
+
+    Scale: profiles are tiny (langs x top_k rows) -> broadcast; the doc
+    side is one explode + two partial aggregations.
+    """
+    from pyspark.sql import Window
+
+    profiles = language_profiles(docs, top_k).withColumnRenamed("lang", "p_lang")
+    doc_tg = char_trigrams(docs).select("doc_id", "tg").distinct()
+    scores = (
+        doc_tg.join(F.broadcast(profiles), "tg")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), F.col("p_lang")
+    )
+    best = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("p_lang").alias("predicted_lang"))
+    )
+    out = docs.select("doc_id", "lang").join(best, "doc_id", "left")
+    predicted = F.coalesce(F.col("predicted_lang"), F.lit("unknown"))
+    return out.select(
+        "doc_id",
+        predicted.alias("predicted_lang"),
+        "lang",
+        (predicted == F.col("lang")).alias("is_correct"),
+    )
+
+
+def token_frequencies(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus token-frequency table, top-k (vocabulary head — the first
+    thing every corpus analysis computes).  Columns: word, cnt."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(k)
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token list — a canonical-form hash for near-exact dedup (token-order

@@ -153,6 +153,51 @@ def q_get_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.get_dependencies(DEPENDENCIES_END_TS, DEPENDENCIES_LOOKBACK)
 
 
+def q_span_names_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 single-key fetch on the span-names store
+    (GET /serviceNames/{s}/spanNames)."""
+    return SpanStore(_spans(spark, sf_dir)).get_span_names("svc_1")
+
+
+def q_autocomplete_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 single-key fetch on the autocomplete store
+    (GET /autocompleteTags/{key})."""
+    return SpanStore(_spans(spark, sf_dir)).get_autocomplete_values("environment")
+
+
+# Richer P4 shape: annotation-query + remote service + span name must
+# co-occur on ONE span (zipkin2 QueryRequest.test single-span conjunct).
+FIND_TRACES_ANNOTATION_REQUEST = QueryRequest(
+    span_name="click",
+    remote_service_name="rsvc_1",
+    annotation_query={"environment": "dev"},
+    end_ts=1_706_745_600_000,  # 2024-02-01
+    lookback=45 * 86_400_000,
+    limit=20,
+)
+
+
+def q_find_traces_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SpanStore(_spans(spark, sf_dir)).get_traces(
+        FIND_TRACES_ANNOTATION_REQUEST
+    )
+
+
+def q_normalize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 scalar function as a query: normalize messy (uppercase,
+    unpadded) hex ids the way zipkin2 Span.normalizeTraceId does."""
+    from zipkin_storage_kafka_spark.functions.zipkin import normalize_trace_id
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.upper(F.format_string("%x", F.col("event_id") + F.lit(1)))
+    return ev.select(
+        "event_id",
+        raw.alias("raw_id"),
+        normalize_trace_id(raw).alias("normalized_id"),
+    )
+
+
 # Registry --------------------------------------------------------------------
 
 
@@ -169,6 +214,10 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "s9_get_trace": q_get_trace,
         "o1_latest_traces": q_latest_traces,
         "s8_get_dependencies": q_get_dependencies,
+        "s9_span_names_lookup": q_span_names_lookup,
+        "s9_autocomplete_values": q_autocomplete_values,
+        "p4_find_traces_annotation": q_find_traces_annotation,
+        "f2_normalize_ids": q_normalize_ids,
     }
 
 
@@ -282,4 +331,45 @@ def zipkin_oracles() -> dict[str, str]:
             """,
             _LINKS_CTE,
         ),
+        "s9_span_names_lookup": with_spans_cte(
+            """
+            SELECT local_service AS service_name,
+                   string_agg(name, ',' ORDER BY name) AS names
+            FROM (SELECT DISTINCT local_service, name FROM spans
+                  WHERE local_service = 'svc_1' AND name IS NOT NULL)
+            GROUP BY local_service
+            """
+        ),
+        "s9_autocomplete_values": with_spans_cte(
+            """
+            SELECT 'environment' AS tag_key,
+                   string_agg(env, ',' ORDER BY env) AS tag_values
+            FROM (SELECT DISTINCT env FROM spans WHERE env IS NOT NULL)
+            """
+        ),
+        "p4_find_traces_annotation": with_spans_cte(
+            f"""
+            SELECT t.* FROM trace_summaries t
+            JOIN (SELECT DISTINCT trace_id FROM spans
+                  WHERE name = 'click' AND remote_service = 'rsvc_1'
+                    AND env = 'dev') m
+              USING (trace_id)
+            WHERE t.trace_timestamp
+              BETWEEN ({FIND_TRACES_ANNOTATION_REQUEST.end_ts}
+                       - {FIND_TRACES_ANNOTATION_REQUEST.lookback}) * 1000
+                  AND {FIND_TRACES_ANNOTATION_REQUEST.end_ts} * 1000
+            ORDER BY t.trace_timestamp DESC, t.trace_id
+            LIMIT {FIND_TRACES_ANNOTATION_REQUEST.limit}
+            """,
+            _SUMMARIES_CTE,
+        ),
+        "f2_normalize_ids": """
+            SELECT event_id,
+                   upper(printf('%x', event_id + 1)) AS raw_id,
+                   CASE WHEN length(printf('%x', event_id + 1)) > 16
+                        THEN lpad(lower(printf('%x', event_id + 1)), 32, '0')
+                        ELSE lpad(lower(printf('%x', event_id + 1)), 16, '0')
+                   END AS normalized_id
+            FROM events
+        """,
     }

@@ -32,7 +32,7 @@ _CHARGE = (
 
 
 def _r4(expr: str) -> str:
-    return f"(round(({expr}) * 10000) / 10000)"
+    return f"(round(({expr}) * 10000) / 10000 + 0.0)"
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,6 +141,18 @@ def q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.language_id_ngram(_docs(spark, sf_dir))
+
+
+def q_text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.token_frequencies(_docs(spark, sf_dir))
+
+
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.label_centroids(_emb(spark, sf_dir))
+
+
 def pipeline_queries() -> dict[str, QueryFn]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -154,6 +166,9 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "emb_dup_pairs": q_emb_dup_pairs,
+        "text_langid_ngram": q_text_langid_ngram,
+        "text_token_freq": q_text_token_freq,
+        "emb_label_centroids": q_emb_label_centroids,
     }
 
 
@@ -177,11 +192,11 @@ def pipeline_oracles() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,
-                   (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000) AS jaccard
+                   (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 + 0.0) AS jaccard
             FROM inter
             JOIN cnt ca ON ca.doc_id = doc_a
             JOIN cnt cb ON cb.doc_id = doc_b
-            WHERE (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000) >= {JACCARD_THRESHOLD}
+            WHERE (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 + 0.0) >= {JACCARD_THRESHOLD}
         """,
         "dedup_simhash": """
             WITH words AS (
@@ -208,8 +223,8 @@ def pipeline_oracles() -> dict[str, str]:
                    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
                    CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS BIGINT)
                      AS stopword_count,
-                   (round((len(list_distinct(w)) * 1.0 / len(w)) * 10000) / 10000) AS ttr,
-                   (round(((length(text) - (len(w) - 1)) * 1.0 / len(w)) * 10000) / 10000)
+                   (round((len(list_distinct(w)) * 1.0 / len(w)) * 10000) / 10000 + 0.0) AS ttr,
+                   (round(((length(text) - (len(w) - 1)) * 1.0 / len(w)) * 10000) / 10000 + 0.0)
                      AS avg_token_len
             FROM t
         """,
@@ -220,15 +235,15 @@ def pipeline_oracles() -> dict[str, str]:
               SELECT doc_id,
                      len(w) AS n_tokens,
                      len(list_filter(w, x -> x IN {_STOP_SQL})) AS stop_cnt,
-                     (round((len(list_distinct(w)) * 1.0 / len(w)) * 10000) / 10000) AS ttr
+                     (round((len(list_distinct(w)) * 1.0 / len(w)) * 10000) / 10000 + 0.0) AS ttr
               FROM t
             )
             SELECT doc_id,
                    (round((0.4 * (CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
                          + 0.3 * least(1.0, 5.0 * (stop_cnt * 1.0 / n_tokens))
-                         + 0.3 * ttr) * 10000) / 10000) AS quality,
+                         + 0.3 * ttr) * 10000) / 10000 + 0.0) AS quality,
                    CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END AS length_ok,
-                   (round((stop_cnt * 1.0 / n_tokens) * 10000) / 10000) AS stopword_ratio
+                   (round((stop_cnt * 1.0 / n_tokens) * 10000) / 10000 + 0.0) AS stopword_ratio
             FROM s
         """,
         "text_langid": f"""
@@ -256,7 +271,7 @@ def pipeline_oracles() -> dict[str, str]:
             SELECT vec_id,
                    (round((list_dot_product(v, qv)
                          / (sqrt(list_dot_product(v, v))
-                            * sqrt(list_dot_product(qv, qv)))) * 10000) / 10000) AS cos
+                            * sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 + 0.0) AS cos
             FROM e, q WHERE vec_id <> {ANN_QUERY_VEC}
             ORDER BY cos DESC, vec_id LIMIT {ANN_K}
         """,
@@ -271,7 +286,7 @@ def pipeline_oracles() -> dict[str, str]:
             SELECT vec_id,
                    (round((list_dot_product(v, qv)
                          / (sqrt(list_dot_product(v, v))
-                            * sqrt(list_dot_product(qv, qv)))) * 10000) / 10000) AS cos
+                            * sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 + 0.0) AS cos
             FROM b, q
             WHERE bucket = qb AND vec_id <> {ANN_QUERY_VEC}
             ORDER BY cos DESC, vec_id LIMIT {ANN_LSH_K}
@@ -285,11 +300,61 @@ def pipeline_oracles() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
                    (round((list_dot_product(a.v, c.v)
                          / (sqrt(list_dot_product(a.v, a.v))
-                            * sqrt(list_dot_product(c.v, c.v)))) * 10000) / 10000) AS cos
+                            * sqrt(list_dot_product(c.v, c.v)))) * 10000) / 10000 + 0.0) AS cos
             FROM b a JOIN b c
               ON a.bucket = c.bucket AND a.vec_id < c.vec_id
             WHERE (round((list_dot_product(a.v, c.v)
                   / (sqrt(list_dot_product(a.v, a.v))
-                     * sqrt(list_dot_product(c.v, c.v)))) * 10000) / 10000) >= {PAIR_COS_THRESHOLD}
+                     * sqrt(list_dot_product(c.v, c.v)))) * 10000) / 10000 + 0.0) >= {PAIR_COS_THRESHOLD}
+        """,
+        "text_langid_ngram": """
+            WITH tg AS (
+              SELECT DISTINCT doc_id, lang, substring(text, i, 3) AS tg
+              FROM documents, unnest(generate_series(1, length(text) - 2)) t(i)
+              WHERE length(text) >= 3
+            ),
+            counts AS (SELECT lang, tg, count(*) AS cnt FROM tg GROUP BY 1, 2),
+            prof AS (
+              SELECT lang AS p_lang, tg FROM (
+                SELECT lang, tg,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY cnt DESC, tg) AS rk
+                FROM counts
+              ) WHERE rk <= 30
+            ),
+            doctg AS (SELECT DISTINCT doc_id, tg FROM tg),
+            scores AS (
+              SELECT doc_id, p_lang, count(*) AS overlap
+              FROM doctg JOIN prof USING (tg) GROUP BY 1, 2
+            ),
+            best AS (
+              SELECT doc_id, p_lang FROM (
+                SELECT doc_id, p_lang,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY overlap DESC, p_lang) AS rk
+                FROM scores
+              ) WHERE rk = 1
+            )
+            SELECT d.doc_id,
+                   coalesce(b.p_lang, 'unknown') AS predicted_lang,
+                   d.lang,
+                   coalesce(b.p_lang, 'unknown') = d.lang AS is_correct
+            FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+        """,
+        "text_token_freq": """
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word ORDER BY cnt DESC, word LIMIT 20
+        """,
+        "emb_label_centroids": """
+            SELECT label, CAST(i AS INTEGER) AS dim,
+                   (round((avg(CAST(x AS DOUBLE))) * 10000) / 10000 + 0.0) AS centroid
+            FROM (
+              SELECT label,
+                     unnest(generate_series(1, len(embedding))) AS i,
+                     unnest(embedding) AS x
+              FROM embeddings
+            )
+            GROUP BY 1, 2
         """,
     }
