@@ -29,11 +29,15 @@ def main() -> None:
     # tables (spans, shingles) once — a deployment's ingest pipeline runs
     # once, not per query; queries are then timed against warm tables.
     spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
-    from zipkin_storage_kafka_spark.plans.registry_pipeline import _shingles
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import (
+        _char_trigrams,
+        _shingles,
+    )
     from zipkin_storage_kafka_spark.sources.spans import spans_table
 
     spans_table(spark, sf_dir).count()
     _shingles(spark, sf_dir).count()
+    _char_trigrams(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -88,6 +88,22 @@ def test_single_shuffle_for_trace_agg(spark, sf_dir):
     assert n <= 1, f"expected one shuffle, plan has {n}:\n{plan}"
 
 
+def test_dependency_join_at_scale_is_sort_merge(spark, sf_dir):
+    """With broadcast off (simulating both sides large, the 100 TB case)
+    the self-join must plan as a sort-merge join on the composite key —
+    no nested-loop, no cartesian."""
+    from zipkin_storage_kafka_spark.operators import dependency_links
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dependency_links(spans_from_events(spark, sf_dir))
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "SortMergeJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
 def test_codegen_on_counter_aggregation(spark, sf_dir):
     from zipkin_storage_kafka_spark.operators import (
         dependency_links,

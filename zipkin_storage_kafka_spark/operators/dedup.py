@@ -86,36 +86,38 @@ def minhash_buckets(
     Hash family: md5(f"{band}_{row}:{shingle}") — the minhash per (band,
     row) is the lexicographic min of those hex strings; the bucket is the
     md5 of the per-band concatenation.  Deterministic and engine-portable.
+
+    Plan shape: the (bands x rows) hash family is computed as COLUMNS on
+    the shingle rows and min-aggregated in one pass — one groupBy over the
+    shingle set with map-side combine, instead of exploding to
+    |shingles| x bands x rows rows before the shuffle (8x shuffle-volume
+    reduction at these parameters; the explode formulation was the
+    bottleneck of the whole dedup chain at sf0.1).
     """
-    hashes = sh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("b"), F.lit(r).alias("r"))
-                    for b in range(bands)
-                    for r in range(rows)
-                ]
+    min_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{b}_{r}:"), F.col("sh")))).alias(
+            f"m_{b}_{r}"
+        )
+        for b in range(bands)
+        for r in range(rows)
+    ]
+    mins = sh.groupBy("doc_id").agg(*min_aggs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"m_{b}_{r}") for r in range(rows)]
+                    )
+                ).alias("bucket"),
             )
-        ).alias("br"),
-        "sh",
-    ).select(
-        "doc_id",
-        F.col("br.b").alias("b"),
-        F.col("br.r").alias("r"),
-        F.md5(
-            F.concat_ws(
-                ":",
-                F.concat_ws("_", F.col("br.b"), F.col("br.r")),
-                F.col("sh"),
-            )
-        ).alias("h"),
+            for b in range(bands)
+        ]
     )
-    mins = hashes.groupBy("doc_id", "b", "r").agg(F.min("h").alias("m"))
-    return (
-        mins.groupBy("doc_id", "b")
-        .agg(F.md5(F.array_join(F.array_sort(F.collect_list(F.struct("r", "m"))).getField("m"), "|")).alias("bucket"))
-    )
+    return mins.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.b").alias("b"), F.col("bb.bucket").alias("bucket"))
 
 
 def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:

@@ -104,7 +104,9 @@ def char_trigrams(docs: DataFrame) -> DataFrame:
     )
 
 
-def language_profiles(docs: DataFrame, top_k: int = 30) -> DataFrame:
+def language_profiles(
+    docs: DataFrame, top_k: int = 30, tg: DataFrame | None = None
+) -> DataFrame:
     """Corpus-derived language profiles: the ``top_k`` most frequent char
     trigrams per language (the classic n-gram language-ID training step,
     Cavnar-Trenkle style).  Rank ties break lexicographically so the
@@ -112,7 +114,7 @@ def language_profiles(docs: DataFrame, top_k: int = 30) -> DataFrame:
     from pyspark.sql import Window
 
     counts = (
-        char_trigrams(docs)
+        (tg if tg is not None else char_trigrams(docs))
         .groupBy("lang", "tg")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -124,7 +126,9 @@ def language_profiles(docs: DataFrame, top_k: int = 30) -> DataFrame:
     )
 
 
-def language_id_ngram(docs: DataFrame, top_k: int = 30) -> DataFrame:
+def language_id_ngram(
+    docs: DataFrame, top_k: int = 30, tg: DataFrame | None = None
+) -> DataFrame:
     """n-gram language-ID: score each document against every language
     profile by distinct-trigram overlap, predict the argmax (ties -> lang
     ascending; no overlap at all -> 'unknown').
@@ -136,8 +140,12 @@ def language_id_ngram(docs: DataFrame, top_k: int = 30) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    profiles = language_profiles(docs, top_k).withColumnRenamed("lang", "p_lang")
-    doc_tg = char_trigrams(docs).select("doc_id", "tg").distinct()
+    if tg is None:
+        tg = char_trigrams(docs)
+    profiles = language_profiles(docs, top_k, tg=tg).withColumnRenamed(
+        "lang", "p_lang"
+    )
+    doc_tg = tg.select("doc_id", "tg").distinct()
     scores = (
         doc_tg.join(F.broadcast(profiles), "tg")
         .groupBy("doc_id", "p_lang")

@@ -141,8 +141,20 @@ def q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRIGRAM_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _TRIGRAM_CACHE:
+        _TRIGRAM_CACHE[key] = ta.char_trigrams(_docs(spark, sf_dir)).persist()
+    return _TRIGRAM_CACHE[key]
+
+
 def q_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ta.language_id_ngram(_docs(spark, sf_dir))
+    return ta.language_id_ngram(
+        _docs(spark, sf_dir), tg=_char_trigrams(spark, sf_dir)
+    )
 
 
 def q_text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
