@@ -27,3 +27,17 @@ def round4(col: Column) -> Column:
 def round4_sql(expr: str) -> str:
     """DuckDB side — textually identical computation."""
     return f"((round(({expr}) * 10000) / 10000) + 0.0)"
+
+
+SCALE6 = 1_000_000.0  # 6 decimal places — used where a rounded value feeds a
+# cross-engine ARGMAX (e.g. IVF cell assignment): both engines sum doubles in
+# different orders, so raw similarities differ in the last ulps; rounding to
+# 6 decimals before ranking makes the ranking engine-portable.
+
+
+def round6(col: Column) -> Column:
+    return F.round(col * F.lit(SCALE6), 0) / F.lit(SCALE6) + F.lit(0.0)
+
+
+def round6_sql(expr: str) -> str:
+    return f"((round(({expr}) * 1000000) / 1000000) + 0.0)"

@@ -111,6 +111,82 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def ivf_centroids(embeddings: DataFrame) -> DataFrame:
+    """IVF coarse quantizer "training": one centroid per label partition
+    (the labels stand in for k-means cells — deterministic, so the oracle
+    can reproduce them).  Columns: label, centroid array<double>.
+
+    Scale: posexplode -> (label x dim) partial-sum shuffle (map-side
+    combined, output = n_labels x dim doubles — KBs); the centroid table is
+    broadcast everywhere it is used downstream.
+    """
+    exploded = embeddings.select(
+        "label", F.posexplode(_as_double("embedding")).alias("pos", "x")
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+
+
+def _centroid_scores(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Cosine of every vector against every centroid (vec_id, label, s).
+    The centroid side is tiny and broadcast; similarity is rounded to 6
+    decimals so the downstream argmax ranks identically across engines."""
+    from zipkin_storage_kafka_spark.functions.portable import round6
+
+    e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    joined = e.crossJoin(F.broadcast(centroids))
+    sim = _dot(F.col("emb"), F.col("centroid")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+    )
+    return joined.select("vec_id", "label", round6(sim).alias("s"))
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame, query_vec_id: int, k: int = 10, nprobe: int = 3
+) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest centroid cell, probe the
+    query's ``nprobe`` best cells, exact top-k within the probed cells.
+
+    Scale (100 TB): assignment is one broadcast crossJoin + per-vector argmax
+    (no shuffle of the big side beyond the row_number window on vec_id — at
+    scale the cell id is written as a partition column at ingest, making the
+    probe a partition-pruned scan instead).  Probe list is rows=nprobe,
+    broadcast into a left-semi join; candidates ≈ nprobe/n_cells of the
+    corpus.
+    """
+    from pyspark.sql import Window
+
+    centroids = ivf_centroids(embeddings)
+    scores = _centroid_scores(embeddings, centroids)
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("label"))
+    assign = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label")
+    )
+    probe = (
+        scores.filter(F.col("vec_id") == query_vec_id)
+        .orderBy(F.col("s").desc(), F.col("label"))
+        .limit(nprobe)
+        .select("label")
+    )
+    cand_ids = assign.join(F.broadcast(probe), "label", "left_semi").select(
+        "vec_id"
+    )
+    candidates = embeddings.join(cand_ids, "vec_id", "left_semi")
+    return cosine_topk(candidates, query_vec_id, k)
+
+
 def pairwise_cosine_dups(
     embeddings: DataFrame, threshold: float = 0.95, bits: int = SIGN_BITS
 ) -> DataFrame:

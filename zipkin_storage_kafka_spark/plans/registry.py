@@ -183,6 +183,39 @@ def q_find_traces_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRACE_MANY_N = 8
+
+
+def q_trace_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/2.11 GET /traceMany: multi-point lookup by an explicit id list
+    (reference caps at 1000 ids — KafkaStorageHttpService.java:278).
+
+    The id list is a query PARAMETER in the reference; here it is derived
+    deterministically (first N trace ids) with a tiny driver-side collect —
+    the analog of the API layer receiving ids from the caller, not part of
+    the distributed plan.  The aggregated trace rows (array<struct> spans)
+    are projected to scalars for oracle hashing: first/last span name
+    exercise the sorted-array contract of aggregate_traces.
+    """
+    spans = _spans(spark, sf_dir)
+    ids = [
+        r.trace_id
+        for r in spans.select("trace_id")
+        .distinct()
+        .orderBy("trace_id")
+        .limit(TRACE_MANY_N)
+        .collect()
+    ]
+    traces = SpanStore(spans).get_traces_by_ids(ids)
+    return traces.select(
+        "trace_id",
+        "span_count",
+        "trace_timestamp",
+        F.element_at(F.col("spans"), 1)["name"].alias("first_name"),
+        F.element_at(F.col("spans"), -1)["name"].alias("last_name"),
+    )
+
+
 def q_normalize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 scalar function as a query: normalize messy (uppercase,
     unpadded) hex ids the way zipkin2 Span.normalizeTraceId does."""
@@ -218,6 +251,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "s9_autocomplete_values": q_autocomplete_values,
         "p4_find_traces_annotation": q_find_traces_annotation,
         "f2_normalize_ids": q_normalize_ids,
+        "o5_trace_many": q_trace_many,
     }
 
 
@@ -362,6 +396,25 @@ def zipkin_oracles() -> dict[str, str]:
             LIMIT {FIND_TRACES_ANNOTATION_REQUEST.limit}
             """,
             _SUMMARIES_CTE,
+        ),
+        "o5_trace_many": with_spans_cte(
+            f"""
+            SELECT trace_id,
+                   CAST(max(n) AS BIGINT) AS span_count,
+                   min(timestamp) AS trace_timestamp,
+                   min(CASE WHEN rn = 1 THEN name END) AS first_name,
+                   min(CASE WHEN rn = n THEN name END) AS last_name
+            FROM (
+              SELECT s.*,
+                     row_number() OVER (PARTITION BY trace_id
+                                        ORDER BY timestamp, id) AS rn,
+                     count(*) OVER (PARTITION BY trace_id) AS n
+              FROM spans s
+              JOIN (SELECT DISTINCT trace_id FROM spans
+                    ORDER BY trace_id LIMIT {TRACE_MANY_N}) sel
+                USING (trace_id)
+            ) GROUP BY trace_id
+            """
         ),
         "f2_normalize_ids": """
             SELECT event_id,

@@ -11,7 +11,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from zipkin_storage_kafka_spark.operators import dedup as dd
+from zipkin_storage_kafka_spark.operators import multimodal as mm
 from zipkin_storage_kafka_spark.operators import similarity as sim
 from zipkin_storage_kafka_spark.operators import text_analysis as ta
 from zipkin_storage_kafka_spark.plans.registry import QueryFn
@@ -165,6 +168,63 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.label_centroids(_emb(spark, sf_dir))
 
 
+ANN_IVF_K = 10
+ANN_IVF_NPROBE = 3
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ann_topk_ivf(
+        _emb(spark, sf_dir), ANN_QUERY_VEC, ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+    )
+
+
+# -- multimodal plumbing (operators/multimodal.py): payloads are opaque
+#    binary; decode is a deterministic stub, so the mapInPandas stages are
+#    fully oracle-checkable on metadata/byte-length outputs (and the
+#    md5-seeded feature extractor gets the weaker rows-only check). --
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mm.media_from_documents(_docs(spark, sf_dir))
+
+
+def q_mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resized = mm.resize_images(_media(spark, sf_dir), 32, 32)
+    return resized.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+    )
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = mm.sample_frames(_media(spark, sf_dir), every_n=10)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.octet_length("frame_payload").cast("long").alias("frame_len"),
+    )
+
+
+def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (STUB decoder — md5-seeded, not SQL
+    expressible: registered without an oracle, driver runs the rows-only
+    check)."""
+    from zipkin_storage_kafka_spark.functions.portable import round4
+
+    feats = mm.extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "kind",
+        "decoded_width",
+        "decoded_height",
+        round4(F.element_at("features", 1).cast("double")).alias("f0"),
+    )
+
+
 def pipeline_queries() -> dict[str, QueryFn]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -181,6 +241,10 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_langid_ngram": q_text_langid_ngram,
         "text_token_freq": q_text_token_freq,
         "emb_label_centroids": q_emb_label_centroids,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "mm_resize_meta": q_mm_resize_meta,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_extract_features": q_mm_extract_features,
     }
 
 
@@ -368,5 +432,77 @@ def pipeline_oracles() -> dict[str, str]:
               FROM embeddings
             )
             GROUP BY 1, 2
+        """,
+        "ann_ivf_topk": f"""
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cent AS (
+              SELECT label, list(c ORDER BY i) AS cv FROM (
+                SELECT label, i, avg(x) AS c FROM (
+                  SELECT label,
+                         unnest(generate_series(1, len(v))) AS i,
+                         unnest(v) AS x
+                  FROM e
+                ) GROUP BY label, i
+              ) GROUP BY label
+            ),
+            sim AS (
+              SELECT e.vec_id, cent.label,
+                     ((round((list_dot_product(v, cv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(cv, cv)))) * 1000000)
+                       / 1000000) + 0.0) AS s
+              FROM e CROSS JOIN cent
+            ),
+            assign AS (
+              SELECT vec_id, label FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, label) AS rk
+                FROM sim
+              ) WHERE rk = 1
+            ),
+            probe AS (
+              SELECT label FROM sim WHERE vec_id = {ANN_QUERY_VEC}
+              ORDER BY s DESC, label LIMIT {ANN_IVF_NPROBE}
+            ),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = {ANN_QUERY_VEC})
+            SELECT e.vec_id,
+                   ((round((list_dot_product(v, qv)
+                      / (sqrt(list_dot_product(v, v))
+                         * sqrt(list_dot_product(qv, qv)))) * 10000)
+                     / 10000) + 0.0) AS cos
+            FROM e
+            JOIN assign USING (vec_id), q
+            WHERE assign.label IN (SELECT label FROM probe)
+              AND e.vec_id <> {ANN_QUERY_VEC}
+            ORDER BY cos DESC, vec_id LIMIT {ANN_IVF_K}
+        """,
+        "mm_resize_meta": """
+            SELECT doc_id AS media_id,
+                   'image' AS kind,
+                   CAST(32 AS INTEGER) AS width,
+                   CAST(32 AS INTEGER) AS height,
+                   CAST(n_chars % 30 + 1 AS INTEGER) AS n_frames,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        "mm_frame_sample": """
+            WITH v AS (
+              SELECT doc_id AS media_id,
+                     octet_length(encode(text)) AS L,
+                     n_chars % 30 + 1 AS nf
+              FROM documents WHERE doc_id % 3 = 2
+            ),
+            f AS (
+              SELECT media_id, L,
+                     unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 10)) AS fi
+              FROM v
+            )
+            SELECT media_id,
+                   CAST(fi AS INTEGER) AS frame_index,
+                   CAST(least(8, L - ((fi * 7) % greatest(1, L))) AS BIGINT)
+                     AS frame_len
+            FROM f
         """,
     }
