@@ -9,6 +9,7 @@ from zipkin_storage_kafka_spark.operators.dependency_links import (  # noqa: F40
 )
 from zipkin_storage_kafka_spark.operators.indexes import (  # noqa: F401
     autocomplete_tags,
+    latest_span_per_service,
     remote_service_names,
     service_names,
     span_names,

@@ -148,6 +148,53 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_forecast(
+    lineitem: DataFrame,
+    lo_micros: int,
+    hi_micros: int,
+    disc_lo: str = "0.05",
+    disc_hi: str = "0.07",
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no join — the query every
+    column store must turn into a single codegen'd pass with all predicates
+    pushed to the parquet scan.  Discount bounds compare as DECIMAL(4,2) so
+    both engines evaluate the same exact values."""
+    ship_us = to_epoch_micros(lineitem, "l_shipdate")
+    revenue = (_dec("l_extendedprice") * _rate("l_discount")).cast(DEC)
+    filtered = lineitem.filter(
+        (ship_us >= lo_micros)
+        & (ship_us < hi_micros)
+        & _rate("l_discount").between(disc_lo, disc_hi)
+        & (F.col("l_quantity") < max_qty)
+    )
+    return filtered.agg(
+        round4(F.sum(revenue).cast("double")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def order_priority_check(
+    spark: SparkSession, sf_dir: str, min_qty: int = 45
+) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders having at least one
+    qualifying lineitem, counted per priority.  The semi-join never
+    materializes match multiplicity, so the shuffle carries distinct
+    orderkeys only."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    qualifying = lineitem.filter(F.col("l_quantity") >= min_qty).select(
+        "l_orderkey"
+    )
+    return (
+        orders.join(
+            qualifying, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 def topk_orders_per_priority(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:

@@ -92,6 +92,31 @@ def autocomplete_tags(
     )
 
 
+def latest_span_per_service(spans: DataFrame) -> DataFrame:
+    """Max-timestamp-per-key — SURVEY section 2.5: the reference's closest
+    analytic behavior is "latest window wins" (``backwardFetch`` + first,
+    TraceStorageTopology.java:108-114, KafkaStorageHttpService.java:253-257).
+    Expressed as a row_number window; ties broken by span id desc so the
+    pick is total-ordered.  At scale this is one shuffle on the service key
+    with per-partition top-1 (WindowGroupLimit pushes rank<=1 down)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("local_service").orderBy(
+        F.col("timestamp").desc(), F.col("id").desc()
+    )
+    return (
+        spans.filter(F.col("local_service").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("local_service").alias("service_name"),
+            F.col("name").alias("latest_name"),
+            F.col("timestamp").alias("latest_timestamp"),
+            F.col("id").alias("latest_span_id"),
+        )
+    )
+
+
 def autocomplete_tags_nested(
     spans_nested: DataFrame, keys: Sequence[str] = DEFAULT_AUTOCOMPLETE_KEYS
 ) -> DataFrame:

@@ -105,11 +105,15 @@ class SpanStore:
         self,
         spans: DataFrame,
         *,
+        links: DataFrame | None = None,
         trace_search_enabled: bool = True,
         trace_by_id_query_enabled: bool = True,
         dependency_query_enabled: bool = True,
     ) -> None:
         self.spans = spans
+        # Optional pre-materialized link rows (the reference's
+        # zipkin-dependency store); derived from spans when absent.
+        self._links = links
         self.trace_search_enabled = trace_search_enabled
         self.trace_by_id_query_enabled = trace_by_id_query_enabled
         self.dependency_query_enabled = dependency_query_enabled
@@ -174,7 +178,11 @@ class SpanStore:
         """Link counters over [end_ts - lookback, end_ts] (millis), merged
         per (parent, child) — reference range-scans 1-min buckets then
         DependencyLinker.merge (KafkaStorageHttpService.java:80-87)."""
-        links = dependency_links(self.spans)
+        links = (
+            self._links
+            if self._links is not None
+            else dependency_links(self.spans)
+        )
         if not self.dependency_query_enabled:
             return merge_links(links).limit(0)
         lo_us = (end_ts - lookback) * 1000

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from zipkin_storage_kafka_spark.operators import (
     autocomplete_tags,
-    dependency_links,
+    latest_span_per_service,
     merge_links,
     remote_service_names,
     service_names,
@@ -29,7 +29,11 @@ from zipkin_storage_kafka_spark.operators import (
     windowed_link_counters,
 )
 from zipkin_storage_kafka_spark.plans.query_api import QueryRequest, SpanStore
-from zipkin_storage_kafka_spark.sources.spans import spans_table, with_spans_cte
+from zipkin_storage_kafka_spark.sources.spans import (
+    links_table,
+    spans_table,
+    with_spans_cte,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -94,11 +98,11 @@ def q_trace_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dependency_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return merge_links(dependency_links(_spans(spark, sf_dir)))
+    return merge_links(links_table(spark, sf_dir))
 
 
 def q_dependency_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windowed_link_counters(dependency_links(_spans(spark, sf_dir)))
+    return windowed_link_counters(links_table(spark, sf_dir))
 
 
 def q_span_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,7 +153,9 @@ def q_latest_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_get_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    store = SpanStore(_spans(spark, sf_dir))
+    store = SpanStore(
+        _spans(spark, sf_dir), links=links_table(spark, sf_dir)
+    )
     return store.get_dependencies(DEPENDENCIES_END_TS, DEPENDENCIES_LOOKBACK)
 
 
@@ -181,6 +187,11 @@ def q_find_traces_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SpanStore(_spans(spark, sf_dir)).get_traces(
         FIND_TRACES_ANNOTATION_REQUEST
     )
+
+
+def q_latest_span_per_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY 2.5: max-timestamp-per-key ("latest window wins")."""
+    return latest_span_per_service(_spans(spark, sf_dir))
 
 
 TRACE_MANY_N = 8
@@ -252,6 +263,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "p4_find_traces_annotation": q_find_traces_annotation,
         "f2_normalize_ids": q_normalize_ids,
         "o5_trace_many": q_trace_many,
+        "w25_latest_span_per_service": q_latest_span_per_service,
     }
 
 
@@ -396,6 +408,20 @@ def zipkin_oracles() -> dict[str, str]:
             LIMIT {FIND_TRACES_ANNOTATION_REQUEST.limit}
             """,
             _SUMMARIES_CTE,
+        ),
+        "w25_latest_span_per_service": with_spans_cte(
+            """
+            SELECT local_service AS service_name,
+                   name AS latest_name,
+                   timestamp AS latest_timestamp,
+                   id AS latest_span_id
+            FROM (
+              SELECT s.*,
+                     row_number() OVER (PARTITION BY local_service
+                                        ORDER BY timestamp DESC, id DESC) AS rn
+              FROM spans s WHERE local_service IS NOT NULL
+            ) WHERE rn = 1
+            """
         ),
         "o5_trace_many": with_spans_cte(
             f"""

@@ -17,6 +17,10 @@ from zipkin_storage_kafka_spark.sources.tables import load_table
 # 1998-09-01T00:00:00Z / 1998-06-01T00:00:00Z in epoch micros
 Q1_CUTOFF_US = 904_608_000 * 1_000_000
 Q3_CUTOFF_US = 896_659_200 * 1_000_000
+# [1996-01-01, 1997-01-01) in epoch micros (Q6 ship-date year)
+Q6_LO_US = 820_454_400 * 1_000_000
+Q6_HI_US = 852_076_800 * 1_000_000
+Q4_MIN_QTY = 45
 
 _DISC = (
     "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
@@ -51,12 +55,24 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.topk_orders_per_priority(spark, sf_dir)
 
 
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.revenue_forecast(
+        load_table(spark, sf_dir, "lineitem"), Q6_LO_US, Q6_HI_US
+    )
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.order_priority_check(spark, sf_dir, min_qty=Q4_MIN_QTY)
+
+
 def analytics_queries() -> dict[str, QueryFn]:
     return {
         "h1_pricing_summary": q_pricing_summary,
         "h3_shipping_priority": q_shipping_priority,
         "h5_nation_revenue": q_nation_revenue,
         "w_topk_orders_per_priority": q_topk_orders,
+        "h6_revenue_forecast": q_revenue_forecast,
+        "h4_order_priority_check": q_order_priority_check,
     }
 
 
@@ -112,5 +128,26 @@ def analytics_oracles() -> dict[str, str]:
               FROM orders
             )
             WHERE rank <= 3
+        """,
+        "h6_revenue_forecast": f"""
+            SELECT {_r4(
+                "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+                "CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(30,6))) AS DOUBLE)"
+            )} AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE epoch_us(l_shipdate) >= {Q6_LO_US}
+              AND epoch_us(l_shipdate) < {Q6_HI_US}
+              AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "h4_order_priority_check": f"""
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem WHERE l_quantity >= {Q4_MIN_QTY}
+            )
+            GROUP BY o_orderpriority
         """,
     }

@@ -45,6 +45,26 @@ def spans_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SPANS_CACHE[key]
 
 
+_LINKS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def links_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized persisted per-trace link rows — the batch analog of the
+    reference's MATERIALIZED ``zipkin-dependency`` topic/store
+    (DependencyStorageTopology.java consumes pre-linked records; it never
+    re-derives links per query).  Every dependency query (j1 merge, a7
+    windowed counters, s8 range query) reads this one materialization
+    instead of re-running the trace self-join."""
+    key = (id(spark), sf_dir)
+    if key not in _LINKS_CACHE:
+        from zipkin_storage_kafka_spark.operators.dependency_links import (
+            dependency_links,
+        )
+
+        _LINKS_CACHE[key] = dependency_links(spans_table(spark, sf_dir)).persist()
+    return _LINKS_CACHE[key]
+
+
 def spans_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the spans DataFrame (FIXTURES.md section 1 columns).
 
