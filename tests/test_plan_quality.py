@@ -104,6 +104,60 @@ def test_dependency_join_at_scale_is_sort_merge(spark, sf_dir):
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
 
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    """Q6-shape scan-filter-agg: the quantity predicate must reach the
+    parquet reader (PushedFilters), and the scan must not read money columns
+    it doesn't need."""
+    from zipkin_storage_kafka_spark.operators.analytics import revenue_forecast
+    from zipkin_storage_kafka_spark.plans.registry_analytics import (
+        Q6_HI_US,
+        Q6_LO_US,
+    )
+
+    df = revenue_forecast(
+        load_table(spark, sf_dir, "lineitem"), Q6_LO_US, Q6_HI_US
+    )
+    plan = _plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_quantity" in pushed
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_tax" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_ivf_probe_sides_broadcast(spark, sf_dir):
+    """IVF ANN: the centroid table and the probe list are both tiny and must
+    broadcast — the big embeddings side never shuffles for them."""
+    from zipkin_storage_kafka_spark.operators.similarity import ann_topk_ivf
+
+    df = ann_topk_ivf(load_table(spark, sf_dir, "embeddings"), 0, 10)
+    plan = _plan(df)
+    assert plan.count("BroadcastExchange") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+
+
+def test_latest_per_key_uses_window_group_limit(spark, sf_dir):
+    """rank<=1 must push into the shuffle as WindowGroupLimit (per-partition
+    top-1 before the exchange) rather than ranking every row."""
+    from zipkin_storage_kafka_spark.operators import latest_span_per_service
+
+    df = latest_span_per_service(spans_from_events(spark, sf_dir))
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_semi_join_for_order_priority_check(spark, sf_dir):
+    """Q4 shape plans as a semi join (left semi hash/sort-merge), never a
+    full inner join + dedup."""
+    from zipkin_storage_kafka_spark.operators.analytics import (
+        order_priority_check,
+    )
+
+    df = order_priority_check(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan or "Semi" in plan
+
+
 def test_codegen_on_counter_aggregation(spark, sf_dir):
     from zipkin_storage_kafka_spark.operators import (
         dependency_links,
