@@ -35,12 +35,20 @@ def main() -> None:
     )
     from zipkin_storage_kafka_spark.sources.spans import spans_table
 
-    from zipkin_storage_kafka_spark.sources.spans import links_table
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import (
+        _lsh_candidates,
+    )
+    from zipkin_storage_kafka_spark.sources.spans import (
+        links_table,
+        summaries_table,
+    )
 
     spans_table(spark, sf_dir).count()
     links_table(spark, sf_dir).count()
+    summaries_table(spark, sf_dir).count()
     _shingles(spark, sf_dir).count()
     _char_trigrams(spark, sf_dir).count()
+    _lsh_candidates(spark, sf_dir).count()
     # Prewarm the Python worker pool (spawned once per executor, reused by
     # every Arrow-batched stage afterwards).
     spark.range(32).repartition(32).mapInPandas(

@@ -106,14 +106,17 @@ class SpanStore:
         spans: DataFrame,
         *,
         links: DataFrame | None = None,
+        summaries: DataFrame | None = None,
         trace_search_enabled: bool = True,
         trace_by_id_query_enabled: bool = True,
         dependency_query_enabled: bool = True,
     ) -> None:
         self.spans = spans
-        # Optional pre-materialized link rows (the reference's
-        # zipkin-dependency store); derived from spans when absent.
+        # Optional pre-materialized link rows / trace rollups (the
+        # reference's zipkin-dependency and zipkin-traces stores); derived
+        # from spans when absent.
         self._links = links
+        self._summaries = summaries
         self.trace_search_enabled = trace_search_enabled
         self.trace_by_id_query_enabled = trace_by_id_query_enabled
         self.dependency_query_enabled = dependency_query_enabled
@@ -129,7 +132,11 @@ class SpanStore:
         replicated (SURVEY section 7 risk 5): we take a correct top-k, which
         TakeOrderedAndProject executes without a global sort.
         """
-        summaries = trace_summaries(self.spans)
+        summaries = (
+            self._summaries
+            if self._summaries is not None
+            else trace_summaries(self.spans)
+        )
         if not self.trace_search_enabled:
             return summaries.limit(0)
         matching = self.spans.filter(_span_matches(request))

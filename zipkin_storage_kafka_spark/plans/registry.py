@@ -25,13 +25,13 @@ from zipkin_storage_kafka_spark.operators import (
     remote_service_names,
     service_names,
     span_names,
-    trace_summaries,
     windowed_link_counters,
 )
 from zipkin_storage_kafka_spark.plans.query_api import QueryRequest, SpanStore
 from zipkin_storage_kafka_spark.sources.spans import (
     links_table,
     spans_table,
+    summaries_table,
     with_spans_cte,
 )
 
@@ -94,7 +94,7 @@ def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_trace_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return trace_summaries(_spans(spark, sf_dir))
+    return summaries_table(spark, sf_dir)
 
 
 def q_dependency_links(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,9 +121,16 @@ def q_service_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return service_names(_spans(spark, sf_dir))
 
 
+def _store(spark: SparkSession, sf_dir: str) -> SpanStore:
+    return SpanStore(
+        _spans(spark, sf_dir),
+        links=links_table(spark, sf_dir),
+        summaries=summaries_table(spark, sf_dir),
+    )
+
+
 def q_find_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
-    store = SpanStore(_spans(spark, sf_dir))
-    return store.get_traces(FIND_TRACES_REQUEST)
+    return _store(spark, sf_dir).get_traces(FIND_TRACES_REQUEST)
 
 
 def q_get_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,29 +153,28 @@ def q_get_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_latest_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/O3: newest 10 traces by root timestamp (top-k, no full sort)."""
     return (
-        trace_summaries(_spans(spark, sf_dir))
+        summaries_table(spark, sf_dir)
         .orderBy(F.col("trace_timestamp").desc(), F.col("trace_id"))
         .limit(10)
     )
 
 
 def q_get_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    store = SpanStore(
-        _spans(spark, sf_dir), links=links_table(spark, sf_dir)
+    return _store(spark, sf_dir).get_dependencies(
+        DEPENDENCIES_END_TS, DEPENDENCIES_LOOKBACK
     )
-    return store.get_dependencies(DEPENDENCIES_END_TS, DEPENDENCIES_LOOKBACK)
 
 
 def q_span_names_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 single-key fetch on the span-names store
     (GET /serviceNames/{s}/spanNames)."""
-    return SpanStore(_spans(spark, sf_dir)).get_span_names("svc_1")
+    return _store(spark, sf_dir).get_span_names("svc_1")
 
 
 def q_autocomplete_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 single-key fetch on the autocomplete store
     (GET /autocompleteTags/{key})."""
-    return SpanStore(_spans(spark, sf_dir)).get_autocomplete_values("environment")
+    return _store(spark, sf_dir).get_autocomplete_values("environment")
 
 
 # Richer P4 shape: annotation-query + remote service + span name must
@@ -184,8 +190,29 @@ FIND_TRACES_ANNOTATION_REQUEST = QueryRequest(
 
 
 def q_find_traces_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SpanStore(_spans(spark, sf_dir)).get_traces(
-        FIND_TRACES_ANNOTATION_REQUEST
+    return _store(spark, sf_dir).get_traces(FIND_TRACES_ANNOTATION_REQUEST)
+
+
+def q_remote_service_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 single-key fetch on the remote-service-names store
+    (GET /serviceNames/{s}/remoteServiceNames)."""
+    return _store(spark, sf_dir).get_remote_service_names("svc_1")
+
+
+def q_union_service_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY 2.9 + O4: the scatter-gather merge — per-instance result
+    lists are unioned, deduped, and capped
+    (KafkaStoreScatterGatherListCall.java:51-60).  Simulated with two
+    disjoint time halves standing in for two instances' local stores."""
+    spans = _spans(spark, sf_dir)
+    mid_us = DEPENDENCIES_END_TS * 1000
+    first = service_names(spans.filter(F.col("timestamp") < mid_us))
+    second = service_names(spans.filter(F.col("timestamp") >= mid_us))
+    return (
+        first.unionByName(second)
+        .distinct()
+        .orderBy("service_name")
+        .limit(1000)
     )
 
 
@@ -264,6 +291,8 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "f2_normalize_ids": q_normalize_ids,
         "o5_trace_many": q_trace_many,
         "w25_latest_span_per_service": q_latest_span_per_service,
+        "s9_remote_service_lookup": q_remote_service_lookup,
+        "a9_union_service_names": q_union_service_names,
     }
 
 
@@ -408,6 +437,25 @@ def zipkin_oracles() -> dict[str, str]:
             LIMIT {FIND_TRACES_ANNOTATION_REQUEST.limit}
             """,
             _SUMMARIES_CTE,
+        ),
+        "s9_remote_service_lookup": with_spans_cte(
+            """
+            SELECT local_service AS service_name,
+                   string_agg(remote_service, ',' ORDER BY remote_service)
+                     AS remote_services
+            FROM (SELECT DISTINCT local_service, remote_service FROM spans
+                  WHERE local_service = 'svc_1'
+                    AND remote_service IS NOT NULL)
+            GROUP BY local_service
+            """
+        ),
+        "a9_union_service_names": with_spans_cte(
+            """
+            SELECT service_name FROM (
+              SELECT DISTINCT local_service AS service_name FROM spans
+              WHERE local_service IS NOT NULL
+            ) ORDER BY service_name LIMIT 1000
+            """
         ),
         "w25_latest_span_per_service": with_spans_cte(
             """

