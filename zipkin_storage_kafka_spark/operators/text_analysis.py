@@ -188,3 +188,56 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     d = with_tokens(docs)
     canon = F.array_join(F.array_sort(F.array_distinct("words")), " ")
     return d.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+# BPE-ish tokenizer regex: letter runs | digit runs | single non-space
+# symbol — the three base character classes a byte-pair tokenizer starts
+# from.  Deliberately engine-portable (same semantics under Java regex and
+# RE2, no lookarounds / unicode classes).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def regex_token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting with the BPE-ish regex (vs. the whitespace tokenizer
+    in :func:`token_stats`): per-doc counts by token class.  One scan, all
+    counts from a single ``regexp_extract_all`` array — no explode, no
+    shuffle.  Columns: doc_id, n_tokens, n_distinct, n_alpha, n_num,
+    n_punct."""
+    toks = F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)
+    d = docs.select("doc_id", toks.alias("t"))
+    is_alpha = lambda x: x.rlike("^[A-Za-z]+$")  # noqa: E731
+    is_num = lambda x: x.rlike("^[0-9]+$")  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+        F.size(F.filter("t", is_alpha)).cast("long").alias("n_alpha"),
+        F.size(F.filter("t", is_num)).cast("long").alias("n_num"),
+        (
+            F.size("t")
+            - F.size(F.filter("t", is_alpha))
+            - F.size(F.filter("t", is_num))
+        ).cast("long").alias("n_punct"),
+    )
+
+
+def rolling_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint: hash every ``gram``-char window of
+    the text and keep the minimum (the winnowing-min of the rolling-hash
+    family — robust to edits outside the minimizing window, standard for
+    near-dup detection at corpus scale).
+
+    All-native: sequence -> transform(substr+md5) -> array_min; one scan, no
+    explode — at 100 TB the per-row array is bounded by doc length and never
+    shuffles (output is one 32-hex value per doc).
+    Columns: doc_id, min_hash, n_windows."""
+    n_windows = F.greatest(F.lit(1), F.length("text") - F.lit(gram - 1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(gram))),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("min_hash"),
+        n_windows.cast("long").alias("n_windows"),
+    )

@@ -189,6 +189,14 @@ ANN_IVF_K = 10
 ANN_IVF_NPROBE = 3
 
 
+def q_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.regex_token_stats(_docs(spark, sf_dir))
+
+
+def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.rolling_fingerprint(_docs(spark, sf_dir))
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_topk_ivf(
         _emb(spark, sf_dir), ANN_QUERY_VEC, ANN_IVF_K, nprobe=ANN_IVF_NPROBE
@@ -259,6 +267,8 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_token_freq": q_text_token_freq,
         "emb_label_centroids": q_emb_label_centroids,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "text_regex_tokens": q_text_regex_tokens,
+        "text_rolling_fingerprint": q_text_rolling_fingerprint,
         "mm_resize_meta": q_mm_resize_meta,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_extract_features": q_mm_extract_features,
@@ -494,6 +504,34 @@ def pipeline_oracles() -> dict[str, str]:
             WHERE assign.label IN (SELECT label FROM probe)
               AND e.vec_id <> {ANN_QUERY_VEC}
             ORDER BY cos DESC, vec_id LIMIT {ANN_IVF_K}
+        """,
+        "text_regex_tokens": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')
+                       AS tk
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+                   CAST(len(list_filter(tk, x -> regexp_full_match(x, '[A-Za-z]+')))
+                     AS BIGINT) AS n_alpha,
+                   CAST(len(list_filter(tk, x -> regexp_full_match(x, '[0-9]+')))
+                     AS BIGINT) AS n_num,
+                   CAST(len(tk)
+                     - len(list_filter(tk, x -> regexp_full_match(x, '[A-Za-z]+')))
+                     - len(list_filter(tk, x -> regexp_full_match(x, '[0-9]+')))
+                     AS BIGINT) AS n_punct
+            FROM t
+        """,
+        "text_rolling_fingerprint": """
+            SELECT doc_id,
+                   list_min(list_transform(
+                     generate_series(1, greatest(1, length(text) - 7)),
+                     i -> md5(substring(text, i, 8)))) AS min_hash,
+                   CAST(greatest(1, length(text) - 7) AS BIGINT) AS n_windows
+            FROM documents
         """,
         "mm_resize_meta": """
             SELECT doc_id AS media_id,
