@@ -195,6 +195,206 @@ def order_priority_check(
     )
 
 
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution per customer via a LEFT
+    OUTER join — customers with zero orders survive with c_count=0.  Two
+    cascaded aggregations: the first shuffles on c_custkey (same key as the
+    join, so the exchange is reused), the second on the tiny c_count domain."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def promo_revenue(
+    spark: SparkSession, sf_dir: str, lo_micros: int = 0, hi_micros: int = 0
+) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact->dim join.
+    part is broadcast (dim); the promo share is a ratio of two exact
+    DECIMAL sums, divided as doubles only at the output boundary."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l_us = to_epoch_micros(lineitem, "l_shipdate")
+    disc_price = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
+    ).cast(DEC)
+    joined = lineitem.filter((l_us >= lo_micros) & (l_us < hi_micros)).join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+                F.lit(0).cast(DEC)
+            )
+        ).alias("_promo"),
+        F.sum(disc_price).alias("_total"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        round4(
+            F.lit(100.0)
+            * F.col("_promo").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("promo_pct"),
+        round4(F.col("_total").cast("double")).alias("total_revenue"),
+        "n_items",
+    )
+
+
+def nation_volume(
+    spark: SparkSession,
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year.  The nation dim joins twice under different roles (supplier's
+    nation vs customer's nation) — both sides pre-filtered to the two
+    nations and broadcast, so the only shuffle is orders x lineitem."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(nation_a, nation_b)
+    )
+    supplier = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    l_us = to_epoch_micros(lineitem, "l_shipdate")
+    disc_price = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
+    ).cast(DEC)
+    joined = (
+        lineitem.withColumn("l_year", F.year(F.timestamp_micros(l_us)))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(disc_price).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            round4(F.col("_rev").cast("double")).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+def large_volume_customers(
+    spark: SparkSession, sf_dir: str, min_qty: str = "200", k: int = 20
+) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped fact, then join back to
+    orders/customer for the qualifying keys.  The qualifying-orderkey set
+    is small after the HAVING filter, so AQE converts the join back to
+    broadcast at runtime; customer is broadcast outright."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > F.lit(min_qty).cast("decimal(12,2)"))
+    )
+    joined = orders.join(
+        qty, F.col("o_orderkey") == F.col("l_orderkey")
+    ).join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        joined.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            round4(F.col("o_totalprice")).alias("total_price"),
+            round4(F.col("_qty").cast("double")).alias("sum_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def pricing_rollup(lineitem: DataFrame, ship_cutoff_micros: int) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-group rows plus per-flag
+    subtotals plus a grand total in ONE pass (Spark expands grouping sets
+    map-side; no re-scan per level).  NULL grouping cells are labelled
+    'ALL' — the data's real values are never null, so the label is
+    unambiguous."""
+    ship_us = to_epoch_micros(lineitem, "l_shipdate")
+    grouped = (
+        lineitem.filter(ship_us <= ship_cutoff_micros)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("_sum_base"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return grouped.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("l_linestatus"),
+        round4(F.col("_sum_qty").cast("double")).alias("sum_qty"),
+        round4(F.col("_sum_base").cast("double")).alias("sum_base_price"),
+        "count_order",
+    )
+
+
+def user_sessions(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessionization of the events stream as a BATCH analytic —
+    the batch twin of the streaming session_window (SURVEY W1): a new
+    session starts when the gap to the previous event of the same user
+    exceeds the timeout.  Both analytic windows share one
+    (partition, order) spec, so the plan is a single shuffle + single sort."""
+    ev = load_table(spark, sf_dir, "events")
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = (
+        ev.select(
+            "user_id", "event_id", to_epoch_micros(ev, "ts").alias("ts_us")
+        )
+        .withColumn("_prev", F.lag("ts_us").over(w))
+        .withColumn(
+            "_is_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("ts_us") - F.col("_prev") > gap_us),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("_is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
 def topk_orders_per_priority(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:

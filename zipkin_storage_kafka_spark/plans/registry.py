@@ -135,7 +135,14 @@ def q_find_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_get_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookup of the busiest trace (deterministic target: max span
-    count, then smallest trace_id) — S9 single-key fetch."""
+    count, then smallest trace_id) — S9 single-key fetch.
+
+    In the reference the trace id is an API parameter
+    (GET /traces/{id}, KafkaStorageHttpService.java:243-266), so the id is
+    resolved driver-side (tiny 1-row collect, the analog of the caller
+    supplying it) and the distributed plan is a pure key filter — the
+    point-lookup shape that partition/bucket pruning serves at 100 TB.
+    """
     spans = _spans(spark, sf_dir)
     target = (
         spans.groupBy("trace_id")
@@ -143,8 +150,9 @@ def q_get_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("trace_id"))
         .limit(1)
         .select("trace_id")
+        .collect()[0][0]
     )
-    return spans.join(F.broadcast(target), "trace_id", "inner").select(
+    return spans.filter(F.col("trace_id") == F.lit(target)).select(
         "trace_id", "id", "parent_id", "kind", "name", "timestamp", "duration",
         "local_service", "remote_service",
     )
@@ -269,6 +277,49 @@ def q_normalize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-duration histogram per service (engine extension over the span
+    store): exact 100 ms integer-division buckets — the aggregation a
+    tracing UI's latency heatmap runs.  One shuffle on the tiny
+    (service, bucket) domain; map-side partials carry the row count."""
+    spans = _spans(spark, sf_dir)
+    return spans.groupBy(
+        "local_service",
+        F.expr("duration div 100000").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.min("duration").alias("min_duration"),
+        F.max("duration").alias("max_duration"),
+    )
+
+
+def q_service_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service per-day error rate (engine extension): the SLO query a
+    trace store serves from its materialized span table.  Day index is
+    exact bigint division of epoch-micros; the rate divides two exact
+    counts as doubles only at the output boundary."""
+    from zipkin_storage_kafka_spark.functions.portable import round4
+    from zipkin_storage_kafka_spark.sources.spans import DAY_MICROS
+
+    spans = _spans(spark, sf_dir)
+    grouped = spans.groupBy(
+        "local_service",
+        F.expr(f"timestamp div {DAY_MICROS}").alias("day_idx"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("is_error"), 1).otherwise(0)).alias("n_errors"),
+    )
+    return grouped.select(
+        "local_service",
+        "day_idx",
+        "n_spans",
+        "n_errors",
+        round4(
+            F.col("n_errors").cast("double") / F.col("n_spans").cast("double")
+        ).alias("error_rate"),
+    )
+
+
 # Registry --------------------------------------------------------------------
 
 
@@ -293,6 +344,8 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "w25_latest_span_per_service": q_latest_span_per_service,
         "s9_remote_service_lookup": q_remote_service_lookup,
         "a9_union_service_names": q_union_service_names,
+        "z_duration_histogram": q_duration_histogram,
+        "z_service_error_rate": q_service_error_rate,
     }
 
 
@@ -499,4 +552,26 @@ def zipkin_oracles() -> dict[str, str]:
                    END AS normalized_id
             FROM events
         """,
+        "z_duration_histogram": with_spans_cte(
+            """
+            SELECT local_service, duration // 100000 AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   min(duration) AS min_duration,
+                   max(duration) AS max_duration
+            FROM spans GROUP BY local_service, bucket
+            """
+        ),
+        "z_service_error_rate": with_spans_cte(
+            """
+            SELECT local_service,
+                   timestamp // 86400000000 AS day_idx,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_errors,
+                   (round((CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END)
+                            AS DOUBLE) / count(*)) * 10000) / 10000 + 0.0)
+                     AS error_rate
+            FROM spans GROUP BY local_service, day_idx
+            """
+        ),
     }

@@ -65,6 +65,30 @@ def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.order_priority_check(spark, sf_dir, min_qty=Q4_MIN_QTY)
 
 
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.customer_distribution(spark, sf_dir)
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.promo_revenue(spark, sf_dir, lo_micros=Q6_LO_US, hi_micros=Q6_HI_US)
+
+
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.nation_volume(spark, sf_dir)
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.large_volume_customers(spark, sf_dir)
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.pricing_rollup(load_table(spark, sf_dir, "lineitem"), Q1_CUTOFF_US)
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.user_sessions(spark, sf_dir)
+
+
 def analytics_queries() -> dict[str, QueryFn]:
     return {
         "h1_pricing_summary": q_pricing_summary,
@@ -73,6 +97,12 @@ def analytics_queries() -> dict[str, QueryFn]:
         "w_topk_orders_per_priority": q_topk_orders,
         "h6_revenue_forecast": q_revenue_forecast,
         "h4_order_priority_check": q_order_priority_check,
+        "h13_customer_distribution": q_customer_distribution,
+        "h14_promo_revenue": q_promo_revenue,
+        "h7_nation_volume": q_nation_volume,
+        "h18_large_volume_customers": q_large_volume_customers,
+        "hr_pricing_rollup": q_pricing_rollup,
+        "ev_user_sessions": q_user_sessions,
     }
 
 
@@ -149,5 +179,90 @@ def analytics_oracles() -> dict[str, str]:
               SELECT l_orderkey FROM lineitem WHERE l_quantity >= {Q4_MIN_QTY}
             )
             GROUP BY o_orderpriority
+        """,
+        "h13_customer_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+              SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "h14_promo_revenue": f"""
+            SELECT {_r4(
+                f"100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC} "
+                f"ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) / "
+                f"CAST(sum({_DISC}) AS DOUBLE)"
+            )} AS promo_pct,
+                   {_r4(f"CAST(sum({_DISC}) AS DOUBLE)")} AS total_revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE epoch_us(l_shipdate) >= {Q6_LO_US}
+              AND epoch_us(l_shipdate) < {Q6_HI_US}
+        """,
+        "h7_nation_volume": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   {_r4(f"CAST(sum({_DISC}) AS DOUBLE)")} AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "h18_large_volume_customers": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   (round(o_totalprice * 10000) / 10000 + 0.0) AS total_price,
+                   (round(CAST(q._qty AS DOUBLE) * 10000) / 10000 + 0.0) AS sum_qty
+            FROM (
+              SELECT l_orderkey,
+                     sum(CAST(l_quantity AS DECIMAL(12,2))) AS _qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 200
+            ) q
+            JOIN orders ON o_orderkey = q.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_price DESC, o_orderkey
+            LIMIT 20
+        """,
+        "hr_pricing_rollup": f"""
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   {_r4("CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)")} AS sum_qty,
+                   {_r4("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)")} AS sum_base_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE epoch_us(l_shipdate) <= {Q1_CUTOFF_US}
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "ev_user_sessions": """
+            WITH flagged AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ), sessions AS (
+              SELECT user_id, ts_us,
+                     CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS BIGINT) AS session_idx
+              FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts_us) AS start_us, max(ts_us) AS end_us
+            FROM sessions
+            GROUP BY user_id, session_idx
         """,
     }
