@@ -178,3 +178,51 @@ def test_codegen_on_counter_aggregation(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "*(" in plan, f"no codegen stages in plan:\n{plan}"
+
+
+def _simple_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_nation_volume_broadcasts_both_dim_roles(spark, sf_dir):
+    """Q7 shape: supplier-nation and customer-nation sides are explicitly
+    broadcast; the fact-fact (lineitem x orders) join shuffles.  Auto
+    broadcast is disabled so the tiny test-scale orders table doesn't mask
+    the 100 TB shape — the explicit broadcast() hints must still hold."""
+    from zipkin_storage_kafka_spark.operators.analytics import nation_volume
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _simple_plan(nation_volume(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_rollup_is_single_pass(spark, sf_dir):
+    """ROLLUP must expand grouping sets in one scan (an Expand node), not
+    re-scan the fact table per grouping level."""
+    from zipkin_storage_kafka_spark.operators.analytics import pricing_rollup
+    from zipkin_storage_kafka_spark.plans.registry_analytics import Q1_CUTOFF_US
+
+    plan = _simple_plan(
+        pricing_rollup(load_table(spark, sf_dir, "lineitem"), Q1_CUTOFF_US)
+    )
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_user_sessions_single_shuffle_and_sort(spark, sf_dir):
+    """Both analytic windows (lag + running sum) share one
+    (partition, order) spec -> one exchange on user_id, and the final
+    groupBy on (user_id, session_idx) reuses that partitioning (no second
+    exchange before the aggregate)."""
+    from zipkin_storage_kafka_spark.operators.analytics import user_sessions
+
+    plan = _simple_plan(user_sessions(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
