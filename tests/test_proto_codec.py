@@ -1,0 +1,119 @@
+"""PROTO3 span codec (F5): golden wire bytes, dict round-trips, and the
+Spark encode->decode round-trip against the original spans derivation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zipkin_storage_kafka_spark.functions.proto import (
+    decode_span,
+    decode_span_list,
+    encode_span,
+    encode_span_list,
+)
+from zipkin_storage_kafka_spark.sources.proto_spans import (
+    proto_to_spans,
+    traces_to_proto,
+)
+from zipkin_storage_kafka_spark.sources.spans import (
+    spans_from_events,
+    spans_with_nested,
+)
+
+GOLDEN_SPAN = {
+    "trace_id": "000000000000007b",
+    "id": "00000000000001c8",
+    "kind": "CLIENT",
+    "name": "get",
+    "timestamp": 1000,
+    "duration": 100,
+    "local_endpoint": {"service_name": "svc"},
+}
+
+# Hand-assembled from the protobuf wire rules + public zipkin.proto field
+# numbers: 1=trace_id(bytes) 3=id(bytes) 4=kind(varint) 5=name(len)
+# 6=timestamp(fixed64) 7=duration(varint) 8=local_endpoint(len{1=name}).
+GOLDEN_BYTES = bytes.fromhex(
+    "0a08000000000000007b"      # trace_id
+    "1a0800000000000001c8"      # id
+    "2001"                      # kind CLIENT=1
+    "2a03676574"                # name "get"
+    "31e803000000000000"        # timestamp fixed64 1000
+    "3864"                      # duration varint 100
+    "42050a03737663"            # local_endpoint{service_name:"svc"}
+)
+
+
+def test_golden_wire_bytes():
+    assert encode_span(GOLDEN_SPAN) == GOLDEN_BYTES
+
+
+def test_golden_decode():
+    span = decode_span(GOLDEN_BYTES)
+    assert span["trace_id"] == GOLDEN_SPAN["trace_id"]
+    assert span["id"] == GOLDEN_SPAN["id"]
+    assert span["kind"] == "CLIENT"
+    assert span["name"] == "get"
+    assert span["timestamp"] == 1000
+    assert span["duration"] == 100
+    assert span["local_endpoint"]["service_name"] == "svc"
+
+
+def test_roundtrip_full_span():
+    span = {
+        "trace_id": "4bf92f3577b34da6a3ce929d0e0e4736",  # 128-bit
+        "parent_id": "00f067aa0ba902b7",
+        "id": "00f067aa0ba902b8",
+        "kind": "SERVER",
+        "name": "post /api",
+        "timestamp": 1_705_363_200_000_000,
+        "duration": 123_456,
+        "local_endpoint": {"service_name": "frontend", "ipv4": "10.1.2.3", "port": 8080},
+        "remote_endpoint": {"service_name": "backend"},
+        "annotations": [{"timestamp": 1_705_363_200_000_001, "value": "ws"}],
+        "tags": {"http.method": "POST", "error": "true"},
+        "debug": True,
+        "shared": True,
+    }
+    out = decode_span(encode_span(span))
+    assert out["trace_id"] == span["trace_id"]
+    assert out["parent_id"] == span["parent_id"]
+    assert out["kind"] == "SERVER"
+    assert out["timestamp"] == span["timestamp"]
+    assert out["duration"] == span["duration"]
+    assert out["local_endpoint"]["ipv4"] == "10.1.2.3"
+    assert out["local_endpoint"]["port"] == 8080
+    assert out["annotations"] == span["annotations"]
+    assert out["tags"] == span["tags"]
+    assert out["debug"] is True and out["shared"] is True
+
+
+def test_span_list_roundtrip():
+    spans = [GOLDEN_SPAN, dict(GOLDEN_SPAN, id="00000000000001c9", name="put")]
+    out = decode_span_list(encode_span_list(spans))
+    assert [s["name"] for s in out] == ["get", "put"]
+
+
+def test_spark_roundtrip_matches_source(spark, sf_dir):
+    """encode -> decode over the whole sf dir == the original derivation."""
+    nested = spans_with_nested(spark, sf_dir)
+    decoded = proto_to_spans(traces_to_proto(nested))
+    cols = [
+        "trace_id", "parent_id", "id", "kind", "name",
+        "timestamp", "duration", "local_service", "remote_service",
+    ]
+    original = spans_from_events(spark, sf_dir).select(cols)
+    diff = decoded.select(cols).exceptAll(original)
+    assert diff.count() == 0
+    assert decoded.count() == original.count()
+
+
+def test_spark_roundtrip_preserves_tags(spark, sf_dir):
+    nested = spans_with_nested(spark, sf_dir)
+    decoded = proto_to_spans(traces_to_proto(nested))
+    row = (
+        decoded.filter(F.col("tags").getItem("environment").isNotNull())
+        .orderBy("id")
+        .first()
+    )
+    assert row.tags.get("environment") in ("dev", "staging", "prod")

@@ -277,6 +277,24 @@ def q_normalize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: PROTO3 wire codec round-trip (SpansSerde.java:26-36 parity) —
+    encode every trace to a ListOfSpans record, decode back, project
+    scalars.  The oracle is the ORIGINAL spans derivation: matching hashes
+    prove the codec is lossless over the whole corpus."""
+    from zipkin_storage_kafka_spark.sources.proto_spans import (
+        proto_to_spans,
+        traces_to_proto,
+    )
+    from zipkin_storage_kafka_spark.sources.spans import spans_with_nested
+
+    decoded = proto_to_spans(traces_to_proto(spans_with_nested(spark, sf_dir)))
+    return decoded.select(
+        "trace_id", "parent_id", "id", "kind", "name", "timestamp",
+        "duration", "local_service", "remote_service",
+    )
+
+
 def q_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-duration histogram per service (engine extension over the span
     store): exact 100 ms integer-division buckets — the aggregation a
@@ -346,6 +364,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "a9_union_service_names": q_union_service_names,
         "z_duration_histogram": q_duration_histogram,
         "z_service_error_rate": q_service_error_rate,
+        "f5_proto_roundtrip": q_proto_roundtrip,
     }
 
 
@@ -552,6 +571,13 @@ def zipkin_oracles() -> dict[str, str]:
                    END AS normalized_id
             FROM events
         """,
+        "f5_proto_roundtrip": with_spans_cte(
+            """
+            SELECT trace_id, parent_id, id, kind, name, timestamp,
+                   duration, local_service, remote_service
+            FROM spans
+            """
+        ),
         "z_duration_histogram": with_spans_cte(
             """
             SELECT local_service, duration // 100000 AS bucket,

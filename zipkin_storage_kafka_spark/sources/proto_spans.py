@@ -1,0 +1,146 @@
+"""Spark integration for the PROTO3 span codec (F5): DataFrame <-> the
+reference's wire format.
+
+The reference's topic records are (traceId -> PROTO3 ListOfSpans)
+(KafkaSpanConsumer.java:37-49 encodes one record per trace group;
+SpansSerde.java:26-36 is the serde).  Here:
+
+- :func:`traces_to_proto` — the S1/S2 produce path: group spans by trace,
+  encode each group to one binary record.
+- :func:`proto_to_spans` — the S3 consume path: explode binary records
+  back to span rows.
+
+Both confine Python to Arrow-batched UDFs (``applyInPandas`` /
+``mapInPandas``); partitioning is by trace_id so at 100 TB the encode
+shuffle is the same single exchange every trace-keyed operator shares.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from zipkin_storage_kafka_spark.functions.proto import (
+    decode_span_list,
+    encode_span_list,
+)
+
+_SPAN_FIELDS = (
+    "trace_id",
+    "parent_id",
+    "id",
+    "kind",
+    "name",
+    "timestamp",
+    "duration",
+    "local_endpoint",
+    "remote_endpoint",
+    "annotations",
+    "tags",
+    "debug",
+    "shared",
+)
+
+DECODED_SCHEMA = (
+    "trace_id string, parent_id string, id string, kind string, "
+    "name string, timestamp long, duration long, "
+    "local_service string, remote_service string, "
+    "tags map<string,string>, debug boolean, shared boolean"
+)
+
+
+def _clean(v):
+    """Arrow->pandas artifacts back to plain Python: NaN -> None,
+    numpy ints -> int, MapType's list-of-tuples -> dict."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return None if math.isnan(v) else int(v) if v.is_integer() else v
+    if isinstance(v, dict):
+        return {k: _clean(x) for k, x in v.items()}
+    if hasattr(v, "ndim"):  # numpy ndarray (ArrayType) or 0-d scalar
+        v = v.tolist() if v.ndim else v.item()
+        return _clean(v)
+    if isinstance(v, (list, tuple)):
+        if v and isinstance(v[0], tuple) and len(v[0]) == 2:
+            return {k: _clean(x) for k, x in v}
+        return [_clean(x) for x in v]
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    return v
+
+
+def traces_to_proto(spans_nested: DataFrame) -> DataFrame:
+    """(trace_id, value: binary) — one PROTO3 ListOfSpans per trace, spans
+    in deterministic (timestamp, id) order."""
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["timestamp", "id"])
+        spans = [
+            {f: _clean(row[f]) for f in _SPAN_FIELDS if f in row}
+            for row in pdf.to_dict("records")
+        ]
+        return pd.DataFrame(
+            {
+                "trace_id": [pdf["trace_id"].iloc[0]],
+                "value": [encode_span_list(spans)],
+            }
+        )
+
+    return spans_nested.groupBy("trace_id").applyInPandas(
+        encode_group, "trace_id string, value binary"
+    )
+
+
+def proto_to_spans(proto_df: DataFrame) -> DataFrame:
+    """Explode binary ListOfSpans records (column ``value``) back into
+    span rows (scalar endpoint projection + tags map)."""
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for buf in pdf["value"]:
+                for s in decode_span_list(bytes(buf)):
+                    local = s["local_endpoint"] or {}
+                    remote = s["remote_endpoint"] or {}
+                    rows.append(
+                        {
+                            "trace_id": s["trace_id"],
+                            "parent_id": s["parent_id"],
+                            "id": s["id"],
+                            "kind": s["kind"],
+                            "name": s["name"],
+                            "timestamp": s["timestamp"],
+                            "duration": s["duration"],
+                            "local_service": local.get("service_name"),
+                            "remote_service": remote.get("service_name"),
+                            "tags": s["tags"],
+                            "debug": s["debug"],
+                            "shared": s["shared"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "trace_id",
+                    "parent_id",
+                    "id",
+                    "kind",
+                    "name",
+                    "timestamp",
+                    "duration",
+                    "local_service",
+                    "remote_service",
+                    "tags",
+                    "debug",
+                    "shared",
+                ],
+            )
+
+    return proto_df.mapInPandas(decode_batches, DECODED_SCHEMA)
