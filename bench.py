@@ -43,12 +43,17 @@ def main() -> None:
         summaries_table,
     )
 
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import _ivf_index
+
     spans_table(spark, sf_dir).count()
     links_table(spark, sf_dir).count()
     summaries_table(spark, sf_dir).count()
     _shingles(spark, sf_dir).count()
     _char_trigrams(spark, sf_dir).count()
     _lsh_candidates(spark, sf_dir).count()
+    centroids, assign = _ivf_index(spark, sf_dir)
+    centroids.count()
+    assign.count()
     # Prewarm the Python worker pool (spawned once per executor, reused by
     # every Arrow-batched stage afterwards).
     spark.range(32).repartition(32).mapInPandas(

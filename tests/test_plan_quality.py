@@ -226,3 +226,13 @@ def test_user_sessions_single_shuffle_and_sort(spark, sf_dir):
     plan = _simple_plan(user_sessions(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_sales_opportunity_is_anti_join(spark, sf_dir):
+    """Q22 shape: NOT EXISTS must plan as a left-anti join (match
+    multiplicity never materializes), with the scalar threshold broadcast."""
+    from zipkin_storage_kafka_spark.operators.analytics import sales_opportunity
+
+    plan = _simple_plan(sales_opportunity(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan

@@ -395,6 +395,86 @@ def user_sessions(
     )
 
 
+def top_supplier(
+    spark: SparkSession, sf_dir: str, lo_micros: int = 0, hi_micros: int = 0
+) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue in a period —
+    a grouped aggregate compared against its own global max (scalar
+    subquery).  The 1-row max side is broadcast; revenue is exact DECIMAL
+    so the equality comparison is deterministic at any partitioning."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    l_us = to_epoch_micros(lineitem, "l_shipdate")
+    disc_price = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
+    ).cast(DEC)
+    revenue = (
+        lineitem.filter((l_us >= lo_micros) & (l_us < hi_micros))
+        .groupBy("l_suppkey")
+        .agg(F.sum(disc_price).alias("_total"))
+    )
+    max_rev = revenue.agg(F.max("_total").alias("_max_total"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("_total") == F.col("_max_total"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            round4(F.col("_total").cast("double")).alias("total_revenue"),
+        )
+    )
+
+
+def part_supplier_variety(
+    spark: SparkSession, sf_dir: str, exclude_brand: str = "Brand#1"
+) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute group.
+    Distinct aggregation plans as a two-phase expand/partial dedup — the
+    shuffle carries (group, suppkey) pairs once each, never raw lineitem
+    multiplicity."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != exclude_brand
+    )
+    joined = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return joined.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and NO orders
+    — scalar-subquery threshold + LEFT ANTI join, grouped by nation.
+
+    Determinism: the threshold is an exact DECIMAL sum cast to double, then
+    divided by the count — identical in both engines regardless of
+    partitioning (a raw double avg would depend on reduction order)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    thr = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("_thr")
+    )
+    eligible = customer.crossJoin(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("_thr")
+    )
+    no_orders = eligible.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        round4(F.sum(_dec("c_acctbal")).cast("double")).alias("total_bal"),
+    )
+
+
 def topk_orders_per_priority(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:

@@ -151,32 +151,50 @@ def _centroid_scores(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     return joined.select("vec_id", "label", round6(sim).alias("s"))
 
 
-def ann_topk_ivf(
-    embeddings: DataFrame, query_vec_id: int, k: int = 10, nprobe: int = 3
-) -> DataFrame:
-    """IVF ANN: assign every vector to its nearest centroid cell, probe the
-    query's ``nprobe`` best cells, exact top-k within the probed cells.
-
-    Scale (100 TB): assignment is one broadcast crossJoin + per-vector argmax
-    (no shuffle of the big side beyond the row_number window on vec_id — at
-    scale the cell id is written as a partition column at ingest, making the
-    probe a partition-pruned scan instead).  Probe list is rows=nprobe,
-    broadcast into a left-semi join; candidates ≈ nprobe/n_cells of the
-    corpus.
-    """
+def ivf_assignments(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Vector -> nearest-cell assignment (vec_id, label): the IVF index
+    build.  This is INGEST-time work in any ANN system — build once,
+    persist, serve every query from it (at 100 TB the label becomes a
+    partition column of the embeddings table)."""
     from pyspark.sql import Window
 
-    centroids = ivf_centroids(embeddings)
     scores = _centroid_scores(embeddings, centroids)
     w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("label"))
-    assign = (
+    return (
         scores.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("vec_id", "label")
     )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 3,
+    centroids: DataFrame | None = None,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN: probe the query's ``nprobe`` best cells, exact top-k within
+    the probed cells.  Pass a prebuilt index (``centroids`` + ``assign``,
+    see :func:`ivf_assignments`) to keep the per-query plan index-free —
+    the query side then touches only its own centroid scores (1 x cells
+    rows) plus the probed ~nprobe/n_cells slice of the corpus.
+
+    Scale (100 TB): assignment is one broadcast crossJoin + per-vector
+    argmax, built once at ingest (label = partition column, so the probe is
+    a partition-pruned scan).  Probe list is rows=nprobe, broadcast into a
+    left-semi join.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(embeddings)
+    if assign is None:
+        assign = ivf_assignments(embeddings, centroids)
+    query_scores = _centroid_scores(
+        embeddings.filter(F.col("vec_id") == query_vec_id), centroids
+    )
     probe = (
-        scores.filter(F.col("vec_id") == query_vec_id)
-        .orderBy(F.col("s").desc(), F.col("label"))
+        query_scores.orderBy(F.col("s").desc(), F.col("label"))
         .limit(nprobe)
         .select("label")
     )

@@ -145,7 +145,11 @@ def language_id_ngram(
     profiles = language_profiles(docs, top_k, tg=tg).withColumnRenamed(
         "lang", "p_lang"
     )
-    doc_tg = tg.select("doc_id", "tg").distinct()
+    # char_trigrams rows are already per-document DISTINCT (array_distinct
+    # before the explode), so overlap is a plain count after the broadcast
+    # join — re-running distinct here would shuffle the full trigram
+    # expansion (~chars x docs rows) a second time for nothing.
+    doc_tg = tg.select("doc_id", "tg")
     scores = (
         doc_tg.join(F.broadcast(profiles), "tg")
         .groupBy("doc_id", "p_lang")

@@ -89,6 +89,18 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.user_sessions(spark, sf_dir)
 
 
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.top_supplier(spark, sf_dir, lo_micros=Q6_LO_US, hi_micros=Q6_HI_US)
+
+
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.part_supplier_variety(spark, sf_dir)
+
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.sales_opportunity(spark, sf_dir)
+
+
 def analytics_queries() -> dict[str, QueryFn]:
     return {
         "h1_pricing_summary": q_pricing_summary,
@@ -103,6 +115,9 @@ def analytics_queries() -> dict[str, QueryFn]:
         "h18_large_volume_customers": q_large_volume_customers,
         "hr_pricing_rollup": q_pricing_rollup,
         "ev_user_sessions": q_user_sessions,
+        "h15_top_supplier": q_top_supplier,
+        "h16_part_supplier_variety": q_part_supplier_variety,
+        "h22_sales_opportunity": q_sales_opportunity,
     }
 
 
@@ -241,6 +256,43 @@ def analytics_oracles() -> dict[str, str]:
             FROM lineitem
             WHERE epoch_us(l_shipdate) <= {Q1_CUTOFF_US}
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "h15_top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey, sum({_DISC}) AS total
+              FROM lineitem
+              WHERE epoch_us(l_shipdate) >= {Q6_LO_US}
+                AND epoch_us(l_shipdate) < {Q6_HI_US}
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   {_r4("CAST(total AS DOUBLE)")} AS total_revenue
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total = (SELECT max(total) FROM rev)
+        """,
+        "h16_part_supplier_variety": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "h22_sales_opportunity": """
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_custs,
+                   (round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)))
+                           AS DOUBLE) * 10000) / 10000 + 0.0) AS total_bal
+            FROM customer c
+            WHERE c_acctbal > (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                     / count(*)
+              FROM customer WHERE c_acctbal > 0
+            )
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              )
+            GROUP BY c_nationkey
         """,
         "ev_user_sessions": """
             WITH flagged AS (

