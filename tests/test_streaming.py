@@ -189,3 +189,39 @@ def test_index_stream_complete_mode(spark, tmp_path):
         for r in spark.sql("select * from span_names_idx").collect()
     }
     assert got == {"svc_a": ["op_a"], "svc_b": ["op_b"]}
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming dedup twin: identical content within the watermark horizon
+    is dropped; distinct content passes.  State is keyed by content hash
+    and watermark-evicted (bounded, W4 discipline)."""
+    from zipkin_storage_kafka_spark.streaming.jobs import streaming_exact_dedup
+
+    docs_in = str(tmp_path / "docs_in")
+    base_ms = 1_700_000_000_000
+    rows = [
+        Row(doc_id=1, text="hello world", ts_ms=base_ms),
+        Row(doc_id=2, text="hello world", ts_ms=base_ms + 1_000),   # dup
+        Row(doc_id=3, text="something else", ts_ms=base_ms + 2_000),
+        Row(doc_id=4, text="hello world", ts_ms=base_ms + 3_000),   # dup
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.parquet(docs_in)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts_ms long")
+        .parquet(docs_in)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+    )
+    deduped = streaming_exact_dedup(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from dedup_out").collect()
+    assert len(out) == 2
+    assert {r["text"] for r in out} == {"hello world", "something else"}

@@ -144,6 +144,26 @@ def links_from_trace_batch(traces: DataFrame) -> DataFrame:
     )
 
 
+def streaming_exact_dedup(
+    records: DataFrame,
+    content_col: str = "text",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch exact-dedup operator: drop records whose
+    content hash was already seen, with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keys state by the md5 content hash and
+    evicts entries once the watermark passes — the state store stays
+    proportional to the dedup horizon, not the stream history (the same
+    watermark-driven TTL discipline as the reference's store retention, W4).
+    ``records`` must carry a ``ts`` timestamp column.
+    """
+    hashed = records.withColumn("content_hash", F.md5(F.col(content_col)))
+    return hashed.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def dependency_counter_stream(
     links: DataFrame, window: str = "1 minute", watermark_delay: str = "0 seconds"
 ) -> DataFrame:
