@@ -117,3 +117,96 @@ def test_spark_roundtrip_preserves_tags(spark, sf_dir):
         .first()
     )
     assert row.tags.get("environment") in ("dev", "staging", "prod")
+
+
+# -- property-based: decode(encode(x)) == x for arbitrary well-formed spans --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_hex16 = st.integers(min_value=0, max_value=2**64 - 1).map(lambda n: f"{n:016x}")
+_hex32 = st.integers(min_value=0, max_value=2**128 - 1).map(lambda n: f"{n:032x}")
+_name = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    min_size=1,
+    max_size=20,
+)
+_endpoint = st.one_of(
+    st.none(),
+    st.fixed_dictionaries(
+        {
+            "service_name": _name,
+            "ipv4": st.one_of(
+                st.none(),
+                st.tuples(*([st.integers(0, 255)] * 4)).map(
+                    lambda t: ".".join(map(str, t))
+                ),
+            ),
+            "port": st.one_of(st.none(), st.integers(1, 65535)),
+        }
+    ),
+)
+_span = st.fixed_dictionaries(
+    {
+        "trace_id": st.one_of(_hex16, _hex32),
+        "parent_id": st.one_of(st.none(), _hex16),
+        "id": _hex16,
+        "kind": st.sampled_from([None, "CLIENT", "SERVER", "PRODUCER", "CONSUMER"]),
+        "name": st.one_of(st.none(), _name),
+        "timestamp": st.one_of(st.none(), st.integers(1, 2**63 - 1)),
+        "duration": st.one_of(st.none(), st.integers(1, 2**63 - 1)),
+        "local_endpoint": _endpoint,
+        "remote_endpoint": _endpoint,
+        "annotations": st.lists(
+            st.fixed_dictionaries(
+                {"timestamp": st.integers(1, 2**63 - 1), "value": _name}
+            ),
+            max_size=3,
+        ),
+        "tags": st.dictionaries(_name, _name, max_size=4),
+        "debug": st.sampled_from([None, True]),
+        "shared": st.sampled_from([None, True]),
+    }
+)
+
+
+def _nullfree(span: dict) -> dict:
+    """proto3 cannot distinguish absent from empty/zero — canonicalize the
+    input the way the wire does before comparing."""
+    out = dict(span)
+    for ep_key in ("local_endpoint", "remote_endpoint"):
+        ep = out[ep_key]
+        if ep is not None:
+            ep = {
+                "service_name": ep.get("service_name"),
+                "ipv4": ep.get("ipv4"),
+                "ipv6": ep.get("ipv6"),
+                "port": ep.get("port"),
+            }
+            if all(v is None for v in ep.values()):
+                ep = None
+        out[ep_key] = ep
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(spans=st.lists(_span, min_size=1, max_size=5))
+def test_property_roundtrip(spans):
+    decoded = decode_span_list(encode_span_list(spans))
+    assert len(decoded) == len(spans)
+    for orig, got in zip(spans, decoded):
+        want = _nullfree({**{"ipv6": None}, **orig})
+        for field in ("trace_id", "parent_id", "id", "kind", "name",
+                      "timestamp", "duration", "debug", "shared"):
+            assert got[field] == want[field], field
+        assert got["annotations"] == want["annotations"]
+        assert got["tags"] == want["tags"]
+        for ep_key in ("local_endpoint", "remote_endpoint"):
+            w = want[ep_key]
+            g = got[ep_key]
+            if w is None:
+                assert g is None, ep_key
+            else:
+                assert g["service_name"] == w["service_name"]
+                assert g["ipv4"] == w["ipv4"]
+                assert g["port"] == w["port"]
