@@ -475,6 +475,92 @@ def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the events stream: users grouped by their
+    first active day, counted at each later day offset — the standard
+    engagement matrix.  Two aggregations share the user_id shuffle; the
+    day domain is tiny so the final (cohort, offset) agg is cheap."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (to_epoch_micros(ev, "ts") / F.lit(86_400_000_000)).cast("long")
+    activity = ev.select("user_id", day.alias("day_idx")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "first_day",
+            (F.col("day_idx") - F.col("first_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel over the events stream: users whose first view
+    precedes a click that precedes a purchase.  Each stage is a per-user
+    conditional-min aggregation joined to the previous stage's timestamp —
+    all three stages shuffle on user_id, so at scale they share one
+    exchange.  Output: one row (stage_view, stage_click, stage_purchase)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = to_epoch_micros(ev, "ts")
+    base = ev.select("user_id", "event_type", ts.alias("ts_us"))
+    v = (
+        base.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        base.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("stage_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("stage_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("stage_purchase")))
+    )
+
+
+def discounted_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) predicate across a
+    fact->dim join.  Catalyst splits the common conjunct (the join key)
+    from the disjunction and pushes the per-side restrictions to both
+    scans; part stays broadcast."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    disc_price = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
+    ).cast(DEC)
+    joined = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).filter(
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(16, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+    )
+    return joined.agg(
+        round4(F.sum(disc_price).cast("double")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def topk_orders_per_priority(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:

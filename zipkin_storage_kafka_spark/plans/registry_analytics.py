@@ -101,6 +101,18 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.sales_opportunity(spark, sf_dir)
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.cohort_retention(spark, sf_dir)
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.event_funnel(spark, sf_dir)
+
+
+def q_discounted_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.discounted_parts_revenue(spark, sf_dir)
+
+
 def analytics_queries() -> dict[str, QueryFn]:
     return {
         "h1_pricing_summary": q_pricing_summary,
@@ -118,6 +130,9 @@ def analytics_queries() -> dict[str, QueryFn]:
         "h15_top_supplier": q_top_supplier,
         "h16_part_supplier_variety": q_part_supplier_variety,
         "h22_sales_opportunity": q_sales_opportunity,
+        "ev_cohort_retention": q_cohort_retention,
+        "ev_event_funnel": q_event_funnel,
+        "h19_discounted_parts_revenue": q_discounted_parts_revenue,
     }
 
 
@@ -293,6 +308,50 @@ def analytics_oracles() -> dict[str, str]:
                 SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
               )
             GROUP BY c_nationkey
+        """,
+        "ev_cohort_retention": """
+            WITH activity AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day_idx
+              FROM events
+            ), cohort AS (
+              SELECT user_id, min(day_idx) AS first_day
+              FROM activity GROUP BY user_id
+            )
+            SELECT first_day,
+                   day_idx - first_day AS day_offset,
+                   CAST(count(*) AS BIGINT) AS active_users
+            FROM activity JOIN cohort USING (user_id)
+            GROUP BY first_day, day_offset
+        """,
+        "ev_event_funnel": """
+            WITH v AS (
+              SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+              GROUP BY e.user_id
+            ), p AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+              GROUP BY e.user_id
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS stage_view,
+                   (SELECT CAST(count(*) AS BIGINT) FROM c) AS stage_click,
+                   (SELECT CAST(count(*) AS BIGINT) FROM p) AS stage_purchase
+        """,
+        "h19_discounted_parts_revenue": f"""
+            SELECT {_r4(f"CAST(sum({_DISC}) AS DOUBLE)")} AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 16 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
         """,
         "ev_user_sessions": """
             WITH flagged AS (
