@@ -338,6 +338,24 @@ def q_service_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service latency quantiles (engine extension): exact
+    linear-interpolation percentiles — the p50/p95/p99 panel every tracing
+    UI shows.  Exact `percentile` sorts per group (fine at per-service
+    cardinality); at 100 TB swap `percentile` for `approx_percentile`
+    (t-digest sketch, map-side combinable) — same call shape, documented
+    trade: sketch error vs no per-group sort."""
+    from zipkin_storage_kafka_spark.functions.portable import round4
+
+    spans = _spans(spark, sf_dir)
+    return spans.groupBy("local_service").agg(
+        round4(F.expr("percentile(duration, 0.5)")).alias("p50"),
+        round4(F.expr("percentile(duration, 0.95)")).alias("p95"),
+        round4(F.expr("percentile(duration, 0.99)")).alias("p99"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+
+
 # Registry --------------------------------------------------------------------
 
 
@@ -365,6 +383,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_duration_histogram": q_duration_histogram,
         "z_service_error_rate": q_service_error_rate,
         "f5_proto_roundtrip": q_proto_roundtrip,
+        "z_latency_percentiles": q_latency_percentiles,
     }
 
 
@@ -576,6 +595,19 @@ def zipkin_oracles() -> dict[str, str]:
             SELECT trace_id, parent_id, id, kind, name, timestamp,
                    duration, local_service, remote_service
             FROM spans
+            """
+        ),
+        "z_latency_percentiles": with_spans_cte(
+            """
+            SELECT local_service,
+                   (round(quantile_cont(duration, 0.5) * 10000) / 10000 + 0.0)
+                     AS p50,
+                   (round(quantile_cont(duration, 0.95) * 10000) / 10000 + 0.0)
+                     AS p95,
+                   (round(quantile_cont(duration, 0.99) * 10000) / 10000 + 0.0)
+                     AS p99,
+                   CAST(count(*) AS BIGINT) AS n_spans
+            FROM spans GROUP BY local_service
             """
         ),
         "z_duration_histogram": with_spans_cte(
