@@ -135,44 +135,28 @@ def proto_to_spans(proto_df: DataFrame) -> DataFrame:
     def decode_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
+        # Column-wise assembly: building one list per column is several
+        # times faster than 100k row-dicts -> DataFrame at bench scale.
+        scalar_fields = (
+            "trace_id", "parent_id", "id", "kind", "name",
+            "timestamp", "duration", "tags", "debug", "shared",
+        )
         for pdf in batches:
-            rows = []
+            cols: dict[str, list] = {f: [] for f in scalar_fields}
+            cols["local_service"] = []
+            cols["remote_service"] = []
             for buf in pdf["value"]:
                 for s in decode_span_list(bytes(buf)):
-                    local = s["local_endpoint"] or {}
-                    remote = s["remote_endpoint"] or {}
-                    rows.append(
-                        {
-                            "trace_id": s["trace_id"],
-                            "parent_id": s["parent_id"],
-                            "id": s["id"],
-                            "kind": s["kind"],
-                            "name": s["name"],
-                            "timestamp": s["timestamp"],
-                            "duration": s["duration"],
-                            "local_service": local.get("service_name"),
-                            "remote_service": remote.get("service_name"),
-                            "tags": s["tags"],
-                            "debug": s["debug"],
-                            "shared": s["shared"],
-                        }
+                    for f in scalar_fields:
+                        cols[f].append(s[f])
+                    local = s["local_endpoint"]
+                    remote = s["remote_endpoint"]
+                    cols["local_service"].append(
+                        local["service_name"] if local else None
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "trace_id",
-                    "parent_id",
-                    "id",
-                    "kind",
-                    "name",
-                    "timestamp",
-                    "duration",
-                    "local_service",
-                    "remote_service",
-                    "tags",
-                    "debug",
-                    "shared",
-                ],
-            )
+                    cols["remote_service"].append(
+                        remote["service_name"] if remote else None
+                    )
+            yield pd.DataFrame(cols)
 
     return proto_df.mapInPandas(decode_batches, DECODED_SCHEMA)
