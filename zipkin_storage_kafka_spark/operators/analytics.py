@@ -561,6 +561,50 @@ def discounted_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def returned_item_report(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns.  The
+    fact-fact (lineitem x orders) join shuffles on orderkey; customer and
+    nation broadcast; the top-k compiles to TakeOrderedAndProject."""
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    disc_price = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
+    ).cast(DEC)
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(disc_price).alias("_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            round4(F.col("_rev").cast("double")).alias("revenue"),
+            "n_items",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
 def topk_orders_per_priority(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:

@@ -113,6 +113,10 @@ def q_discounted_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.discounted_parts_revenue(spark, sf_dir)
 
 
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.returned_item_report(spark, sf_dir)
+
+
 def analytics_queries() -> dict[str, QueryFn]:
     return {
         "h1_pricing_summary": q_pricing_summary,
@@ -133,6 +137,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_cohort_retention": q_cohort_retention,
         "ev_event_funnel": q_event_funnel,
         "h19_discounted_parts_revenue": q_discounted_parts_revenue,
+        "h10_returned_item_report": q_returned_item_report,
     }
 
 
@@ -352,6 +357,19 @@ def analytics_oracles() -> dict[str, str]:
                    AND l_quantity BETWEEN 1 AND 20)
                OR (p_brand = 'Brand#13' AND p_size BETWEEN 16 AND 30
                    AND l_quantity BETWEEN 10 AND 30)
+        """,
+        "h10_returned_item_report": f"""
+            SELECT c_custkey, c_name, n_name,
+                   {_r4(f"CAST(sum({_DISC}) AS DOUBLE)")} AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         "ev_user_sessions": """
             WITH flagged AS (
