@@ -65,3 +65,41 @@ def test_retention_partition_drop(spark, sf_dir, tmp_path):
         for r in read_store(spark, out, "traces").select(DATE_COL).distinct().collect()
     }
     assert min(remaining) >= "2024-01-10"
+
+def test_bucketed_trace_point_lookup(spark, sf_dir, tmp_path):
+    """Bucketed traces table: a trace_id equality filter must prune to ONE
+    bucket (SelectedBucketsCount in the scan), the file-level analog of the
+    reference's key-routed single-host lookup."""
+    import io
+    from contextlib import redirect_stdout
+
+    from zipkin_storage_kafka_spark.plans.materialize import (
+        lookup_trace_bucketed,
+        materialize_bucketed_traces,
+    )
+
+    spans = spans_from_events(spark, sf_dir)
+    table = materialize_bucketed_traces(
+        spark, spans, path=str(tmp_path / "traces_bucketed"), n_buckets=8
+    )
+    try:
+        # autoBucketedScan drops the bucket layout for plans with no
+        # join/agg on the bucket key; a point lookup wants the pruning, so
+        # pin the bucketed read (the production conf for a lookup service).
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        target = spans.select("trace_id").orderBy("trace_id").first()["trace_id"]
+        df = lookup_trace_bucketed(spark, table, target)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0]["trace_id"] == target
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -88,6 +88,43 @@ def drop_expired_partitions(out_dir: str, store: str, min_date: str) -> list[str
     return dropped
 
 
+def materialize_bucketed_traces(
+    spark: SparkSession,
+    spans: DataFrame,
+    path: str,
+    table: str = "zipkin_traces_bucketed",
+    n_buckets: int = 16,
+) -> str:
+    """Traces table bucketed + sorted by trace_id — the scale path for
+    S9/O5 point lookups (GET /traces/{id}, traceMany): a key-equality
+    filter reads 1 of ``n_buckets`` file groups instead of scanning the
+    date partition, the file-level analog of the reference routing a key
+    to exactly one host's store (KafkaStoreSingleKeyListCall.java:36-45).
+
+    Bucketing requires a catalog table (file layout alone can't carry the
+    hash function); ``path`` makes it external so the data lives with the
+    other stores."""
+    traces = _with_event_date(aggregate_traces(spans), "trace_timestamp")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        traces.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, "trace_id")
+        .sortBy("trace_id")
+        .saveAsTable(table)
+    )
+    return table
+
+
+def lookup_trace_bucketed(
+    spark: SparkSession, table: str, trace_id: str
+) -> DataFrame:
+    """S9 point lookup against the bucketed table: bucket pruning reads
+    one bucket's files (explain shows ``SelectedBucketsCount: 1 out of n``)."""
+    return spark.table(table).filter(F.col("trace_id") == trace_id)
+
+
 def traces_in_range(
     spark: SparkSession, out_dir: str, end_ts_ms: int, lookback_ms: int
 ) -> DataFrame:
