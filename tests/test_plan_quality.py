@@ -236,3 +236,21 @@ def test_sales_opportunity_is_anti_join(spark, sf_dir):
     plan = _simple_plan(sales_opportunity(spark, sf_dir))
     assert "LeftAnti" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_salted_aggregation_two_phase(spark, sf_dir):
+    """Salted counts: exactly two exchanges — (key, salt) partial then
+    (key) combine — and results identical to the plain groupBy."""
+    from zipkin_storage_kafka_spark.operators.skew import salted_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    salted = salted_counts(ev, "event_type", salt_src="event_id", n_salts=8)
+    plan = _simple_plan(salted)
+    assert plan.count("Exchange hashpartitioning") == 2
+    plain = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {(r["event_type"], r["n"]) for r in salted.collect()} == plain

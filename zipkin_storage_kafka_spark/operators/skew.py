@@ -1,0 +1,52 @@
+"""Skew mitigation: two-phase salted aggregation.
+
+AQE's skew handling covers joins (`spark.sql.adaptive.skewJoin.enabled`,
+on in the session factory); a skewed GROUP BY key — one service producing
+most spans, one user producing most events — still funnels every row of
+that key through a single reduce partition.  Salting splits the hot key
+across ``n_salts`` partial groups and re-combines:
+
+    phase 1: groupBy(key, salt)  -> partial aggregates (hot key spread
+             over n_salts partitions, each bounded)
+    phase 2: groupBy(key)        -> combine partials (n_salts rows/key)
+
+This only works for decomposable aggregates (sum/count/min/max — the
+combine is the same function over partials).  The deterministic salt
+(hash of a row-unique column, not rand()) keeps results reproducible and
+oracle-checkable.
+
+The reference never needed this — Kafka Streams shards by key and a hot
+key just hotspots one task (no mitigation exists there); this is part of
+the engine's 100 TB hardening.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 8
+
+
+def salted_counts(
+    df: DataFrame,
+    key: str,
+    count_col: str = "n",
+    salt_src: str | Column | None = None,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Salted count-per-key: (key, n).  ``salt_src`` is any row-unique-ish
+    column used to derive the deterministic salt (defaults to the key of a
+    monotonically increasing id — pass a real column for reproducibility
+    across runs; tests use the record id)."""
+    if salt_src is None:
+        salt_src = F.monotonically_increasing_id()
+    elif isinstance(salt_src, str):
+        salt_src = F.col(salt_src)
+    salt = F.pmod(F.hash(salt_src), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").alias(count_col))

@@ -338,6 +338,19 @@ def q_service_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_service_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened span count per service: two-phase salted aggregation
+    (operators/skew.py) — same result as a plain groupBy, but a hot
+    service key spreads over n_salts reduce partitions.  The oracle is the
+    PLAIN count: matching hashes prove the salting is semantics-free."""
+    from zipkin_storage_kafka_spark.operators.skew import salted_counts
+
+    return salted_counts(
+        _spans(spark, sf_dir), "local_service", count_col="n_spans",
+        salt_src="id",
+    )
+
+
 def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-service latency quantiles (engine extension): exact
     linear-interpolation percentiles — the p50/p95/p99 panel every tracing
@@ -384,6 +397,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_service_error_rate": q_service_error_rate,
         "f5_proto_roundtrip": q_proto_roundtrip,
         "z_latency_percentiles": q_latency_percentiles,
+        "z_salted_service_counts": q_salted_service_counts,
     }
 
 
@@ -595,6 +609,13 @@ def zipkin_oracles() -> dict[str, str]:
             SELECT trace_id, parent_id, id, kind, name, timestamp,
                    duration, local_service, remote_service
             FROM spans
+            """
+        ),
+        "z_salted_service_counts": with_spans_cte(
+            """
+            SELECT local_service,
+                   CAST(count(*) AS BIGINT) AS n_spans
+            FROM spans GROUP BY local_service
             """
         ),
         "z_latency_percentiles": with_spans_cte(
