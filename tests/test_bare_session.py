@@ -1,0 +1,41 @@
+"""Regression: queries must work on a SparkSession the repo did not build.
+
+The round-1 correctness harness built its own bare SparkSession (no
+``session.get_spark``), and every events.parquet read threw
+PARQUET_TYPE_ILLEGAL because ``spark.sql.legacy.parquet.nanosAsLong`` was
+only set by the session factory.  ``load_table`` now sets the load-bearing
+confs defensively; these tests pin that by *mis-setting* the confs on a
+sibling session and asserting the read still works.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from zipkin_storage_kafka_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def hostile_session(spark):
+    """A session whose load-bearing confs are deliberately wrong."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    s.conf.set("spark.sql.session.timeZone", "America/New_York")
+    return s
+
+
+def test_load_events_on_misconfigured_session(hostile_session, sf_dir):
+    df = load_table(hostile_session, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "bigint"
+    assert df.limit(1).count() == 1
+    assert hostile_session.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_registry_query_on_misconfigured_session(hostile_session, sf_dir):
+    from zipkin_storage_kafka_spark.plans import registry
+
+    # q_service_names exercises the spans derivation (the exact path every
+    # failed round-1 row died on).  Cache key includes the session, so this
+    # builds fresh on the hostile session.
+    df = registry.zipkin_queries()["s7_service_names"](hostile_session, sf_dir)
+    assert df.count() > 0

@@ -26,9 +26,36 @@ TABLES = (
 )
 
 
+def _ensure_reader_confs(spark: SparkSession) -> None:
+    """Make any SparkSession able to read the driver testdata.
+
+    Callers (the external correctness harness in particular) may hand us a
+    bare SparkSession built without ``session.get_spark``.  Two confs are
+    load-bearing and runtime-settable, so set them defensively here rather
+    than relying on the session factory:
+
+    - ``spark.sql.legacy.parquet.nanosAsLong``: events.parquet stores
+      TIMESTAMP(NANOS); without this, ``spark.read.parquet`` throws
+      PARQUET_TYPE_ILLEGAL.  With it, the column surfaces as LongType nanos,
+      which ``to_epoch_micros`` expects.
+    - ``spark.sql.session.timeZone=UTC``: the ``timestamp_ntz`` branch of
+      ``to_epoch_micros`` casts NTZ->TZ, which is only the identity under a
+      UTC session zone (matching DuckDB's UTC-naive reading).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Right-size shuffle width for a session left at Spark's untouched
+    # default (200): at test scale that is 6x more tasks than cores, all
+    # scheduling overhead.  A deliberately configured session is respected.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_reader_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
