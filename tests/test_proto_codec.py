@@ -142,6 +142,11 @@ _endpoint = st.one_of(
                     lambda t: ".".join(map(str, t))
                 ),
             ),
+            # wire form is 16 raw bytes; the dict form mirrors decode's raw
+            # hex representation
+            "ipv6": st.one_of(
+                st.none(), st.binary(min_size=16, max_size=16).map(bytes.hex)
+            ),
             "port": st.one_of(st.none(), st.integers(1, 65535)),
         }
     ),
@@ -209,4 +214,37 @@ def test_property_roundtrip(spans):
             else:
                 assert g["service_name"] == w["service_name"]
                 assert g["ipv4"] == w["ipv4"]
+                assert g["ipv6"] == w["ipv6"]
                 assert g["port"] == w["port"]
+
+
+def test_ipv6_roundtrip():
+    span = dict(
+        GOLDEN_SPAN,
+        local_endpoint={
+            "service_name": "svc",
+            "ipv6": "20010db8000000000000000000000001",
+        },
+    )
+    out = decode_span(encode_span(span))
+    assert out["local_endpoint"]["ipv6"] == "20010db8000000000000000000000001"
+
+
+# -- malformed input must raise, not decode into a wrong span --
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "buf",
+    [
+        GOLDEN_BYTES[:-2],          # truncated length-delimited payload
+        bytes.fromhex("0aff"),      # LEN length varint truncated
+        bytes.fromhex("0a20" + "00" * 4),  # declared length past buffer end
+        bytes.fromhex("31e8030000"),       # truncated fixed64
+        b"\xff" * 11,               # varint longer than 10 bytes
+    ],
+)
+def test_malformed_raises(buf):
+    with pytest.raises(ValueError):
+        decode_span(buf)

@@ -80,6 +80,10 @@ def _encode_endpoint(ep: dict | None) -> bytes:
         out += _len_field(1, ep["service_name"].encode("utf-8"))
     if ep.get("ipv4"):
         out += _len_field(2, bytes(int(o) for o in ep["ipv4"].split(".")))
+    if ep.get("ipv6"):
+        # decode surfaces ipv6 as raw hex (16 bytes -> 32 hex chars); encode
+        # mirrors that so reference-produced bytes round-trip losslessly
+        out += _len_field(3, bytes.fromhex(ep["ipv6"]))
     if ep.get("port"):
         out += _key(4, _VARINT) + _varint(int(ep["port"]))
     return bytes(out)
@@ -144,7 +148,12 @@ def encode_span_list(spans: list[dict]) -> bytes:
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     result = 0
     shift = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            raise ValueError("truncated varint")
+        if shift >= 70:  # valid proto varints are at most 10 bytes
+            raise ValueError("varint exceeds 10 bytes")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -163,13 +172,19 @@ def _fields(buf: bytes):
         if wire == _VARINT:
             value, pos = _read_varint(buf, pos)
         elif wire == _FIXED64:
+            if pos + 8 > n:
+                raise ValueError("truncated fixed64")
             value = int.from_bytes(buf[pos : pos + 8], "little")
             pos += 8
         elif wire == _LEN:
             length, pos = _read_varint(buf, pos)
+            if pos + length > n:
+                raise ValueError("length-delimited field past end of buffer")
             value = buf[pos : pos + length]
             pos += length
         elif wire == 5:  # fixed32 (not used by zipkin.proto, skip safely)
+            if pos + 4 > n:
+                raise ValueError("truncated fixed32")
             value = int.from_bytes(buf[pos : pos + 4], "little")
             pos += 4
         else:

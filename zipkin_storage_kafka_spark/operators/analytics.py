@@ -481,8 +481,12 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     engagement matrix.  Two aggregations share the user_id shuffle; the
     day domain is tiny so the final (cohort, offset) agg is cheap."""
     ev = load_table(spark, sf_dir, "events")
-    day = (to_epoch_micros(ev, "ts") / F.lit(86_400_000_000)).cast("long")
-    activity = ev.select("user_id", day.alias("day_idx")).distinct()
+    # exact integer floor-division (`div`), matching the DuckDB oracle's `//`
+    # bit-for-bit; double division + cast can diverge at boundary values
+    micros = ev.select("user_id", to_epoch_micros(ev, "ts").alias("ts_us"))
+    activity = micros.select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day_idx")
+    ).distinct()
     cohort = activity.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
     return (
         activity.join(cohort, "user_id")

@@ -53,7 +53,7 @@ FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
         T.StructField("decoded_width", T.IntegerType()),
         T.StructField("decoded_height", T.IntegerType()),
     ]
@@ -94,14 +94,20 @@ def decode_payload(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """STUB DECODER — deterministic fake.
 
     Real deployments replace this with PIL/libav decoding; the container
-    has no media libraries, so features are md5-seeded pseudo-pixels in
-    [0, 1).  Deterministic in the payload bytes (same input -> same
-    features on every executor).
+    has no media libraries, so features are md5-derived pseudo-pixels in
+    [0, 1): feature i = int(md5(payload + b"#i")[:8 hex], 16) / 2**32.
+    Deterministic in the payload bytes (same input -> same features on
+    every executor) and — deliberately — pure md5-hex arithmetic so the
+    DuckDB oracle reproduces values bit-for-bit (ints < 2**32 divided by
+    2**32 are exact doubles; no float32 or RNG in the path).
     """
-    digest = hashlib.md5(payload).digest()
-    seed = int.from_bytes(digest[:8], "big") % (2**32)
-    rng = np.random.RandomState(seed)
-    return rng.rand(dim).astype(np.float32)
+    return np.array(
+        [
+            int(hashlib.md5(payload + b"#%d" % i).hexdigest()[:8], 16) / 2**32
+            for i in range(dim)
+        ],
+        dtype=np.float64,
+    )
 
 
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:

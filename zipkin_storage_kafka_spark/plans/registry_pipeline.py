@@ -255,18 +255,16 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction (STUB decoder — md5-seeded, not SQL
-    expressible: registered without an oracle, driver runs the rows-only
-    check)."""
-    from zipkin_storage_kafka_spark.functions.portable import round4
-
+    """Arrow-batched feature extraction.  The STUB decoder is md5-hex
+    arithmetic producing exact doubles (int/2**32), so the oracle
+    reproduces f0 bit-for-bit — no rounding boundary."""
     feats = mm.extract_features(_media(spark, sf_dir))
     return feats.select(
         "media_id",
         "kind",
         "decoded_width",
         "decoded_height",
-        round4(F.element_at("features", 1).cast("double")).alias("f0"),
+        F.element_at("features", 1).alias("f0"),
     )
 
 
@@ -561,6 +559,20 @@ def pipeline_oracles() -> dict[str, str]:
                    CAST(n_chars % 30 + 1 AS INTEGER) AS n_frames,
                    CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
             FROM documents WHERE doc_id % 3 = 0
+        """,
+        "mm_extract_features": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                   END AS kind,
+                   CAST(n_chars % 64 + 16 AS INTEGER) AS decoded_width,
+                   CAST(n_chars % 48 + 16 AS INTEGER) AS decoded_height,
+                   list_sum(list_transform(generate_series(1, 8),
+                     j -> (strpos('0123456789abcdef',
+                                  substring(md5(text || '#0'), j, 1)) - 1)
+                          * power(16.0, 8 - j)
+                   )) / 4294967296.0 AS f0
+            FROM documents
         """,
         "mm_frame_sample": """
             WITH v AS (
