@@ -167,3 +167,82 @@ def test_trace_merge_dedups_spans(spark):
     assert a["span_count"] == 2
     assert [s["id"] for s in a["spans"]] == ["1", "2"]
     assert a["spans"][0]["timestamp"] == base  # earliest occurrence kept
+
+
+# -- P4 on the canonical nested shape: arbitrary tag keys, zipkin2 bare-key --
+
+NESTED_SCHEMA = (
+    "trace_id string, parent_id string, id string, kind string, name string, "
+    "timestamp long, duration long, "
+    "local_endpoint struct<service_name:string,ipv4:string,ipv6:string,port:int>, "
+    "remote_endpoint struct<service_name:string,ipv4:string,ipv6:string,port:int>, "
+    "annotations array<struct<timestamp:long,value:string>>, "
+    "tags map<string,string>"
+)
+
+
+def _nested_span(trace_id, sid, ts_us, svc="svc_a", tags=None, anns=None):
+    return (
+        trace_id, None, sid, "CLIENT", "op", ts_us, 1000,
+        (svc, None, None, None), None, anns or [], tags or {},
+    )
+
+
+@pytest.fixture(scope="module")
+def nested_store(spark):
+    base = 1_700_000_000 * MICROS
+    rows = [
+        _nested_span("00000000000000a1", "1", base,
+                     tags={"http.method": "GET", "http.path": "/api"}),
+        _nested_span("00000000000000a2", "2", base + 10,
+                     tags={"http.method": "POST"}),
+        _nested_span("00000000000000a3", "3", base + 20,
+                     anns=[(base + 20, "ws")]),
+    ]
+    nested = spark.createDataFrame(rows, NESTED_SCHEMA)
+    # summaries built from a scalar projection of the same spans
+    scalar = nested.select(
+        "trace_id", "id", "parent_id", "kind", "name", "timestamp",
+        "duration",
+        F.col("local_endpoint.service_name").alias("local_service"),
+        F.col("remote_endpoint.service_name").alias("remote_service"),
+        F.lit(None).cast("string").alias("tag_k"),
+        F.lit(None).cast("string").alias("env"),
+        F.lit(False).alias("is_error"),
+    )
+    from zipkin_storage_kafka_spark.operators import trace_summaries
+
+    return SpanStore(nested, summaries=trace_summaries(scalar))
+
+
+def test_arbitrary_tag_key_value(nested_store):
+    """annotationQuery=http.method=GET must match via the tags map — the
+    round-1 implementation hard-wired testdata keys and silently returned
+    nothing for any other key."""
+    got = nested_store.get_traces(
+        QueryRequest(annotation_query={"http.method": "GET"}, limit=10)
+    )
+    assert [r["trace_id"] for r in got.collect()] == ["00000000000000a1"]
+
+
+def test_bare_key_matches_tag_presence(nested_store):
+    got = nested_store.get_traces(
+        QueryRequest(annotation_query={"http.path": ""}, limit=10)
+    )
+    assert [r["trace_id"] for r in got.collect()] == ["00000000000000a1"]
+
+
+def test_bare_key_matches_annotation_value(nested_store):
+    """zipkin2: a bare annotationQuery token also matches spans carrying an
+    *annotation* whose value equals the token."""
+    got = nested_store.get_traces(
+        QueryRequest(annotation_query={"ws": ""}, limit=10)
+    )
+    assert [r["trace_id"] for r in got.collect()] == ["00000000000000a3"]
+
+
+def test_unmatched_tag_value_excludes(nested_store):
+    got = nested_store.get_traces(
+        QueryRequest(annotation_query={"http.method": "DELETE"}, limit=10)
+    )
+    assert got.count() == 0

@@ -64,16 +64,31 @@ class QueryRequest:
     limit: int = DEFAULT_QUERY_LIMIT
 
 
-def _span_matches(request: QueryRequest) -> F.Column:
+def _span_matches(request: QueryRequest, columns: set[str]) -> F.Column:
     """Single-span conjunct of QueryRequest.test: service + span name +
     remote service + duration + annotation conditions must co-occur on ONE
     span (public zipkin2 semantics; applied at
-    KafkaStorageHttpService.java:228)."""
+    KafkaStorageHttpService.java:228).
+
+    Shape-aware: on the canonical nested span shape (``tags`` map +
+    ``annotations`` array + endpoint structs, as produced by
+    ``spans_with_nested`` / the JSON and PROTO3 decoders) any tag key works
+    via ``element_at(tags, key)``, and a bare key (value == "") matches
+    zipkin2's annotationQuery rule — an annotation whose *value* equals the
+    key, OR a tag with that key present.  On the flattened oracle-test
+    projection (scalar columns) the testdata's three tag columns map back
+    to their keys.
+    """
+    nested = "tags" in columns
+    svc = F.col("local_endpoint.service_name") if nested else F.col("local_service")
+    rsvc = (
+        F.col("remote_endpoint.service_name") if nested else F.col("remote_service")
+    )
     cond = F.lit(True)
     if request.service_name:
-        cond = cond & (F.col("local_service") == request.service_name)
+        cond = cond & (svc == request.service_name)
     if request.remote_service_name:
-        cond = cond & (F.col("remote_service") == request.remote_service_name)
+        cond = cond & (rsvc == request.remote_service_name)
     if request.span_name:
         cond = cond & (F.col("name") == request.span_name)
     if request.min_duration is not None:
@@ -81,15 +96,25 @@ def _span_matches(request: QueryRequest) -> F.Column:
     if request.max_duration is not None:
         cond = cond & (F.col("duration") <= request.max_duration)
     for key, value in request.annotation_query.items():
-        if key == "environment":
-            kcol = F.col("env")
-        elif key == "k":
-            kcol = F.col("tag_k")
-        elif key == "error":
-            kcol = F.when(F.col("is_error"), F.lit("true"))
+        if nested:
+            tag_val = F.element_at(F.col("tags"), F.lit(key))
+            if value == "":
+                ann_hit = F.exists(
+                    F.col("annotations"), lambda a: a["value"] == F.lit(key)
+                )
+                cond = cond & (tag_val.isNotNull() | ann_hit)
+            else:
+                cond = cond & (tag_val == value)
         else:
-            kcol = F.lit(None).cast("string")
-        cond = cond & (kcol.isNotNull() if value == "" else (kcol == value))
+            if key == "environment":
+                kcol = F.col("env")
+            elif key == "k":
+                kcol = F.col("tag_k")
+            elif key == "error":
+                kcol = F.when(F.col("is_error"), F.lit("true"))
+            else:
+                kcol = F.lit(None).cast("string")
+            cond = cond & (kcol.isNotNull() if value == "" else (kcol == value))
     return cond
 
 
@@ -139,7 +164,9 @@ class SpanStore:
         )
         if not self.trace_search_enabled:
             return summaries.limit(0)
-        matching = self.spans.filter(_span_matches(request))
+        matching = self.spans.filter(
+            _span_matches(request, set(self.spans.columns))
+        )
         matched_ids = matching.select("trace_id").distinct()
         out = summaries.join(matched_ids, "trace_id", "left_semi")
         if request.end_ts > 0:

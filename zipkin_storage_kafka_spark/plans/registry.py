@@ -201,6 +201,29 @@ def q_find_traces_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _store(spark, sf_dir).get_traces(FIND_TRACES_ANNOTATION_REQUEST)
 
 
+FIND_TRACES_TAGS_REQUEST = QueryRequest(
+    # Arbitrary tag key ("k" resolved through the tags MAP, not a flattened
+    # column) + zipkin2 bare-key form ("error" with value "" = key present
+    # OR an annotation value equals it) — full QueryRequest.test semantics.
+    annotation_query={"k": "7", "error": ""},
+    limit=10,
+)
+
+
+def q_find_traces_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 over the canonical nested span shape (tags map + annotations
+    array): ``element_at(tags, key)`` serves any key — nothing hard-wired
+    (reference predicate built at KafkaStorageHttpService.java:203-228)."""
+    from zipkin_storage_kafka_spark.sources.spans import spans_with_nested
+
+    store = SpanStore(
+        spans_with_nested(spark, sf_dir),
+        links=links_table(spark, sf_dir),
+        summaries=summaries_table(spark, sf_dir),
+    )
+    return store.get_traces(FIND_TRACES_TAGS_REQUEST)
+
+
 def q_remote_service_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 single-key fetch on the remote-service-names store
     (GET /serviceNames/{s}/remoteServiceNames)."""
@@ -388,6 +411,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "s9_span_names_lookup": q_span_names_lookup,
         "s9_autocomplete_values": q_autocomplete_values,
         "p4_find_traces_annotation": q_find_traces_annotation,
+        "p4_find_traces_tags": q_find_traces_tags,
         "f2_normalize_ids": q_normalize_ids,
         "o5_trace_many": q_trace_many,
         "w25_latest_span_per_service": q_latest_span_per_service,
@@ -540,6 +564,17 @@ def zipkin_oracles() -> dict[str, str]:
                   AND {FIND_TRACES_ANNOTATION_REQUEST.end_ts} * 1000
             ORDER BY t.trace_timestamp DESC, t.trace_id
             LIMIT {FIND_TRACES_ANNOTATION_REQUEST.limit}
+            """,
+            _SUMMARIES_CTE,
+        ),
+        "p4_find_traces_tags": with_spans_cte(
+            """
+            SELECT t.* FROM trace_summaries t
+            JOIN (SELECT DISTINCT trace_id FROM spans
+                  WHERE tag_k = '7' AND is_error) m
+              USING (trace_id)
+            ORDER BY t.trace_timestamp DESC, t.trace_id
+            LIMIT 10
             """,
             _SUMMARIES_CTE,
         ),
