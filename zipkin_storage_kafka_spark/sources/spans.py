@@ -164,8 +164,12 @@ def spans_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def spans_with_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spans in the full canonical SPAN_SCHEMA shape (nested endpoints,
-    tags map) for the Zipkin API layer; scalar view above is for oracles."""
-    s = spans_from_events(spark, sf_dir)
+    tags map) for the Zipkin API layer; scalar view above is for oracles.
+
+    Builds on the memoized persisted scalar spans (the projection below is
+    shuffle-free), so API-layer queries share the one cached derivation
+    instead of re-running scan + lag-window per query."""
+    s = spans_table(spark, sf_dir)
     return s.select(
         "trace_id",
         "parent_id",
