@@ -629,3 +629,178 @@ def topk_orders_per_priority(
             round4(F.col("o_totalprice")).alias("total_price"),
         )
     )
+
+
+def national_market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    supp_nation: str = "NATION_3",
+    region: str = "ASIA",
+    p_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape: a 6-table join computing one nation's share of a
+    region's market for one part type, by order year.
+
+    Scale plan: the three dims that survive their filters (part rows of one
+    type, supplier, nation/region) broadcast; lineitem joins orders on the
+    shuffled fact key.  customer broadcasts here but shifts to a shuffle
+    join at 100 TB — the plan is otherwise unchanged.  The share division
+    happens after aggregation on exact decimals, so both engines see
+    identical doubles.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == p_type)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region_df = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == region
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    cust_nation = nation.alias("cn").join(
+        F.broadcast(region_df), F.col("cn.n_regionkey") == F.col("r_regionkey")
+    )
+    supp_nation_df = nation.alias("sn")
+
+    volume = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
+    ).cast(DEC)
+    joined = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(cust_nation),
+            F.col("c_nationkey") == F.col("cn.n_nationkey"),
+        )
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(supp_nation_df),
+            F.col("s_nationkey") == F.col("sn.n_nationkey"),
+        )
+        .select(
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("o_year"),
+            volume.alias("volume"),
+            F.col("sn.n_name").alias("supp_nation_name"),
+        )
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(
+            F.when(
+                F.col("supp_nation_name") == supp_nation, F.col("volume")
+            ).otherwise(F.lit(0).cast(DEC))
+        ).alias("_nation_vol"),
+        F.sum("volume").alias("_total_vol"),
+    )
+    return agg.select(
+        "o_year",
+        round4(
+            F.col("_nation_vol").cast("double") / F.col("_total_vol").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+def small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#23"
+) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity orders
+    (below 20% of the per-part average quantity) moved to bulk.
+
+    Adaptation note: testdata ``part`` has no ``p_container`` column, so the
+    classic (p_brand, p_container) filter keeps only the brand predicate.
+
+    The correlated subquery ``l_quantity < 0.2 * avg(l_quantity per part)``
+    becomes a window average over ``l_partkey`` *after* the broadcast
+    semi-reduction to one brand's parts — the windowed set is ~1/25 of
+    lineitem, and no second scan happens.  The 0.2x-average comparison is
+    rearranged to exact integer-decimal math (``5 * qty * cnt < sum``), so
+    neither engine's double ``avg()`` rounding can flip a boundary row.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    matched = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    qty = _dec("l_quantity")
+    qualified = (
+        matched.withColumn("_sum_qty", F.sum(qty).over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w))
+        .filter(
+            (qty * F.lit(5) * F.col("_cnt")).cast(DEC)
+            < F.col("_sum_qty").cast(DEC)
+        )
+    )
+    # Sum exactly as decimal, then ONE double division: decimal division
+    # scale rules differ between engines, but IEEE double division of
+    # identical inputs is bit-identical.
+    return qualified.agg(
+        round4(
+            F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+def waiting_suppliers(
+    spark: SparkSession,
+    sf_dir: str,
+    late_days: int = 30,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on
+    finished multi-supplier orders.
+
+    Adaptation note: testdata ``lineitem`` has no commit/receipt dates, so
+    "late" is re-based as ``l_shipdate > o_orderdate + late_days`` — the
+    exists/not-exists structure of the classic query is preserved.
+
+    Spark-first rewrite: instead of the textbook EXISTS/NOT EXISTS pair of
+    correlated self-joins (two extra shuffles of lineitem), one groupBy per
+    order computes distinct-supplier and distinct-late-supplier counts plus
+    the single late supplier (min over a one-element set); orders with >=2
+    suppliers and exactly one late supplier charge that supplier.  One
+    shuffle of the fact table, map-side combinable, constant per-order state.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    ship_us = to_epoch_micros(lineitem, "l_shipdate")
+    li = lineitem.select(
+        "l_orderkey", "l_suppkey", ship_us.alias("_ship_us")
+    )
+    od_us = to_epoch_micros(orders, "o_orderdate")
+    joined = li.join(
+        orders.select("o_orderkey", od_us.alias("_od_us")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "_late",
+        F.col("_ship_us") > F.col("_od_us") + F.lit(late_days * 86_400_000_000),
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("_late"), F.col("l_suppkey"))
+        ).alias("_n_late"),
+        F.min(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_culprit"),
+    )
+    culprit = (
+        per_order.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+        .select(F.col("_culprit").alias("suppkey"))
+        .groupBy("suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        culprit.join(
+            F.broadcast(supplier), F.col("suppkey") == F.col("s_suppkey")
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(k)
+    )

@@ -117,6 +117,18 @@ def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.returned_item_report(spark, sf_dir)
 
 
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.national_market_share(spark, sf_dir)
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.small_quantity_revenue(spark, sf_dir)
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.waiting_suppliers(spark, sf_dir)
+
+
 def analytics_queries() -> dict[str, QueryFn]:
     return {
         "h1_pricing_summary": q_pricing_summary,
@@ -138,6 +150,9 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_event_funnel": q_event_funnel,
         "h19_discounted_parts_revenue": q_discounted_parts_revenue,
         "h10_returned_item_report": q_returned_item_report,
+        "h8_national_market_share": q_national_market_share,
+        "h17_small_quantity_revenue": q_small_quantity_revenue,
+        "h21_waiting_suppliers": q_waiting_suppliers,
     }
 
 
@@ -393,5 +408,57 @@ def analytics_oracles() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM sessions
             GROUP BY user_id, session_idx
+        """,
+        "h8_national_market_share": f"""
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                   {_r4(f"CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN {_DISC} ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) / CAST(sum({_DISC}) AS DOUBLE)")} AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY 1
+        """,
+        "h17_small_quantity_revenue": f"""
+            WITH matched AS (
+              SELECT CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                     CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER w
+                          AS DECIMAL(30,6)) AS sum_qty,
+                     CAST(count(*) OVER w AS BIGINT) AS cnt
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+              WINDOW w AS (PARTITION BY l_partkey)
+            )
+            SELECT {_r4("CAST(sum(price) AS DOUBLE) / 7.0")} AS avg_yearly
+            FROM matched
+            WHERE CAST(qty * 5 * cnt AS DECIMAL(30,6)) < sum_qty
+        """,
+        "h21_waiting_suppliers": """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE WHEN epoch_us(l_shipdate) >
+                       epoch_us(o_orderdate) + 30 * 86400000000
+                       THEN l_suppkey END) AS n_late,
+                     min(CASE WHEN epoch_us(l_shipdate) >
+                       epoch_us(o_orderdate) + 30 * 86400000000
+                       THEN l_suppkey END) AS culprit
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+              GROUP BY l_orderkey
+            ), waits AS (
+              SELECT culprit AS suppkey, CAST(count(*) AS BIGINT) AS numwait
+              FROM per_order
+              WHERE n_supp >= 2 AND n_late = 1
+              GROUP BY culprit
+            )
+            SELECT s_name, numwait
+            FROM waits JOIN supplier ON suppkey = s_suppkey
+            ORDER BY numwait DESC, s_name
+            LIMIT 10
         """,
     }
