@@ -153,3 +153,16 @@ def test_normalize_trace_id_idempotent(spark, raw):
     assert len(v1) in (16, 32)
     assert v1 == v1.lower()
     assert v1.endswith(raw.lower())
+
+
+def test_minhash_rowwise_equals_grouped(spark, sf_dir):
+    """The zero-shuffle rowwise MinHash projection produces bit-identical
+    (doc_id, band, bucket) triples to the explode+groupBy formulation."""
+    from zipkin_storage_kafka_spark.operators import dedup as dd
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    grouped = dd.minhash_buckets(dd.shingles(docs))
+    rowwise = dd.minhash_buckets_rowwise(docs)
+    assert grouped.exceptAll(rowwise).count() == 0
+    assert rowwise.exceptAll(grouped).count() == 0

@@ -225,3 +225,106 @@ def test_streaming_exact_dedup(spark, tmp_path):
     out = spark.sql("select * from dedup_out").collect()
     assert len(out) == 2
     assert {r["text"] for r in out} == {"hello world", "something else"}
+
+
+def test_streaming_minhash_dedup(spark, tmp_path):
+    """Near-dup dedup keyed by the full MinHash signature: docs with equal
+    shingle-set signatures collapse to the first arrival; distinct docs
+    pass.  The signature stage is stateless (rowwise, no shuffle); the one
+    stateful op is signature-keyed dropDuplicatesWithinWatermark."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        streaming_minhash_dedup,
+    )
+
+    docs_in = str(tmp_path / "mh_in")
+    base_ms = 1_700_000_000_000
+    text_a = "the quick brown fox jumps over the lazy dog"
+    text_b = "an entirely different document about spark structured streaming"
+    rows = [
+        Row(doc_id=1, text=text_a, ts_ms=base_ms),
+        Row(doc_id=2, text=text_a, ts_ms=base_ms + 1_000),  # same signature
+        Row(doc_id=3, text=text_b, ts_ms=base_ms + 2_000),
+        Row(doc_id=4, text=text_a, ts_ms=base_ms + 3_000),  # same signature
+        Row(doc_id=5, text="too short", ts_ms=base_ms + 4_000),  # < NGRAM words
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.parquet(docs_in)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts_ms long")
+        .parquet(docs_in)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+    )
+    q = (
+        streaming_minhash_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mh_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck_mh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from mh_dedup_out").collect()
+    assert {r["text"] for r in out} == {text_a, text_b}
+    assert len(out) == 2
+
+
+def test_streaming_lsh_bucket_registry_idempotent(spark, tmp_path):
+    """The bucket registry emits each (band, bucket) once: feeding the same
+    corpus in a second microbatch adds zero rows, and the emitted bucket set
+    equals the batch operator's distinct bucket set."""
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        minhash_buckets_rowwise,
+    )
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        streaming_lsh_bucket_registry,
+    )
+
+    docs_in = tmp_path / "reg_in"
+    docs_in.mkdir()
+    base_ms = 1_700_000_000_000
+    corpus = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon", ts_ms=base_ms),
+        Row(doc_id=2, text="one two three four five six", ts_ms=base_ms + 1000),
+        Row(doc_id=3, text="alpha beta gamma delta epsilon", ts_ms=base_ms + 2000),
+    ]
+    batch_df = spark.createDataFrame(corpus)
+    batch_df.coalesce(1).write.parquet(str(docs_in / "f1"))
+
+    reg_out = str(tmp_path / "reg_out")
+
+    def run_once():
+        # file sink (memory sink cannot resume from a checkpoint)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts_ms long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(docs_in) + "/*")
+            .withColumn("ts", F.timestamp_millis("ts_ms"))
+        )
+        q = (
+            streaming_lsh_bucket_registry(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", reg_out)
+            .option("checkpointLocation", str(tmp_path / "ck_reg"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(reg_out).collect()
+
+    first = run_once()
+
+    # second run: replay the same corpus (new file, later arrival) against
+    # the same checkpoint — the registry state survives the restart
+    batch_df.coalesce(1).write.parquet(str(docs_in / "f2"))
+    second = run_once()
+    assert len(second) == len(first)  # replayed corpus owns no new buckets
+
+    batch_buckets = {
+        (r["b"], r["bucket"])
+        for r in minhash_buckets_rowwise(
+            batch_df.withColumnRenamed("ts_ms", "_")
+        ).collect()
+    }
+    assert {(r["b"], r["bucket"]) for r in first} == batch_buckets

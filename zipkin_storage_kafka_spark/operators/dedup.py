@@ -242,3 +242,80 @@ def simhash_dup_groups(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def _rowwise_band_minima(n: int = NGRAM, bands: int = BANDS,
+                         rows: int = ROWS_PER_BAND) -> list[F.Column]:
+    """Per-band minhash bucket columns computed entirely within a row.
+
+    Same hash family and bucket formula as :func:`minhash_buckets`
+    (md5(f"{band}_{row}:{shingle}") minima, bucket = md5 of the per-band
+    '|'-join), but evaluated as array expressions over the row's own
+    shingle array — ZERO shuffle, so it works in a stateless streaming map
+    stage and as the preferred batch shape when docs are already the unit
+    of work.  min over the multiset equals min over the distinct set, so no
+    array_distinct is needed.  Expects a ``w`` array<string> column (split
+    text); rows with fewer than ``n`` words produce NULL buckets (no
+    shingles — callers filter).
+    """
+    grams = F.sequence(F.lit(1), F.size("w") - F.lit(n - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at("w", i + F.lit(j)) for j in range(n)]
+    )
+    def _min_col(b: int, r: int) -> F.Column:
+        # one-arg lambda (PySpark infers HOF arity from the signature)
+        return F.array_min(
+            F.transform(
+                grams,
+                lambda i: F.md5(F.concat(F.lit(f"{b}_{r}:"), shingle(i))),
+            )
+        )
+
+    cols = []
+    for b in range(bands):
+        mins = [_min_col(b, r) for r in range(rows)]
+        cols.append(F.md5(F.concat_ws("|", *mins)).alias(f"bucket_{b}"))
+    return cols
+
+
+def minhash_buckets_rowwise(
+    docs: DataFrame, n: int = NGRAM, bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, b, bucket) — identical output to :func:`minhash_buckets`
+    (pinned by test), without the shingle explode or the groupBy shuffle.
+
+    At 100 TB this is the shape to prefer: the whole signature computes in
+    one codegen'd projection per document, and only the (doc, band, bucket)
+    triples — 4 small rows per doc — ever move."""
+    d = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= n
+    )
+    sig = d.select("doc_id", *_rowwise_band_minima(n, bands, rows))
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("b"), F.col(f"bucket_{b}").alias("bucket"))
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.b").alias("b"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_signature(
+    docs: DataFrame, n: int = NGRAM, bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Input columns + a ``signature`` md5 over all band buckets — equal
+    signatures mean equal minhash in every band (shingle-set-identical or
+    overwhelmingly-near documents).  Rowwise and shuffle-free; the
+    streaming near-dup job keys its state by this column."""
+    with_w = docs.withColumn("w", F.split("text", " ")).filter(
+        F.size("w") >= n
+    )
+    mins = with_w.select("*", *_rowwise_band_minima(n, bands, rows))
+    return mins.withColumn(
+        "signature",
+        F.md5(F.concat_ws("|", *[f"bucket_{b}" for b in range(bands)])),
+    ).drop("w", *[f"bucket_{b}" for b in range(bands)])

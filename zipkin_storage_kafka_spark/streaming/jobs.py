@@ -250,3 +250,72 @@ def run_aggregation_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_minhash_dedup(
+    docs: DataFrame,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming near-duplicate dedup: drop documents whose full MinHash
+    signature (all LSH bands) was already seen within the watermark horizon.
+
+    The signature computes in a stateless rowwise projection
+    (operators.dedup.minhash_signature — zero shuffle, no shingle explode),
+    so the only stateful stage is ``dropDuplicatesWithinWatermark`` keyed by
+    the 32-hex signature: state is one entry per distinct surviving
+    signature inside the horizon, watermark-evicted (W4 discipline), never
+    proportional to stream history.  Signature equality means every band's
+    minhash agrees — shingle-set-identical or overwhelmingly-near docs; for
+    the looser any-band match, pair this with
+    :func:`streaming_lsh_bucket_registry`.  ``docs`` must carry ``doc_id``,
+    ``text`` and an event-time ``ts``.
+    """
+    from zipkin_storage_kafka_spark.operators.dedup import minhash_signature
+
+    signed = minhash_signature(docs)
+    return signed.withWatermark(
+        "ts", watermark_delay
+    ).dropDuplicatesWithinWatermark(["signature"])
+
+
+def streaming_lsh_bucket_registry(
+    docs: DataFrame,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """First-owner stream of LSH band buckets: one (b, bucket, doc_id, ts)
+    row per bucket first seen within the watermark horizon.
+
+    This is the streaming half of the batch LSH dedup: the registry append
+    stream feeds the candidate store; a doc arriving later that emits NO new
+    rows for some band collided there (any-band near-dup candidate), and
+    the batch verifier (n-gram Jaccard over candidates,
+    operators.dedup.lsh_candidate_pairs + verify) confirms.  State is one
+    entry per distinct (band, bucket) inside the horizon — the same bounded
+    keyspace the batch bucket join shuffles on.
+    """
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        BANDS,
+        NGRAM,
+        _rowwise_band_minima,
+    )
+
+    # Inline (no self-join: that would be a stateful stream-stream join) —
+    # same rowwise projection as minhash_buckets_rowwise, keeping ts.
+    d = docs.select(
+        "doc_id", "ts", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= NGRAM)
+    sig = d.select("doc_id", "ts", *_rowwise_band_minima())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"), F.col(f"bucket_{b}").alias("bucket")
+            )
+            for b in range(BANDS)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", "ts", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "ts", F.col("bb.b").alias("b"), F.col("bb.bucket").alias("bucket"))
+    return buckets.withWatermark(
+        "ts", watermark_delay
+    ).dropDuplicatesWithinWatermark(["b", "bucket"])
