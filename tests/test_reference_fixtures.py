@@ -246,3 +246,108 @@ def test_unmatched_tag_value_excludes(nested_store):
         QueryRequest(annotation_query={"http.method": "DELETE"}, limit=10)
     )
     assert got.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 5. Full DependencyLinker tree semantics (zipkin2 library the reference
+#    delegates to; fixtures from SpanAggregationTopologyTest.java:75-105 and
+#    ITKafkaStorage.java:175-190)
+
+
+def _linked(spark, rows):
+    from zipkin_storage_kafka_spark.operators import (
+        dependency_links_tree,
+        merge_links,
+    )
+
+    spans = spark.createDataFrame(rows, SPANS_STREAM_SCHEMA)
+    return {
+        (r["parent"], r["child"]): (r["call_count"], r["error_count"])
+        for r in merge_links(dependency_links_tree(spans)).collect()
+    }
+
+
+def test_linker_parentless_server_adopted_under_root(spark):
+    """SpanAggregationTopologyTest.java:75-105: CLIENT svc_a and SERVER
+    svc_b, NEITHER carrying a parent id — SpanNode adoption hangs the
+    server under the root and the link is still svc_a -> svc_b x1."""
+    base = 1_700_000_000 * MICROS
+    links = _linked(spark, [
+        _span("00000000000000aa", "a", base, svc="svc_a", name="op_a",
+              kind="CLIENT"),
+        _span("00000000000000aa", "b", base + 5, svc="svc_b", name="op_b",
+              kind="SERVER"),
+    ])
+    assert links == {("svc_a", "svc_b"): (1, 0)}
+
+
+def test_linker_rpc_pair_counts_once(spark):
+    """ITKafkaStorage.java:175-190 trace: CLIENT svc_a (remote svc_b) +
+    parentless SERVER svc_b.  The client has a child after adoption, so
+    only the server side links — one call, not two."""
+    base = 1_700_000_000 * MICROS
+    links = _linked(spark, [
+        _span("00000000000000ab", "a", base, svc="svc_a", kind="CLIENT",
+              remote="svc_b"),
+        _span("00000000000000ab", "b", base + 5, svc="svc_b", kind="SERVER"),
+    ])
+    assert links == {("svc_a", "svc_b"): (1, 0)}
+
+
+def test_linker_client_leaf_links_to_remote(spark):
+    """A lone CLIENT span with a remote endpoint links local -> remote
+    (how single-span client traces produce links in zipkin)."""
+    base = 1_700_000_000 * MICROS
+    links = _linked(spark, [
+        _span("00000000000000ac", "a", base, svc="svc_a", kind="CLIENT",
+              remote="db"),
+    ])
+    assert links == {("svc_a", "db"): (1, 0)}
+
+
+def test_linker_server_remote_beats_tree_parent(spark):
+    """A SERVER span carrying remoteEndpoint (the caller's name recorded
+    server-side) uses it as the link parent even when a tree parent with a
+    different service exists."""
+    base = 1_700_000_000 * MICROS
+    links = _linked(spark, [
+        _span("00000000000000ad", "a", base, svc="svc_gw", kind=None),
+        _span("00000000000000ad", "b", base + 5, parent="a", svc="svc_b",
+              kind="SERVER", remote="svc_real_caller"),
+    ])
+    assert links == {("svc_real_caller", "svc_b"): (1, 0)}
+
+
+def test_linker_messaging_producer_consumer(spark):
+    """Messaging kinds never walk the tree: PRODUCER links local -> broker
+    (even with children), CONSUMER links broker -> local; a CONSUMER with
+    no broker name yields no link."""
+    base = 1_700_000_000 * MICROS
+    links = _linked(spark, [
+        _span("00000000000000ae", "a", base, svc="svc_pub", kind="PRODUCER",
+              remote="kafka"),
+        _span("00000000000000ae", "b", base + 5, parent="a", svc="svc_sub",
+              kind="CONSUMER", remote="kafka"),
+        _span("00000000000000ae", "c", base + 9, parent="b", svc="svc_sub2",
+              kind="CONSUMER", remote=None),
+    ])
+    assert links == {
+        ("svc_pub", "kafka"): (1, 0),
+        ("kafka", "svc_sub"): (1, 0),
+    }
+
+
+def test_linker_error_attribution(spark):
+    """The link-creating span carries the error flag into error_count."""
+    base = 1_700_000_000 * MICROS
+    links = _linked(spark, [
+        _span("00000000000000af", "a", base, svc="svc_a", kind="CLIENT"),
+        _span("00000000000000af", "b", base + 5, parent="a", svc="svc_b",
+              kind="SERVER", error=True),
+        _span("00000000000000af", "c", base + 9, parent="b", svc="svc_b",
+              kind="CLIENT", remote="db", error=True),
+    ])
+    assert links == {
+        ("svc_a", "svc_b"): (1, 1),
+        ("svc_b", "db"): (1, 1),
+    }

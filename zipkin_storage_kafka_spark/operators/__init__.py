@@ -4,6 +4,7 @@ from zipkin_storage_kafka_spark.operators.trace_aggregation import (  # noqa: F4
 )
 from zipkin_storage_kafka_spark.operators.dependency_links import (  # noqa: F401
     dependency_links,
+    dependency_links_tree,
     merge_links,
     windowed_link_counters,
 )

@@ -16,7 +16,7 @@ traces.  No Python in the loop — whole-stage codegen end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from zipkin_storage_kafka_spark.functions.zipkin import link_key
@@ -88,4 +88,106 @@ def windowed_link_counters(links: DataFrame, window: str = "1 minute") -> DataFr
             "call_count",
             "error_count",
         )
+    )
+
+
+def dependency_links_tree(spans: DataFrame) -> DataFrame:
+    """Per-trace link rows under full zipkin2 DependencyLinker tree
+    semantics (the library the reference delegates to at
+    SpanAggregationTopology.java:115-121; fixture pinned by
+    SpanAggregationTopologyTest.java:75-105, where the SERVER span has NO
+    parent id and the link must still be svc_a -> svc_b):
+
+    - **adoption**: spans with a missing parent that are not the trace root
+      attach under the root (SpanNode.Builder behavior) — the root is the
+      first parentless span in (timestamp, id) order;
+    - **callee-side RPC links**: each SERVER span links
+      (parent = its remote service, else the parent span's local service)
+      -> (child = its local service); a root SERVER with neither yields no
+      link;
+    - **messaging links**: CONSUMER links remote(broker) -> local, PRODUCER
+      links local -> remote(broker); messaging never walks the tree — a
+      missing broker name yields no link;
+    - **caller-leaf links**: a CLIENT span with a remote service and no
+      children links local -> remote (a client WITH children defers to
+      them: the child server span creates the RPC link, so the pair counts
+      once);
+    - error attribution: the span that creates the link carries the error
+      flag (zipkin's "error" tag rule).
+
+    The simpler chain-model operator :func:`dependency_links` remains the
+    materialized-links source for the event-derived testdata (every span
+    there has a service and a lag-parent, where the two agree on SERVER
+    edges).  This operator is the API-fidelity path for arbitrary zipkin
+    traces.
+
+    Plan shape: three passes over ``spans``, all exchanging on trace_id
+    (root ranking window, parent-span lookup join, has-children left-anti
+    join) — one co-partitioned shuffle key throughout, no Python.
+    """
+    w = Window.partitionBy("trace_id").orderBy("timestamp", "id")
+    roots = (
+        spans.filter(F.col("parent_id").isNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("trace_id", F.col("id").alias("_root_id"))
+    )
+    adopted = spans.join(roots, "trace_id", "left").withColumn(
+        "_parent_eff",
+        F.when(
+            F.col("parent_id").isNull() & (F.col("id") != F.col("_root_id")),
+            F.col("_root_id"),
+        ).otherwise(F.col("parent_id")),
+    )
+
+    parent_side = adopted.select(
+        F.col("trace_id").alias("p_trace_id"),
+        F.col("id").alias("p_id"),
+        F.col("local_service").alias("p_local"),
+    )
+    callee = (
+        adopted.filter(F.col("kind").isin("SERVER", "CONSUMER"))
+        .join(
+            parent_side,
+            (F.col("trace_id") == F.col("p_trace_id"))
+            & (F.col("_parent_eff") == F.col("p_id")),
+            "left",
+        )
+        .select(
+            "trace_id",
+            F.when(F.col("kind") == "CONSUMER", F.col("remote_service"))
+            .otherwise(F.coalesce(F.col("remote_service"), F.col("p_local")))
+            .alias("parent"),
+            F.col("local_service").alias("child"),
+            "is_error",
+            "timestamp",
+        )
+    )
+
+    child_ids = adopted.select(
+        F.col("trace_id").alias("c_trace_id"),
+        F.col("_parent_eff").alias("c_parent"),
+    )
+    callers = adopted.filter(
+        F.col("kind").isin("CLIENT", "PRODUCER")
+        & F.col("remote_service").isNotNull()
+    )
+    producer_links = callers.filter(F.col("kind") == "PRODUCER")
+    client_leaves = callers.filter(F.col("kind") == "CLIENT").join(
+        child_ids,
+        (F.col("trace_id") == F.col("c_trace_id"))
+        & (F.col("id") == F.col("c_parent")),
+        "left_anti",
+    )
+    caller_links = producer_links.unionByName(client_leaves).select(
+        "trace_id",
+        F.col("local_service").alias("parent"),
+        F.col("remote_service").alias("child"),
+        "is_error",
+        "timestamp",
+    )
+
+    return (
+        callee.unionByName(caller_links)
+        .filter(F.col("parent").isNotNull() & F.col("child").isNotNull())
     )

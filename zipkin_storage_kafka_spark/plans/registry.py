@@ -72,6 +72,29 @@ links AS (
 )
 """
 
+_TREE_LINKS_CTE = """
+tree_links AS (
+  -- callee side: SERVER spans (no CONSUMER/PRODUCER kinds exist in the
+  -- event-derived spans; remote_service is NULL on SERVER spans there, so
+  -- the parent always comes from the tree parent's local service)
+  SELECT s.trace_id, p.local_service AS parent, s.local_service AS child,
+         s.is_error, s.timestamp
+  FROM spans s JOIN spans p
+    ON s.trace_id = p.trace_id AND s.parent_id = p.id
+  WHERE s.kind = 'SERVER'
+  UNION ALL
+  -- caller leaves: CLIENT spans with a remote service and no children
+  SELECT s.trace_id, s.local_service AS parent, s.remote_service AS child,
+         s.is_error, s.timestamp
+  FROM spans s
+  WHERE s.kind = 'CLIENT' AND s.remote_service IS NOT NULL
+    AND NOT EXISTS (
+      SELECT 1 FROM spans c
+      WHERE c.trace_id = s.trace_id AND c.parent_id = s.id
+    )
+)
+"""
+
 # find_traces fixture parameters (P4/O1/O3): a realistic request over the
 # middle of the data's time range.
 FIND_TRACES_REQUEST = QueryRequest(
@@ -103,6 +126,20 @@ def q_dependency_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dependency_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_link_counters(links_table(spark, sf_dir))
+
+
+def q_links_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged links under full zipkin2 DependencyLinker tree semantics
+    (callee-side RPC links + caller-leaf remote links; see
+    operators.dependency_links.dependency_links_tree).  On the chain-shaped
+    testdata this differs from j1_a8: kind-null spans create no edge, and
+    leaf CLIENT spans link to their remote service."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        dependency_links_tree,
+    )
+    from zipkin_storage_kafka_spark.sources.spans import spans_table
+
+    return merge_links(dependency_links_tree(spans_table(spark, sf_dir)))
 
 
 def q_span_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,6 +436,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
     return {
         "a2_trace_summaries": q_trace_summaries,
         "j1_a8_dependency_links": q_dependency_links,
+        "j1_links_tree": q_links_tree,
         "a7_dependency_windows": q_dependency_windows,
         "a4_span_names": q_span_names,
         "a5_remote_service_names": q_remote_service_names,
@@ -444,6 +482,17 @@ def zipkin_oracles() -> dict[str, str]:
             FROM links GROUP BY parent, child
             """,
             _LINKS_CTE,
+        ),
+        "j1_links_tree": with_spans_cte(
+            """
+            SELECT parent, child,
+                   CAST(count(*) AS BIGINT) AS call_count,
+                   CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                     AS error_count,
+                   parent || ':' || child AS link_key
+            FROM tree_links GROUP BY parent, child
+            """,
+            _TREE_LINKS_CTE,
         ),
         "a7_dependency_windows": with_spans_cte(
             """
