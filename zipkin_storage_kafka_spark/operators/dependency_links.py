@@ -125,14 +125,14 @@ def dependency_links_tree(spans: DataFrame) -> DataFrame:
     (root ranking window, parent-span lookup join, has-children left-anti
     join) — one co-partitioned shuffle key throughout, no Python.
     """
-    w = Window.partitionBy("trace_id").orderBy("timestamp", "id")
-    roots = (
-        spans.filter(F.col("parent_id").isNull())
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("trace_id", F.col("id").alias("_root_id"))
+    # Root per trace as a single window pass (parentless spans sort first,
+    # then (timestamp, id)) instead of a filter+rank+join: the adoption
+    # subtree feeds THREE downstream consumers, so a join here would triple
+    # the spans-vs-roots shuffle work in one plan.
+    w = Window.partitionBy("trace_id").orderBy(
+        F.col("parent_id").isNotNull(), "timestamp", "id"
     )
-    adopted = spans.join(roots, "trace_id", "left").withColumn(
+    adopted = spans.withColumn("_root_id", F.first("id").over(w)).withColumn(
         "_parent_eff",
         F.when(
             F.col("parent_id").isNull() & (F.col("id") != F.col("_root_id")),

@@ -13,7 +13,7 @@ rounded to 4 decimals; ranking ties break on vec_id.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from zipkin_storage_kafka_spark.functions.portable import round4
@@ -234,4 +234,65 @@ def pairwise_cosine_dups(
             round4(cos).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def batch_cosine_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Batch ANN serving: exact top-k for MANY query vectors in ONE corpus
+    scan (the shape of offline retrieval / hard-negative mining jobs, where
+    queries arrive in blocks, not one at a time).
+
+    The Q-row query block broadcasts; every (vector, query) score computes
+    in the scan's projection; per-query top-k is a rank window that Spark
+    rewrites through WindowGroupLimit — each input partition keeps only its
+    local k per query BEFORE the exchange, so the shuffle moves
+    O(partitions * Q * k) rows, never Q * N.  At 100 TB with a 10k-query
+    block this is one pass over the corpus + a KB-scale shuffle.
+
+    Output: q_id, vec_id, cos (round4), rank (1-based).
+    """
+    q = embeddings.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("q_id"), _as_double("embedding").alias("q_emb")
+    )
+    e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    joined = e.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+    )
+    scored = joined.select(
+        "q_id", "vec_id", round4(cos).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving
+    compression step of an embedding pipeline (4x smaller than float32,
+    8x than float64).
+
+    scale = max(|x|) / 127; q_i = floor(x_i / scale + 0.5) (explicit
+    floor(+0.5) instead of round(): identical half-way behavior in every
+    engine, where round() half-even vs half-up differs).  All-zero vectors
+    quantize to zeros with scale 0.  Pure per-row array expressions — no
+    shuffle, no Python; the plan is a single codegen'd projection.
+
+    Output: vec_id, scale (round4 double), q (array<int>).
+    """
+    v = _as_double("embedding")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = absmax / F.lit(127.0)
+    q = F.when(absmax == 0.0, F.transform(v, lambda x: F.lit(0).cast("int"))).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    )
+    return embeddings.select(
+        "vec_id", round4(scale).alias("scale"), q.alias("q")
     )
