@@ -254,3 +254,30 @@ def test_salted_aggregation_two_phase(spark, sf_dir):
         .collect()
     }
     assert {(r["event_type"], r["n"]) for r in salted.collect()} == plain
+
+
+def test_batch_ann_group_limit_and_broadcast(spark, sf_dir):
+    """Batch ANN: the query block must broadcast (no corpus shuffle for the
+    scores) and the per-query k-filter must push down as WindowGroupLimit
+    so the exchange moves O(partitions * Q * k) rows, not Q * N."""
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        batch_cosine_topk,
+    )
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = batch_cosine_topk(emb, [3, 7, 21, 42], 5)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_quantize_int8_is_single_projection(spark, sf_dir):
+    """Quantization is a per-row transform: no exchange anywhere in the
+    plan — one codegen'd projection over the scan."""
+    from zipkin_storage_kafka_spark.operators.similarity import quantize_int8
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(quantize_int8(emb))
+    assert "Exchange" not in plan, plan

@@ -25,6 +25,8 @@ ANN_K = 10
 ANN_LSH_K = 5
 ANN_LSH_BITS = 4
 PAIR_BITS = 8
+BATCH_ANN_IDS = (3, 7, 21, 42)
+BATCH_ANN_K = 5
 PAIR_COS_THRESHOLD = 0.4
 JACCARD_THRESHOLD = 0.5
 
@@ -268,6 +270,31 @@ def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch serving: top-k for a block of query vectors in one corpus scan
+    (WindowGroupLimit keeps per-partition partial top-k below the
+    exchange)."""
+    return sim.batch_cosine_topk(
+        _emb(spark, sf_dir), list(BATCH_ANN_IDS), BATCH_ANN_K
+    )
+
+
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization, emitted as a CSV string +
+    L1 checksum so the cross-engine value hash stays scalar."""
+    q = sim.quantize_int8(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform("q", lambda x: x.cast("string")), ","
+        ).alias("q_csv"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("q_l1"),
+    )
+
+
 def pipeline_queries() -> dict[str, QueryFn]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -290,6 +317,8 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "mm_resize_meta": q_mm_resize_meta,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_extract_features": q_mm_extract_features,
+        "ann_batch_topk": q_ann_batch_topk,
+        "emb_quantize_int8": q_emb_quantize_int8,
     }
 
 
@@ -591,5 +620,53 @@ def pipeline_oracles() -> dict[str, str]:
                    CAST(least(8, L - ((fi * 7) % greatest(1, L))) AS BIGINT)
                      AS frame_len
             FROM f
+        """,
+        "ann_batch_topk": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM e
+                  WHERE vec_id IN {BATCH_ANN_IDS}),
+            scored AS (
+              SELECT q_id, e.vec_id,
+                     (round((list_dot_product(v, qv)
+                           / (sqrt(list_dot_product(v, v))
+                              * sqrt(list_dot_product(qv, qv)))) * 10000) / 10000 + 0.0)
+                       AS cos
+              FROM e, q WHERE e.vec_id <> q_id
+            ),
+            ranked AS (
+              SELECT q_id, vec_id, cos,
+                     CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY cos DESC, vec_id
+                     ) AS INTEGER) AS rank
+              FROM scored
+            )
+            SELECT q_id, vec_id, cos, rank FROM ranked
+            WHERE rank <= {BATCH_ANN_K}
+        """,
+        "emb_quantize_int8": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            s AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) / 127.0
+                           AS sc
+                  FROM e),
+            qq AS (SELECT vec_id, sc,
+                          CASE WHEN sc = 0
+                               THEN list_transform(v, x -> CAST(0 AS INTEGER))
+                               ELSE list_transform(
+                                 v, x -> CAST(floor(x / sc + 0.5) AS INTEGER))
+                          END AS q
+                   FROM s)
+            SELECT vec_id,
+                   (round(sc * 10000) / 10000 + 0.0) AS scale,
+                   array_to_string(list_transform(q,
+                                                  x -> CAST(x AS VARCHAR)), ',')
+                     AS q_csv,
+                   CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT)
+                     AS q_l1
+            FROM qq
         """,
     }
