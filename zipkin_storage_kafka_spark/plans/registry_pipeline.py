@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
+from zipkin_storage_kafka_spark.functions.portable import round4
 from zipkin_storage_kafka_spark.operators import dedup as dd
 from zipkin_storage_kafka_spark.operators import multimodal as mm
 from zipkin_storage_kafka_spark.operators import similarity as sim
@@ -27,6 +28,7 @@ ANN_LSH_BITS = 4
 PAIR_BITS = 8
 BATCH_ANN_IDS = (3, 7, 21, 42)
 BATCH_ANN_K = 5
+CLEAN_QUALITY_MIN = 0.5
 PAIR_COS_THRESHOLD = 0.4
 JACCARD_THRESHOLD = 0.5
 
@@ -295,6 +297,55 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning — the composed pipeline a
+    pretraining data job runs, as ONE declarative plan Catalyst optimizes
+    whole (stage order is fixed and documented; the oracle replays it):
+
+    1. exact dedup: keep only the canonical (min doc_id) copy per md5(text);
+    2. near-dup removal: drop the higher doc_id of every LSH-candidate pair
+       whose true n-gram Jaccard >= 0.5 (bucketed candidates only — never
+       all-pairs);
+    3. quality gate: composite score >= 0.5;
+    4. report per (source, lang): surviving docs, total tokens, mean
+       quality (decimal-summed, engine-exact).
+
+    At scale every stage is the already-audited operator: the dedup
+    candidate join is bucket-bounded, quality/token stats are single-pass
+    projections + one groupBy, and the final rollup output is KBs.
+    """
+    docs = _docs(spark, sf_dir)
+    quality = ta.quality_score(docs).select("doc_id", "quality")
+    tokens = ta.token_stats(docs).select("doc_id", "n_tokens")
+    canonical = dd.exact_dedup_groups(docs).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    near_drop = (
+        dd.jaccard_pairs(
+            _shingles(spark, sf_dir),
+            _lsh_candidates(spark, sf_dir),
+            threshold=JACCARD_THRESHOLD,
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = (
+        docs.join(canonical, "doc_id", "left_semi")
+        .join(near_drop, "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= CLEAN_QUALITY_MIN)
+        .join(tokens, "doc_id")
+    )
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        round4(
+            F.sum(F.col("quality").cast("decimal(8,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+    )
+
+
 def pipeline_queries() -> dict[str, QueryFn]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -319,6 +370,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "mm_extract_features": q_mm_extract_features,
         "ann_batch_topk": q_ann_batch_topk,
         "emb_quantize_int8": q_emb_quantize_int8,
+        "pipe_clean_corpus": q_pipe_clean_corpus,
     }
 
 
@@ -668,5 +720,57 @@ def pipeline_oracles() -> dict[str, str]:
                    CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT)
                      AS q_l1
             FROM qq
+        """,
+        "pipe_clean_corpus": f"""
+            WITH {_MINHASH_CTE},
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+              GROUP BY 1, 2
+            ),
+            near_drop AS (
+              SELECT DISTINCT doc_b AS doc_id
+              FROM inter
+              JOIN cnt ca ON ca.doc_id = doc_a
+              JOIN cnt cb ON cb.doc_id = doc_b
+              WHERE (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 + 0.0)
+                    >= {JACCARD_THRESHOLD}
+            ),
+            canonical AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            ts AS (
+              SELECT doc_id,
+                     len(w) AS n_tokens,
+                     len(list_filter(w, x -> x IN {_STOP_SQL})) AS stop_cnt,
+                     (round((len(list_distinct(w)) * 1.0 / len(w)) * 10000) / 10000 + 0.0) AS ttr
+              FROM tw
+            ),
+            qual AS (
+              SELECT doc_id,
+                     (round((0.4 * (CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+                           + 0.3 * least(1.0, 5.0 * (stop_cnt * 1.0 / n_tokens))
+                           + 0.3 * ttr) * 10000) / 10000 + 0.0) AS quality,
+                     n_tokens
+              FROM ts
+            ),
+            kept AS (
+              SELECT d.source, d.lang, q.quality, q.n_tokens
+              FROM documents d
+              JOIN canonical c ON d.doc_id = c.doc_id
+              JOIN qual q ON q.doc_id = d.doc_id
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+                AND q.quality >= {CLEAN_QUALITY_MIN}
+            )
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   (round((CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE)
+                          / count(*)) * 10000) / 10000 + 0.0) AS avg_quality
+            FROM kept GROUP BY source, lang
         """,
     }
