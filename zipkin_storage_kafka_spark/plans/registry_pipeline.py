@@ -346,6 +346,28 @@ def q_pipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@k of the IVF probe against the
+    brute-force exact top-k for the standard query — the measurement an
+    embedding pipeline runs after (re)building an index.  Output is one
+    row: k, n_hits, recall (round4).  Both sides are tiny (k rows each);
+    the expensive scans are the already-audited operators underneath."""
+    exact = sim.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_VEC, ANN_K).select(
+        "vec_id"
+    )
+    centroids, assign = _ivf_index(spark, sf_dir)
+    approx = sim.ann_topk_ivf(
+        _emb(spark, sf_dir), ANN_QUERY_VEC, ANN_K,
+        nprobe=ANN_IVF_NPROBE, centroids=centroids, assign=assign,
+    ).select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(ANN_K).cast("int").alias("k"),
+        "n_hits",
+        round4(F.col("n_hits") / F.lit(float(ANN_K))).alias("recall"),
+    )
+
+
 def pipeline_queries() -> dict[str, QueryFn]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -371,6 +393,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "ann_batch_topk": q_ann_batch_topk,
         "emb_quantize_int8": q_emb_quantize_int8,
         "pipe_clean_corpus": q_pipe_clean_corpus,
+        "ann_ivf_recall": q_ann_ivf_recall,
     }
 
 
@@ -772,5 +795,66 @@ def pipeline_oracles() -> dict[str, str]:
                    (round((CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE)
                           / count(*)) * 10000) / 10000 + 0.0) AS avg_quality
             FROM kept GROUP BY source, lang
+        """,
+        "ann_ivf_recall": f"""
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cent AS (
+              SELECT label, list(c ORDER BY i) AS cv FROM (
+                SELECT label, i, avg(x) AS c FROM (
+                  SELECT label,
+                         unnest(generate_series(1, len(v))) AS i,
+                         unnest(v) AS x
+                  FROM e
+                ) GROUP BY label, i
+              ) GROUP BY label
+            ),
+            sim AS (
+              SELECT e.vec_id, cent.label,
+                     ((round((list_dot_product(v, cv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(cv, cv)))) * 1000000)
+                       / 1000000) + 0.0) AS s
+              FROM e CROSS JOIN cent
+            ),
+            assign AS (
+              SELECT vec_id, label FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, label) AS rk
+                FROM sim
+              ) WHERE rk = 1
+            ),
+            probe AS (
+              SELECT label FROM sim WHERE vec_id = {ANN_QUERY_VEC}
+              ORDER BY s DESC, label LIMIT {ANN_IVF_NPROBE}
+            ),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = {ANN_QUERY_VEC}),
+            ivf AS (
+              SELECT e.vec_id,
+                     ((round((list_dot_product(v, qv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(qv, qv)))) * 10000)
+                       / 10000) + 0.0) AS cos
+              FROM e
+              JOIN assign USING (vec_id), q
+              WHERE assign.label IN (SELECT label FROM probe)
+                AND e.vec_id <> {ANN_QUERY_VEC}
+              ORDER BY cos DESC, vec_id LIMIT {ANN_K}
+            ),
+            exact AS (
+              SELECT e.vec_id,
+                     ((round((list_dot_product(v, qv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(qv, qv)))) * 10000)
+                       / 10000) + 0.0) AS cos
+              FROM e, q WHERE e.vec_id <> {ANN_QUERY_VEC}
+              ORDER BY cos DESC, vec_id LIMIT {ANN_K}
+            )
+            SELECT CAST({ANN_K} AS INTEGER) AS k,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   (round((count(*) * 1.0 / {ANN_K}) * 10000) / 10000 + 0.0)
+                     AS recall
+            FROM exact JOIN ivf USING (vec_id)
         """,
     }
