@@ -429,6 +429,68 @@ def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: JSON V2 codec round-trip (SpanBytesEncoder.JSON_V2 shape,
+    reference KafkaStorageHttpService.java:261) — encode every span to its
+    wire JSON, parse back through the ingest path, project scalars.  The
+    oracle is the ORIGINAL spans derivation: matching hashes prove the
+    codec is lossless.  Unlike F5 this is ALL JVM-side (to_json/from_json
+    inside whole-stage codegen) — the plan shape to prefer when the wire
+    format has first-class Catalyst support."""
+    from zipkin_storage_kafka_spark.functions.zipkin import span_to_json_v2
+    from zipkin_storage_kafka_spark.sources.json_spans import (
+        JSON_V2_SCHEMA,
+        canonical_to_scalar,
+        json_v2_to_canonical,
+    )
+    from zipkin_storage_kafka_spark.sources.spans import spans_with_nested
+
+    nested = spans_with_nested(spark, sf_dir)
+    js = nested.select(
+        span_to_json_v2(F.struct(*[F.col(c) for c in nested.columns])).alias(
+            "j"
+        )
+    )
+    parsed = js.select(F.from_json("j", JSON_V2_SCHEMA).alias("s")).select(
+        "s.*"
+    )
+    scalar = canonical_to_scalar(json_v2_to_canonical(parsed))
+    return scalar.select(
+        "trace_id", "parent_id", "id", "kind", "name", "timestamp",
+        "duration", "local_service", "remote_service",
+    )
+
+
+def q_link_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: DependencyLink JSON V1 round-trip (the dependency topic's wire
+    value, DependencyLinkSerde.java:15-19 / zipkin2 DependencyLink JSON
+    with camelCase counters) — encode every merged link, parse back,
+    reproject.  Oracle = the merged links themselves (lossless codec).
+    All JVM-side to_json/from_json."""
+    from zipkin_storage_kafka_spark.functions.zipkin import link_key
+
+    links = merge_links(links_table(spark, sf_dir))
+    j = links.select(
+        F.to_json(
+            F.struct(
+                F.col("parent"),
+                F.col("child"),
+                F.col("call_count").alias("callCount"),
+                F.col("error_count").alias("errorCount"),
+            )
+        ).alias("v")
+    )
+    schema = "parent string, child string, callCount long, errorCount long"
+    parsed = j.select(F.from_json("v", schema).alias("l"))
+    out = parsed.select(
+        F.col("l.parent").alias("parent"),
+        F.col("l.child").alias("child"),
+        F.col("l.callCount").alias("call_count"),
+        F.col("l.errorCount").alias("error_count"),
+    )
+    return out.withColumn("link_key", link_key())
+
+
 # Registry --------------------------------------------------------------------
 
 
@@ -458,6 +520,8 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_duration_histogram": q_duration_histogram,
         "z_service_error_rate": q_service_error_rate,
         "f5_proto_roundtrip": q_proto_roundtrip,
+        "f6_json_roundtrip": q_json_roundtrip,
+        "f7_link_json_roundtrip": q_link_json_roundtrip,
         "z_latency_percentiles": q_latency_percentiles,
         "z_salted_service_counts": q_salted_service_counts,
     }
@@ -694,6 +758,24 @@ def zipkin_oracles() -> dict[str, str]:
                    duration, local_service, remote_service
             FROM spans
             """
+        ),
+        "f6_json_roundtrip": with_spans_cte(
+            """
+            SELECT trace_id, parent_id, id, kind, name, timestamp,
+                   duration, local_service, remote_service
+            FROM spans
+            """
+        ),
+        "f7_link_json_roundtrip": with_spans_cte(
+            """
+            SELECT parent, child,
+                   CAST(count(*) AS BIGINT) AS call_count,
+                   CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                     AS error_count,
+                   parent || ':' || child AS link_key
+            FROM links GROUP BY parent, child
+            """,
+            _LINKS_CTE,
         ),
         "z_salted_service_counts": with_spans_cte(
             """
