@@ -12,7 +12,7 @@ DuckDB oracle hash-matches.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from zipkin_storage_kafka_spark.functions.portable import round4
@@ -244,4 +244,117 @@ def rolling_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
         "doc_id",
         F.array_min(hashes).alias("min_hash"),
         n_windows.cast("long").alias("n_windows"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 50, overlap: int = 10
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    context-window packing step before tokenizer/training shards.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens; the last chunk
+    may be short.  Pure per-row array expressions + one explode: no
+    shuffle, no Python — at 100 TB this runs at scan speed and the explode
+    fan-out (~n_tokens/stride rows per doc) is the unavoidable output size.
+
+    Output: doc_id, chunk_idx (0-based), chunk_start (1-based token pos),
+    n_chunk_tokens, chunk_hash (md5 of the space-joined window).
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    d = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).withColumn("n", F.size("w"))
+    starts = F.sequence(F.lit(1), F.col("n"), F.lit(stride))
+    exploded = d.select(
+        "doc_id", "w", "n", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.slice("w", F.col("start"), F.lit(chunk_tokens))
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("start").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+def train_split(
+    docs: DataFrame,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent doc
+    hash (first hex nibble of md5(doc_id)): 12/16 train, 2/16 val, 2/16
+    test.  Hash-based splits are reproducible across runs/engines and
+    stable under re-partitioning — the property a training pipeline needs
+    so shards never leak between splits.  Zero shuffle until the KB-scale
+    rollup.
+
+    Output: source, lang, split, n_docs, total_chars.
+    """
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin(*list("0123456789ab")), F.lit("train"))
+        .when(nib.isin("c", "d"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("source", "lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        )
+    )
+
+
+def encode_token_ids(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
+    """Vocabulary build + token-id encoding: rank the corpus's top-K tokens
+    by frequency (count desc, token asc — deterministic), then encode each
+    document as the id sequence (OOV -> 0; ids are 1-based ranks).
+
+    The vocabulary is corpus-global state (KBs) — built with one
+    token-count shuffle and broadcast back to the encode join, the same
+    build-once/broadcast-apply shape as the IVF index.  Encoding preserves
+    token order via posexplode + per-doc ordered re-aggregation.
+
+    Output: doc_id, n_tokens, n_oov, ids_hash (md5 of the comma-joined id
+    sequence).
+    """
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    freq = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # top-K first via TakeOrderedAndProject (distributed heap), THEN rank:
+    # the unpartitioned row_number window only ever sees K rows, never the
+    # full distinct-token set.
+    topk = freq.orderBy(F.col("cnt").desc(), "token").limit(vocab_size)
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    vocab = topk.withColumn("id", F.row_number().over(w)).select(
+        "token", "id"
+    )
+    encoded = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    return (
+        encoded.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("id") == 0).cast("long")).alias("n_oov"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "id"))
+                        ),
+                        lambda s: s["id"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("ids_hash"),
+        )
     )

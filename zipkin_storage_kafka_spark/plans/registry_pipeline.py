@@ -29,6 +29,9 @@ PAIR_BITS = 8
 BATCH_ANN_IDS = (3, 7, 21, 42)
 BATCH_ANN_K = 5
 CLEAN_QUALITY_MIN = 0.5
+CHUNK_TOKENS = 50
+CHUNK_OVERLAP = 10
+VOCAB_SIZE = 100
 PAIR_COS_THRESHOLD = 0.4
 JACCARD_THRESHOLD = 0.5
 
@@ -368,6 +371,20 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.chunk_documents(
+        _docs(spark, sf_dir), CHUNK_TOKENS, CHUNK_OVERLAP
+    )
+
+
+def q_text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.train_split(_docs(spark, sf_dir))
+
+
+def q_text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.encode_token_ids(_docs(spark, sf_dir), VOCAB_SIZE)
+
+
 def pipeline_queries() -> dict[str, QueryFn]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -394,6 +411,9 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "emb_quantize_int8": q_emb_quantize_int8,
         "pipe_clean_corpus": q_pipe_clean_corpus,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "text_chunking": q_text_chunking,
+        "text_train_split": q_text_train_split,
+        "text_encode_ids": q_text_encode_ids,
     }
 
 
@@ -856,5 +876,67 @@ def pipeline_oracles() -> dict[str, str]:
                    (round((count(*) * 1.0 / {ANN_K}) * 10000) / 10000 + 0.0)
                      AS recall
             FROM exact JOIN ivf USING (vec_id)
+        """,
+        "text_chunking": f"""
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            s AS (
+              SELECT doc_id, w, len(w) AS n,
+                     unnest(generate_series(1, len(w), {CHUNK_TOKENS - CHUNK_OVERLAP})) AS start
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start)
+                        - 1 AS INTEGER) AS chunk_idx,
+                   CAST(start AS INTEGER) AS chunk_start,
+                   CAST(least({CHUNK_TOKENS}, n - start + 1) AS BIGINT)
+                     AS n_chunk_tokens,
+                   md5(array_to_string(
+                       w[start:start + {CHUNK_TOKENS - 1}], ' ')) AS chunk_hash
+            FROM s
+        """,
+        "text_train_split": """
+            WITH d AS (
+              SELECT source, lang, n_chars,
+                     CASE
+                       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                            IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                         THEN 'train'
+                       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                            IN ('c','d') THEN 'val'
+                       ELSE 'test'
+                     END AS split
+              FROM documents
+            )
+            SELECT source, lang, split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM d GROUP BY source, lang, split
+        """,
+        "text_encode_ids": f"""
+            WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents),
+            toks AS (
+              SELECT doc_id, i AS pos, w[i] AS token
+              FROM dw, unnest(generate_series(1, len(w))) t(i)
+            ),
+            freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+            vocab AS (
+              SELECT token,
+                     row_number() OVER (ORDER BY cnt DESC, token) AS id
+              FROM freq
+              ORDER BY cnt DESC, token LIMIT {VOCAB_SIZE}
+            ),
+            enc AS (
+              SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+              FROM toks t LEFT JOIN vocab v ON t.token = v.token
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_oov,
+                   md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos))
+                     AS ids_hash
+            FROM enc GROUP BY doc_id
         """,
     }
