@@ -351,3 +351,44 @@ def test_linker_error_attribution(spark):
         ("svc_a", "svc_b"): (1, 1),
         ("svc_b", "db"): (1, 1),
     }
+
+
+def test_linker_shared_span_rpc_counts_once(spark):
+    """zipkin V2 shared spans: the server half reuses the client's span id
+    with shared=true.  The pair must produce exactly one link
+    (client.local -> server.local), and a downstream child of the shared id
+    must hang under the SERVER copy."""
+    from zipkin_storage_kafka_spark.operators import (
+        dependency_links_tree,
+        merge_links,
+    )
+
+    base = 1_700_000_000 * MICROS
+    rows = [
+        # root client, svc_front, id c1
+        ("00000000000000b0", "c1", None, "CLIENT", "op", base, 1000,
+         "svc_front", None, "1", None, False, None),
+        # shared server half: SAME id, shared=true, svc_back
+        ("00000000000000b0", "c1", None, "SERVER", "op", base + 2, 900,
+         "svc_back", None, "1", None, False, True),
+        # downstream server child on the callee side, parent = shared id
+        ("00000000000000b0", "c2", "c1", "SERVER", "op2", base + 5, 100,
+         "svc_db", None, "1", None, False, None),
+    ]
+    schema = (
+        "trace_id string, id string, parent_id string, kind string, "
+        "name string, timestamp long, duration long, local_service string, "
+        "remote_service string, tag_k string, env string, is_error boolean, "
+        "shared boolean"
+    )
+    spans = spark.createDataFrame(rows, schema)
+    links = {
+        (r["parent"], r["child"]): r["call_count"]
+        for r in merge_links(dependency_links_tree(spans)).collect()
+    }
+    # client->server once; downstream child links from the SERVER copy's
+    # service (svc_back), not the client's
+    assert links == {
+        ("svc_front", "svc_back"): 1,
+        ("svc_back", "svc_db"): 1,
+    }

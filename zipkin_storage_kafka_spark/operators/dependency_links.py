@@ -112,6 +112,11 @@ def dependency_links_tree(spans: DataFrame) -> DataFrame:
       children links local -> remote (a client WITH children defers to
       them: the child server span creates the RPC link, so the pair counts
       once);
+    - **shared spans** (when the input carries a ``shared`` column — the
+      zipkin V2 convention where the server half of an RPC reuses the
+      client's span id with shared=true): a shared span's tree parent is
+      the NON-shared span with the same id, so the RPC still links
+      client.local -> server.local exactly once;
     - error attribution: the span that creates the link carries the error
       flag (zipkin's "error" tag rule).
 
@@ -125,34 +130,56 @@ def dependency_links_tree(spans: DataFrame) -> DataFrame:
     (root ranking window, parent-span lookup join, has-children left-anti
     join) — one co-partitioned shuffle key throughout, no Python.
     """
-    # Root per trace as a single window pass (parentless spans sort first,
-    # then (timestamp, id)) instead of a filter+rank+join: the adoption
-    # subtree feeds THREE downstream consumers, so a join here would triple
-    # the spans-vs-roots shuffle work in one plan.
+    # Inputs without a shared column (the event-derived testdata) get a
+    # constant false — Catalyst folds every shared branch away.
+    if "shared" in spans.columns:
+        spans = spans.withColumn(
+            "_shared", F.coalesce(F.col("shared"), F.lit(False))
+        )
+    else:
+        spans = spans.withColumn("_shared", F.lit(False))
+
+    # Root per trace as a single window pass (parentless non-shared spans
+    # sort first, then (timestamp, id)) instead of a filter+rank+join: the
+    # adoption subtree feeds THREE downstream consumers, so a join here
+    # would triple the spans-vs-roots shuffle work in one plan.
     w = Window.partitionBy("trace_id").orderBy(
-        F.col("parent_id").isNotNull(), "timestamp", "id"
+        F.col("parent_id").isNotNull(), "_shared", "timestamp", "id"
     )
     adopted = spans.withColumn("_root_id", F.first("id").over(w)).withColumn(
         "_parent_eff",
-        F.when(
+        # shared span -> its tree parent is the same-id non-shared span
+        F.when(F.col("_shared"), F.col("id"))
+        .when(
             F.col("parent_id").isNull() & (F.col("id") != F.col("_root_id")),
             F.col("_root_id"),
-        ).otherwise(F.col("parent_id")),
+        )
+        .otherwise(F.col("parent_id")),
     )
 
     parent_side = adopted.select(
         F.col("trace_id").alias("p_trace_id"),
         F.col("id").alias("p_id"),
+        F.col("_shared").alias("p_shared"),
         F.col("local_service").alias("p_local"),
     )
+    joined = adopted.filter(F.col("kind").isin("SERVER", "CONSUMER")).join(
+        parent_side,
+        (F.col("trace_id") == F.col("p_trace_id"))
+        & (F.col("_parent_eff") == F.col("p_id"))
+        # a shared span's parent is the NON-shared copy of its id
+        & (~F.col("_shared") | ~F.col("p_shared")),
+        "left",
+    )
+    # If the parent id names a shared RPC pair, a downstream child matched
+    # BOTH copies — keep the server (shared) one, which is where zipkin's
+    # traversal hangs remote children.  One row per callee span.
+    wdup = Window.partitionBy("trace_id", "id", "_shared").orderBy(
+        F.col("p_shared").desc_nulls_last()
+    )
     callee = (
-        adopted.filter(F.col("kind").isin("SERVER", "CONSUMER"))
-        .join(
-            parent_side,
-            (F.col("trace_id") == F.col("p_trace_id"))
-            & (F.col("_parent_eff") == F.col("p_id")),
-            "left",
-        )
+        joined.withColumn("_pk", F.row_number().over(wdup))
+        .filter(F.col("_pk") == 1)
         .select(
             "trace_id",
             F.when(F.col("kind") == "CONSUMER", F.col("remote_service"))
