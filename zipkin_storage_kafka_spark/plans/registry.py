@@ -246,6 +246,15 @@ FIND_TRACES_TAGS_REQUEST = QueryRequest(
     limit=10,
 )
 
+FIND_TRACES_DURATION_REQUEST = QueryRequest(
+    # service + duration bounds must co-occur on a single span
+    # (QueryRequest.test minDuration/maxDuration, micros)
+    service_name="svc_1",
+    min_duration=50_000,
+    max_duration=500_000,
+    limit=10,
+)
+
 
 def q_find_traces_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 over the canonical nested span shape (tags map + annotations
@@ -259,6 +268,13 @@ def q_find_traces_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         summaries=summaries_table(spark, sf_dir),
     )
     return store.get_traces(FIND_TRACES_TAGS_REQUEST)
+
+
+def q_find_traces_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 duration bounds: minDuration <= duration <= maxDuration must hold
+    on the SAME span that satisfies the service condition (zipkin2
+    QueryRequest.test single-span conjunct)."""
+    return _store(spark, sf_dir).get_traces(FIND_TRACES_DURATION_REQUEST)
 
 
 def q_remote_service_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,6 +528,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "s9_autocomplete_values": q_autocomplete_values,
         "p4_find_traces_annotation": q_find_traces_annotation,
         "p4_find_traces_tags": q_find_traces_tags,
+        "p4_find_traces_duration": q_find_traces_duration,
         "f2_normalize_ids": q_normalize_ids,
         "o5_trace_many": q_trace_many,
         "w25_latest_span_per_service": q_latest_span_per_service,
@@ -685,6 +702,18 @@ def zipkin_oracles() -> dict[str, str]:
             SELECT t.* FROM trace_summaries t
             JOIN (SELECT DISTINCT trace_id FROM spans
                   WHERE tag_k = '7' AND is_error) m
+              USING (trace_id)
+            ORDER BY t.trace_timestamp DESC, t.trace_id
+            LIMIT 10
+            """,
+            _SUMMARIES_CTE,
+        ),
+        "p4_find_traces_duration": with_spans_cte(
+            """
+            SELECT t.* FROM trace_summaries t
+            JOIN (SELECT DISTINCT trace_id FROM spans
+                  WHERE local_service = 'svc_1'
+                    AND duration >= 50000 AND duration <= 500000) m
               USING (trace_id)
             ORDER BY t.trace_timestamp DESC, t.trace_id
             LIMIT 10
