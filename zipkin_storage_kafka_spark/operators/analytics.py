@@ -804,3 +804,99 @@ def waiting_suppliers(
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(k)
     )
+
+
+def asof_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    event: str = "purchase",
+    cause: str = "click",
+) -> DataFrame:
+    """AS-OF join — the operator Spark lacks natively (the brief's canonical
+    custom-operator example): for every ``event`` row, the most recent
+    ``cause`` row of the same user at or before it (marketing attribution /
+    point-in-time feature lookup).
+
+    Spark-first formulation: no join at all.  Union both sides tagged,
+    sort once per user by (ts, event_id), and carry the last-seen cause
+    forward with ``last(ignorenulls=True)`` over the running window — one
+    shuffle on user_id, linear scan per partition.  The textbook
+    equi-join + filter + argmax form shuffles twice and materializes the
+    full (event x candidate-cause) pair space; this is O(n log n) total.
+    Skewed power-users are bounded by per-user event counts (and at 100 TB
+    the events table is date-partitioned, so the window runs per
+    (date-bucket, user) slice).
+
+    Output: event_id (the purchase), user_id, ts_us, cause_event_id (NULL
+    when no prior cause), gap_us (NULL likewise).
+    """
+    from zipkin_storage_kafka_spark.sources.tables import (
+        load_table,
+        to_epoch_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin(event, cause)).select(
+        "event_id",
+        "user_id",
+        to_epoch_micros(ev, "ts").alias("ts_us"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cause_id = F.when(F.col("event_type") == cause, F.col("event_id"))
+    cause_ts = F.when(F.col("event_type") == cause, F.col("ts_us"))
+    carried = base.withColumn(
+        "cause_event_id", F.last(cause_id, ignorenulls=True).over(w)
+    ).withColumn("cause_ts", F.last(cause_ts, ignorenulls=True).over(w))
+    return carried.filter(F.col("event_type") == event).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "cause_event_id",
+        (F.col("ts_us") - F.col("cause_ts")).alias("gap_us"),
+    )
+
+
+def minute_resample(
+    spark: SparkSession, sf_dir: str, event: str = "purchase"
+) -> DataFrame:
+    """Zero-filled time resample: events-per-minute over the full observed
+    range, with empty minutes present as 0 rows (the gap-fill shape every
+    time-series dashboard needs; Spark has no native gap-fill).
+
+    The minute spine generates from ONE aggregated (min, max) row via
+    ``sequence`` + explode — no driver loop, no cross join against the fact
+    table; counts broadcast-join onto the spine (the spine is
+    range-bounded, the counts table is at most as large).  At 100 TB the
+    same plan holds per day-partition.
+
+    Output: minute_ms (epoch millis), n_events.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import (
+        load_table,
+        to_epoch_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    minute = (to_epoch_micros(ev, "ts") / F.lit(60_000_000)).cast("long")
+    marked = ev.filter(F.col("event_type") == event).select(
+        minute.alias("m")
+    )
+    counts = marked.groupBy("m").agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = marked.agg(
+        F.min("m").alias("lo"), F.max("m").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("m")
+    )
+    return (
+        spine.join(counts, "m", "left")
+        .select(
+            (F.col("m") * 60_000).alias("minute_ms"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )

@@ -129,6 +129,14 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.waiting_suppliers(spark, sf_dir)
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.asof_attribution(spark, sf_dir)
+
+
+def q_minute_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.minute_resample(spark, sf_dir)
+
+
 def analytics_queries() -> dict[str, QueryFn]:
     return {
         "h1_pricing_summary": q_pricing_summary,
@@ -153,6 +161,8 @@ def analytics_queries() -> dict[str, QueryFn]:
         "h8_national_market_share": q_national_market_share,
         "h17_small_quantity_revenue": q_small_quantity_revenue,
         "h21_waiting_suppliers": q_waiting_suppliers,
+        "ev_asof_attribution": q_asof_attribution,
+        "ev_minute_resample": q_minute_resample,
     }
 
 
@@ -460,5 +470,40 @@ def analytics_oracles() -> dict[str, str]:
             FROM waits JOIN supplier ON suppkey = s_suppkey
             ORDER BY numwait DESC, s_name
             LIMIT 10
+        """,
+        "ev_asof_attribution": """
+            WITH base AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+              FROM events WHERE event_type IN ('purchase', 'click')
+            ),
+            carried AS (
+              SELECT *,
+                last_value(CASE WHEN event_type = 'click'
+                                THEN event_id END IGNORE NULLS)
+                  OVER w AS cause_event_id,
+                last_value(CASE WHEN event_type = 'click'
+                                THEN ts_us END IGNORE NULLS)
+                  OVER w AS cause_ts
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT event_id, user_id, ts_us, cause_event_id,
+                   ts_us - cause_ts AS gap_us
+            FROM carried WHERE event_type = 'purchase'
+        """,
+        "ev_minute_resample": """
+            WITH mm AS (
+              SELECT epoch_us(ts) // 60000000 AS m
+              FROM events WHERE event_type = 'purchase'
+            ),
+            counts AS (SELECT m, CAST(count(*) AS BIGINT) AS n
+                       FROM mm GROUP BY m),
+            bounds AS (SELECT min(m) AS lo, max(m) AS hi FROM mm),
+            spine AS (SELECT unnest(generate_series(lo, hi)) AS m
+                      FROM bounds)
+            SELECT m * 60000 AS minute_ms,
+                   CAST(coalesce(n, 0) AS BIGINT) AS n_events
+            FROM spine LEFT JOIN counts USING (m)
         """,
     }
