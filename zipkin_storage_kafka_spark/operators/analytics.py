@@ -900,3 +900,69 @@ def minute_resample(
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
         )
     )
+
+
+def rolling_revenue(spark: SparkSession, sf_dir: str, days: int = 7) -> DataFrame:
+    """Trailing N-day revenue via a RANGE window frame (time-based frames
+    are the window feature the rank/rows examples don't cover): revenue per
+    order day + the trailing 7-day sum including that day.
+
+    Daily pre-aggregation happens FIRST, so the range window slides over
+    one row per day (thousands of rows), not the raw fact table.  Exact
+    decimal daily sums; the trailing sum adds exact decimals, converting to
+    double only at output.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
+    ).cast(DEC)
+    daily = (
+        lineitem.select(
+            to_epoch_micros(lineitem, "l_shipdate").alias("_us"),
+            disc_price.alias("rev"),
+        )
+        # exact integer division (`div`), matching the oracle's `//` — a
+        # double divide + cast can flip at day boundaries
+        .withColumn("day_idx", F.expr("_us div 86400000000"))
+        .groupBy("day_idx")
+        .agg(F.sum("rev").alias("_day_rev"))
+    )
+    w = (
+        Window.orderBy("day_idx")
+        .rangeBetween(-(days - 1), Window.currentRow)
+    )
+    return daily.select(
+        "day_idx",
+        round4(F.col("_day_rev").cast("double")).alias("day_revenue"),
+        round4(F.sum("_day_rev").over(w).cast("double")).alias(
+            "trailing_revenue"
+        ),
+    )
+
+
+def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend deciles: ntile(10) over total order value, reported
+    as per-decile aggregates (the whale-curve / LTV-banding query).
+
+    The ntile window is unpartitioned but runs AFTER per-customer
+    aggregation (rows = customer count, not order count) — and the decile
+    report output is 10 rows.  At extreme customer counts the same result
+    computes from approx percentile boundaries + a broadcast bucket join;
+    the exact ntile keeps the oracle bit-exact here.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("_spend").desc(), F.col("o_custkey"))
+    tiled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+            round4(F.sum("_spend").cast("double")).alias("total_spend"),
+        )
+    )

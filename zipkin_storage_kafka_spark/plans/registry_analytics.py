@@ -137,6 +137,14 @@ def q_minute_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.minute_resample(spark, sf_dir)
 
 
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.rolling_revenue(spark, sf_dir)
+
+
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.customer_deciles(spark, sf_dir)
+
+
 def analytics_queries() -> dict[str, QueryFn]:
     return {
         "h1_pricing_summary": q_pricing_summary,
@@ -163,6 +171,8 @@ def analytics_queries() -> dict[str, QueryFn]:
         "h21_waiting_suppliers": q_waiting_suppliers,
         "ev_asof_attribution": q_asof_attribution,
         "ev_minute_resample": q_minute_resample,
+        "w_rolling_revenue": q_rolling_revenue,
+        "w_customer_deciles": q_customer_deciles,
     }
 
 
@@ -505,5 +515,35 @@ def analytics_oracles() -> dict[str, str]:
             SELECT m * 60000 AS minute_ms,
                    CAST(coalesce(n, 0) AS BIGINT) AS n_events
             FROM spine LEFT JOIN counts USING (m)
+        """,
+        "w_rolling_revenue": f"""
+            WITH daily AS (
+              SELECT epoch_us(l_shipdate) // 86400000000 AS day_idx,
+                     sum({_DISC}) AS day_rev
+              FROM lineitem GROUP BY 1
+            )
+            SELECT day_idx,
+                   {_r4("CAST(day_rev AS DOUBLE)")} AS day_revenue,
+                   {_r4("CAST(sum(day_rev) OVER (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)")}
+                     AS trailing_revenue
+            FROM daily
+        """,
+        "w_customer_deciles": f"""
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend,
+                     CAST(count(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY o_custkey
+            ),
+            tiled AS (
+              SELECT *, ntile(10) OVER (ORDER BY spend DESC, o_custkey)
+                          AS decile
+              FROM per_cust
+            )
+            SELECT CAST(decile AS INTEGER) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(n_orders) AS BIGINT) AS n_orders,
+                   {_r4("CAST(sum(spend) AS DOUBLE)")} AS total_spend
+            FROM tiled GROUP BY decile
         """,
     }
