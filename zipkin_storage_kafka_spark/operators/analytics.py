@@ -849,9 +849,11 @@ def asof_attribution(
     )
     cause_id = F.when(F.col("event_type") == cause, F.col("event_id"))
     cause_ts = F.when(F.col("event_type") == cause, F.col("ts_us"))
-    carried = base.withColumn(
-        "cause_event_id", F.last(cause_id, ignorenulls=True).over(w)
-    ).withColumn("cause_ts", F.last(cause_ts, ignorenulls=True).over(w))
+    carried = base.select(
+        "*",
+        F.last(cause_id, ignorenulls=True).over(w).alias("cause_event_id"),
+        F.last(cause_ts, ignorenulls=True).over(w).alias("cause_ts"),
+    )
     return carried.filter(F.col("event_type") == event).select(
         "event_id",
         "user_id",

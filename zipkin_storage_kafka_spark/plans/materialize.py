@@ -139,3 +139,76 @@ def traces_in_range(
         .filter(F.col(DATE_COL).between(lo_date, hi_date))
         .filter(F.col("trace_timestamp").between(lo_us, hi_us))
     )
+
+
+def materialize_training_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Write the cleaned corpus as training shards — the doc pipeline's
+    terminal materialization: the `pipe_clean_corpus` survivor set (exact
+    dedup -> LSH near-dup -> quality gate), with the deterministic
+    train/val/test split as a PARTITION column.
+
+    Partitioning by (split, lang) means a training job reads its split by
+    directory listing alone — no data-file scan touches val/test, and split
+    leakage is structurally impossible.  At 100 TB, add a date or shard-id
+    sub-partition to bound file sizes; the write pattern is identical.
+    """
+    from pyspark.sql import functions as F
+
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        exact_dedup_groups,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_buckets_rowwise,
+        shingles,
+    )
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        quality_score,
+    )
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    canonical = exact_dedup_groups(docs).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    near_drop = (
+        jaccard_pairs(
+            sh, lsh_candidate_pairs(minhash_buckets_rowwise(docs)), 0.5
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    quality = quality_score(docs).select("doc_id", "quality")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin(*list("0123456789ab")), F.lit("train"))
+        .when(nib.isin("c", "d"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    kept = (
+        docs.join(canonical, "doc_id", "left_semi")
+        .join(near_drop, "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .withColumn("split", split)
+    )
+    (
+        kept.write.mode("overwrite")
+        .partitionBy("split", "lang")
+        .parquet(os.path.join(out_dir, "training_shards"))
+    )
+
+
+def read_training_split(
+    spark: SparkSession, out_dir: str, split: str
+) -> DataFrame:
+    """Read one split: the filter is a partition-directory prune (explain
+    shows PartitionFilters, zero data files from other splits)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(os.path.join(out_dir, "training_shards"))
+        .filter(F.col("split") == split)
+    )
