@@ -968,3 +968,48 @@ def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.sum("_spend").cast("double")).alias("total_spend"),
         )
     )
+
+
+def late_shipment_priority(
+    spark: SparkSession, sf_dir: str, late_days: int = 30, very_late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority audit), adapted to this
+    schema: the testdata lineitem has no l_shipmode/l_commitdate, so the
+    grouping key is a shipping-delay bucket (l_shipdate - o_orderdate)
+    instead of the ship mode, with Q12's signature conditional counts of
+    high- vs low-priority lines per bucket.
+
+    Scale: one orderkey shuffle for the fact-fact join (orders projected to
+    two columns first), conditional aggregation combines map-side; output
+    is 3 rows.  Reference for the count-by-category pattern:
+    zipkin-storage-kafka aggregates link counters the same
+    conditional-count way (DependencyStorageTopology.java:90-105).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    joined = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    # integer day delta: both timestamps are whole-second micros, and the
+    # `div` idiom matches the oracle's // exactly (no double rounding)
+    joined = (
+        joined.withColumn("_ship_us", to_epoch_micros(joined, "l_shipdate"))
+        .withColumn("_order_us", to_epoch_micros(joined, "o_orderdate"))
+        .withColumn("_delay_days", F.expr("(_ship_us - _order_us) div 86400000000"))
+    )
+    bucket = (
+        F.when(F.col("_delay_days") <= late_days, F.lit("ON_TIME"))
+        .when(F.col("_delay_days") <= very_late_days, F.lit("LATE"))
+        .otherwise(F.lit("VERY_LATE"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.withColumn("delay_bucket", bucket)
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )

@@ -145,6 +145,10 @@ def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.customer_deciles(spark, sf_dir)
 
 
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.late_shipment_priority(spark, sf_dir)
+
+
 def analytics_queries() -> dict[str, QueryFn]:
     return {
         "h1_pricing_summary": q_pricing_summary,
@@ -173,6 +177,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_minute_resample": q_minute_resample,
         "w_rolling_revenue": q_rolling_revenue,
         "w_customer_deciles": q_customer_deciles,
+        "h12_late_shipment_priority": q_late_shipment_priority,
     }
 
 
@@ -527,6 +532,21 @@ def analytics_oracles() -> dict[str, str]:
                    {_r4("CAST(sum(day_rev) OVER (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)")}
                      AS trailing_revenue
             FROM daily
+        """,
+        "h12_late_shipment_priority": """
+            SELECT CASE
+                     WHEN (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                          // 86400000000 <= 30 THEN 'ON_TIME'
+                     WHEN (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                          // 86400000000 <= 60 THEN 'LATE'
+                     ELSE 'VERY_LATE'
+                   END AS delay_bucket,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY delay_bucket
         """,
         "w_customer_deciles": f"""
             WITH per_cust AS (
