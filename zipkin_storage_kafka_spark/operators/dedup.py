@@ -319,3 +319,78 @@ def minhash_signature(
         "signature",
         F.md5(F.concat_ws("|", *[f"bucket_{b}" for b in range(bands)])),
     ).drop("w", *[f"bucket_{b}" for b in range(bands)])
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Resolve undirected near-dup pairs (doc_a, doc_b) into connected
+    components: one row per participating doc with ``component_id`` = the
+    smallest doc_id reachable from it.
+
+    Iterative min-label propagation — the one genuinely iterative operator
+    in the dedup chain (cluster resolution after pair generation; the
+    reference's trace grouping is analogous single-pass groupBy at
+    TraceStorageTopology.java:131-168, but cluster closure needs a
+    fixpoint).  Each sweep is fully distributed: edges join labels on src,
+    min per dst, least() with the current label.  The driver only reads ONE
+    scalar per sweep (sum of labels, strictly decreasing until the
+    fixpoint) to decide termination — no per-row driver data.
+
+    Scale: sweeps = component diameter (near-dup clusters are near-cliques,
+    so 2-3 in practice); each sweep shuffles |edges| keyed rows.  For
+    graphs with giant components the large-star/small-star variant halves
+    the diameter per round — same skeleton, different join; not needed for
+    dedup-shaped graphs.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, F.col("src") == F.col("doc_id"))
+            .groupBy(F.col("dst").alias("_dst"))
+            .agg(F.min("label").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(prop, F.col("doc_id") == F.col("_dst"), "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("_nbr", "label")).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Near-dup cluster report from verified pairs: one row per component
+    with its size and the CSV-joined sorted member list (scalar columns so
+    the driver's value hash applies).  Columns: component_id, n_docs,
+    member_ids."""
+    cc = connected_components(pairs)
+    return cc.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("member_ids"),
+    )

@@ -385,6 +385,15 @@ def q_text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.encode_token_ids(_docs(spark, sf_dir), VOCAB_SIZE)
 
 
+def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd.jaccard_pairs(
+        _shingles(spark, sf_dir),
+        _lsh_candidates(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+    )
+    return dd.dedup_clusters(pairs)
+
+
 def pipeline_queries() -> dict[str, QueryFn]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -414,6 +423,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_chunking": q_text_chunking,
         "text_train_split": q_text_train_split,
         "text_encode_ids": q_text_encode_ids,
+        "dedup_cluster_resolve": q_dedup_cluster_resolve,
     }
 
 
@@ -442,6 +452,43 @@ def pipeline_oracles() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = doc_a
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 + 0.0) >= {JACCARD_THRESHOLD}
+        """,
+        "dedup_cluster_resolve": f"""
+            WITH RECURSIVE {_MINHASH_CTE},
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN cnt ca ON ca.doc_id = doc_a
+              JOIN cnt cb ON cb.doc_id = doc_b
+              WHERE (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 + 0.0)
+                    >= {JACCARD_THRESHOLD}
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            lab AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS component_id
+              FROM reach GROUP BY src
+            )
+            SELECT component_id, CAST(count(*) AS BIGINT) AS n_docs,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                     AS member_ids
+            FROM lab GROUP BY component_id
         """,
         "dedup_simhash": """
             WITH words AS (
