@@ -281,6 +281,18 @@ def chunk_documents(
     )
 
 
+def split_assignment() -> F.Column:
+    """train/val/test label from the first hex nibble of md5(doc_id):
+    12/16 train, 2/16 val, 2/16 test — the shared split rule for
+    :func:`train_split`, decontamination, and shard materialization."""
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        F.when(nib.isin(*list("0123456789ab")), F.lit("train"))
+        .when(nib.isin("c", "d"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def train_split(
     docs: DataFrame,
 ) -> DataFrame:
@@ -293,12 +305,7 @@ def train_split(
 
     Output: source, lang, split, n_docs, total_chars.
     """
-    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = (
-        F.when(nib.isin(*list("0123456789ab")), F.lit("train"))
-        .when(nib.isin("c", "d"), F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    split = split_assignment()
     return (
         docs.withColumn("split", split)
         .groupBy("source", "lang", "split")
@@ -357,4 +364,156 @@ def encode_token_ids(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
                 )
             ).alias("ids_hash"),
         )
+    )
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 128) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay every document's tokens out
+    on one contiguous per-language tape (deterministic doc_id order) and
+    cut the tape into fixed ``seq_len`` training sequences — the classic
+    LM pretraining packing scheme.  Each doc reports the tape span it
+    occupies: its start offset and the first/last sequence index it
+    touches (a doc straddling a cut belongs to two sequences).
+
+    Shape: one projection + a per-lang running sum — no explode, no join;
+    the output is one row per doc.  The per-lang window implies one sort
+    per language; at 100 TB the same offsets come from a two-phase prefix
+    sum (per-partition token subtotals -> broadcast cumulative base per
+    partition), or packing is done per shard where cross-shard sequence
+    continuity isn't required.
+
+    Output: lang, doc_id, n_tokens, start_offset, first_seq, last_seq.
+    """
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_end", F.sum("n_tokens").over(w))
+    return d.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        (F.col("_end") - F.col("n_tokens")).alias("start_offset"),
+        F.expr(f"(_end - n_tokens) div {seq_len}").alias("first_seq"),
+        F.expr(f"(_end - 1) div {seq_len}").alias("last_seq"),
+    )
+
+
+def repetition_stats(docs: DataFrame, gram: int = 3) -> DataFrame:
+    """Gopher-style repetition quality signals, fully rowwise:
+
+    - dup_word_ratio: 1 - distinct/total words (bulk repetition)
+    - top_word_ratio: most frequent word's share, computed as the longest
+      equal-run over the SORTED word array via one linear ``aggregate``
+      fold — no explode, no per-word groupBy shuffle, O(n log n) per row
+      inside codegen
+    - dup_gram_ratio: 1 - distinct/total word n-grams (copy-paste loops
+      that unigram stats miss)
+
+    At 100 TB these are scan-speed per-row filters — the shape quality
+    gates must have, since they run over the FULL corpus before any
+    dedup/join narrows it.
+
+    Output: doc_id, n_tokens, dup_word_ratio, top_word_ratio,
+    dup_gram_ratio.
+    """
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w").cast("long")
+    nd = F.size(F.array_distinct("w")).cast("long")
+    sorted_w = F.array_sort("w")
+    zero = F.lit(0).cast("long")
+    run_state = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_cnt = F.aggregate(sorted_w, run_state, _step, lambda acc: acc["best"])
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - F.lit(gram - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("w", i + F.lit(j)) for j in range(gram)]
+        ),
+    )
+    total_g = (n - F.lit(gram - 1)).cast("long")
+    distinct_g = F.size(F.array_distinct(grams)).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        round4(F.lit(1.0) - nd / n).alias("dup_word_ratio"),
+        round4(top_cnt / n).alias("top_word_ratio"),
+        F.when(n >= gram, round4(F.lit(1.0) - distinct_g / total_g))
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_ratio"),
+    )
+
+
+def stratified_sample(docs: DataFrame, percent: int = 20) -> DataFrame:
+    """Deterministic per-language stratified sample: within each lang,
+    rank docs by md5(doc_id) (content-independent, engine-portable) and
+    keep the first ceil(percent% of the stratum).  The mixture-weighting
+    primitive for training-set assembly — reproducible across runs and
+    engines, unlike ``df.sample``.
+
+    Quota math stays in integers (ceil(n*p/100) = (n*p + 99) div 100) so
+    both engines agree exactly.  The per-lang window sorts each stratum;
+    at 100 TB the same selection is a filter ``md5(doc_id) < threshold``
+    with the per-stratum threshold taken from an approx-quantile pass —
+    no global sort.
+
+    Output: lang, doc_id, sample_rank, quota.
+    """
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select("lang", "doc_id").withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "quota",
+        F.expr(
+            f"(count(*) OVER (PARTITION BY lang) * {percent} + 99) div 100"
+        ).cast("long"),
+    )
+    return ranked.filter(F.col("sample_rank") <= F.col("quota"))
+
+
+def decontaminate(docs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Train/eval contamination check: val/test documents sharing at least
+    one word n-gram shingle with ANY train document, with the count of
+    shared distinct shingles.  The eval-set hygiene step every pretraining
+    pipeline runs before reporting benchmark numbers.
+
+    Shape: split labels are a rowwise projection; the only shuffle is the
+    shingle equi-join of eval-doc shingles against the distinct train
+    shingle set (semi-join-bounded — no pair enumeration).  At 100 TB the
+    train shingle set exceeds broadcast size, so the join shuffles on the
+    shingle hash; a bloom filter on train shingles prunes most eval probes
+    first.
+
+    Output: doc_id, split ('val'/'test'), n_shared_grams.
+    """
+    assign = docs.select("doc_id", split_assignment().alias("split"))
+    labeled = sh.join(assign, "doc_id")
+    train_sh = (
+        labeled.filter(F.col("split") == "train").select("sh").distinct()
+    )
+    ev = labeled.filter(F.col("split") != "train")
+    return (
+        ev.join(train_sh, "sh", "left_semi")
+        .groupBy("doc_id", "split")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

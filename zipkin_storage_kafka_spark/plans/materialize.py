@@ -165,6 +165,7 @@ def materialize_training_shards(
     )
     from zipkin_storage_kafka_spark.operators.text_analysis import (
         quality_score,
+        split_assignment,
     )
     from zipkin_storage_kafka_spark.sources.tables import load_table
 
@@ -181,12 +182,7 @@ def materialize_training_shards(
         .distinct()
     )
     quality = quality_score(docs).select("doc_id", "quality")
-    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = (
-        F.when(nib.isin(*list("0123456789ab")), F.lit("train"))
-        .when(nib.isin("c", "d"), F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    split = split_assignment()
     kept = (
         docs.join(canonical, "doc_id", "left_semi")
         .join(near_drop, "doc_id", "left_anti")

@@ -34,6 +34,8 @@ CHUNK_OVERLAP = 10
 VOCAB_SIZE = 100
 PAIR_COS_THRESHOLD = 0.4
 JACCARD_THRESHOLD = 0.5
+PACK_SEQ_LEN = 128
+SAMPLE_PERCENT = 20
 
 _STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
 
@@ -385,6 +387,22 @@ def q_text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.encode_token_ids(_docs(spark, sf_dir), VOCAB_SIZE)
 
 
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.pack_sequences(_docs(spark, sf_dir), PACK_SEQ_LEN)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.stratified_sample(_docs(spark, sf_dir), SAMPLE_PERCENT)
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.decontaminate(_docs(spark, sf_dir), _shingles(spark, sf_dir))
+
+
 def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.jaccard_pairs(
         _shingles(spark, sf_dir),
@@ -424,6 +442,10 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_train_split": q_text_train_split,
         "text_encode_ids": q_text_encode_ids,
         "dedup_cluster_resolve": q_dedup_cluster_resolve,
+        "text_pack_sequences": q_text_pack_sequences,
+        "text_repetition": q_text_repetition,
+        "text_stratified_sample": q_text_stratified_sample,
+        "text_decontaminate": q_text_decontaminate,
     }
 
 
@@ -452,6 +474,99 @@ def pipeline_oracles() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = doc_a
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 + 0.0) >= {JACCARD_THRESHOLD}
+        """,
+        "text_repetition": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            wc AS (
+              SELECT doc_id, unnest(w) AS word FROM t
+            ),
+            top AS (
+              SELECT doc_id, max(cnt) AS maxc
+              FROM (SELECT doc_id, word, count(*) AS cnt
+                    FROM wc GROUP BY doc_id, word)
+              GROUP BY doc_id
+            ),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(w) AS BIGINT) AS n,
+                     CAST(len(list_distinct(w)) AS BIGINT) AS nd,
+                     CAST(len(list_distinct(list_transform(
+                       generate_series(1, len(w) - 2),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     ))) AS BIGINT) AS dg
+              FROM t
+            )
+            SELECT m.doc_id,
+                   n AS n_tokens,
+                   (round((1.0 - nd * 1.0 / n) * 10000) / 10000 + 0.0)
+                     AS dup_word_ratio,
+                   (round((maxc * 1.0 / n) * 10000) / 10000 + 0.0)
+                     AS top_word_ratio,
+                   CASE WHEN n >= 3
+                        THEN (round((1.0 - dg * 1.0 / (n - 2)) * 10000)
+                              / 10000 + 0.0)
+                        ELSE 0.0 END AS dup_gram_ratio
+            FROM m JOIN top ON top.doc_id = m.doc_id
+        """,
+        "text_stratified_sample": f"""
+            WITH ranked AS (
+              SELECT lang, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS BIGINT) AS sample_rank,
+                     CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
+                       AS n_lang
+              FROM documents
+            )
+            SELECT lang, doc_id, sample_rank,
+                   (n_lang * {SAMPLE_PERCENT} + 99) // 100 AS quota
+            FROM ranked
+            WHERE sample_rank <= (n_lang * {SAMPLE_PERCENT} + 99) // 100
+        """,
+        "text_decontaminate": f"""
+            WITH {_SHINGLES_CTE},
+            assign AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                            IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                         THEN 'train'
+                       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                            IN ('c','d') THEN 'val'
+                       ELSE 'test'
+                     END AS split
+              FROM documents
+            ),
+            lab AS (
+              SELECT s.doc_id, s.sh, a.split
+              FROM sh s JOIN assign a USING (doc_id)
+            ),
+            train_sh AS (SELECT DISTINCT sh FROM lab WHERE split = 'train')
+            SELECT doc_id, split, CAST(count(*) AS BIGINT) AS n_shared_grams
+            FROM lab
+            WHERE split <> 'train' AND sh IN (SELECT sh FROM train_sh)
+            GROUP BY doc_id, split
+        """,
+        "text_pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT *, sum(n_tokens) OVER (
+                PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+              ) AS e
+              FROM t
+            )
+            SELECT lang, doc_id, n_tokens,
+                   e - n_tokens AS start_offset,
+                   (e - n_tokens) // {PACK_SEQ_LEN} AS first_seq,
+                   (e - 1) // {PACK_SEQ_LEN} AS last_seq
+            FROM c
         """,
         "dedup_cluster_resolve": f"""
             WITH RECURSIVE {_MINHASH_CTE},
