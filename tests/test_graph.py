@@ -37,3 +37,42 @@ def test_triangle_converges_first_sweep(spark):
         for r in connected_components(pairs, max_iters=3).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_span_depths_bushy_tree(spark):
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        span_depths,
+    )
+
+    #        r
+    #      /   \
+    #     a     b
+    #    / \     \
+    #   c   d     e      (+ second trace: lone root q)
+    rows = [
+        ("t1", "r", None), ("t1", "a", "r"), ("t1", "b", "r"),
+        ("t1", "c", "a"), ("t1", "d", "a"), ("t1", "e", "b"),
+        ("t2", "q", None),
+    ]
+    spans = spark.createDataFrame(
+        rows, "trace_id string, id string, parent_id string"
+    )
+    got = {r["id"]: r["depth"] for r in span_depths(spans).collect()}
+    assert got == {"r": 0, "a": 1, "b": 1, "c": 2, "d": 2, "e": 2, "q": 0}
+
+
+def test_span_depths_deep_chain_log_sweeps(spark):
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        span_depths,
+    )
+
+    # depth 40 chain converges well inside max_sweeps (pointer doubling:
+    # covered distance doubles per sweep -> ~6 sweeps, not 40)
+    rows = [("t", "n0", None)] + [
+        ("t", f"n{i}", f"n{i-1}") for i in range(1, 41)
+    ]
+    spans = spark.createDataFrame(
+        rows, "trace_id string, id string, parent_id string"
+    )
+    got = {r["id"]: r["depth"] for r in span_depths(spans, max_sweeps=8).collect()}
+    assert got[f"n40"] == 40 and got["n0"] == 0 and len(got) == 41

@@ -114,3 +114,66 @@ def trace_summaries(spans: DataFrame) -> DataFrame:
             F.sum(F.col("is_error").cast("long")).alias("error_count"),
         )
     )
+
+
+def span_depths(spans: DataFrame, max_sweeps: int = 20) -> DataFrame:
+    """Per-span depth in the trace tree (root = 0) by pointer doubling.
+
+    Each span tracks a known (ancestor, distance) pair, initialized to its
+    parent edge; every sweep substitutes the ancestor's own pair, DOUBLING
+    the covered distance — convergence in O(log max_depth) distributed
+    joins rather than the O(max_depth) of naive one-hop walking (the
+    reference's in-memory SpanNode tree construction at
+    zipkin2.internal.SpanNode walks pointers per trace; at 100 TB the
+    per-trace walk becomes this log-round join).  Roots map to themselves
+    at distance 0, so the sweep join is total and the driver reads one
+    scalar (sum of distances, non-decreasing, capped by the fixpoint) per
+    sweep to stop.
+
+    Span ids are globally unique here, so the ancestor join needs no
+    trace qualification.  Returns: trace_id, id, depth.
+    """
+    base = spans.select("trace_id", "id", "parent_id")
+    cur = base.select(
+        "trace_id",
+        "id",
+        F.coalesce("parent_id", "id").alias("anc"),
+        F.when(F.col("parent_id").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dist"),
+    ).persist()
+    prev_sum = cur.agg(F.sum("dist")).collect()[0][0] or 0
+    for _ in range(max_sweeps):
+        look = cur.select(
+            F.col("id").alias("_aid"),
+            F.col("anc").alias("_anc2"),
+            F.col("dist").alias("_d2"),
+        )
+        nxt = (
+            cur.join(look, F.col("anc") == F.col("_aid"))
+            .select(
+                "trace_id",
+                "id",
+                F.col("_anc2").alias("anc"),
+                (F.col("dist") + F.col("_d2")).alias("dist"),
+            )
+            .persist()
+        )
+        cur_sum = nxt.agg(F.sum("dist")).collect()[0][0] or 0
+        cur.unpersist()
+        cur = nxt
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return cur.select("trace_id", "id", F.col("dist").alias("depth"))
+
+
+def depth_histogram(spans: DataFrame) -> DataFrame:
+    """Span-count per tree depth across all traces — the shape audit for
+    trace forests (chains vs bushy fan-out).  Columns: depth, n_spans."""
+    return (
+        span_depths(spans)
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )

@@ -29,6 +29,7 @@ from zipkin_storage_kafka_spark.operators import (
 )
 from zipkin_storage_kafka_spark.plans.query_api import QueryRequest, SpanStore
 from zipkin_storage_kafka_spark.sources.spans import (
+    SPANS_ORACLE_CTE,
     links_table,
     spans_table,
     summaries_table,
@@ -510,6 +511,18 @@ def q_link_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry --------------------------------------------------------------------
 
 
+def q_trace_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-count per tree depth (engine extension): pointer-doubling
+    ancestor walk over the span forest — O(log max_depth) distributed
+    sweeps; see operators.trace_aggregation.span_depths.  The oracle walks
+    the same parent edges with a recursive CTE."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        depth_histogram,
+    )
+
+    return depth_histogram(_spans(spark, sf_dir))
+
+
 def zipkin_queries() -> dict[str, QueryFn]:
     return {
         "a2_trace_summaries": q_trace_summaries,
@@ -541,6 +554,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "f7_link_json_roundtrip": q_link_json_roundtrip,
         "z_latency_percentiles": q_latency_percentiles,
         "z_salted_service_counts": q_salted_service_counts,
+        "z_trace_depth": q_trace_depth,
     }
 
 
@@ -813,6 +827,17 @@ def zipkin_oracles() -> dict[str, str]:
             FROM spans GROUP BY local_service
             """
         ),
+        "z_trace_depth": f"""
+            WITH RECURSIVE {SPANS_ORACLE_CTE.strip()},
+            rec(id, depth) AS (
+              SELECT id, CAST(0 AS BIGINT) FROM spans WHERE parent_id IS NULL
+              UNION ALL
+              SELECT s.id, r.depth + 1
+              FROM spans s JOIN rec r ON s.parent_id = r.id
+            )
+            SELECT depth, CAST(count(*) AS BIGINT) AS n_spans
+            FROM rec GROUP BY depth
+        """,
         "z_latency_percentiles": with_spans_cte(
             """
             SELECT local_service,
