@@ -296,3 +296,32 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     return embeddings.select(
         "vec_id", round4(scale).alias("scale"), q.alias("q")
     )
+
+
+def dimension_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension distribution statistics over the embedding column —
+    the normalization/whitening pass (mean-center, scale) and the sanity
+    audit (dead or exploding dimensions) a feature pipeline runs before
+    training or index build.
+
+    One posexplode + a (dim)-keyed aggregation: map-side partial sums,
+    shuffle carries dim-cardinality rows (64 here) regardless of corpus
+    size — the canonical scale shape for reduction to tiny keyspaces.
+    Double-precision sums at corpus scale stay far inside the round4
+    tolerance (error ~1e-12 at 1e4 rows, ~1e-8 at 1e9).
+
+    Output: dim (1-based int), n, mean, std, min_x, max_x (round4).
+    """
+    exploded = embeddings.select(
+        F.posexplode(_as_double("embedding")).alias("pos", "x")
+    )
+    return (
+        exploded.groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round4(F.avg("x")).alias("mean"),
+            round4(F.stddev_pop("x")).alias("std"),
+            round4(F.min("x")).alias("min_x"),
+            round4(F.max("x")).alias("max_x"),
+        )
+    )

@@ -391,6 +391,10 @@ def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.pack_sequences(_docs(spark, sf_dir), PACK_SEQ_LEN)
 
 
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.dimension_stats(_emb(spark, sf_dir))
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.repetition_stats(_docs(spark, sf_dir))
 
@@ -446,6 +450,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_repetition": q_text_repetition,
         "text_stratified_sample": q_text_stratified_sample,
         "text_decontaminate": q_text_decontaminate,
+        "emb_dim_stats": q_emb_dim_stats,
     }
 
 
@@ -474,6 +479,20 @@ def pipeline_oracles() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = doc_a
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 + 0.0) >= {JACCARD_THRESHOLD}
+        """,
+        "emb_dim_stats": """
+            WITH x AS (
+              SELECT unnest(generate_series(1, len(embedding))) AS i,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x
+              FROM embeddings
+            )
+            SELECT CAST(i AS INTEGER) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   (round((avg(x)) * 10000) / 10000 + 0.0) AS mean,
+                   (round((stddev_pop(x)) * 10000) / 10000 + 0.0) AS std,
+                   (round((min(x)) * 10000) / 10000 + 0.0) AS min_x,
+                   (round((max(x)) * 10000) / 10000 + 0.0) AS max_x
+            FROM x GROUP BY 1
         """,
         "text_repetition": """
             WITH t AS (
