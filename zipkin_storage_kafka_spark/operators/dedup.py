@@ -353,7 +353,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = None
     for _ in range(max_iters):
         prop = (
             edges.join(labels, F.col("src") == F.col("doc_id"))

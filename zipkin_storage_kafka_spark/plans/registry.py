@@ -365,7 +365,14 @@ def q_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from zipkin_storage_kafka_spark.sources.spans import spans_with_nested
 
-    decoded = proto_to_spans(traces_to_proto(spans_with_nested(spark, sf_dir)))
+    # The repartition between codec stages is load-bearing twice over: the
+    # encoded bytes cross a real exchange (wire-honest for a WIRE codec),
+    # and it stops Spark fusing the two mapInPandas into one stage that
+    # holds TWO Python worker pools per task (32->64 pool growth, ~7 s of
+    # worker spawn on a cold session).
+    encoded = traces_to_proto(spans_with_nested(spark, sf_dir))
+    n = spark.sparkContext.defaultParallelism
+    decoded = proto_to_spans(encoded.repartition(n, "trace_id"))
     return decoded.select(
         "trace_id", "parent_id", "id", "kind", "name", "timestamp",
         "duration", "local_service", "remote_service",
