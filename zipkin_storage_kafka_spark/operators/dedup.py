@@ -341,17 +341,24 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     the diameter per round — same skeleton, different join; not needed for
     dedup-shaped graphs.
     """
+    # localCheckpoint (not persist): a persisted iterate caches DATA but
+    # keeps the full logical lineage, so every sweep makes Catalyst
+    # re-optimize the whole upstream pair-generation plan (minhash, LSH,
+    # verify) — measured ~3 s/sweep of pure planning at sf0.1 vs ~0.5 s
+    # with lineage truncated.  On a production cluster the equivalent is a
+    # reliable checkpoint dir (executor loss under localCheckpoint forces a
+    # restart of the fixpoint, which is acceptable for a 2-3-sweep job).
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     prev_sum = None
     for _ in range(max_iters):
@@ -366,15 +373,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
                 "doc_id",
                 F.least("label", F.coalesce("_nbr", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 

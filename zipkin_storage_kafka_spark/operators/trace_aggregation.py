@@ -142,7 +142,9 @@ def span_depths(spans: DataFrame, max_sweeps: int = 20) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long")
         .alias("dist"),
-    ).persist()
+    ).localCheckpoint(eager=False)  # truncate lineage: Catalyst must not re-optimize
+    # the upstream spans derivation once per sweep (see connected_components
+    # for the measured planning-time effect).
     prev_sum = cur.agg(F.sum("dist")).collect()[0][0] or 0
     for _ in range(max_sweeps):
         look = cur.select(
@@ -158,10 +160,9 @@ def span_depths(spans: DataFrame, max_sweeps: int = 20) -> DataFrame:
                 F.col("_anc2").alias("anc"),
                 (F.col("dist") + F.col("_d2")).alias("dist"),
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
         cur_sum = nxt.agg(F.sum("dist")).collect()[0][0] or 0
-        cur.unpersist()
         cur = nxt
         if cur_sum == prev_sum:
             break
