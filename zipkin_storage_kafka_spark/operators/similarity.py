@@ -325,3 +325,140 @@ def dimension_stats(embeddings: DataFrame) -> DataFrame:
             round4(F.max("x")).alias("max_x"),
         )
     )
+
+
+KMEANS_K = 8
+
+
+def kmeans_step(embeddings: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding column: assign
+    every vector to its nearest seed centroid, then recompute per-centroid
+    per-dimension means — the training step that builds the IVF coarse
+    quantizer (``ivf_index``' cells are exactly these centroids after a
+    few such steps).
+
+    Seeds are the ``k`` lowest vec_ids (deterministic across engines).
+    Distance is expanded to dot products (|v|^2 - 2<v,c> + |c|^2) so both
+    engines evaluate the identical float expressions the proven
+    dot-product parity path uses; assignment ranks on the ROUNDED distance
+    with seed_id as tie-break, so ulp noise cannot flip an argmin.
+
+    Shape: the seed table is k rows -> broadcast cross join (no shuffle of
+    the corpus side); assignment is a rowwise argmin; the recompute is one
+    (seed, dim)-keyed partial agg whose shuffle width is k x dims rows
+    regardless of corpus size.  The full training loop (pytest-pinned)
+    re-runs this step on the PREVIOUS step's output with lineage truncated
+    per round (see ``connected_components`` for why).
+
+    Output: seed_id, dim (1-based), n_members, c (round 4).
+    """
+    e = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("seed_id"), F.col("v").alias("c"))
+    )
+    d2 = round4(
+        _dot(F.col("v"), F.col("v"))
+        - F.lit(2.0) * _dot(F.col("v"), F.col("c"))
+        + _dot(F.col("c"), F.col("c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("seed_id").asc()
+    )
+    best = (
+        e.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "v", "seed_id", d2.alias("d2"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        best.select("seed_id", F.posexplode("v").alias("pos", "x"))
+        .groupBy("seed_id", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            round4(F.avg("x")).alias("c"),
+        )
+        .select("seed_id", "dim", "n_members", "c")
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame, k: int = KMEANS_K, max_iters: int = 30
+) -> DataFrame:
+    """Lloyd's k-means to convergence — the IVF coarse-quantizer trainer
+    (``ivf_index`` consumes these centroids; ``kmeans_step`` is one round
+    of this loop and carries the cross-engine oracle).
+
+    Per round: broadcast the k centroids, rowwise argmin assignment, one
+    (seed, dim)-keyed partial agg to recompute means, and ONE scalar
+    (total within-cluster distance, non-increasing under Lloyd) read by
+    the driver to detect the fixpoint.  Iterates are lineage-truncated
+    (lazy localCheckpoint) so Catalyst replans a constant-size plan per
+    round instead of the whole unrolled loop — same reasoning as
+    ``connected_components``.
+
+    Not oracle-registered: a fixpoint loop isn't single-statement SQL;
+    the per-round math is exactly ``kmeans_step``'s, which is.
+
+    Returns: seed_id, n_members, c (array<double> centroid).
+    """
+    e = (
+        embeddings.select("vec_id", _as_double("embedding").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cent = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.lit(1).cast("long").alias("n_members"),
+            F.col("v").alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    prev_chk = None
+    for _ in range(max_iters):
+        d2 = round4(
+            _dot(F.col("v"), F.col("v"))
+            - F.lit(2.0) * _dot(F.col("v"), F.col("c"))
+            + _dot(F.col("c"), F.col("c"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("seed_id").asc()
+        )
+        best = (
+            e.crossJoin(F.broadcast(cent.select("seed_id", "c")))
+            .select("vec_id", "v", "seed_id", d2.alias("d2"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .localCheckpoint(eager=False)
+        )
+        # Exact integer assignment signature: order-independent, so it is
+        # stable across shuffle orders where a float inertia sum is not.
+        # Unchanged signature == unchanged assignment == `cent` (computed
+        # FROM that assignment last round) is already the fixpoint, with
+        # its member counts consistent — so break before recomputing.
+        chk = best.agg(
+            F.sum(F.col("vec_id") * F.col("seed_id"))
+        ).collect()[0][0]
+        if chk == prev_chk:
+            break
+        prev_chk = chk
+        cent = (
+            best.select("seed_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("seed_id", "pos")
+            .agg(F.count(F.lit(1)).alias("_n"), F.avg("x").alias("_cx"))
+            .groupBy("seed_id")
+            .agg(
+                F.max("_n").alias("n_members"),
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("_cx")))
+                    ),
+                    lambda s: s["_cx"],
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cent.select("seed_id", "n_members", "c")

@@ -517,3 +517,88 @@ def decontaminate(docs: DataFrame, sh: DataFrame) -> DataFrame:
         .groupBy("doc_id", "split")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def boilerplate_stats(sh: DataFrame, docs: DataFrame, pct: int = 5) -> DataFrame:
+    """Frequent-shingle boilerplate audit (C4/RefinedWeb-style cleaning
+    signal): a shingle is boilerplate when it appears in >= ``pct`` percent
+    of all documents; each doc reports how much of it is boilerplate.
+
+    The corpus here is single-line synthetic text, so the unit of
+    repetition is the word n-gram shingle rather than the newline-split
+    line the web-corpus cleaners use — same pipeline role, same plan.
+
+    Shape: doc-frequency groupBy on the shingle hash, then a join of the
+    shingle rows back on the SAME key — Spark reuses one exchange for
+    both (groupBy output is already hash-partitioned by ``sh``).  The
+    corpus-size threshold is a broadcast 1-row cross join; the comparison
+    is exact integer math (d * 100 >= pct * n_docs), no float threshold.
+    At 100 TB the boilerplate set (frequent shingles) is tiny and skewed
+    — exactly the rows AQE's skew-join splitting handles; everything else
+    is partial-agg bounded.
+
+    Output: doc_id, n_shingles, n_boilerplate, bp_ratio (round 4).
+    """
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        sh.join(df_counts, "sh")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("d") * 100 >= F.lit(pct) * F.col("n_docs")).cast("long")
+            ).alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boilerplate",
+            round4(F.col("n_boilerplate") / F.col("n_shingles")).alias(
+                "bp_ratio"
+            ),
+        )
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic relevance /
+    keyword-extraction pass (tf = in-doc occurrence count, idf =
+    ln(N / doc-frequency)).
+
+    Shape: one (doc_id, word) partial-agg shuffle for tf; doc-frequency
+    re-aggregates the SAME partitioning's output by word (second shuffle
+    carries one row per distinct (doc, word)); N is a broadcast scalar.
+    The per-doc top-k is a window row_number ranked on the ROUNDED score
+    (both engines rank identical values, so float ulp differences cannot
+    flip the order) with the word as the deterministic tie-break.
+
+    Output: doc_id, rnk (1..k), word, tfidf (round 4).
+    """
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = wc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        wc.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            round4(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "rnk", "word", "tfidf")
+    )

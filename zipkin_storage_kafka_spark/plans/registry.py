@@ -435,6 +435,19 @@ def q_salted_service_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_service_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service distinct-trace cardinality by linear-counting sketch
+    (operators/sketches.py) beside the exact count — the engine-portable
+    answer to the approx-distinct rollups the reference serves from its
+    aggregated stores.  Matching hashes prove the sketch math, not just
+    the plumbing."""
+    from zipkin_storage_kafka_spark.operators.sketches import (
+        distinct_traces_sketch,
+    )
+
+    return distinct_traces_sketch(_spans(spark, sf_dir))
+
+
 def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-service latency quantiles (engine extension): exact
     linear-interpolation percentiles — the p50/p95/p99 panel every tracing
@@ -561,6 +574,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "f7_link_json_roundtrip": q_link_json_roundtrip,
         "z_latency_percentiles": q_latency_percentiles,
         "z_salted_service_counts": q_salted_service_counts,
+        "z_sketch_service_traces": q_sketch_service_traces,
         "z_trace_depth": q_trace_depth,
     }
 
@@ -833,6 +847,30 @@ def zipkin_oracles() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_spans
             FROM spans GROUP BY local_service
             """
+        ),
+        "z_sketch_service_traces": with_spans_cte(
+            """
+            SELECT local_service,
+                   CAST(nb AS BIGINT) AS n_buckets,
+                   est AS est_traces,
+                   CAST(ex AS BIGINT) AS exact_traces,
+                   (round((est - ex) * 10000) / 10000 + 0.0) AS err
+            FROM sk_est
+            """,
+            extra_ctes="""
+            sk AS (
+              SELECT local_service,
+                     count(DISTINCT substr(md5(trace_id), 1, 4)) AS nb,
+                     count(DISTINCT trace_id) AS ex
+              FROM spans GROUP BY local_service
+            ),
+            sk_est AS (
+              SELECT local_service, nb, ex,
+                     (round((-65536.0 * ln(1.0 - nb / 65536.0)) * 10000)
+                        / 10000 + 0.0) AS est
+              FROM sk
+            )
+            """,
         ),
         "z_trace_depth": f"""
             WITH RECURSIVE {SPANS_ORACLE_CTE.strip()},

@@ -36,6 +36,7 @@ PAIR_COS_THRESHOLD = 0.4
 JACCARD_THRESHOLD = 0.5
 PACK_SEQ_LEN = 128
 SAMPLE_PERCENT = 20
+KMEANS_K = sim.KMEANS_K
 
 _STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
 
@@ -395,6 +396,20 @@ def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.dimension_stats(_emb(spark, sf_dir))
 
 
+def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.kmeans_step(_emb(spark, sf_dir))
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.boilerplate_stats(
+        _shingles(spark, sf_dir), _docs(spark, sf_dir)
+    )
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.tfidf_topk(_docs(spark, sf_dir))
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.repetition_stats(_docs(spark, sf_dir))
 
@@ -451,6 +466,9 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_stratified_sample": q_text_stratified_sample,
         "text_decontaminate": q_text_decontaminate,
         "emb_dim_stats": q_emb_dim_stats,
+        "emb_kmeans_step": q_emb_kmeans_step,
+        "text_boilerplate": q_text_boilerplate,
+        "text_tfidf": q_text_tfidf,
     }
 
 
@@ -479,6 +497,74 @@ def pipeline_oracles() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = doc_a
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 + 0.0) >= {JACCARD_THRESHOLD}
+        """,
+        "emb_kmeans_step": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            seeds AS (SELECT vec_id AS seed_id, v AS c FROM e
+                      ORDER BY vec_id LIMIT {KMEANS_K}),
+            d AS (
+              SELECT vec_id, v, seed_id,
+                     (round((list_dot_product(v, v)
+                             - 2.0 * list_dot_product(v, c)
+                             + list_dot_product(c, c)) * 10000) / 10000 + 0.0)
+                       AS d2
+              FROM e, seeds
+            ),
+            best AS (
+              SELECT seed_id, v FROM (
+                SELECT seed_id, v,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, seed_id) AS rn
+                FROM d
+              ) WHERE rn = 1
+            ),
+            ex AS (
+              SELECT seed_id,
+                     unnest(generate_series(1, len(v))) AS dim,
+                     unnest(v) AS x
+              FROM best
+            )
+            SELECT seed_id, CAST(dim AS INTEGER) AS dim,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   (round((avg(x)) * 10000) / 10000 + 0.0) AS c
+            FROM ex GROUP BY 1, 2
+        """,
+        "text_boilerplate": f"""
+            WITH {_SHINGLES_CTE.strip()},
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            dfreq AS (SELECT sh, count(*) AS d FROM sh GROUP BY sh)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN d * 100 >= 5 * n_docs
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+                   (round((sum(CASE WHEN d * 100 >= 5 * n_docs
+                               THEN 1 ELSE 0 END) / count(*)) * 10000)
+                      / 10000 + 0.0) AS bp_ratio
+            FROM sh JOIN dfreq USING (sh), n
+            GROUP BY doc_id
+        """,
+        "text_tfidf": """
+            WITH wrd AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, word, count(*) AS tf
+                   FROM wrd GROUP BY 1, 2),
+            dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, word,
+                     (round((tf * ln(n_docs / df)) * 10000) / 10000 + 0.0)
+                       AS tfidf
+              FROM tf JOIN dfreq USING (word), n
+            )
+            SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, word, tfidf FROM (
+              SELECT doc_id, word, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, word) AS rnk
+              FROM scored
+            ) WHERE rnk <= 3
         """,
         "emb_dim_stats": """
             WITH x AS (
