@@ -89,14 +89,30 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Memoized persisted shingle sets per (session, sf_dir): the Jaccard query's
 # DAG references the shingle relation three times (intersection x2 + per-doc
 # counts) and the candidate chain once more — persist turns a 4x recompute
-# of the explode+distinct shuffle into one.
+# of the explode+distinct shuffle into one.  Backed by the cross-process
+# parquet materialization (sources/matcache.py) so each fresh driver
+# process pays one scan, not the explode+distinct shuffle.
 _SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
+def _pipe_fingerprint() -> str:
+    from zipkin_storage_kafka_spark.sources import matcache, tables
+
+    return matcache.code_fingerprint((dd, tables))
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipkin_storage_kafka_spark.sources import matcache
+
     key = (id(spark), sf_dir)
     if key not in _SHINGLE_CACHE:
-        _SHINGLE_CACHE[key] = dd.shingles_native(_docs(spark, sf_dir)).persist()
+        _SHINGLE_CACHE[key] = matcache.materialized(
+            spark,
+            sf_dir,
+            "shingles",
+            _pipe_fingerprint(),
+            lambda: dd.shingles_native(_docs(spark, sf_dir)),
+        ).persist()
     return _SHINGLE_CACHE[key]
 
 
@@ -115,10 +131,18 @@ _CAND_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipkin_storage_kafka_spark.sources import matcache
+
     key = (id(spark), sf_dir)
     if key not in _CAND_CACHE:
-        _CAND_CACHE[key] = dd.lsh_candidate_pairs(
-            dd.minhash_buckets(_shingles(spark, sf_dir))
+        _CAND_CACHE[key] = matcache.materialized(
+            spark,
+            sf_dir,
+            "lsh_candidates",
+            _pipe_fingerprint(),
+            lambda: dd.lsh_candidate_pairs(
+                dd.minhash_buckets(_shingles(spark, sf_dir))
+            ),
         ).persist()
     return _CAND_CACHE[key]
 
@@ -205,10 +229,25 @@ _IVF_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    from zipkin_storage_kafka_spark.sources import matcache, tables
+
     key = (id(spark), sf_dir)
     if key not in _IVF_CACHE:
-        centroids = sim.ivf_centroids(_emb(spark, sf_dir)).persist()
-        assign = sim.ivf_assignments(_emb(spark, sf_dir), centroids).persist()
+        fp = matcache.code_fingerprint((sim, tables))
+        centroids = matcache.materialized(
+            spark,
+            sf_dir,
+            "ivf_centroids",
+            fp,
+            lambda: sim.ivf_centroids(_emb(spark, sf_dir)),
+        ).persist()
+        assign = matcache.materialized(
+            spark,
+            sf_dir,
+            "ivf_assign",
+            fp,
+            lambda: sim.ivf_assignments(_emb(spark, sf_dir), centroids),
+        ).persist()
         _IVF_CACHE[key] = (centroids, assign)
     return _IVF_CACHE[key]
 

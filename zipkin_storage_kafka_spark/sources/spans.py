@@ -24,10 +24,6 @@ Determinism rules shared by both:
 
 from __future__ import annotations
 
-import hashlib
-import os
-import shutil
-import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -43,46 +39,25 @@ DAY_MICROS = 86_400_000_000
 # this is the ingest job's output table; here it's an in-memory cache.
 _SPANS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
-# ---------------------------------------------------------------------------
-# Cross-process materialization.  The reference never re-derives spans at
-# query time: ingest writes them to a Kafka topic / RocksDB store once and
-# every query reads the store (TraceStorageTopology.java:87-91).  The batch
-# analog is a parquet materialization shared across driver processes: the
-# first process to need a derived table (spans / links / summaries) writes
-# it; later processes pay one parquet scan instead of scan+window+shuffle.
-# Keyed by a fingerprint of the derivation source code so ANY edit to the
-# derivation invalidates the cache — stale results are structurally
-# impossible, at worst we rebuild.
-# ---------------------------------------------------------------------------
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-_CACHE_ROOT = os.environ.get(
-    "SPARK_GRAFT_CACHE_DIR", os.path.join(_REPO_ROOT, ".cache", "materialized")
-)
-_FINGERPRINT: str | None = None
+# Cross-process materialization (sources/matcache.py): the batch analog of
+# the reference's ingest-time materialized stores — spans/links/summaries
+# are derived once per code version and sf_dir, then every process reads
+# the parquet.
+def _fingerprint() -> str:
+    import importlib
 
+    from zipkin_storage_kafka_spark.sources import matcache
 
-def _code_fingerprint() -> str:
-    """md5 over the source files that define the derivations."""
-    global _FINGERPRINT
-    if _FINGERPRINT is None:
-        import importlib
-
-        mods = [
-            importlib.import_module(f"zipkin_storage_kafka_spark.{m}")
-            for m in (
-                "operators.dependency_links",
-                "operators.trace_aggregation",
-                "sources.tables",
-            )
-        ]
-        h = hashlib.md5()
-        for mod_file in sorted([__file__] + [m.__file__ for m in mods]):
-            with open(mod_file, "rb") as f:
-                h.update(f.read())
-        _FINGERPRINT = h.hexdigest()[:12]
-    return _FINGERPRINT
+    mods = [
+        importlib.import_module(f"zipkin_storage_kafka_spark.{m}")
+        for m in (
+            "operators.dependency_links",
+            "operators.trace_aggregation",
+            "sources.tables",
+            "sources.spans",
+        )
+    ]
+    return matcache.code_fingerprint(mods)
 
 
 def _materialized(
@@ -91,28 +66,9 @@ def _materialized(
     table: str,
     build: Callable[[], DataFrame],
 ) -> DataFrame:
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    root = os.path.join(_CACHE_ROOT, _code_fingerprint())
-    path = os.path.join(root, tag, table)
-    success = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(success):
-        # Drop materializations from older code versions (best-effort).
-        if os.path.isdir(_CACHE_ROOT):
-            for stale in os.listdir(_CACHE_ROOT):
-                if stale != _code_fingerprint():
-                    shutil.rmtree(
-                        os.path.join(_CACHE_ROOT, stale), ignore_errors=True
-                    )
-        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
-        build().write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            # Lost a build race: another process renamed first.  Use theirs.
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not os.path.exists(success):
-                raise
-    return spark.read.parquet(path)
+    from zipkin_storage_kafka_spark.sources import matcache
+
+    return matcache.materialized(spark, sf_dir, table, _fingerprint(), build)
 
 
 def spans_table(spark: SparkSession, sf_dir: str) -> DataFrame:
