@@ -281,3 +281,53 @@ def test_quantize_int8_is_single_projection(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     plan = _plan(quantize_int8(emb))
     assert "Exchange" not in plan, plan
+
+
+def test_kmeans_assignment_broadcasts_seeds(spark, sf_dir):
+    """The seed/centroid side of the k-means assignment join must be
+    broadcast — the corpus side must not shuffle for the cross join."""
+    from zipkin_storage_kafka_spark.operators.similarity import kmeans_step
+
+    df = kmeans_step(load_table(spark, sf_dir, "embeddings"), k=4)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_reuses_shingle_exchange(spark, sf_dir):
+    """boilerplate_stats groups shingles by `sh` and joins the result back
+    on `sh`: the join must ride the groupBy's hash partitioning — exactly
+    one exchange over the shingle relation side (plus the broadcast of the
+    1-row corpus count), not two."""
+    from zipkin_storage_kafka_spark.operators.dedup import shingles_native
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        boilerplate_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = boilerplate_stats(shingles_native(docs), docs)
+    plan = _plan(df)
+    # one broadcast for the scalar count
+    assert "BroadcastExchange" in plan
+    # Static-plan exchange budget: the raw shingle subtree's distinct costs
+    # one (doc_id, sh) exchange PER REFERENCE (x2 here — the registry path
+    # feeds a materialized shingle table, collapsing those to scans), plus
+    # the df-groupBy on sh, plus the final doc_id agg = 4.  A regression
+    # that repartitions the join separately from the groupBy pushes this
+    # past the budget.
+    n_exchanges = plan.count("hashpartitioning(")
+    assert n_exchanges <= 4, f"unexpected extra shuffles: {n_exchanges}"
+
+
+def test_sketch_is_partial_aggregated(spark, sf_dir):
+    """The linear-count sketch must partial-aggregate map-side (two-phase
+    HashAggregate) — the shuffle carries bucket rows, not span rows."""
+    from zipkin_storage_kafka_spark.operators.sketches import (
+        distinct_traces_sketch,
+    )
+    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+
+    df = distinct_traces_sketch(spans_from_events(spark, sf_dir))
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning(local_service" in plan

@@ -328,3 +328,73 @@ def test_streaming_lsh_bucket_registry_idempotent(spark, tmp_path):
         ).collect()
     }
     assert {(r["b"], r["bucket"]) for r in first} == batch_buckets
+
+
+def test_sketch_stream_matches_batch_sketch(spark, tmp_path):
+    """The windowed streaming sketch must produce the exact same bucket
+    counts and estimates as the batch formula over the same rows — the
+    sketch is deterministic, so stream/batch parity is equality."""
+    from zipkin_storage_kafka_spark.operators.sketches import (
+        linear_count_estimate,
+    )
+    from zipkin_storage_kafka_spark.streaming.jobs import sketch_stream
+
+    src = str(tmp_path / "sketch_in")
+    base_ms = 1_700_000_000_000
+    rows = [
+        Row(trace_id=f"t{i % 7}", local_service=f"svc_{i % 2}",
+            ts_ms=base_ms + (i % 3) * 1000)
+        for i in range(50)
+    ] + [
+        # late-window flusher: advances the watermark past the first window
+        Row(trace_id="t_flush", local_service="svc_9",
+            ts_ms=base_ms + 600_000),
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("trace_id string, local_service string, ts_ms long")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+    )
+    q = (
+        sketch_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sketch_out")
+        .option("checkpointLocation", str(tmp_path / "ck_sketch"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start_ms, r.local_service): (r.n_buckets, r.est_traces)
+        for r in spark.sql("select * from sketch_out").collect()
+        if r.local_service != "svc_9"
+    }
+
+    batch = (
+        spark.read.parquet(src)
+        .filter(F.col("local_service") != "svc_9")
+        .withColumn(
+            "window_start_ms", (F.col("ts_ms") / 60000).cast("long") * 60000
+        )
+        .groupBy("window_start_ms", "local_service")
+        .agg(
+            F.count_distinct(
+                F.substring(F.md5(F.col("trace_id")), 1, 4)
+            ).cast("int").alias("n_buckets")
+        )
+        .select(
+            "window_start_ms",
+            "local_service",
+            "n_buckets",
+            linear_count_estimate(F.col("n_buckets")).alias("est_traces"),
+        )
+    )
+    want = {
+        (r.window_start_ms, r.local_service): (r.n_buckets, r.est_traces)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == 2  # 2 services in the closed first window

@@ -319,3 +319,42 @@ def streaming_lsh_bucket_registry(
     return buckets.withWatermark(
         "ts", watermark_delay
     ).dropDuplicatesWithinWatermark(["b", "bucket"])
+
+
+def sketch_stream(
+    spans: DataFrame,
+    window: str = "1 minute",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Windowed per-service distinct-trace cardinality by linear counting
+    (the streaming half of ``operators.sketches.distinct_traces_sketch``).
+
+    Streaming aggregations cannot run ``count_distinct``, and an exact
+    distinct via a second stacked aggregation would hold per-trace state.
+    The sketch sidesteps both: ``collect_set`` over the 4-hex md5 bucket is
+    a SINGLE supported aggregate whose per-group state is capped at
+    m = 65536 short strings — the linear-counting memory bound — and the
+    estimate is a stateless projection over the set size.  Windows close on
+    the watermark (append mode) exactly like the dependency counters (W3).
+
+    ``spans`` must carry ``ts`` (event-time), ``local_service``,
+    ``trace_id``.  Output: window_start_ms, local_service, n_buckets,
+    est_traces.
+    """
+    from zipkin_storage_kafka_spark.operators.sketches import (
+        linear_count_estimate,
+    )
+
+    bucket = F.substring(F.md5(F.col("trace_id")), 1, 4)
+    v = F.size(F.collect_set(bucket))
+    return (
+        spans.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window).alias("w"), "local_service")
+        .agg(v.alias("n_buckets"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "local_service",
+            "n_buckets",
+            linear_count_estimate(F.col("n_buckets")).alias("est_traces"),
+        )
+    )
