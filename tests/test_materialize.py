@@ -131,3 +131,51 @@ def test_training_shards_split_pruning(spark, sf_dir, tmp_path):
     out2 = str(tmp_path / "shards2")
     materialize_training_shards(spark, sf_dir, out2)
     assert read_training_split(spark, out2, "val").count() == n_val
+
+
+def test_compaction_rewrites_only_oversplit_partitions(spark, sf_dir, tmp_path):
+    from zipkin_storage_kafka_spark.plans.materialize import (
+        DATE_COL,
+        compact_partitions,
+        read_store,
+    )
+    import os
+
+    out = str(tmp_path / "stores")
+    spans = spans_from_events(spark, sf_dir)
+    # simulate a streaming sink's file-per-trigger debt: many tiny files
+    with_date = spans.withColumn(
+        DATE_COL, F.to_date(F.timestamp_micros(F.col("timestamp")))
+    )
+    with_date.repartition(16).write.partitionBy(DATE_COL).parquet(
+        os.path.join(out, "traces_frag")
+    )
+    store_dir = os.path.join(out, "traces_frag")
+    parts = [p for p in os.listdir(store_dir) if p.startswith(f"{DATE_COL}=")]
+    assert parts
+    n_files_before = {
+        p: len([f for f in os.listdir(os.path.join(store_dir, p))
+                if f.endswith(".parquet")])
+        for p in parts
+    }
+    assert max(n_files_before.values()) > 2
+
+    before = read_store(spark, out, "traces_frag")
+    rows_before = before.count()
+    sum_before = before.agg(F.sum("duration")).first()[0]
+
+    compacted = compact_partitions(spark, out, "traces_frag")
+    assert set(compacted) == {
+        p for p, n in n_files_before.items() if n > 1
+    }
+    for p in parts:
+        n_after = len([
+            f for f in os.listdir(os.path.join(store_dir, p))
+            if f.endswith(".parquet")
+        ])
+        assert n_after == 1  # tiny partitions compact to a single file
+    after = read_store(spark, out, "traces_frag")
+    assert after.count() == rows_before
+    assert after.agg(F.sum("duration")).first()[0] == sum_before
+    # idempotent: nothing left to compact
+    assert compact_partitions(spark, out, "traces_frag") == []

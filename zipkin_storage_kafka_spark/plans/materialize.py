@@ -208,3 +208,53 @@ def read_training_split(
         spark.read.parquet(os.path.join(out_dir, "training_shards"))
         .filter(F.col("split") == split)
     )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    out_dir: str,
+    store: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> list[str]:
+    """Small-file compaction for a date-partitioned store: rewrite every
+    partition holding more than one under-sized parquet file into
+    ceil(bytes / target_bytes) files.  Returns the compacted partitions.
+
+    Streaming sinks append a file per trigger per partition; a day of
+    1-minute triggers leaves ~1440 files whose per-file open/footer cost
+    dominates scans long before data size does (the same debt the
+    reference's changelog topics accumulate and RocksDB compaction pays
+    down).  Compaction = read partition -> coalesce -> atomic swap
+    (write aside, rename over) so readers never observe a partial store;
+    the rewrite touches ONLY oversplit partitions — a 100 TB table with a
+    hot today-partition compacts today, not the archive.
+    """
+    import math
+    import uuid as _uuid
+
+    store_dir = os.path.join(out_dir, store)
+    compacted = []
+    for entry in sorted(os.listdir(store_dir)):
+        if not entry.startswith(f"{DATE_COL}="):
+            continue
+        part_dir = os.path.join(store_dir, entry)
+        files = [
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        ]
+        total = sum(os.path.getsize(f) for f in files)
+        n_target = max(1, math.ceil(total / target_bytes))
+        if len(files) < max(min_files, n_target + 1):
+            continue
+        tmp = f"{part_dir}.compact-{_uuid.uuid4().hex[:6]}"
+        spark.read.parquet(part_dir).coalesce(n_target).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = f"{part_dir}.old-{_uuid.uuid4().hex[:6]}"
+        os.rename(part_dir, old)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(old)
+        compacted.append(entry)
+    return compacted
