@@ -602,3 +602,115 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("doc_id", "rnk", "word", "tfidf")
     )
+
+
+def bpe_pair_counts(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """Adjacent-character-pair statistics over the corpus vocabulary — the
+    count step of one BPE tokenizer-training round (the argmax pair is the
+    round's merge).
+
+    Dictionary formulation (same trick as SimHash's vocabulary join): pairs
+    explode over DISTINCT words only, weighted by word occurrence counts —
+    pair-extraction cost scales with vocabulary size, not corpus size; the
+    corpus contributes one (word -> count) partial agg.  A full BPE trainer
+    is this query in a fixpoint loop (merge -> recount) with per-round
+    lineage truncation — the ``kmeans_fit``/``connected_components``
+    pattern; each round's counts stay oracle-checkable.
+
+    Output: pair (2 chars), n (weighted count), top ``top_k`` by
+    (n desc, pair).
+    """
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # The length guard is load-bearing: Spark's sequence(1, len-1) DESCENDS
+    # for single-char words (len-1 = 0 < start), yielding junk positions,
+    # where DuckDB's generate_series is simply empty.
+    pairs = wc.filter(F.length("word") >= 2).select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(top_k)
+    )
+
+
+def mixture_weights(docs: DataFrame, max_epochs: float = 2.0) -> DataFrame:
+    """Per-language sampling weights that rebalance the corpus toward a
+    uniform language mixture — the data-mixture step of pretraining-set
+    assembly (a weight > 1 repeats/upsamples, capped at ``max_epochs``;
+    < 1 downsamples).
+
+    weight_l = min(max_epochs, (T / L) / tokens_l) for corpus token total T
+    and L languages; effective_tokens_l = round(weight_l * tokens_l).
+    One (lang) partial agg + a broadcast 1-row total — scan-bounded.
+
+    Output: lang, n_docs, n_tokens, raw_share (round 4), weight (round 4),
+    effective_tokens.
+    """
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+    )
+    totals = per_lang.agg(
+        F.sum("n_tokens").alias("t_total"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    weight = F.least(
+        F.lit(max_epochs),
+        F.col("t_total") / F.col("n_langs") / F.col("n_tokens"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            round4(F.col("n_tokens") / F.col("t_total")).alias("raw_share"),
+            round4(weight).alias("weight"),
+            # floor(x + 0.5), not round(): engine rounding modes differ
+            # (the quantize_int8 lesson) — this is identical in both.
+            F.floor(weight * F.col("n_tokens") + F.lit(0.5))
+            .cast("long")
+            .alias("effective_tokens"),
+        )
+    )
+
+
+def length_buckets(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Length-curriculum banding: ntile ``n_buckets`` over per-doc token
+    counts (total order (n_tokens, doc_id), so band edges are
+    deterministic), with per-band size stats — the audit behind
+    length-bucketed batch packing / curriculum schedules.
+
+    The global sort is over one row per DOC (not tokens); at 100 TB the
+    same banding comes from an approx-quantile pass + threshold filter,
+    trading exact edges for no sort — documented, same output shape.
+
+    Output: bucket (1..n), n_docs, min_tokens, max_tokens, avg_tokens
+    (round 4).
+    """
+    with_len = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    return (
+        with_len.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            round4(F.avg("n_tokens")).alias("avg_tokens"),
+        )
+    )

@@ -449,6 +449,18 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.tfidf_topk(_docs(spark, sf_dir))
 
 
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+def q_text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.mixture_weights(_docs(spark, sf_dir))
+
+
+def q_text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.length_buckets(_docs(spark, sf_dir))
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.repetition_stats(_docs(spark, sf_dir))
 
@@ -508,6 +520,9 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "emb_kmeans_step": q_emb_kmeans_step,
         "text_boilerplate": q_text_boilerplate,
         "text_tfidf": q_text_tfidf,
+        "text_bpe_pairs": q_text_bpe_pairs,
+        "text_mixture_weights": q_text_mixture_weights,
+        "text_length_buckets": q_text_length_buckets,
     }
 
 
@@ -604,6 +619,62 @@ def pipeline_oracles() -> dict[str, str]:
                                         ORDER BY tfidf DESC, word) AS rnk
               FROM scored
             ) WHERE rnk <= 3
+        """,
+        "text_bpe_pairs": """
+            WITH wrd AS (
+              SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            ),
+            wc AS (SELECT word, count(*) AS cnt FROM wrd GROUP BY word),
+            pairs AS (
+              SELECT substr(word, i, 2) AS pair, cnt
+              FROM wc, unnest(generate_series(1, len(word) - 1)) t(i)
+              WHERE len(word) >= 2
+            )
+            SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+            FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair LIMIT 20
+        """,
+        "text_mixture_weights": """
+            WITH per_lang AS (
+              SELECT lang, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+              FROM documents GROUP BY lang
+            ),
+            tot AS (SELECT sum(n_tokens) AS t_total,
+                           count(*) AS n_langs FROM per_lang),
+            wgt AS (
+              SELECT lang, n_docs, n_tokens, t_total,
+                     least(2.0, t_total / n_langs / n_tokens) AS w
+              FROM per_lang, tot
+            )
+            SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+                   (round((n_tokens / t_total) * 10000) / 10000 + 0.0)
+                     AS raw_share,
+                   (round(w * 10000) / 10000 + 0.0) AS weight,
+                   CAST(floor(w * n_tokens + 0.5) AS BIGINT)
+                     AS effective_tokens
+            FROM wgt
+        """,
+        "text_length_buckets": """
+            WITH lens AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INTEGER)
+                       AS n_tokens
+              FROM documents
+            ),
+            banded AS (
+              SELECT n_tokens,
+                     ntile(10) OVER (ORDER BY n_tokens, doc_id) AS bucket
+              FROM lens
+            )
+            SELECT CAST(bucket AS INTEGER) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(n_tokens) AS min_tokens,
+                   max(n_tokens) AS max_tokens,
+                   (round((avg(n_tokens)) * 10000) / 10000 + 0.0)
+                     AS avg_tokens
+            FROM banded GROUP BY bucket
         """,
         "emb_dim_stats": """
             WITH x AS (
