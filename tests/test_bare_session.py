@@ -39,3 +39,28 @@ def test_registry_query_on_misconfigured_session(hostile_session, sf_dir):
     # builds fresh on the hostile session.
     df = registry.zipkin_queries()["s7_service_names"](hostile_session, sf_dir)
     assert df.count() > 0
+
+
+def test_each_family_on_misconfigured_session(hostile_session, sf_dir):
+    """One query per registry family (zipkin / pipeline / analytics /
+    multimodal) runs on the hostile session — the env-dependence class of
+    bug must be impossible for ANY family, not just the spans path."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in (
+        "a2_trace_summaries",      # zipkin (materialized spans path)
+        "dedup_minhash_lsh",       # pipeline (materialized shingle path)
+        "text_mixture_weights",    # pipeline (documents direct)
+        "h6_revenue_forecast",     # analytics (lineitem + date math)
+        "ev_cohort_retention",     # analytics (events timestamp math)
+        "mm_resize_meta",          # multimodal (binary + mapInPandas)
+        "emb_kmeans_step",         # embeddings
+    ):
+        assert qs[name](hostile_session, sf_dir).count() > 0, name
+
+
+def test_entry_on_misconfigured_session(hostile_session):
+    import __spark_entry__ as entrymod
+
+    assert entrymod.entry(hostile_session).count() > 0
