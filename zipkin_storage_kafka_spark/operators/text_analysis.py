@@ -714,3 +714,41 @@ def length_buckets(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
             round4(F.avg("n_tokens")).alias("avg_tokens"),
         )
     )
+
+
+def _pattern_trigrams(pattern: str) -> list[str]:
+    return sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+
+
+def trigram_search(
+    docs: DataFrame, postings: DataFrame, pattern: str
+) -> DataFrame:
+    """Substring search accelerated by the trigram index: a doc can contain
+    ``pattern`` only if its trigram set covers ALL of the pattern's
+    trigrams — the index probe reduces the exact `contains` verify from a
+    full scan to the candidate set.
+
+    Shape: the probe filters postings to the pattern's grams (at scale: a
+    partition-pruned read of just those posting lists — the inverted index
+    is the ``char_trigrams`` relation written out partitioned by gram),
+    counts grams per doc (match = all |P| present), then semi-joins the doc
+    table for the exact verify.  The pattern is a query PARAMETER (like
+    the ANN query vector), so its gram set is computed driver-side.
+
+    ``postings`` is the ``char_trigrams`` output (doc_id, tg).
+    Output: doc_id, pos (1-based first occurrence).
+    """
+    tris = _pattern_trigrams(pattern)
+    cand = (
+        postings.select("doc_id", F.col("tg").alias("tri"))
+        .filter(F.col("tri").isin(tris))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == len(tris))
+        .select("doc_id")
+    )
+    return (
+        docs.join(cand, "doc_id", "left_semi")
+        .select("doc_id", F.instr("text", pattern).alias("pos"))
+        .filter(F.col("pos") > 0)
+    )

@@ -37,6 +37,7 @@ JACCARD_THRESHOLD = 0.5
 PACK_SEQ_LEN = 128
 SAMPLE_PERCENT = 20
 KMEANS_K = sim.KMEANS_K
+SEARCH_PATTERN = "spark join"
 
 _STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
 
@@ -461,6 +462,13 @@ def q_text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.length_buckets(_docs(spark, sf_dir))
 
 
+def q_text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return ta.trigram_search(
+        docs, ta.char_trigrams(docs), SEARCH_PATTERN
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.repetition_stats(_docs(spark, sf_dir))
 
@@ -523,6 +531,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_bpe_pairs": q_text_bpe_pairs,
         "text_mixture_weights": q_text_mixture_weights,
         "text_length_buckets": q_text_length_buckets,
+        "text_trigram_search": q_text_trigram_search,
     }
 
 
@@ -675,6 +684,24 @@ def pipeline_oracles() -> dict[str, str]:
                    (round((avg(n_tokens)) * 10000) / 10000 + 0.0)
                      AS avg_tokens
             FROM banded GROUP BY bucket
+        """,
+        "text_trigram_search": f"""
+            WITH tris AS (
+              SELECT DISTINCT doc_id, substr(text, i, 3) AS tri
+              FROM documents,
+                   unnest(generate_series(1, len(text) - 2)) t(i)
+              WHERE len(text) >= 3
+            ),
+            cand AS (
+              SELECT doc_id FROM tris
+              WHERE tri IN ({", ".join("'" + t + "'" for t in ta._pattern_trigrams(SEARCH_PATTERN))})
+              GROUP BY doc_id
+              HAVING count(*) = {len(ta._pattern_trigrams(SEARCH_PATTERN))}
+            )
+            SELECT d.doc_id,
+                   CAST(strpos(d.text, '{SEARCH_PATTERN}') AS INTEGER) AS pos
+            FROM documents d JOIN cand USING (doc_id)
+            WHERE strpos(d.text, '{SEARCH_PATTERN}') > 0
         """,
         "emb_dim_stats": """
             WITH x AS (
