@@ -462,3 +462,74 @@ def kmeans_fit(
             .localCheckpoint(eager=False)
         )
     return cent.select("seed_id", "n_members", "c")
+
+
+PQ_M = 8
+PQ_K = 16
+
+
+def pq_encode(
+    embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K
+) -> DataFrame:
+    """Product-quantization encode: split each vector into ``m`` subspaces
+    and store, per subspace, the id of the nearest codebook entry — the
+    compression layer of IVF-PQ ANN indexes (64 floats -> ``m`` small
+    codes; distances are then approximated from tiny per-subspace lookup
+    tables).
+
+    The codebook here is the first ``k`` vectors' subvectors (deterministic
+    across engines — a production codebook comes from ``kmeans_fit`` run
+    per subspace, same assignment shape).  Distances expand to dot
+    products on the proven parity path, and the argmin ranks on the
+    ROUNDED distance with the code id as tie-break.
+
+    Shape: codebook is m x k tiny rows -> broadcast; the corpus side is
+    one rowwise explode to (vec, subspace) and a per-(vec, subspace)
+    argmin — no corpus shuffle at all until a consumer aggregates.
+
+    Output: vec_id, m (0-based subspace), code (codebook row id),
+    d2 (round-4 subspace reconstruction error).
+    """
+    e = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    sub = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+        F.col("v"),
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(v, m * (size(v) div {m}) + 1, size(v) div {m})").alias(
+            "s"
+        ),
+    )
+    codebook = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+            F.col("v"),
+        )
+        .select(
+            "code",
+            "m",
+            F.expr(
+                f"slice(v, m * (size(v) div {m}) + 1, size(v) div {m})"
+            ).alias("c"),
+        )
+    )
+    d2 = round4(
+        _dot(F.col("s"), F.col("s"))
+        - F.lit(2.0) * _dot(F.col("s"), F.col("c"))
+        + _dot(F.col("c"), F.col("c"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    return (
+        sub.join(F.broadcast(codebook), "m")
+        .select("vec_id", "m", "code", d2.alias("d2"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "m", "code", "d2")
+    )

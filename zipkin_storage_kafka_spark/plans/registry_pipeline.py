@@ -469,6 +469,10 @@ def q_text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.pq_encode(_emb(spark, sf_dir))
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.repetition_stats(_docs(spark, sf_dir))
 
@@ -532,6 +536,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_mixture_weights": q_text_mixture_weights,
         "text_length_buckets": q_text_length_buckets,
         "text_trigram_search": q_text_trigram_search,
+        "emb_pq_encode": q_emb_pq_encode,
     }
 
 
@@ -684,6 +689,37 @@ def pipeline_oracles() -> dict[str, str]:
                    (round((avg(n_tokens)) * 10000) / 10000 + 0.0)
                      AS avg_tokens
             FROM banded GROUP BY bucket
+        """,
+        "emb_pq_encode": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            sub AS (
+              SELECT vec_id, m,
+                     v[m * (len(v) // {sim.PQ_M}) + 1 :
+                       (m + 1) * (len(v) // {sim.PQ_M})] AS sv
+              FROM e, unnest(generate_series(0, {sim.PQ_M - 1})) t(m)
+            ),
+            cb AS (
+              SELECT vec_id AS code, m,
+                     v[m * (len(v) // {sim.PQ_M}) + 1 :
+                       (m + 1) * (len(v) // {sim.PQ_M})] AS cv
+              FROM (SELECT * FROM e ORDER BY vec_id LIMIT {sim.PQ_K}),
+                   unnest(generate_series(0, {sim.PQ_M - 1})) t(m)
+            ),
+            d AS (
+              SELECT vec_id, m, code,
+                     (round((list_dot_product(sv, sv)
+                             - 2.0 * list_dot_product(sv, cv)
+                             + list_dot_product(cv, cv)) * 10000)
+                        / 10000 + 0.0) AS d2
+              FROM sub JOIN cb USING (m)
+            )
+            SELECT vec_id, CAST(m AS INTEGER) AS m, code, d2 FROM (
+              SELECT vec_id, m, code, d2,
+                     row_number() OVER (PARTITION BY vec_id, m
+                                        ORDER BY d2, code) AS rn
+              FROM d
+            ) WHERE rn = 1
         """,
         "text_trigram_search": f"""
             WITH tris AS (
