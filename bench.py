@@ -100,16 +100,127 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+
+    # Full per-query detail goes to a repo file; stdout carries ONE compact
+    # JSON line.  The driver records only the last ~2000 bytes of stdout and
+    # parses the JSON from there — rounds 1 and 2 both printed a >2000-byte
+    # line and got "parsed: null", losing the whole bench signal.  Keep the
+    # stdout line under _LINE_BUDGET bytes by reporting a curated headline
+    # subset (every operator family represented); `value` stays the total
+    # across ALL queries.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+            },
+            f,
+            indent=1,
         )
+
+    reported: dict[str, float] = {}
+    for name in _headline_order(timings):
+        reported[name] = round(timings[name], 2)
+        line = _line(total, reported, sf, len(timings))
+        if len(line) > _LINE_BUDGET:
+            del reported[name]
+            break
+    print(_line(total, reported, sf, len(timings)))
+
+
+_LINE_BUDGET = 1800
+
+# Families that must appear in the size-bounded stdout line, most important
+# first within each; the zipkin-core block (SURVEY section-2 parity) leads.
+_HEADLINE = [
+    "h1_pricing_summary",
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
+    "f5_proto_roundtrip",
+    "j1_links_tree",
+    "a2_trace_summaries",
+    "text_tfidf",
+    "mm_extract_features",
+    "ev_event_funnel",
+    "emb_kmeans_step",
+    "pipe_clean_corpus",
+    "h8_national_market_share",
+    "dedup_cluster_resolve",
+    "p4_find_traces",
+    "a7_dependency_windows",
+    "h21_waiting_suppliers",
+    "text_rolling_fingerprint",
+    "ann_cosine_topk",
+    "s9_get_trace",
+    "h5_nation_revenue",
+    "dedup_exact",
+    "text_bpe_pairs",
+    "emb_pq_encode",
+    "j1_a8_dependency_links",
+    "w_customer_deciles",
+    "ev_user_sessions",
+    "mm_resize_meta",
+    "text_decontaminate",
+    "h16_part_supplier_variety",
+    "z_latency_percentiles",
+    "o1_latest_traces",
+    "text_encode_ids",
+    "emb_dup_pairs",
+    "h14_promo_revenue",
+    "s8_get_dependencies",
+    "text_langid_ngram",
+    "ann_ivf_recall",
+    "h10_returned_item_report",
+    "z_trace_depth",
+    "text_pack_sequences",
+    "ev_asof_attribution",
+    "h3_shipping_priority",
+    "a4_span_names",
+    "text_mixture_weights",
+    "emb_quantize_int8",
+    "h18_large_volume_customers",
+    "s7_service_names",
+    "text_trigram_search",
+    "w_rolling_revenue",
+    "h13_customer_distribution",
+    "a9_union_service_names",
+    "text_boilerplate",
+    "dedup_simhash",
+    "h15_top_supplier",
+    "f6_json_roundtrip",
+    "ev_cohort_retention",
+    "text_quality",
+    "h22_sales_opportunity",
+    "p4_find_traces_tags",
+    "text_chunking",
+]
+
+
+def _headline_order(timings: dict[str, float]) -> list[str]:
+    named = [n for n in _HEADLINE if n in timings]
+    rest = [n for n in timings if n not in set(named)]
+    return named + rest
+
+
+def _line(total: float, queries: dict[str, float], sf, n: int) -> str:
+    return json.dumps(
+        {
+            "metric": "total_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "n_queries": n,
+            "detail": "BENCH_DETAIL.json",
+        },
+        separators=(",", ":"),
     )
 
 

@@ -26,7 +26,11 @@ def hostile_session(spark):
 
 def test_load_events_on_misconfigured_session(hostile_session, sf_dir):
     df = load_table(hostile_session, sf_dir, "events")
-    assert dict(df.dtypes)["ts"] == "bigint"
+    # Driver testdata has shipped ts as TIMESTAMP(NANOS) (surfaces as
+    # bigint nanos under the legacy conf) and as timestamp[us] (surfaces
+    # as timestamp_ntz); to_epoch_micros handles both, load_table must
+    # read both.
+    assert dict(df.dtypes)["ts"] in ("bigint", "timestamp_ntz", "timestamp")
     assert df.limit(1).count() == 1
     assert hostile_session.conf.get("spark.sql.session.timeZone") == "UTC"
 

@@ -46,6 +46,19 @@ def code_fingerprint(mods: Iterable[ModuleType]) -> str:
     return _FP_CACHE[files]
 
 
+def _dir_stamp(sf_dir: str) -> str:
+    """Identity of a testdata dir: its abspath plus each file's size+mtime."""
+    root = os.path.abspath(sf_dir)
+    parts = [root]
+    try:
+        for name in sorted(os.listdir(root)):
+            st = os.stat(os.path.join(root, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        pass
+    return "|".join(parts)
+
+
 def materialized(
     spark: SparkSession,
     sf_dir: str,
@@ -58,8 +71,11 @@ def materialized(
 
     Layout is ``<root>/<sf-tag>/<table>-<fingerprint>``; stale fingerprints
     of the SAME table are pruned on build (per-table, so unrelated cached
-    tables with their own fingerprints are untouched)."""
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    tables with their own fingerprints are untouched).  The sf tag folds in
+    every source file's (name, size, mtime), so a regenerated testdata dir
+    (same path, new bytes — it happened between rounds 2 and 3) lands in a
+    fresh tag dir instead of serving stale derived tables."""
+    tag = hashlib.md5(_dir_stamp(sf_dir).encode()).hexdigest()[:10]
     tag_dir = os.path.join(CACHE_ROOT, tag)
     path = os.path.join(tag_dir, f"{table}-{fingerprint}")
     success = os.path.join(path, "_SUCCESS")
