@@ -26,15 +26,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Deliberately ordered: the correctness harness walks this dict in insertion
 # order and has a finite budget (rounds 1 and 2 each recorded exactly the
-# first 50 entries).  Zipkin-core entries (the SURVEY section-2 parity gate)
-# come first with their few expensive members pushed to the block's tail;
-# the next slots are a hand-picked cross-family sample (dedup, TPC-H, text,
-# ANN, multimodal, events, embeddings, composed pipeline) so a 50-row cutoff
-# still yields driver-green rows for EVERY operator family; remaining
-# entries alternate pipeline/analytics.
-_ZIPKIN_EXPENSIVE = ("z_trace_depth", "f5_proto_roundtrip")
-
-_FAMILY_SAMPLE = (
+# first 50 entries).  _FIRST50 pins the budgeted prefix explicitly: the
+# zipkin-core block (the SURVEY section-2 parity gate, cheap members first)
+# followed by a hand-picked cross-family sample (dedup, TPC-H, text, ANN,
+# multimodal, events, embeddings, composed pipeline) so a 50-row cutoff
+# still yields driver-green rows for EVERY operator family.  Queries added
+# later always land AFTER this prefix, interleaved pipeline/analytics, so
+# new work can never displace the budgeted coverage.
+_FIRST50 = (
+    # zipkin core (SURVEY section-2 ids)
+    "a2_trace_summaries",
+    "j1_a8_dependency_links",
+    "j1_links_tree",
+    "a7_dependency_windows",
+    "a4_span_names",
+    "a5_remote_service_names",
+    "a6_autocomplete_tags",
+    "s7_service_names",
+    "p4_find_traces",
+    "s9_get_trace",
+    "o1_latest_traces",
+    "s8_get_dependencies",
+    "s9_span_names_lookup",
+    "s9_autocomplete_values",
+    "p4_find_traces_annotation",
+    "p4_find_traces_tags",
+    "p4_find_traces_duration",
+    "f2_normalize_ids",
+    "o5_trace_many",
+    "w25_latest_span_per_service",
+    "s9_remote_service_lookup",
+    "a9_union_service_names",
+    "z_duration_histogram",
+    "z_service_error_rate",
+    "f6_json_roundtrip",
+    "f7_link_json_roundtrip",
+    "z_latency_percentiles",
+    "z_salted_service_counts",
+    "z_sketch_service_traces",
+    "z_trace_depth",
+    "f5_proto_roundtrip",
+    # cross-family sample
     "dedup_exact",
     "h1_pricing_summary",
     "text_token_stats",
@@ -58,21 +90,19 @@ _FAMILY_SAMPLE = (
 
 
 def _ordered(parts: dict[str, dict]) -> dict:
-    zk = dict(parts["zipkin"])
-    tail = {k: zk.pop(k) for k in _ZIPKIN_EXPENSIVE if k in zk}
-    out = {**zk, **tail}
-    pipe = dict(parts["pipeline"])
-    ana = dict(parts["analytics"])
-    for name in _FAMILY_SAMPLE:
-        for fam in (pipe, ana):
-            if name in fam:
-                out[name] = fam.pop(name)
-    pipe_items = list(pipe.items())
-    ana_items = list(ana.items())
-    for i in range(max(len(pipe_items), len(ana_items))):
-        for fam in (pipe_items, ana_items):
+    merged = {
+        **parts["zipkin"],
+        **parts["pipeline"],
+        **parts["analytics"],
+    }
+    out = {name: merged.pop(name) for name in _FIRST50 if name in merged}
+    rest_zk = [k for k in parts["zipkin"] if k in merged]
+    rest_pipe = [k for k in parts["pipeline"] if k in merged]
+    rest_ana = [k for k in parts["analytics"] if k in merged]
+    for i in range(max(len(rest_zk), len(rest_pipe), len(rest_ana))):
+        for fam in (rest_zk, rest_pipe, rest_ana):
             if i < len(fam):
-                out[fam[i][0]] = fam[i][1]
+                out[fam[i]] = merged[fam[i]]
     return out
 
 
