@@ -179,6 +179,8 @@ _HEADLINE = [
     "ann_ivf_recall",
     "h10_returned_item_report",
     "z_trace_depth",
+    "z_critical_path",
+    "z_self_time",
     "text_pack_sequences",
     "ev_asof_attribution",
     "h3_shipping_priority",

@@ -392,3 +392,57 @@ def test_linker_shared_span_rpc_counts_once(spark):
         ("svc_front", "svc_back"): 1,
         ("svc_back", "svc_db"): 1,
     }
+
+
+def test_critical_path_branching_tree(spark):
+    """root(10) -> a(50) -> c(5); root -> b(20): critical path is
+    root+a+c = 65, not the span sum (85) nor root+b (30).  A second
+    root-only trace pins the single-span case, and an orphan span (parent
+    never ingested) is excluded like the recursive oracle excludes it."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        critical_paths,
+        span_path_costs,
+    )
+
+    rows = [
+        _span("t1", "r", 0, parent=None, dur=10),
+        _span("t1", "a", 1, parent="r", dur=50),
+        _span("t1", "b", 2, parent="r", dur=20),
+        _span("t1", "c", 3, parent="a", dur=5),
+        _span("t2", "x", 4, parent=None, dur=7),
+        _span("t3", "lost", 5, parent="nope", dur=99),
+    ]
+    spans = spark.createDataFrame(rows, SPANS_STREAM_SCHEMA)
+    costs = {
+        r["id"]: r["path_cost"]
+        for r in span_path_costs(spans).collect()
+    }
+    assert costs == {"r": 10, "a": 60, "b": 30, "c": 65, "x": 7}
+    crit = {
+        r["trace_id"]: (r["n_spans"], r["critical_path_us"])
+        for r in critical_paths(spans).collect()
+    }
+    assert crit == {"t1": (4, 65), "t2": (1, 7)}
+
+
+def test_self_time_subtracts_direct_children(spark):
+    """Self time charges each service only for time not spent in direct
+    callees; overlapping async children legitimately go negative."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        self_time_by_service,
+    )
+
+    rows = [
+        _span("t1", "r", 0, parent=None, svc="svc_a", dur=100),
+        _span("t1", "a", 1, parent="r", svc="svc_b", dur=30),
+        _span("t1", "b", 2, parent="r", svc="svc_b", dur=40),
+        _span("t1", "c", 3, parent="a", svc="svc_c", dur=60),
+    ]
+    out = {
+        r["local_service"]: (r["n_spans"], r["self_time_us"])
+        for r in self_time_by_service(
+            spark.createDataFrame(rows, SPANS_STREAM_SCHEMA)
+        ).collect()
+    }
+    # svc_a: 100 - (30+40) = 30; svc_b: (30-60) + 40 = 10; svc_c: 60
+    assert out == {"svc_a": (1, 30), "svc_b": (2, 10), "svc_c": (1, 60)}

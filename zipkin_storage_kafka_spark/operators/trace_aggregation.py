@@ -178,3 +178,124 @@ def depth_histogram(spans: DataFrame) -> DataFrame:
         .groupBy("depth")
         .agg(F.count(F.lit(1)).alias("n_spans"))
     )
+
+
+def span_path_costs(spans: DataFrame, max_sweeps: int = 20) -> DataFrame:
+    """Root-to-span path cost (sum of span durations along the ancestry,
+    endpoints inclusive) by the same pointer-doubling sweep as
+    ``span_depths`` — O(log max_depth) distributed joins.
+
+    State per span: (anc, dist, w) where ``w`` sums durations over the
+    half-open chain [self, anc) — each sweep composes two disjoint chain
+    segments, so ``w`` doubles its coverage per join.  The fixpoint test
+    rides on ``dist`` (strictly +1 per hop), never on ``w``: zero-duration
+    spans would make a w-based test stop early with ancestors short of the
+    root.  At the fixpoint every anc is its root; one final join fetches the
+    root's own duration to close the half-open sum.  Spans whose parent id
+    does not resolve (orphans) drop out of the sweep join — matching the
+    recursive-CTE oracle, which never reaches them from a root.
+
+    Downstream of the reference's in-memory span tree
+    (zipkin2.internal.SpanNode; built per trace at
+    KafkaStorageHttpService.java:86) — the per-trace pointer walk becomes a
+    log-round join at 100 TB.  Returns: trace_id, id, path_cost.
+    """
+    base = spans.select(
+        "trace_id",
+        "id",
+        "parent_id",
+        F.coalesce(F.col("duration"), F.lit(0)).cast("long").alias("dur"),
+    )
+    cur = base.select(
+        "trace_id",
+        "id",
+        F.coalesce("parent_id", "id").alias("anc"),
+        F.when(F.col("parent_id").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dist"),
+        F.when(F.col("parent_id").isNotNull(), F.col("dur"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("w"),
+    ).localCheckpoint(eager=False)
+    prev_sum = cur.agg(F.sum("dist")).collect()[0][0] or 0
+    for _ in range(max_sweeps):
+        look = cur.select(
+            F.col("id").alias("_aid"),
+            F.col("anc").alias("_anc2"),
+            F.col("dist").alias("_d2"),
+            F.col("w").alias("_w2"),
+        )
+        nxt = (
+            cur.join(look, F.col("anc") == F.col("_aid"))
+            .select(
+                "trace_id",
+                "id",
+                F.col("_anc2").alias("anc"),
+                (F.col("dist") + F.col("_d2")).alias("dist"),
+                (F.col("w") + F.col("_w2")).alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = nxt.agg(F.sum("dist")).collect()[0][0] or 0
+        cur = nxt
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    root_durs = base.select(
+        F.col("id").alias("_rid"), F.col("dur").alias("_rdur")
+    )
+    return cur.join(root_durs, F.col("anc") == F.col("_rid")).select(
+        "trace_id",
+        "id",
+        (F.col("w") + F.col("_rdur")).alias("path_cost"),
+    )
+
+
+def critical_paths(spans: DataFrame) -> DataFrame:
+    """Per-trace critical path: the max root-to-span duration sum — the
+    lower bound on trace wall time if every sibling ran fully parallel.
+    Columns: trace_id, n_spans, critical_path_us.
+    """
+    return (
+        span_path_costs(spans)
+        .groupBy("trace_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("path_cost").alias("critical_path_us"),
+        )
+    )
+
+
+def self_time_by_service(spans: DataFrame) -> DataFrame:
+    """Per-service self time: span duration minus the duration of its
+    direct children (time attributable to the span itself rather than its
+    callees — negative when children overlap their parent, which async
+    fan-out legitimately produces, so no clamping).  One children
+    aggregation + one left join, both keyed on the span id; at 100 TB both
+    shuffle on the same key and AQE plans them as a single exchange reuse.
+    Columns: local_service, n_spans, self_time_us.
+    """
+    base = spans.select(
+        "local_service",
+        "id",
+        "parent_id",
+        F.coalesce(F.col("duration"), F.lit(0)).cast("long").alias("dur"),
+    )
+    child_sums = (
+        base.filter(F.col("parent_id").isNotNull())
+        .groupBy("parent_id")
+        .agg(F.sum("dur").alias("child_dur"))
+        .select(F.col("parent_id").alias("_pid"), "child_dur")
+    )
+    return (
+        base.join(child_sums, F.col("id") == F.col("_pid"), "left")
+        .groupBy("local_service")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.col("dur") - F.coalesce(F.col("child_dur"), F.lit(0))
+            ).alias("self_time_us"),
+        )
+    )

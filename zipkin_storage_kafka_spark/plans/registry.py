@@ -543,6 +543,29 @@ def q_trace_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return depth_histogram(_spans(spark, sf_dir))
 
 
+def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trace critical path (max root-to-span duration sum) via the
+    pointer-doubling path-cost sweep; see
+    operators.trace_aggregation.span_path_costs.  The oracle accumulates
+    the same costs with a recursive CTE from the roots."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        critical_paths,
+    )
+
+    return critical_paths(_spans(spark, sf_dir))
+
+
+def q_self_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service self time (duration minus direct children's durations) —
+    children agg + left join on the span id; see
+    operators.trace_aggregation.self_time_by_service."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        self_time_by_service,
+    )
+
+    return self_time_by_service(_spans(spark, sf_dir))
+
+
 def zipkin_queries() -> dict[str, QueryFn]:
     return {
         "a2_trace_summaries": q_trace_summaries,
@@ -576,6 +599,8 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_salted_service_counts": q_salted_service_counts,
         "z_sketch_service_traces": q_sketch_service_traces,
         "z_trace_depth": q_trace_depth,
+        "z_critical_path": q_critical_path,
+        "z_self_time": q_self_time,
     }
 
 
@@ -883,6 +908,38 @@ def zipkin_oracles() -> dict[str, str]:
             SELECT depth, CAST(count(*) AS BIGINT) AS n_spans
             FROM rec GROUP BY depth
         """,
+        "z_critical_path": f"""
+            WITH RECURSIVE {SPANS_ORACLE_CTE.strip()},
+            rec(trace_id, id, cost) AS (
+              SELECT trace_id, id, coalesce(duration, 0)
+              FROM spans WHERE parent_id IS NULL
+              UNION ALL
+              SELECT s.trace_id, s.id, r.cost + coalesce(s.duration, 0)
+              FROM spans s JOIN rec r ON s.parent_id = r.id
+            )
+            SELECT trace_id, CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(max(cost) AS BIGINT) AS critical_path_us
+            FROM rec GROUP BY trace_id
+        """,
+        "z_self_time": with_spans_cte(
+            """
+            SELECT s.local_service,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(coalesce(s.duration, 0)
+                            - coalesce(c.child_dur, 0)) AS BIGINT)
+                     AS self_time_us
+            FROM spans s LEFT JOIN child c ON s.id = c.pid
+            GROUP BY s.local_service
+            """,
+            extra_ctes="""
+            child AS (
+              SELECT parent_id AS pid,
+                     sum(coalesce(duration, 0)) AS child_dur
+              FROM spans WHERE parent_id IS NOT NULL
+              GROUP BY parent_id
+            )
+            """,
+        ),
         "z_latency_percentiles": with_spans_cte(
             """
             SELECT local_service,
