@@ -168,6 +168,9 @@ _HEADLINE = [
     "ev_user_sessions",
     "mm_resize_meta",
     "text_decontaminate",
+    "dedup_fuzzy_decontaminate",
+    "text_pii_scrub",
+    "text_url_domains",
     "h16_part_supplier_variety",
     "z_latency_percentiles",
     "o1_latest_traces",

@@ -399,3 +399,47 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
             ),
         ).alias("member_ids"),
     )
+
+
+def fuzzy_decontaminate(docs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Near-dup train/eval contamination: exact-shingle decontamination
+    (text_analysis.decontaminate) misses lightly-edited benchmark leaks, so
+    this flags every val/test document that MinHash-LSH links to ANY train
+    document.  Reuses the corpus-wide candidate pairs (bucketed, never
+    all-pairs); the split label is a rowwise projection joined in by
+    doc_id.  At 100 TB the candidate set is the already-bounded LSH output
+    and both split joins shuffle on doc_id — no new quadratic stage.
+
+    Columns: doc_id (eval doc), split, n_train_neighbors, max_bands.
+    """
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        split_assignment,
+    )
+
+    assign = docs.select("doc_id", split_assignment().alias("split"))
+    a = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    paired = candidates.join(a, "doc_a").join(b, "doc_b")
+    hits = paired.filter(
+        (F.col("split_a") == "train") & (F.col("split_b") != "train")
+    ).select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("split_b").alias("split"),
+        "n_bands",
+    ).unionAll(
+        paired.filter(
+            (F.col("split_b") == "train") & (F.col("split_a") != "train")
+        ).select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("split_a").alias("split"),
+            "n_bands",
+        )
+    )
+    return hits.groupBy("doc_id", "split").agg(
+        F.count(F.lit(1)).alias("n_train_neighbors"),
+        F.max("n_bands").alias("max_bands"),
+    )

@@ -752,3 +752,105 @@ def trigram_search(
         .select("doc_id", F.instr("text", pattern).alias("pos"))
         .filter(F.col("pos") > 0)
     )
+
+
+# PII scrubbing ---------------------------------------------------------------
+
+# Patterns stay inside the Java-regex / RE2 common dialect so Spark and the
+# DuckDB oracle compile the same automaton: no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def _with_injected_pii(docs: DataFrame) -> F.Column:
+    """The synthetic corpus carries no PII, so the scrub testbed injects a
+    deterministic doc_id-derived email / IPv4 / phone into each document —
+    the operator's regex machinery then has non-trivial work whose outputs
+    the oracle reproduces exactly.  On real data, point ``pii_scrub`` at the
+    raw text column and drop the injection."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com from "),
+        F.lit("10.0."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        (d % 7).cast("string"),
+        F.lit(" call 555-"),
+        (F.lit(1000) + d % 1000).cast("string"),
+    )
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Per-document PII detection + redaction: count emails / IPv4s /
+    phone-shaped tokens, then redact them (emails first — an email body can
+    contain digit runs the later patterns would double-count).  All JVM
+    regex inside whole-stage codegen; one parquet scan, zero shuffle at any
+    scale.  Columns: doc_id, n_email, n_ip, n_phone, redacted_hash.
+    """
+    raw = _with_injected_pii(docs)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all(raw, F.lit(PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ip"),
+        F.size(F.regexp_extract_all(raw, F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phone"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+"
+
+
+def url_domain_stats(docs: DataFrame) -> DataFrame:
+    """Per-domain link stats over extracted URLs: inject two deterministic
+    doc_id-derived URLs per document (the synthetic corpus has none), pull
+    every scheme+host with one regex pass, explode, strip to the host, and
+    aggregate.  The explode fans out ~2 rows/doc before a partial-agg
+    shuffle on the (low-cardinality) domain — the classic
+    extract-then-count shape for crawl corpora.  Columns: domain, n_urls,
+    n_docs.
+    """
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"),
+        (d % 50).cast("string"),
+        F.lit(".example.org/page"),
+        d.cast("string"),
+        F.lit(" and http://cdn"),
+        (d % 7).cast("string"),
+        F.lit(".example.net/x"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(injected, F.lit(URL_PATTERN), F.lit(0))
+        ).alias("url"),
+    )
+    host = F.regexp_replace(F.col("url"), F.lit(r"^https?://"), F.lit(""))
+    return (
+        urls.select("doc_id", host.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )

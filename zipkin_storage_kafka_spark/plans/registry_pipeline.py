@@ -257,6 +257,20 @@ def q_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.regex_token_stats(_docs(spark, sf_dir))
 
 
+def q_dedup_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.fuzzy_decontaminate(
+        _docs(spark, sf_dir), _lsh_candidates(spark, sf_dir)
+    )
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.pii_scrub(_docs(spark, sf_dir))
+
+
+def q_text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.url_domain_stats(_docs(spark, sf_dir))
+
+
 def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.rolling_fingerprint(_docs(spark, sf_dir))
 
@@ -537,6 +551,9 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_length_buckets": q_text_length_buckets,
         "text_trigram_search": q_text_trigram_search,
         "emb_pq_encode": q_emb_pq_encode,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_url_domains": q_text_url_domains,
+        "dedup_fuzzy_decontaminate": q_dedup_fuzzy_decontaminate,
     }
 
 
@@ -1378,5 +1395,84 @@ def pipeline_oracles() -> dict[str, str]:
                    md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos))
                      AS ids_hash
             FROM enc GROUP BY doc_id
+        """,
+        "text_pii_scrub": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com from 10.0.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.'
+                       || CAST(doc_id % 7 AS VARCHAR) || ' call 555-'
+                       || CAST(1000 + doc_id % 1000 AS VARCHAR) AS raw
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(raw,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(raw,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b'))
+                     AS BIGINT) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(raw,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_hash
+            FROM injected
+        """,
+        "text_url_domains": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                     text || ' see https://site'
+                       || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example.org/page' || CAST(doc_id AS VARCHAR)
+                       || ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.net/x' AS raw
+              FROM documents
+            ),
+            urls AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(raw, 'https?://[A-Za-z0-9.-]+'))
+                       AS url
+              FROM injected
+            )
+            SELECT regexp_replace(url, '^https?://', '') AS domain,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM urls GROUP BY domain
+        """,
+        "dedup_fuzzy_decontaminate": f"""
+            WITH {_MINHASH_CTE},
+            spl AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                            IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                         THEN 'train'
+                       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                            IN ('c','d') THEN 'val'
+                       ELSE 'test'
+                     END AS split
+              FROM documents
+            ),
+            hits AS (
+              SELECT c.doc_b AS doc_id, sb.split, c.n_bands
+              FROM cand c
+              JOIN spl sa ON sa.doc_id = c.doc_a
+              JOIN spl sb ON sb.doc_id = c.doc_b
+              WHERE sa.split = 'train' AND sb.split <> 'train'
+              UNION ALL
+              SELECT c.doc_a AS doc_id, sa.split, c.n_bands
+              FROM cand c
+              JOIN spl sa ON sa.doc_id = c.doc_a
+              JOIN spl sb ON sb.doc_id = c.doc_b
+              WHERE sb.split = 'train' AND sa.split <> 'train'
+            )
+            SELECT doc_id, split,
+                   CAST(count(*) AS BIGINT) AS n_train_neighbors,
+                   CAST(max(n_bands) AS BIGINT) AS max_bands
+            FROM hits GROUP BY doc_id, split
         """,
     }
