@@ -171,6 +171,8 @@ _HEADLINE = [
     "dedup_fuzzy_decontaminate",
     "text_pii_scrub",
     "text_url_domains",
+    "text_bm25_topk",
+    "ev_zorder_layout",
     "h16_part_supplier_variety",
     "z_latency_percentiles",
     "o1_latest_traces",

@@ -1013,3 +1013,45 @@ def late_shipment_priority(
             F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_line_count"),
         )
     )
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (minute-bucket, user_id) for the
+    events table, with per-zbucket occupancy stats — the write-layout
+    computation for multi-dimensional data skipping: sorting 100 TB of
+    events by this key before writing parquet co-locates rows that are
+    close in BOTH time and user, so range filters on either dimension prune
+    row groups (the same reason Delta/Iceberg expose ZORDER BY).
+
+    The 32-bit key interleaves the low 16 bits of each dimension using only
+    div/mod/mul/add — no engine bit operators, so the DuckDB oracle computes
+    bit-identical keys.  The expression unrolls to 16 terms per dimension,
+    all inside one whole-stage-codegen projection; the only shuffle is the
+    256-bucket stats aggregation.
+
+    Columns: zbucket, n_events, n_users, min_z, max_z.
+    """
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select("user_id", to_epoch_micros(raw, "ts").alias("ts_us"))
+    # `div` is exact long division (the float `/`-then-cast could round a
+    # ~1.7e15 / 6e7 quotient the other way than DuckDB's integer `//`);
+    # the later power-of-two divisions are exact in binary floating point.
+    x = F.expr("ts_us div 60000000") % 65536
+    y = F.col("user_id") % 65536
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        xbit = (x / F.lit(1 << i)).cast("long") % 2
+        ybit = (y / F.lit(1 << i)).cast("long") % 2
+        z = z + xbit * F.lit(1 << (2 * i)) + ybit * F.lit(1 << (2 * i + 1))
+    keyed = ev.select(F.col("user_id"), z.alias("zkey"))
+    return (
+        keyed.groupBy(
+            (F.col("zkey") / F.lit(1 << 24)).cast("long").alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("zkey").alias("min_z"),
+            F.max("zkey").alias("max_z"),
+        )
+    )

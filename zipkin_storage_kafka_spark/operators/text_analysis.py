@@ -854,3 +854,86 @@ def url_domain_stats(docs: DataFrame) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+
+
+# BM25 ------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("table", "spark", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term set, top-``k``
+    — the retrieval scorer for corpus search / quality-by-query audits.
+
+    Shape: the token explode is filtered to the |terms| query terms BEFORE
+    the (doc_id, term) partial-agg shuffle, so shuffle volume is bounded by
+    matches, not corpus tokens; doc frequency (|terms| rows), avgdl, and N
+    are broadcast scalars.  Determinism: each per-term score is rounded to
+    integer MICRO-points before the per-doc sum — integer sums are exact
+    under any aggregation order, so the engine and the oracle rank
+    identically (a float sum's order-dependent ulp could flip top-k
+    boundaries).  Output: doc_id, n_terms, score_micro, rank.
+    """
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.array_contains(term_arr, F.col("word")))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_term = (
+        F.col("tf")
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tf_term * F.lit(1_000_000), 0)
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("micro").alias("score_micro"),
+    )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k +
+    # k-row driver merge); the rank window then only ever sees k rows —
+    # never a full global sort.
+    top = scored.orderBy(F.col("score_micro").desc(), F.col("doc_id")).limit(
+        k
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_terms", "score_micro", "rank"
+    )

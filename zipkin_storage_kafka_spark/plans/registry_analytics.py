@@ -149,6 +149,10 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.late_shipment_priority(spark, sf_dir)
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.zorder_layout_stats(spark, sf_dir)
+
+
 def analytics_queries() -> dict[str, QueryFn]:
     return {
         "h1_pricing_summary": q_pricing_summary,
@@ -178,7 +182,17 @@ def analytics_queries() -> dict[str, QueryFn]:
         "w_rolling_revenue": q_rolling_revenue,
         "w_customer_deciles": q_customer_deciles,
         "h12_late_shipment_priority": q_late_shipment_priority,
+        "ev_zorder_layout": q_zorder_layout,
     }
+
+
+# Morton interleave of 16-bit (x, y) as pure div/mod/mul/add — identical
+# arithmetic to operators.analytics.zorder_layout_stats.
+_ZORDER_SQL = " + ".join(
+    f"((x // {1 << i}) % 2) * {1 << (2 * i)}"
+    f" + ((y // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+    for i in range(16)
+)
 
 
 def analytics_oracles() -> dict[str, str]:
@@ -565,5 +579,20 @@ def analytics_oracles() -> dict[str, str]:
                    CAST(sum(n_orders) AS BIGINT) AS n_orders,
                    {_r4("CAST(sum(spend) AS DOUBLE)")} AS total_spend
             FROM tiled GROUP BY decile
+        """,
+        "ev_zorder_layout": f"""
+            WITH ev AS (
+              SELECT user_id,
+                     (epoch_us(ts) // 60000000) % 65536 AS x,
+                     user_id % 65536 AS y
+              FROM events
+            ),
+            k AS (SELECT user_id, {_ZORDER_SQL} AS zkey FROM ev)
+            SELECT zkey // 16777216 AS zbucket,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(min(zkey) AS BIGINT) AS min_z,
+                   CAST(max(zkey) AS BIGINT) AS max_z
+            FROM k GROUP BY zbucket
         """,
     }

@@ -257,6 +257,10 @@ def q_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.regex_token_stats(_docs(spark, sf_dir))
 
 
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.bm25_topk(_docs(spark, sf_dir))
+
+
 def q_dedup_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.fuzzy_decontaminate(
         _docs(spark, sf_dir), _lsh_candidates(spark, sf_dir)
@@ -554,6 +558,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_url_domains": q_text_url_domains,
         "dedup_fuzzy_decontaminate": q_dedup_fuzzy_decontaminate,
+        "text_bm25_topk": q_text_bm25,
     }
 
 
@@ -1474,5 +1479,51 @@ def pipeline_oracles() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_train_neighbors,
                    CAST(max(n_bands) AS BIGINT) AS max_bands
             FROM hits GROUP BY doc_id, split
+        """,
+        "text_bm25_topk": """
+            WITH m AS (
+              SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              WHERE word IN ('table', 'spark', 'join')
+              GROUP BY doc_id, word
+            ),
+            dl AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+              FROM documents
+            ),
+            st AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     avg(len(string_split(text, ' '))) AS avgdl
+              FROM documents
+            ),
+            dfq AS (
+              SELECT word, CAST(count(*) AS DOUBLE) AS df FROM m GROUP BY word
+            ),
+            per AS (
+              SELECT m.doc_id,
+                     CAST(round(
+                       ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * (m.tf * 2.2
+                          / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+                       * 1000000, 0) AS BIGINT) AS micro
+              FROM m
+              JOIN dfq ON dfq.word = m.word
+              JOIN dl ON dl.doc_id = m.doc_id
+              CROSS JOIN st
+            ),
+            sc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                     CAST(sum(micro) AS BIGINT) AS score_micro
+              FROM per GROUP BY doc_id
+            ),
+            ranked AS (
+              SELECT doc_id, n_terms, score_micro,
+                     row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                       AS rank
+              FROM sc
+            )
+            SELECT * FROM ranked WHERE rank <= 20
         """,
     }
