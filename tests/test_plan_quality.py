@@ -331,3 +331,58 @@ def test_sketch_is_partial_aggregated(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2
     assert "hashpartitioning(local_service" in plan
+
+
+def test_pii_scrub_is_shuffle_free_scan(spark, sf_dir):
+    """PII scrub is a pure projection: one parquet scan, zero exchanges,
+    and the regex pipeline inside whole-stage codegen."""
+    from zipkin_storage_kafka_spark.operators.text_analysis import pii_scrub
+
+    df = pii_scrub(load_table(spark, sf_dir, "documents"))
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert "*(" in _simple_plan(df)  # codegen stage star
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_bm25_topk_take_ordered_and_broadcast_df(spark, sf_dir):
+    """The global top-k must be TakeOrderedAndProject (never a full sort)
+    and the |terms|-row doc-frequency side must broadcast."""
+    from zipkin_storage_kafka_spark.operators.text_analysis import bm25_topk
+
+    plan = _plan(bm25_topk(load_table(spark, sf_dir, "documents")))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_zorder_key_single_aggregation_exchange(spark, sf_dir):
+    """The 32-term Morton projection must stay in one codegen stage; the
+    only exchanges are for the 256-bucket stats agg (hash + its partial
+    pair), never a pre-shuffle of raw events."""
+    from zipkin_storage_kafka_spark.operators.analytics import (
+        zorder_layout_stats,
+    )
+
+    import re
+
+    plan = _plan(zorder_layout_stats(spark, sf_dir))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    # one for the zbucket hash agg + one for the exact countDistinct
+    # two-phase expansion; anything more means a raw-events pre-shuffle
+    assert n_exchanges <= 2, plan
+
+
+def test_self_time_shuffles_once_per_side(spark, sf_dir):
+    """Children agg + left join both key on the span id: expect join-side
+    exchanges but no residual post-join shuffle beyond the final
+    per-service agg."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        self_time_by_service,
+    )
+    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+
+    plan = _plan(self_time_by_service(spans_from_events(spark, sf_dir)))
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
