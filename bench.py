@@ -186,6 +186,7 @@ _HEADLINE = [
     "z_trace_depth",
     "z_critical_path",
     "z_self_time",
+    "z_service_pagerank",
     "text_pack_sequences",
     "ev_asof_attribution",
     "h3_shipping_priority",

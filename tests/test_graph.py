@@ -76,3 +76,21 @@ def test_span_depths_deep_chain_log_sweeps(spark):
     )
     got = {r["id"]: r["depth"] for r in span_depths(spans, max_sweeps=8).collect()}
     assert got[f"n40"] == 40 and got["n0"] == 0 and len(got) == 41
+
+
+def test_service_pagerank_hand_computed(spark):
+    """A->B(1), A->C(3), B->C(1): three integer-exact power rounds, every
+    intermediate hand-checked (N=3, r0=333333, damping 850000/1e6)."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        service_pagerank,
+    )
+
+    links = spark.createDataFrame(
+        [("A", "B", 1), ("A", "C", 3), ("B", "C", 1)],
+        "parent string, child string, call_count long",
+    )
+    out = {
+        r["service"]: r["rank_micro"]
+        for r in service_pagerank(links).collect()
+    }
+    assert out == {"A": 50000, "B": 60625, "C": 133406}

@@ -218,3 +218,67 @@ def dependency_links_tree(spans: DataFrame) -> DataFrame:
         callee.unionByName(caller_links)
         .filter(F.col("parent").isNotNull() & F.col("child").isNotNull())
     )
+
+
+def service_pagerank(
+    links: DataFrame,
+    iterations: int = 3,
+    damping_micro: int = 850_000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Call-count-weighted PageRank over the service dependency graph — the
+    service-criticality ranking downstream consumers build on the
+    reference's dependency links (the graph zipkin-dependencies renders).
+
+    Fixed ``iterations`` power-method rounds in integer MICRO-points: every
+    step is bigint multiply / integer-divide / sum, so results are exact
+    under any aggregation order and the unrolled-CTE oracle reproduces them
+    bit-for-bit (a float formulation would drift with partial-sum order).
+    Dangling-node mass is dropped (simplified PageRank) — deterministic and
+    documented rather than renormalized.
+
+    Scale: the SERVICE graph is tiny relative to span volume (thousands of
+    nodes for millions of spans), so ranks and the node count stay
+    broadcast; each round is one broadcast join + one partial-agg shuffle
+    on the child key.  No driver collect anywhere — the node count rides
+    along as a broadcast 1-row aggregate.
+
+    Columns: service, rank_micro.
+    """
+    edges = links.select("parent", "child", "call_count")
+    nodes = (
+        edges.select(F.col("parent").alias("service"))
+        .union(edges.select(F.col("child").alias("service")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outc = edges.groupBy("parent").agg(F.sum("call_count").alias("oc"))
+    e = edges.join(F.broadcast(outc), "parent")
+    r = nodes.crossJoin(F.broadcast(n_df)).select(
+        "service", F.expr(f"{scale} div n").cast("long").alias("rank_micro")
+    )
+    for _ in range(iterations):
+        ranks = r.select(
+            F.col("service").alias("_p"), F.col("rank_micro").alias("_r")
+        )
+        contrib = e.join(
+            F.broadcast(ranks), F.col("parent") == F.col("_p")
+        ).select(
+            F.col("child").alias("service"),
+            F.expr("(_r * call_count) div oc").alias("c"),
+        )
+        inc = contrib.groupBy("service").agg(F.sum("c").alias("m"))
+        r = (
+            nodes.join(inc, "service", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "service",
+                (
+                    F.expr(f"({scale} - {damping_micro}) div n")
+                    + F.expr(f"({damping_micro} * coalesce(m, 0)) div {scale}")
+                )
+                .cast("long")
+                .alias("rank_micro"),
+            )
+        )
+    return r

@@ -543,6 +543,71 @@ def q_trace_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return depth_histogram(_spans(spark, sf_dir))
 
 
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled power-iteration CTE chain mirroring
+    operators.dependency_links.service_pagerank's integer micro-point
+    arithmetic exactly (same div/mul order, same damping constants)."""
+    iter_ctes = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        iter_ctes.append(
+            f"""r{i} AS (
+              SELECT nd.service,
+                     (1000000 - 850000) // nn.n
+                       + (850000 * coalesce(inc.m, 0)) // 1000000 AS r
+              FROM nodes nd CROSS JOIN nn
+              LEFT JOIN (
+                SELECT l.child AS service,
+                       sum(({prev}.r * l.call_count) // outc.oc) AS m
+                FROM ml l
+                JOIN {prev} ON {prev}.service = l.parent
+                JOIN outc ON outc.parent = l.parent
+                GROUP BY l.child
+              ) inc ON inc.service = nd.service
+            )"""
+        )
+        prev = f"r{i}"
+    extra = (
+        _LINKS_CTE.strip().rstrip(",")
+        + """,
+            ml AS (
+              SELECT parent, child, CAST(count(*) AS BIGINT) AS call_count
+              FROM links GROUP BY parent, child
+            ),
+            nodes AS (
+              SELECT DISTINCT service FROM (
+                SELECT parent AS service FROM ml
+                UNION ALL SELECT child FROM ml
+              )
+            ),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            outc AS (
+              SELECT parent, sum(call_count) AS oc FROM ml GROUP BY parent
+            ),
+            r0 AS (
+              SELECT nd.service, 1000000 // nn.n AS r
+              FROM nodes nd CROSS JOIN nn
+            ),
+            """
+        + ",\n            ".join(iter_ctes)
+    )
+    return with_spans_cte(
+        f"SELECT service, CAST({prev}.r AS BIGINT) AS rank_micro FROM {prev}",
+        extra_ctes=extra,
+    )
+
+
+def q_service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Call-count-weighted PageRank over merged dependency links (3
+    integer-exact power rounds); see
+    operators.dependency_links.service_pagerank."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        service_pagerank,
+    )
+
+    return service_pagerank(merge_links(links_table(spark, sf_dir)))
+
+
 def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-trace critical path (max root-to-span duration sum) via the
     pointer-doubling path-cost sweep; see
@@ -601,6 +666,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_trace_depth": q_trace_depth,
         "z_critical_path": q_critical_path,
         "z_self_time": q_self_time,
+        "z_service_pagerank": q_service_pagerank,
     }
 
 
@@ -921,6 +987,7 @@ def zipkin_oracles() -> dict[str, str]:
                    CAST(max(cost) AS BIGINT) AS critical_path_us
             FROM rec GROUP BY trace_id
         """,
+        "z_service_pagerank": _pagerank_oracle(),
         "z_self_time": with_spans_cte(
             """
             SELECT s.local_service,
