@@ -179,3 +179,43 @@ def test_compaction_rewrites_only_oversplit_partitions(spark, sf_dir, tmp_path):
     assert after.agg(F.sum("duration")).first()[0] == sum_before
     # idempotent: nothing left to compact
     assert compact_partitions(spark, out, "traces_frag") == []
+
+
+def test_bucketed_spans_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Both sides of the J1 self-join read the trace_id-bucketed table:
+    HashPartitioning(trace_id) satisfies the (trace_id, parent_id=id)
+    clustered distribution, so the sort-merge join must plan with ZERO
+    Exchange — the write layout absorbs the pipeline's largest shuffle."""
+    import io
+    from contextlib import redirect_stdout
+
+    from zipkin_storage_kafka_spark.operators import dependency_links
+    from zipkin_storage_kafka_spark.plans.materialize import (
+        materialize_bucketed_spans,
+    )
+    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+
+    table = materialize_bucketed_spans(
+        spark,
+        spans_from_events(spark, sf_dir),
+        str(tmp_path / "spans_bucketed"),
+        table="test_spans_bucketed",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try:
+        links = dependency_links(spark.table(table))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            links.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set(
+            "spark.sql.requireAllClusterKeysForCoPartition", "true"
+        )
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert links.count() > 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -117,6 +117,37 @@ def materialize_bucketed_traces(
     return table
 
 
+def materialize_bucketed_spans(
+    spark: SparkSession,
+    spans: DataFrame,
+    path: str,
+    table: str = "zipkin_spans_bucketed",
+    n_buckets: int = 16,
+) -> str:
+    """Spans bucketed by trace_id — the co-location layout that makes the
+    J1 dependency self-join SHUFFLE-FREE: both join sides read the same
+    bucketed table, so HashPartitioning(trace_id) already satisfies the
+    join's clustered distribution on (trace_id, parent_id=id) (the bucket
+    column is a subset of the join keys) and the sort-merge join plans with
+    zero Exchange — at 100 TB the whole link-extraction shuffle (the
+    largest in the zipkin pipeline) disappears into the write layout.
+    Subset-key co-partitioning needs
+    ``spark.sql.requireAllClusterKeysForCoPartition=false`` (public Spark
+    conf; the default insists the bucket keys equal the full join key set).
+    Pinned by ``test_materialize.py::test_bucketed_spans_join_no_shuffle``.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        spans.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, "trace_id")
+        .sortBy("trace_id")
+        .saveAsTable(table)
+    )
+    return table
+
+
 def lookup_trace_bucketed(
     spark: SparkSession, table: str, trace_id: str
 ) -> DataFrame:
