@@ -162,6 +162,7 @@ _HEADLINE = [
     "h5_nation_revenue",
     "dedup_exact",
     "text_bpe_pairs",
+    "text_bpe_train",
     "emb_pq_encode",
     "j1_a8_dependency_links",
     "w_customer_deciles",

@@ -446,3 +446,30 @@ def test_self_time_subtracts_direct_children(spark):
     }
     # svc_a: 100 - (30+40) = 30; svc_b: (30-60) + 40 = 10; svc_c: 60
     assert out == {"svc_a": (1, 30), "svc_b": (2, 10), "svc_c": (1, 60)}
+
+
+def test_bpe_train_rounds_hand_computed(spark):
+    """Corpus 'aaab aaab ab': round 1 merges 'a a' (count 4), round 2
+    'a b' (3), round 3 'aa ab' (2); symbol totals shrink 8 -> 5 -> 3.
+    Exercises the doubled-space replace on back-to-back pair occurrences
+    ('a a a' merges greedily left-to-right into [aa, a])."""
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        bpe_train_rounds,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab ab")], "doc_id long, text string"
+    )
+    rows = {
+        r["round"]: (
+            r["merged_pair"],
+            r["pair_count"],
+            r["corpus_symbols_after"],
+        )
+        for r in bpe_train_rounds(docs).collect()
+    }
+    assert rows == {
+        1: ("a a", 4, 8),
+        2: ("a b", 3, 5),
+        3: ("aa ab", 2, 3),
+    }

@@ -937,3 +937,93 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "n_terms", "score_micro", "rank"
     )
+
+
+# Iterative BPE training ------------------------------------------------------
+
+
+def bpe_train_rounds(docs: DataFrame, rounds: int = 3) -> DataFrame:
+    """``rounds`` full BPE merge rounds over the corpus vocabulary (learn
+    the top pair, apply the merge, repeat) — the iterative core of
+    tokenizer training, not just one count pass
+    (:func:`bpe_pair_counts`).
+
+    Dictionary formulation: state is one row per DISTINCT word with its
+    corpus count; symbol sequences are space-joined with DOUBLED
+    separators (`' a  b  c '`), which makes a literal ``replace`` of
+    ``' s1  s2 '`` with ``' s1s2 '`` reproduce BPE's greedy non-overlapping
+    left-to-right merge exactly (each match consumes one of the two
+    boundary spaces, so back-to-back occurrences still match) — identical
+    semantics in Spark and DuckDB, so the unrolled-CTE oracle hash-matches.
+
+    Scale: state is the vocabulary (distinct words), orders of magnitude
+    smaller than the corpus; the chosen pair is a broadcast 1-row relation;
+    each round is one explode + partial-agg shuffle over vocab rows.  The
+    driver never sees data (no collect) — rounds chain as pure plans with
+    lineage truncated per round.
+
+    Output: one row per round — round, merged_pair, pair_count,
+    corpus_symbols_after.
+    """
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    state = words.select(
+        "cnt",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split(F.col("word"), ""), "  "),
+            F.lit(" "),
+        ).alias("w2"),
+    ).localCheckpoint(eager=False)
+    out = None
+    for rnd in range(1, rounds + 1):
+        syms = F.split(F.trim(F.col("w2")), "  ")
+        pairs = state.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+                    F.slice(
+                        syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))
+                    ),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair"),
+        )
+        pc = pairs.groupBy("pair").agg(F.sum("cnt").alias("pair_count"))
+        best = pc.orderBy(F.col("pair_count").desc(), F.col("pair")).limit(1)
+        merged = state.crossJoin(F.broadcast(best)).select(
+            "cnt",
+            "pair",
+            "pair_count",
+            F.replace(
+                F.col("w2"),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+                    F.lit(" "),
+                ),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                    F.lit(" "),
+                ),
+            ).alias("w2"),
+        ).localCheckpoint(eager=False)
+        row = merged.groupBy("pair", "pair_count").agg(
+            F.sum(
+                F.col("cnt") * F.size(F.split(F.trim(F.col("w2")), "  "))
+            ).alias("corpus_symbols_after")
+        ).select(
+            F.lit(rnd).alias("round"),
+            F.col("pair").alias("merged_pair"),
+            "pair_count",
+            "corpus_symbols_after",
+        )
+        out = row if out is None else out.unionAll(row)
+        state = merged.select("cnt", "w2")
+    return out

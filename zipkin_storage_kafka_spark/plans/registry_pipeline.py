@@ -261,6 +261,71 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bm25_topk(_docs(spark, sf_dir))
 
 
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.bpe_train_rounds(_docs(spark, sf_dir))
+
+
+def _bpe_train_oracle(rounds: int = 3) -> str:
+    """Unrolled BPE merge rounds mirroring
+    operators.text_analysis.bpe_train_rounds (doubled-space symbol strings,
+    literal replace, same (count desc, pair asc) tie-break)."""
+    ctes = [
+        """words AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          WHERE length(word) > 0 GROUP BY word
+        )""",
+        """s0 AS (
+          SELECT cnt,
+                 ' ' || array_to_string(
+                   list_transform(range(1, length(word) + 1),
+                                  i -> word[i]), '  ') || ' ' AS w2
+          FROM words
+        )""",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""p{k} AS (
+          SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+          FROM (
+            SELECT cnt,
+                   unnest(list_transform(range(1, len(sym)),
+                          i -> sym[i] || ' ' || sym[i + 1])) AS pair
+            FROM (SELECT cnt, string_split(trim(w2), '  ') AS sym
+                  FROM s{k - 1})
+          ) GROUP BY pair
+        )"""
+        )
+        ctes.append(
+            f"""b{k} AS (
+          SELECT pair, pair_count FROM p{k}
+          ORDER BY pair_count DESC, pair LIMIT 1
+        )"""
+        )
+        ctes.append(
+            f"""s{k} AS (
+          SELECT s.cnt, b.pair, b.pair_count,
+                 replace(s.w2, ' ' || replace(b.pair, ' ', '  ') || ' ',
+                         ' ' || replace(b.pair, ' ', '') || ' ') AS w2
+          FROM s{k - 1} s CROSS JOIN b{k} b
+        )"""
+        )
+        ctes.append(
+            f"""o{k} AS (
+          SELECT CAST({k} AS INT) AS round, pair AS merged_pair,
+                 pair_count,
+                 CAST(sum(cnt * len(string_split(trim(w2), '  ')))
+                   AS BIGINT) AS corpus_symbols_after
+          FROM s{k} GROUP BY pair, pair_count
+        )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM o{k}" for k in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n        ".join(ctes) + "\n        " + union
+
+
 def q_dedup_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.fuzzy_decontaminate(
         _docs(spark, sf_dir), _lsh_candidates(spark, sf_dir)
@@ -559,6 +624,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_url_domains": q_text_url_domains,
         "dedup_fuzzy_decontaminate": q_dedup_fuzzy_decontaminate,
         "text_bm25_topk": q_text_bm25,
+        "text_bpe_train": q_text_bpe_train,
     }
 
 
@@ -1526,4 +1592,5 @@ def pipeline_oracles() -> dict[str, str]:
             )
             SELECT * FROM ranked WHERE rank <= 20
         """,
+        "text_bpe_train": _bpe_train_oracle(),
     }
