@@ -166,3 +166,67 @@ def test_minhash_rowwise_equals_grouped(spark, sf_dir):
     rowwise = dd.minhash_buckets_rowwise(docs)
     assert grouped.exceptAll(rowwise).count() == 0
     assert rowwise.exceptAll(grouped).count() == 0
+
+
+def test_critical_path_equals_chain_sum_on_derived_spans(spark, sf_dir):
+    """The event-derived span forest is a per-trace CHAIN, so the critical
+    path must equal the trace's total duration sum exactly — an invariant
+    over every trace at once."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        critical_paths,
+    )
+    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+
+    spans = spans_from_events(spark, sf_dir)
+    sums = spans.groupBy("trace_id").agg(
+        F.sum(F.coalesce("duration", F.lit(0))).alias("dur_sum")
+    )
+    joined = critical_paths(spans).join(sums, "trace_id")
+    mismatches = joined.filter(
+        F.col("critical_path_us") != F.col("dur_sum")
+    ).count()
+    assert mismatches == 0
+    assert joined.count() > 0
+
+
+def test_self_time_conserves_to_root_durations(spark, sf_dir):
+    """Global conservation: summing self time over all services must equal
+    the sum of ROOT span durations (every child's duration is subtracted
+    from its parent exactly once in a forest where every non-root's parent
+    exists)."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        self_time_by_service,
+    )
+    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+
+    spans = spans_from_events(spark, sf_dir)
+    total_self = (
+        self_time_by_service(spans).agg(F.sum("self_time_us")).collect()[0][0]
+    )
+    root_dur = (
+        spans.filter(F.col("parent_id").isNull())
+        .agg(F.sum(F.coalesce("duration", F.lit(0))))
+        .collect()[0][0]
+    )
+    assert total_self == root_dur
+
+
+def test_pagerank_mass_bounds(spark, sf_dir):
+    """Total rank mass never exceeds the scale (dangling mass only leaks
+    out) and never drops below the undamped floor N * ((1-d)/N)."""
+    from zipkin_storage_kafka_spark.operators import (
+        dependency_links as dl_rows,
+    )
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        merge_links,
+        service_pagerank,
+    )
+    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+
+    links = merge_links(dl_rows(spans_from_events(spark, sf_dir)))
+    ranks = service_pagerank(links)
+    n = ranks.count()
+    total = ranks.agg(F.sum("rank_micro")).collect()[0][0]
+    assert n > 0
+    assert total <= 1_000_000
+    assert total >= n * ((1_000_000 - 850_000) // n)
