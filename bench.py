@@ -190,6 +190,7 @@ _HEADLINE = [
     "z_service_pagerank",
     "text_pack_sequences",
     "ev_asof_attribution",
+    "ev_time_weighted_value",
     "h3_shipping_priority",
     "a4_span_names",
     "text_mixture_weights",

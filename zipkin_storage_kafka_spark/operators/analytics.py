@@ -1055,3 +1055,42 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zkey").alias("max_z"),
         )
     )
+
+
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event ``value`` stream — the
+    observability-metrics integral (a gauge sampled at irregular points,
+    weighted by how long each sample was current; step interpolation).
+
+    Each value is held from its event until the user's next event; the
+    last event carries no weight (no known horizon).  Weights are exact:
+    value is scaled to integer millis and multiplied by the exact micro
+    gap, so the weighted sum is a bigint under any aggregation order; only
+    the final single division is floating point (identical in both
+    engines, rounded to 4 decimals).
+
+    Single-shuffle shape: the lead window and the groupBy share the
+    user_id partitioning, so the exchange is reused (same plan family as
+    gap sessionization).  Columns: user_id, n_intervals, total_dt_us,
+    weighted_sum, twa_value.
+    """
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id",
+        "event_id",
+        to_epoch_micros(raw, "ts").alias("ts_us"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("value_milli"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    stepped = ev.withColumn(
+        "dt_us", F.lead("ts_us").over(w) - F.col("ts_us")
+    ).filter(F.col("dt_us").isNotNull())
+    return stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").alias("total_dt_us"),
+        F.sum(F.col("value_milli") * F.col("dt_us")).alias("weighted_sum"),
+        round4(
+            F.sum(F.col("value_milli") * F.col("dt_us"))
+            / (F.lit(1000.0) * F.sum("dt_us"))
+        ).alias("twa_value"),
+    )

@@ -153,6 +153,10 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.zorder_layout_stats(spark, sf_dir)
 
 
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.time_weighted_value(spark, sf_dir)
+
+
 def analytics_queries() -> dict[str, QueryFn]:
     return {
         "h1_pricing_summary": q_pricing_summary,
@@ -183,6 +187,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "w_customer_deciles": q_customer_deciles,
         "h12_late_shipment_priority": q_late_shipment_priority,
         "ev_zorder_layout": q_zorder_layout,
+        "ev_time_weighted_value": q_time_weighted_value,
     }
 
 
@@ -594,5 +599,25 @@ def analytics_oracles() -> dict[str, str]:
                    CAST(min(zkey) AS BIGINT) AS min_z,
                    CAST(max(zkey) AS BIGINT) AS max_z
             FROM k GROUP BY zbucket
+        """,
+        "ev_time_weighted_value": f"""
+            WITH ev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     CAST(round(value * 1000, 0) AS BIGINT) AS value_milli
+              FROM events
+            ),
+            stepped AS (
+              SELECT user_id, value_milli,
+                     lead(ts_us) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id) - ts_us
+                       AS dt_us
+              FROM ev
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+                   CAST(sum(dt_us) AS BIGINT) AS total_dt_us,
+                   CAST(sum(value_milli * dt_us) AS BIGINT) AS weighted_sum,
+                   {_r4("CAST(sum(value_milli * dt_us) AS DOUBLE)"
+                        " / (1000.0 * sum(dt_us))")} AS twa_value
+            FROM stepped WHERE dt_us IS NOT NULL GROUP BY user_id
         """,
     }
