@@ -179,6 +179,7 @@ _HEADLINE = [
     "o1_latest_traces",
     "text_encode_ids",
     "emb_dup_pairs",
+    "emb_rp_simhash",
     "h14_promo_revenue",
     "s8_get_dependencies",
     "text_langid_ngram",

@@ -533,3 +533,65 @@ def pq_encode(
         .filter(F.col("_rn") == 1)
         .select("vec_id", "m", "code", "d2")
     )
+
+
+# Random-projection SimHash ---------------------------------------------------
+
+RP_BITS = 16
+RP_DIMS = 64
+
+
+def rp_weights(bits: int = RP_BITS, dims: int = RP_DIMS) -> list[list[int]]:
+    """Deterministic +-1 projection matrix seeded from md5(bit_dim) — the
+    engine and the SQL-oracle generator bake the SAME constants, so both
+    engines compute identical signatures (a true random matrix would need
+    out-of-band state)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{b}_{d}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for d in range(dims)
+        ]
+        for b in range(bits)
+    ]
+
+
+def rp_simhash_stats(emb: DataFrame, bits: int = RP_BITS) -> DataFrame:
+    """SimHash signatures for embeddings via random projection: bit b is
+    the sign of the +-1-weighted sum over dimensions; vectors with small
+    angles collide in most bits (the hyperplane-LSH property), making the
+    signature a Hamming-space key for near-dup blocking — a finer
+    alternative to the raw leading-sign buckets of :func:`ann_topk_lsh`.
+
+    Exactness: dimensions are quantized to integer micro-units first, so
+    each bit's weighted sum is pure bigint arithmetic (no float summation
+    order anywhere).  The whole 16x64-term projection is one codegen'd
+    rowwise projection — zero shuffle before the signature agg.
+
+    Columns: signature, n_vecs, n_labels, min_vec_id.
+    """
+    q = F.expr(
+        "transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+    )
+    df = emb.select("vec_id", "label", q.alias("q"))
+    sig = None
+    for b, ws in enumerate(rp_weights(bits)):
+        terms = " + ".join(
+            f"(element_at(q, {d + 1}) * {w})" for d, w in enumerate(ws)
+        )
+        bit = F.expr(f"CASE WHEN ({terms}) >= 0 THEN 1 ELSE 0 END")
+        contrib = bit * F.lit(1 << b)
+        sig = contrib if sig is None else sig + contrib
+    return (
+        df.select("vec_id", "label", sig.cast("long").alias("signature"))
+        .groupBy("signature")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )

@@ -265,6 +265,41 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bpe_train_rounds(_docs(spark, sf_dir))
 
 
+def q_emb_rp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.rp_simhash_stats(_emb(spark, sf_dir))
+
+
+def _rp_simhash_oracle() -> str:
+    """SQL twin of similarity.rp_simhash_stats, baking the same md5-seeded
+    +-1 weights (1-based array indexing in DuckDB matches element_at)."""
+    from zipkin_storage_kafka_spark.operators.similarity import rp_weights
+
+    bit_terms = []
+    for b, ws in enumerate(rp_weights()):
+        s = " + ".join(
+            f"(q[{d + 1}] * {w})" for d, w in enumerate(ws)
+        )
+        bit_terms.append(
+            f"(CASE WHEN ({s}) >= 0 THEN 1 ELSE 0 END) * {1 << b}"
+        )
+    sig = " + ".join(bit_terms)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0)
+                        AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        sigs AS (SELECT vec_id, label, CAST({sig} AS BIGINT) AS signature
+                 FROM e)
+        SELECT signature, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+               CAST(min(vec_id) AS BIGINT) AS min_vec_id
+        FROM sigs GROUP BY signature
+    """
+
+
 def _bpe_train_oracle(rounds: int = 3) -> str:
     """Unrolled BPE merge rounds mirroring
     operators.text_analysis.bpe_train_rounds (doubled-space symbol strings,
@@ -625,6 +660,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "dedup_fuzzy_decontaminate": q_dedup_fuzzy_decontaminate,
         "text_bm25_topk": q_text_bm25,
         "text_bpe_train": q_text_bpe_train,
+        "emb_rp_simhash": q_emb_rp_simhash,
     }
 
 
@@ -1593,4 +1629,5 @@ def pipeline_oracles() -> dict[str, str]:
             SELECT * FROM ranked WHERE rank <= 20
         """,
         "text_bpe_train": _bpe_train_oracle(),
+        "emb_rp_simhash": _rp_simhash_oracle(),
     }
