@@ -152,6 +152,9 @@ _HEADLINE = [
     "emb_kmeans_step",
     "pipe_clean_corpus",
     "h8_national_market_share",
+    "h9_product_profit",
+    "h2_min_cost_supplier",
+    "h11_important_stock",
     "dedup_cluster_resolve",
     "p4_find_traces",
     "a7_dependency_windows",

@@ -1094,3 +1094,194 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1000.0) * F.sum("dt_us"))
         ).alias("twa_value"),
     )
+
+
+# Derived partsupp + the partsupp-dependent TPC-H shapes ----------------------
+#
+# The driver testdata has no partsupp table (SURVEY section 7 adaptation
+# note), so the Q2/Q9/Q11 shapes run against a DETERMINISTIC derived
+# relation: every part gets 4 suppliers at formula-defined keys, with
+# integer availability and cost-in-cents — pure arithmetic both engines
+# compute identically, keeping the oracle exact while preserving each
+# query's join/aggregation shape.
+
+PS_PER_PART = 4
+
+
+def _ps_cost_cents(pk, sk):
+    return (pk * 37 + sk * 23) % 99900 + 100
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ps_partkey, ps_suppkey, ps_availqty, ps_cost_cents): 4 suppliers
+    per part at `(p*4 + i*7) % |supplier|`; cost/availability are mod
+    formulas of the key pair.  The supplier count rides as a broadcast
+    1-row aggregate — no driver collect."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    n_s = (
+        load_table(spark, sf_dir, "supplier")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    i = F.explode(F.array(*[F.lit(k) for k in range(PS_PER_PART)])).alias(
+        "i"
+    )
+    ps0 = part.crossJoin(F.broadcast(n_s)).select("p_partkey", "n_supp", i)
+    sk = (F.col("p_partkey") * 4 + F.col("i") * 7) % F.col("n_supp")
+    return ps0.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        sk.cast("long").alias("ps_suppkey"),
+    ).select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 9999 + 1
+        ).alias("ps_availqty"),
+        _ps_cost_cents(F.col("ps_partkey"), F.col("ps_suppkey")).alias(
+            "ps_cost_cents"
+        ),
+    )
+
+
+def important_stock(
+    spark: SparkSession, sf_dir: str, nationkey: int = 0, frac_inv: int = 1000
+) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value held by one nation's
+    suppliers, keeping parts worth more than 1/``frac_inv`` of the
+    nation's total.  The HAVING threshold compares exact integers
+    (value * frac_inv > total) — no float fraction.  Supplier side and the
+    1-row total both broadcast; the only shuffle is the per-part agg.
+    Columns: ps_partkey, value_cents."""
+    ps = derived_partsupp(spark, sf_dir)
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == nationkey)
+        .select("s_suppkey")
+    )
+    held = ps.join(
+        F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select(
+        "ps_partkey",
+        (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v"),
+    )
+    per_part = held.groupBy("ps_partkey").agg(
+        F.sum("v").alias("value_cents")
+    )
+    total = held.agg(F.sum("v").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * F.lit(frac_inv) > F.col("total_cents")
+        )
+        .select("ps_partkey", "value_cents")
+    )
+
+
+def min_cost_supplier(
+    spark: SparkSession, sf_dir: str, size: int = 5, regionkey: int = 0
+) -> DataFrame:
+    """TPC-H Q2 shape (argmin join-back): for every part of one size, the
+    region's cheapest supplier(s) — min-per-group then an equi-join back
+    on (part, min cost) to recover supplier attributes.  Region-filtered
+    suppliers broadcast (always small); the min agg and join-back reuse
+    the ps_partkey partitioning.  Columns: p_partkey, ps_suppkey,
+    cost_cents, s_name, n_name."""
+    ps = derived_partsupp(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.filter(F.col("n_regionkey") == regionkey)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == size)
+        .select("p_partkey")
+    )
+    cand = (
+        ps.join(
+            F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "ps_suppkey", "ps_cost_cents", "s_name", "n_name"
+        )
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("ps_cost_cents").alias("_minc")
+    )
+    return cand.join(
+        mins,
+        (F.col("p_partkey") == F.col("_pk"))
+        & (F.col("ps_cost_cents") == F.col("_minc")),
+    ).select(
+        "p_partkey",
+        "ps_suppkey",
+        F.col("ps_cost_cents").alias("cost_cents"),
+        "s_name",
+        "n_name",
+    )
+
+
+def product_profit(
+    spark: SparkSession, sf_dir: str, ptype: str = "PROMO"
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for one
+    product type.  supplycost comes from the derived-partsupp FORMULA
+    applied to (l_partkey, l_suppkey) — no extra join for it.  Revenue
+    accumulates as DECIMAL and cost as bigint cents (both exact); the one
+    double subtraction happens at the output boundary.  part/supplier/
+    nation broadcast; lineitem x orders shuffles on the orderkey.
+    Columns: n_name, o_year, profit, n_items."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == ptype)
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    disc_price = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(4,2)") - _rate("l_discount"))
+    ).cast(DEC)
+    cost_cents = _ps_cost_cents(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ) * F.col("l_quantity").cast("long")
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    # year via the epoch-micros bridge so both testdata encodings of
+    # o_orderdate (timestamp[us] and nanos-as-bigint) work; session TZ is
+    # pinned UTC so the cast matches DuckDB's naive year()
+    o_year = F.year(
+        F.timestamp_micros(to_epoch_micros(orders, "o_orderdate"))
+    )
+    grouped = joined.groupBy(
+        "n_name", o_year.cast("int").alias("o_year")
+    ).agg(
+        F.sum(disc_price).alias("_rev"),
+        F.sum(cost_cents).alias("_cost_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return grouped.select(
+        "n_name",
+        "o_year",
+        round4(
+            F.col("_rev").cast("double")
+            - F.col("_cost_cents") / F.lit(100.0)
+        ).alias("profit"),
+        "n_items",
+    )

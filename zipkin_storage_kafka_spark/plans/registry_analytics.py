@@ -157,6 +157,18 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.time_weighted_value(spark, sf_dir)
 
 
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.important_stock(spark, sf_dir)
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.min_cost_supplier(spark, sf_dir)
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.product_profit(spark, sf_dir)
+
+
 def analytics_queries() -> dict[str, QueryFn]:
     return {
         "h1_pricing_summary": q_pricing_summary,
@@ -188,8 +200,31 @@ def analytics_queries() -> dict[str, QueryFn]:
         "h12_late_shipment_priority": q_late_shipment_priority,
         "ev_zorder_layout": q_zorder_layout,
         "ev_time_weighted_value": q_time_weighted_value,
+        "h11_important_stock": q_important_stock,
+        "h2_min_cost_supplier": q_min_cost_supplier,
+        "h9_product_profit": q_product_profit,
     }
 
+
+# Derived partsupp (operators.analytics.derived_partsupp twin): 4 suppliers
+# per part at formula keys, integer availability / cost-in-cents.
+_PARTSUPP_CTE = """
+            ns AS (SELECT count(*) AS n FROM supplier),
+            ps0 AS (
+              SELECT p_partkey,
+                     (p_partkey * 4 + t.i * 7) % ns.n AS ps_suppkey
+              FROM part CROSS JOIN ns
+              CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
+            ),
+            ps AS (
+              SELECT p_partkey AS ps_partkey, ps_suppkey,
+                     (p_partkey * 31 + ps_suppkey * 17) % 9999 + 1
+                       AS ps_availqty,
+                     (p_partkey * 37 + ps_suppkey * 23) % 99900 + 100
+                       AS ps_cost_cents
+              FROM ps0
+            )
+"""
 
 # Morton interleave of 16-bit (x, y) as pure div/mod/mul/add — identical
 # arithmetic to operators.analytics.zorder_layout_stats.
@@ -619,5 +654,55 @@ def analytics_oracles() -> dict[str, str]:
                    {_r4("CAST(sum(value_milli * dt_us) AS DOUBLE)"
                         " / (1000.0 * sum(dt_us))")} AS twa_value
             FROM stepped WHERE dt_us IS NOT NULL GROUP BY user_id
+        """,
+        "h11_important_stock": f"""
+            WITH {_PARTSUPP_CTE.strip()},
+            held AS (
+              SELECT ps_partkey,
+                     CAST(ps_cost_cents * ps_availqty AS BIGINT) AS v
+              FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+              WHERE s_nationkey = 0
+            ),
+            tot AS (SELECT sum(v) AS total_cents FROM held)
+            SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+            FROM held CROSS JOIN tot
+            GROUP BY ps_partkey, total_cents
+            HAVING sum(v) * 1000 > total_cents
+        """,
+        "h2_min_cost_supplier": f"""
+            WITH {_PARTSUPP_CTE.strip()},
+            cand AS (
+              SELECT p.p_partkey, ps.ps_suppkey, ps.ps_cost_cents,
+                     s.s_name, n.n_name
+              FROM ps
+              JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_size = 5
+              JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+                           AND n.n_regionkey = 0
+            ),
+            mins AS (
+              SELECT p_partkey AS _pk, min(ps_cost_cents) AS _minc
+              FROM cand GROUP BY p_partkey
+            )
+            SELECT c.p_partkey, c.ps_suppkey,
+                   CAST(c.ps_cost_cents AS BIGINT) AS cost_cents,
+                   c.s_name, c.n_name
+            FROM cand c JOIN mins m
+              ON c.p_partkey = m._pk AND c.ps_cost_cents = m._minc
+        """,
+        "h9_product_profit": f"""
+            SELECT n.n_name,
+                   CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   {_r4(f"CAST(sum({_DISC}) AS DOUBLE)"
+                        " - sum(((l.l_partkey * 37 + l.l_suppkey * 23)"
+                        " % 99900 + 100) * CAST(l.l_quantity AS BIGINT))"
+                        " / 100.0")} AS profit,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY n.n_name, o_year
         """,
     }
