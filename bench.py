@@ -204,7 +204,10 @@ _HEADLINE = [
     "text_trigram_search",
     "w_rolling_revenue",
     "h13_customer_distribution",
+    "h20_excess_stock",
+    "hr_pricing_cube",
     "a9_union_service_names",
+    "a9_setops_service_names",
     "text_boilerplate",
     "dedup_simhash",
     "h15_top_supplier",

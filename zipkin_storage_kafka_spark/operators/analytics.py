@@ -1285,3 +1285,77 @@ def product_profit(
         ).alias("profit"),
         "n_items",
     )
+
+
+def pricing_cube(lineitem: DataFrame, ship_cutoff_micros: int) -> DataFrame:
+    """CUBE over (returnflag, linestatus): every grouping-set combination —
+    (a,b), (a), (b), () — in one pass (the rollup's superset; Spark
+    expands the sets map-side, so input is still scanned once).  NULL
+    cells labelled 'ALL' as in :func:`pricing_rollup`."""
+    ship_us = to_epoch_micros(lineitem, "l_shipdate")
+    grouped = (
+        lineitem.filter(ship_us <= ship_cutoff_micros)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("_sum_base"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return grouped.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("l_linestatus"),
+        round4(F.col("_sum_qty").cast("double")).alias("sum_qty"),
+        round4(F.col("_sum_base").cast("double")).alias("sum_base_price"),
+        "count_order",
+    )
+
+
+def excess_stock_suppliers(
+    spark: SparkSession,
+    sf_dir: str,
+    ptype: str = "PROMO",
+    lo_micros: int = 0,
+    hi_micros: int = 0,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose available stock of one product
+    type exceeds half of what they actually shipped in a time window —
+    the two-level semi-join with a correlated per-(part, supplier)
+    aggregate.  The shipped aggregate shuffles on the composite key;
+    partsupp joins it by the same key (exchange reuse); the final
+    supplier projection is a broadcast join.  The threshold compares
+    exact integers: 2 * availqty > shipped_qty.
+    Columns: s_suppkey, s_name, n_parts_over."""
+    ps = derived_partsupp(spark, sf_dir)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == ptype)
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    ship_us = to_epoch_micros(li, "l_shipdate")
+    shipped = (
+        li.filter((ship_us >= lo_micros) & (ship_us < hi_micros))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("shipped_qty")
+        )
+    )
+    over = (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("shipped_qty"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        over.groupBy("ps_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_over"))
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_parts_over")
+    )

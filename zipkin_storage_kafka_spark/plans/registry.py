@@ -543,6 +543,25 @@ def q_trace_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return depth_histogram(_spans(spark, sf_dir))
 
 
+def q_setops_service_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY 2.9 completion beyond union+distinct: EXCEPT and INTERSECT
+    across two instances' local stores (the same two time halves as
+    a9_union_service_names) — services seen only in the first window vs
+    in both.  Spark subtract/intersect plan as hash anti/semi
+    aggregations; DuckDB runs the literal EXCEPT/INTERSECT."""
+    spans = _spans(spark, sf_dir)
+    mid_us = DEPENDENCIES_END_TS * 1000
+    first = service_names(spans.filter(F.col("timestamp") < mid_us))
+    second = service_names(spans.filter(F.col("timestamp") >= mid_us))
+    only_first = first.subtract(second).select(
+        F.lit("only_first").alias("op"), "service_name"
+    )
+    both = first.intersect(second).select(
+        F.lit("both").alias("op"), "service_name"
+    )
+    return only_first.unionByName(both)
+
+
 def _pagerank_oracle(iterations: int = 3) -> str:
     """Unrolled power-iteration CTE chain mirroring
     operators.dependency_links.service_pagerank's integer micro-point
@@ -667,6 +686,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_critical_path": q_critical_path,
         "z_self_time": q_self_time,
         "z_service_pagerank": q_service_pagerank,
+        "a9_setops_service_names": q_setops_service_names,
     }
 
 
@@ -864,6 +884,31 @@ def zipkin_oracles() -> dict[str, str]:
               WHERE local_service IS NOT NULL
             ) ORDER BY service_name LIMIT 1000
             """
+        ),
+        "a9_setops_service_names": with_spans_cte(
+            f"""
+            SELECT 'only_first' AS op, service_name FROM (
+              SELECT service_name FROM fh EXCEPT
+              SELECT service_name FROM sh
+            )
+            UNION ALL
+            SELECT 'both' AS op, service_name FROM (
+              SELECT service_name FROM fh INTERSECT
+              SELECT service_name FROM sh
+            )
+            """,
+            extra_ctes=f"""
+            fh AS (
+              SELECT DISTINCT local_service AS service_name FROM spans
+              WHERE local_service IS NOT NULL
+                AND timestamp < {DEPENDENCIES_END_TS * 1000}
+            ),
+            sh AS (
+              SELECT DISTINCT local_service AS service_name FROM spans
+              WHERE local_service IS NOT NULL
+                AND timestamp >= {DEPENDENCIES_END_TS * 1000}
+            )
+            """,
         ),
         "w25_latest_span_per_service": with_spans_cte(
             """

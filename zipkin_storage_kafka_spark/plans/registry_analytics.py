@@ -169,6 +169,18 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.product_profit(spark, sf_dir)
 
 
+def q_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.pricing_cube(
+        load_table(spark, sf_dir, "lineitem"), Q1_CUTOFF_US
+    )
+
+
+def q_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return an.excess_stock_suppliers(
+        spark, sf_dir, lo_micros=Q6_LO_US, hi_micros=Q6_HI_US
+    )
+
+
 def analytics_queries() -> dict[str, QueryFn]:
     return {
         "h1_pricing_summary": q_pricing_summary,
@@ -203,6 +215,8 @@ def analytics_queries() -> dict[str, QueryFn]:
         "h11_important_stock": q_important_stock,
         "h2_min_cost_supplier": q_min_cost_supplier,
         "h9_product_profit": q_product_profit,
+        "hr_pricing_cube": q_pricing_cube,
+        "h20_excess_stock": q_excess_stock,
     }
 
 
@@ -704,5 +718,40 @@ def analytics_oracles() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             JOIN orders o ON o.o_orderkey = l.l_orderkey
             GROUP BY n.n_name, o_year
+        """,
+        "hr_pricing_cube": f"""
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   {_r4("CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)")} AS sum_qty,
+                   {_r4("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)")} AS sum_base_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE epoch_us(l_shipdate) <= {Q1_CUTOFF_US}
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "h20_excess_stock": f"""
+            WITH {_PARTSUPP_CTE.strip()},
+            shipped AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS shipped_qty
+              FROM lineitem
+              WHERE epoch_us(l_shipdate) >= {Q6_LO_US}
+                AND epoch_us(l_shipdate) < {Q6_HI_US}
+              GROUP BY l_partkey, l_suppkey
+            ),
+            over_parts AS (
+              SELECT ps.ps_suppkey
+              FROM ps
+              JOIN part p ON p.p_partkey = ps.ps_partkey
+                         AND p.p_type = 'PROMO'
+              JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                             AND sh.l_suppkey = ps.ps_suppkey
+              WHERE ps.ps_availqty * 2 > sh.shipped_qty
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(count(*) AS BIGINT) AS n_parts_over
+            FROM over_parts o JOIN supplier s ON s.s_suppkey = o.ps_suppkey
+            GROUP BY s.s_suppkey, s.s_name
         """,
     }
