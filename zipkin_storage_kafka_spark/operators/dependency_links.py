@@ -245,15 +245,22 @@ def service_pagerank(
 
     Columns: service, rank_micro.
     """
-    edges = links.select("parent", "child", "call_count")
+    # Lineage truncation: without the checkpoints every round's plan
+    # re-embeds the full upstream links derivation (nodes x3, edges x3 for
+    # 3 rounds) and Catalyst re-optimizes a growing tree — measured 4.1 s
+    # for a 7-node graph at sf0.1, all planning overhead.
+    edges = links.select(
+        "parent", "child", "call_count"
+    ).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("parent").alias("service"))
         .union(edges.select(F.col("child").alias("service")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
     outc = edges.groupBy("parent").agg(F.sum("call_count").alias("oc"))
-    e = edges.join(F.broadcast(outc), "parent")
+    e = edges.join(F.broadcast(outc), "parent").localCheckpoint(eager=False)
     r = nodes.crossJoin(F.broadcast(n_df)).select(
         "service", F.expr(f"{scale} div n").cast("long").alias("rank_micro")
     )
@@ -280,5 +287,6 @@ def service_pagerank(
                 .cast("long")
                 .alias("rank_micro"),
             )
+            .localCheckpoint(eager=False)
         )
     return r
