@@ -60,6 +60,9 @@ def test_each_family_on_misconfigured_session(hostile_session, sf_dir):
         "ev_cohort_retention",     # analytics (events timestamp math)
         "mm_resize_meta",          # multimodal (binary + mapInPandas)
         "emb_kmeans_step",         # embeddings
+        "z_critical_path",         # round-3 iterative (pointer doubling)
+        "h9_product_profit",       # round-3 derived partsupp + year()
+        "text_bpe_train",          # round-3 iterative vocab state
     ):
         assert qs[name](hostile_session, sf_dir).count() > 0, name
 
