@@ -398,3 +398,58 @@ def test_sketch_stream_matches_batch_sketch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 2  # 2 services in the closed first window
+
+
+def test_error_rate_alert_stream_matches_batch(spark, tmp_path):
+    """The alert stream must emit exactly the rows the identical BATCH
+    filter produces over the same input (stream==batch semantics), and
+    only for windows crossing the integer threshold."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        error_rate_alert_stream,
+    )
+
+    links_in = str(tmp_path / "alert_links_in")
+    base_ms = 1_700_000_000_000
+    rows = [
+        # bucket 1: 2 calls, 1 error -> 50% >= 50% -> alert
+        Row(parent="svc_a", child="svc_b", is_error=True, ts_ms=base_ms),
+        Row(parent="svc_a", child="svc_b", is_error=False, ts_ms=base_ms + 1),
+        # bucket 1, other edge: 2 calls, 0 errors -> no alert
+        Row(parent="svc_a", child="svc_c", is_error=False, ts_ms=base_ms),
+        Row(parent="svc_a", child="svc_c", is_error=False, ts_ms=base_ms + 2),
+        # bucket 2: single call with error -> below min_calls -> no alert
+        Row(parent="svc_a", child="svc_b", is_error=True,
+            ts_ms=base_ms + 120_000),
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.parquet(links_in)
+    schema = "parent string, child string, is_error boolean, ts_ms long"
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(links_in)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+    )
+    q = (
+        error_rate_alert_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("alerts")
+        .option("checkpointLocation", str(tmp_path / "alert_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from alerts").collect()
+    assert len(got) == 1
+    alert = got[0]
+    assert (alert["parent"], alert["child"]) == ("svc_a", "svc_b")
+    assert alert["call_count"] == 2 and alert["error_count"] == 1
+    assert alert["error_pct_x100"] == 5000
+    # batch twin over the same files
+    batch = (
+        spark.read.schema(schema)
+        .parquet(links_in)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+    )
+    batch_rows = error_rate_alert_stream(batch).collect()
+    assert sorted(map(tuple, batch_rows)) == sorted(map(tuple, got))

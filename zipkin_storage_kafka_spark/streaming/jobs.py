@@ -358,3 +358,48 @@ def sketch_stream(
             linear_count_estimate(F.col("n_buckets")).alias("est_traces"),
         )
     )
+
+
+def error_rate_alert_stream(
+    links: DataFrame,
+    window: str = "1 minute",
+    watermark_delay: str = "0 seconds",
+    min_calls: int = 2,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Windowed error-rate alerting over the dependency-link stream: emit
+    one alert row per (window, parent, child) whose error percentage
+    crosses ``threshold_pct`` with at least ``min_calls`` calls — the
+    monitoring job an operator runs beside the zipkin-dependencies
+    counters (same input, same tumbling window, one extra HAVING).
+
+    The threshold compares exact integers (errors * 100 >= calls * pct) —
+    no float rate in the emit decision.  Watermark + append mode bound
+    state exactly like the counter stream; alerts for a window emit once,
+    when it closes.  Columns: window_start_ms, parent, child, call_count,
+    error_count, error_pct_x100 (integer basis points / 100).
+    """
+    counters = (
+        links.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window).alias("w"), "parent", "child")
+        .agg(
+            F.count(F.lit(1)).alias("call_count"),
+            F.sum(F.col("is_error").cast("long")).alias("error_count"),
+        )
+    )
+    return counters.filter(
+        (F.col("call_count") >= min_calls)
+        & (
+            F.col("error_count") * 100
+            >= F.col("call_count") * F.lit(threshold_pct)
+        )
+    ).select(
+        F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+        "parent",
+        "child",
+        "call_count",
+        "error_count",
+        (F.col("error_count") * 10000 / F.col("call_count"))
+        .cast("long")
+        .alias("error_pct_x100"),
+    )
