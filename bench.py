@@ -151,6 +151,8 @@ _HEADLINE = [
     "ev_event_funnel",
     "emb_kmeans_step",
     "pipe_clean_corpus",
+    "pipe_corpus_card",
+    "text_char_lm_score",
     "h8_national_market_share",
     "h9_product_profit",
     "h2_min_cost_supplier",

@@ -1027,3 +1027,92 @@ def bpe_train_rounds(docs: DataFrame, rounds: int = 3) -> DataFrame:
         out = row if out is None else out.unionAll(row)
         state = merged.select("cnt", "w2")
     return out
+
+
+# Char-bigram LM scoring ------------------------------------------------------
+
+
+def char_lm_score(docs: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus-trained character
+    bigram LM: per document, the average log-probability of its char
+    bigrams under corpus-wide bigram frequencies (the cheap KenLM stand-in
+    every pretraining pipeline uses for fluency filtering — word salad and
+    mojibake score low).
+
+    Exactness: each bigram TYPE gets one integer micro-logprob
+    (round(ln(count/total) * 1e6)) computed once on the tiny vocabulary
+    side; per-document totals are then exact bigint sums of those integers
+    — no float accumulation over documents.  The bigram LM table is a few
+    KB and broadcasts; the doc side is one explode + one join + one
+    partial agg, the same shape as the trigram language-ID.
+
+    Columns: doc_id, n_bigrams, logprob_micro, avg_logprob (round 4).
+    """
+    grams = F.expr(
+        "transform(sequence(1, length(text) - 1),"
+        " i -> substr(text, i, 2))"
+    )
+    bg = docs.filter(F.length("text") >= 2).select(
+        "doc_id", F.explode(grams).alias("bg")
+    )
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    lm = counts.crossJoin(F.broadcast(total)).select(
+        "bg",
+        F.round(
+            F.log(F.col("cnt") / F.col("total")) * F.lit(1_000_000), 0
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    scored = bg.join(F.broadcast(lm), "bg").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp_micro").alias("logprob_micro"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "logprob_micro",
+        round4(
+            F.col("logprob_micro") / (F.lit(1_000_000.0) * F.col("n_bigrams"))
+        ).alias("avg_logprob"),
+    )
+
+
+def corpus_card(docs: DataFrame) -> DataFrame:
+    """One-row dataset card: the corpus-level numbers every dataset README
+    reports (doc/char/token totals, language/source diversity, exact-dup
+    rate, split sizes).  Each number is an exact integer aggregate; the
+    three split counts come from one conditional-sum pass, so the whole
+    card is two scans (one plain, one distinct-hash) with KB-sized
+    results cross-joined broadcast.
+    """
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(
+            (split_assignment() == "train").cast("long")
+        ).alias("train_docs"),
+        F.sum((split_assignment() == "val").cast("long")).alias("val_docs"),
+        F.sum(
+            (split_assignment() == "test").cast("long")
+        ).alias("test_docs"),
+    )
+    distinct_texts = docs.select(F.md5("text").alias("h")).agg(
+        F.countDistinct("h").alias("n_distinct_texts")
+    )
+    return base.crossJoin(F.broadcast(distinct_texts)).select(
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "n_langs",
+        "n_sources",
+        "train_docs",
+        "val_docs",
+        "test_docs",
+        "n_distinct_texts",
+        (F.col("n_docs") - F.col("n_distinct_texts")).alias("n_exact_dups"),
+    )

@@ -269,6 +269,14 @@ def q_emb_rp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.rp_simhash_stats(_emb(spark, sf_dir))
 
 
+def q_text_char_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.char_lm_score(_docs(spark, sf_dir))
+
+
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.corpus_card(_docs(spark, sf_dir))
+
+
 def _rp_simhash_oracle() -> str:
     """SQL twin of similarity.rp_simhash_stats, baking the same md5-seeded
     +-1 weights (1-based array indexing in DuckDB matches element_at)."""
@@ -661,6 +669,8 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_bm25_topk": q_text_bm25,
         "text_bpe_train": q_text_bpe_train,
         "emb_rp_simhash": q_emb_rp_simhash,
+        "text_char_lm_score": q_text_char_lm,
+        "pipe_corpus_card": q_corpus_card,
     }
 
 
@@ -1630,4 +1640,54 @@ def pipeline_oracles() -> dict[str, str]:
         """,
         "text_bpe_train": _bpe_train_oracle(),
         "emb_rp_simhash": _rp_simhash_oracle(),
+        "text_char_lm_score": """
+            WITH bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, length(text)),
+                            i -> substr(text, i, 2))) AS bg
+              FROM documents WHERE length(text) >= 2
+            ),
+            counts AS (
+              SELECT bg, CAST(count(*) AS BIGINT) AS cnt
+              FROM bg GROUP BY bg
+            ),
+            tot AS (SELECT sum(cnt) AS total FROM counts),
+            lm AS (
+              SELECT bg,
+                     CAST(round(ln(cnt * 1.0 / total) * 1000000, 0)
+                       AS BIGINT) AS lp_micro
+              FROM counts CROSS JOIN tot
+            ),
+            sc AS (
+              SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(l.lp_micro) AS BIGINT) AS logprob_micro
+              FROM bg b JOIN lm l ON l.bg = b.bg
+              GROUP BY b.doc_id
+            )
+            SELECT doc_id, n_bigrams, logprob_micro,
+                   (round((CAST(logprob_micro AS DOUBLE)
+                           / (1000000.0 * n_bigrams)) * 10000) / 10000 + 0.0)
+                     AS avg_logprob
+            FROM sc
+        """,
+        "pipe_corpus_card": """
+            SELECT
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                AS total_tokens,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS train_docs,
+              CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('c','d') THEN 1 ELSE 0 END) AS BIGINT) AS val_docs,
+              CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('e','f') THEN 1 ELSE 0 END) AS BIGINT) AS test_docs,
+              CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+              CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+                AS n_exact_dups
+            FROM documents
+        """,
     }
