@@ -386,3 +386,14 @@ def test_self_time_shuffles_once_per_side(spark, sf_dir):
 
     plan = _plan(self_time_by_service(spans_from_events(spark, sf_dir)))
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_slowest_per_service_uses_window_group_limit(spark, sf_dir):
+    """k=3 rank predicate must push below the exchange (per-partition
+    size-k heaps), same as the k=1 latest-per-key pin."""
+    from zipkin_storage_kafka_spark.operators.indexes import (
+        slowest_spans_per_service,
+    )
+
+    plan = _plan(slowest_spans_per_service(spans_from_events(spark, sf_dir)))
+    assert "WindowGroupLimit" in plan

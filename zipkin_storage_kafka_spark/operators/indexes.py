@@ -128,3 +128,33 @@ def autocomplete_tags_nested(
         .groupBy("tag_key")
         .agg(F.array_join(F.array_sort(F.collect_set("value")), ",").alias("tag_values"))
     )
+
+
+def slowest_spans_per_service(spans: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` slowest spans per service — the "slow ops" panel query.
+    Same WindowGroupLimit family as :func:`latest_span_per_service` but
+    with k > 1: the rank <= k predicate pushes below the exchange, so each
+    map partition keeps a size-k heap per key and the shuffle carries at
+    most k rows/key/partition.  Ties are total-ordered by (duration desc,
+    id asc).  Columns: service_name, rnk, span_id, name, duration.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("local_service").orderBy(
+        F.col("duration").desc(), F.col("id")
+    )
+    return (
+        spans.filter(
+            F.col("local_service").isNotNull()
+            & F.col("duration").isNotNull()
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("local_service").alias("service_name"),
+            "rnk",
+            F.col("id").alias("span_id"),
+            "name",
+            "duration",
+        )
+    )

@@ -545,6 +545,17 @@ def q_trace_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_slowest_per_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 slowest spans per service (SURVEY 2.5 with k>1 — the rank
+    predicate pushes below the exchange as WindowGroupLimit); see
+    operators.indexes.slowest_spans_per_service."""
+    from zipkin_storage_kafka_spark.operators.indexes import (
+        slowest_spans_per_service,
+    )
+
+    return slowest_spans_per_service(_spans(spark, sf_dir))
+
+
 def q_setops_service_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY 2.9 completion beyond union+distinct: EXCEPT and INTERSECT
     across two instances' local stores (the same two time halves as
@@ -695,6 +706,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_self_time": q_self_time,
         "z_service_pagerank": q_service_pagerank,
         "a9_setops_service_names": q_setops_service_names,
+        "w25_slowest_per_service": q_slowest_per_service,
     }
 
 
@@ -891,6 +903,22 @@ def zipkin_oracles() -> dict[str, str]:
               SELECT DISTINCT local_service AS service_name FROM spans
               WHERE local_service IS NOT NULL
             ) ORDER BY service_name LIMIT 1000
+            """
+        ),
+        "w25_slowest_per_service": with_spans_cte(
+            """
+            SELECT local_service AS service_name,
+                   CAST(rnk AS INT) AS rnk,
+                   id AS span_id, name, duration
+            FROM (
+              SELECT local_service, id, name, duration,
+                     row_number() OVER (
+                       PARTITION BY local_service
+                       ORDER BY duration DESC, id
+                     ) AS rnk
+              FROM spans
+              WHERE local_service IS NOT NULL AND duration IS NOT NULL
+            ) WHERE rnk <= 3
             """
         ),
         "a9_setops_service_names": with_spans_cte(
