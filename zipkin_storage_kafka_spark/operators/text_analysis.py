@@ -27,6 +27,19 @@ def with_tokens(docs: DataFrame) -> DataFrame:
     return docs.withColumn("words", F.split(F.col("text"), " "))
 
 
+def spread(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism when
+    the input arrives under-partitioned.  The testdata documents parquet
+    is a single small file (one scan partition), which makes every
+    char-level explode/transform run on ONE core; the cheap exchange up
+    front parallelizes the expensive rowwise work.  At 100 TB inputs are
+    already wide and this no-ops (partitions >= parallelism)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= target:
+        return docs
+    return docs.repartition(target)
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document token counts + quality signals.
 
@@ -99,7 +112,7 @@ def char_trigrams(docs: DataFrame) -> DataFrame:
     """Distinct character trigrams per document: (doc_id, lang, tg)."""
     grams = F.expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))")
     return (
-        docs.filter(F.length("text") >= 3)
+        spread(docs.filter(F.length("text") >= 3))
         .select("doc_id", "lang", F.explode(F.array_distinct(grams)).alias("tg"))
     )
 
@@ -240,7 +253,7 @@ def rolling_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
         F.sequence(F.lit(1), n_windows),
         lambda i: F.md5(F.col("text").substr(i, F.lit(gram))),
     )
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.array_min(hashes).alias("min_hash"),
         n_windows.cast("long").alias("n_windows"),
@@ -1052,10 +1065,15 @@ def char_lm_score(docs: DataFrame) -> DataFrame:
         "transform(sequence(1, length(text) - 1),"
         " i -> substr(text, i, 2))"
     )
-    bg = docs.filter(F.length("text") >= 2).select(
+    bg = spread(docs.filter(F.length("text") >= 2)).select(
         "doc_id", F.explode(grams).alias("bg")
     )
-    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    # Collapse occurrences to per-(doc, bigram-type) counts FIRST: the LM
+    # table derives from a second partial agg over those rows, and the
+    # broadcast join then touches one row per type per doc instead of one
+    # per occurrence (measured ~2x on the whole query at sf0.1).
+    occ = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    counts = occ.groupBy("bg").agg(F.sum("n").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
     lm = counts.crossJoin(F.broadcast(total)).select(
         "bg",
@@ -1065,9 +1083,9 @@ def char_lm_score(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("lp_micro"),
     )
-    scored = bg.join(F.broadcast(lm), "bg").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("lp_micro").alias("logprob_micro"),
+    scored = occ.join(F.broadcast(lm), "bg").groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.sum(F.col("n") * F.col("lp_micro")).alias("logprob_micro"),
     )
     return scored.select(
         "doc_id",
