@@ -52,11 +52,47 @@ def _ensure_reader_confs(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Tables big enough that a single-file, single-row-group layout (the driver
+# testdata ships exactly that) serializes every scan's map-side work on one
+# core.  For these, load_table transparently reads a once-materialized
+# repartitioned copy — the batch analog of an ingest job writing
+# properly-sized files.  Dim tables stay raw (broadcast anyway).
+_WIDE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+_WIDE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, wide: bool = True
+) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_reader_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    raw = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if not wide or name not in _WIDE_TABLES:
+        return raw
+    # A parquet file parallelizes at ROW GROUP granularity; the testdata
+    # ships one row group per table, so byte-range splitting cannot help —
+    # only a rewritten copy can.  Materialized once per (data, code)
+    # fingerprint via matcache, shared across processes; no-op when the
+    # raw scan is already wide (the 100 TB case).
+    target = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() >= min(4, target):
+        return raw
+    import sys
+
+    from zipkin_storage_kafka_spark.sources import matcache
+
+    key = (id(spark), sf_dir, name)
+    if key not in _WIDE_CACHE:
+        _WIDE_CACHE[key] = matcache.materialized(
+            spark,
+            sf_dir,
+            f"wide_{name}",
+            matcache.code_fingerprint([sys.modules[__name__]]),
+            lambda: raw.repartition(target),
+        )
+    return _WIDE_CACHE[key]
 
 
 def to_epoch_micros(df, col_name: str):
