@@ -473,3 +473,28 @@ def test_bpe_train_rounds_hand_computed(spark):
         2: ("a b", 3, 5),
         3: ("aa ab", 2, 3),
     }
+
+
+def test_morton32_matches_python_interleave(spark):
+    """The div/mod Morton expression must equal a Python bit-interleave on
+    edge and random-ish values (0, maxima, asymmetric patterns)."""
+    from zipkin_storage_kafka_spark.operators.analytics import morton32
+
+    def py_morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    cases = [(0, 0), (3, 1), (65535, 0), (0, 65535), (65535, 65535),
+             (0x1234, 0xABCD), (1, 2), (32768, 16384)]
+    df = spark.createDataFrame(cases, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", morton32(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for x, y in cases:
+        assert got[(x, y)] == py_morton(x, y), (x, y)

@@ -1015,6 +1015,19 @@ def late_shipment_priority(
     )
 
 
+def morton32(x: F.Column, y: F.Column) -> F.Column:
+    """32-bit Morton interleave of two 16-bit non-negative columns using
+    only div/mod/mul/add (x takes even bit positions, y odd) — the
+    engine-portable core of :func:`zorder_layout_stats`, pinned against a
+    Python bit-interleave in ``test_reference_fixtures.py``."""
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        xbit = (x / F.lit(1 << i)).cast("long") % 2
+        ybit = (y / F.lit(1 << i)).cast("long") % 2
+        z = z + xbit * F.lit(1 << (2 * i)) + ybit * F.lit(1 << (2 * i + 1))
+    return z
+
+
 def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (minute-bucket, user_id) for the
     events table, with per-zbucket occupancy stats — the write-layout
@@ -1038,12 +1051,7 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the later power-of-two divisions are exact in binary floating point.
     x = F.expr("ts_us div 60000000") % 65536
     y = F.col("user_id") % 65536
-    z = F.lit(0).cast("long")
-    for i in range(16):
-        xbit = (x / F.lit(1 << i)).cast("long") % 2
-        ybit = (y / F.lit(1 << i)).cast("long") % 2
-        z = z + xbit * F.lit(1 << (2 * i)) + ybit * F.lit(1 << (2 * i + 1))
-    keyed = ev.select(F.col("user_id"), z.alias("zkey"))
+    keyed = ev.select(F.col("user_id"), morton32(x, y).alias("zkey"))
     return (
         keyed.groupBy(
             (F.col("zkey") / F.lit(1 << 24)).cast("long").alias("zbucket")
