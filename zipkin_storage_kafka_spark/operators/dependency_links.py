@@ -290,3 +290,31 @@ def service_pagerank(
             .localCheckpoint(eager=False)
         )
     return r
+
+
+def merge_counter_windows(
+    existing: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """Incremental maintenance of the windowed-counter store: fold a new
+    batch's counters into the existing store by re-aggregating the union
+    on the store key — counters are a commutative monoid, so
+    merge(counters(A), counters(B)) == counters(A ∪ B) for ANY split of
+    the input (the reference maintains the same store incrementally per
+    Kafka record, DependencyStorageTopology.java:70-105; this is the
+    batch-refresh form: process only the new day's links, never rescan
+    history).
+
+    At 100 TB the delta only touches recent windows, so with the store
+    partitioned by window_start_ms the merge rewrites just those
+    partitions (dynamic partition overwrite), leaving the archive
+    untouched.  Equivalence pinned in
+    test_reference_fixtures.py::test_incremental_counter_merge.
+    """
+    return (
+        existing.unionByName(delta)
+        .groupBy("window_start_ms", "parent", "child")
+        .agg(
+            F.sum("call_count").alias("call_count"),
+            F.sum("error_count").alias("error_count"),
+        )
+    )
