@@ -535,3 +535,22 @@ def test_incremental_counter_merge(spark):
     # the same-window accumulation case really merged (svc_a->svc_b x2)
     row = [r for r in full.collect() if r["child"] == "svc_b"]
     assert row and row[0]["call_count"] == 2 and row[0]["error_count"] == 1
+
+
+def test_anomalous_span_counts_hand_computed(spark):
+    """10 spans at 100us + one at 10000us: the outlier sits just past the
+    3-sigma boundary ((n*x-s)^2*(n-1) = 9.8019e10 vs rhs 9.70299e10), so
+    exactly one anomaly — a deliberately tight margin that would flip if
+    either engine's arithmetic drifted."""
+    from zipkin_storage_kafka_spark.operators.indexes import (
+        anomalous_span_counts,
+    )
+
+    rows = [
+        _span("t1", f"{i:x}", i, svc="svc_a", dur=100) for i in range(10)
+    ] + [_span("t1", "ff", 99, svc="svc_a", dur=10000)]
+    out = anomalous_span_counts(
+        spark.createDataFrame(rows, SPANS_STREAM_SCHEMA)
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["n_spans"], out[0]["n_anomalies"]) == (11, 1)

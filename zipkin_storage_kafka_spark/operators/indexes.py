@@ -158,3 +158,62 @@ def slowest_spans_per_service(spans: DataFrame, k: int = 3) -> DataFrame:
             "duration",
         )
     )
+
+
+def anomalous_span_counts(spans: DataFrame, z2_threshold: int = 9) -> DataFrame:
+    """Per-service count of duration outliers (z-score beyond
+    sqrt(``z2_threshold``), default 3-sigma) — the latency-anomaly panel
+    over the span store.
+
+    Determinism: the per-service moments (n, sum, sum-of-squares) are
+    EXACT bigint aggregates (micros squared times row counts stay under
+    int64); the z² test is evaluated per row from those exact integers
+    with one float expression — identical operands in both engines, so no
+    accumulation-order drift anywhere.  The test multiplies out the
+    variance so there is no per-group division:
+    (n·x − s)² · (n−1) > t · n · (n·sumsq − s²).
+
+    Shape: one stats agg + a broadcast join back + one count agg — the
+    stats side is |services| rows.  Columns: local_service, n_spans,
+    n_anomalies.
+    """
+    base = spans.filter(
+        F.col("local_service").isNotNull() & F.col("duration").isNotNull()
+    ).select(
+        "local_service", F.col("duration").cast("long").alias("dur")
+    )
+    stats = base.groupBy(F.col("local_service").alias("_svc")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dur").alias("s"),
+        F.sum(F.col("dur") * F.col("dur")).alias("sq"),
+    )
+    joined = base.join(
+        F.broadcast(stats), F.col("local_service") == F.col("_svc")
+    )
+    lhs = (
+        (F.col("n") * F.col("dur") - F.col("s")).cast("double")
+        * (F.col("n") * F.col("dur") - F.col("s")).cast("double")
+        * (F.col("n") - 1).cast("double")
+    )
+    rhs = (
+        F.lit(float(z2_threshold))
+        * F.col("n").cast("double")
+        * (
+            F.col("n").cast("double") * F.col("sq").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+    )
+    flagged = joined.filter((F.col("n") >= 2) & (lhs > rhs))
+    anomalies = flagged.groupBy("local_service").agg(
+        F.count(F.lit(1)).alias("n_anomalies")
+    )
+    return (
+        stats.join(
+            anomalies, F.col("_svc") == F.col("local_service"), "left"
+        )
+        .select(
+            F.col("_svc").alias("local_service"),
+            F.col("n").alias("n_spans"),
+            F.coalesce("n_anomalies", F.lit(0)).alias("n_anomalies"),
+        )
+    )

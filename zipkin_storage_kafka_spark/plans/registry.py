@@ -545,6 +545,17 @@ def q_trace_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomalous_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service 3-sigma duration-outlier counts; see
+    operators.indexes.anomalous_span_counts (exact bigint moments, one
+    float comparison per row)."""
+    from zipkin_storage_kafka_spark.operators.indexes import (
+        anomalous_span_counts,
+    )
+
+    return anomalous_span_counts(_spans(spark, sf_dir))
+
+
 def q_slowest_per_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 slowest spans per service (SURVEY 2.5 with k>1 — the rank
     predicate pushes below the exchange as WindowGroupLimit); see
@@ -707,6 +718,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_service_pagerank": q_service_pagerank,
         "a9_setops_service_names": q_setops_service_names,
         "w25_slowest_per_service": q_slowest_per_service,
+        "z_anomalous_spans": q_anomalous_spans,
     }
 
 
@@ -904,6 +916,41 @@ def zipkin_oracles() -> dict[str, str]:
               WHERE local_service IS NOT NULL
             ) ORDER BY service_name LIMIT 1000
             """
+        ),
+        "z_anomalous_spans": with_spans_cte(
+            """
+            SELECT st._svc AS local_service,
+                   CAST(st.n AS BIGINT) AS n_spans,
+                   CAST(coalesce(an.n_anomalies, 0) AS BIGINT)
+                     AS n_anomalies
+            FROM st LEFT JOIN (
+              SELECT b.local_service,
+                     count(*) AS n_anomalies
+              FROM b JOIN st ON st._svc = b.local_service
+              WHERE st.n >= 2
+                AND CAST(st.n * b.dur - st.s AS DOUBLE)
+                    * CAST(st.n * b.dur - st.s AS DOUBLE)
+                    * CAST(st.n - 1 AS DOUBLE)
+                  > 9.0 * CAST(st.n AS DOUBLE)
+                    * (CAST(st.n AS DOUBLE) * CAST(st.sq AS DOUBLE)
+                       - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+              GROUP BY b.local_service
+            ) an ON an.local_service = st._svc
+            """,
+            extra_ctes="""
+            b AS (
+              SELECT local_service, CAST(duration AS BIGINT) AS dur
+              FROM spans
+              WHERE local_service IS NOT NULL AND duration IS NOT NULL
+            ),
+            st AS (
+              SELECT local_service AS _svc,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dur) AS BIGINT) AS s,
+                     CAST(sum(dur * dur) AS BIGINT) AS sq
+              FROM b GROUP BY local_service
+            )
+            """,
         ),
         "w25_slowest_per_service": with_spans_cte(
             """
