@@ -545,6 +545,26 @@ def q_trace_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_error_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service x environment error matrix via ``groupBy().pivot()`` with an
+    explicit value list (no extra distinct-scan job; the pivot lowers to
+    conditional aggregates, which is exactly the oracle's formulation —
+    at any scale this stays one partial-agg shuffle on the service key)."""
+    spans = _spans(spark, sf_dir)
+    return (
+        spans.filter(F.col("local_service").isNotNull())
+        .groupBy("local_service")
+        .pivot("env", ["dev", "staging", "prod"])
+        .agg(F.sum(F.col("is_error").cast("long")))
+        .select(
+            "local_service",
+            F.coalesce("dev", F.lit(0)).alias("dev_errors"),
+            F.coalesce("staging", F.lit(0)).alias("staging_errors"),
+            F.coalesce("prod", F.lit(0)).alias("prod_errors"),
+        )
+    )
+
+
 def q_anomalous_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-service 3-sigma duration-outlier counts; see
     operators.indexes.anomalous_span_counts (exact bigint moments, one
@@ -719,6 +739,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "a9_setops_service_names": q_setops_service_names,
         "w25_slowest_per_service": q_slowest_per_service,
         "z_anomalous_spans": q_anomalous_spans,
+        "z_error_pivot": q_error_pivot,
     }
 
 
@@ -915,6 +936,20 @@ def zipkin_oracles() -> dict[str, str]:
               SELECT DISTINCT local_service AS service_name FROM spans
               WHERE local_service IS NOT NULL
             ) ORDER BY service_name LIMIT 1000
+            """
+        ),
+        "z_error_pivot": with_spans_cte(
+            """
+            SELECT local_service,
+                   CAST(coalesce(sum(CASE WHEN env = 'dev'
+                     AND is_error THEN 1 END), 0) AS BIGINT) AS dev_errors,
+                   CAST(coalesce(sum(CASE WHEN env = 'staging'
+                     AND is_error THEN 1 END), 0) AS BIGINT)
+                     AS staging_errors,
+                   CAST(coalesce(sum(CASE WHEN env = 'prod'
+                     AND is_error THEN 1 END), 0) AS BIGINT) AS prod_errors
+            FROM spans WHERE local_service IS NOT NULL
+            GROUP BY local_service
             """
         ),
         "z_anomalous_spans": with_spans_cte(
