@@ -565,6 +565,26 @@ def q_error_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_error_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form twin of q_error_pivot via ``DataFrame.unpivot`` (melt):
+    the wide service x env matrix back to (service, env, errors) rows —
+    unpivot is a rowwise generator (no shuffle beyond the pivot's own
+    agg), and the oracle is the direct long-form aggregation."""
+    wide = q_error_pivot(spark, sf_dir)
+    return wide.unpivot(
+        "local_service",
+        ["dev_errors", "staging_errors", "prod_errors"],
+        "env_col",
+        "errors",
+    ).select(
+        "local_service",
+        F.regexp_replace("env_col", F.lit("_errors"), F.lit("")).alias(
+            "env"
+        ),
+        "errors",
+    )
+
+
 def q_anomalous_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-service 3-sigma duration-outlier counts; see
     operators.indexes.anomalous_span_counts (exact bigint moments, one
@@ -740,6 +760,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "w25_slowest_per_service": q_slowest_per_service,
         "z_anomalous_spans": q_anomalous_spans,
         "z_error_pivot": q_error_pivot,
+        "z_error_unpivot": q_error_unpivot,
     }
 
 
@@ -936,6 +957,21 @@ def zipkin_oracles() -> dict[str, str]:
               SELECT DISTINCT local_service AS service_name FROM spans
               WHERE local_service IS NOT NULL
             ) ORDER BY service_name LIMIT 1000
+            """
+        ),
+        "z_error_unpivot": with_spans_cte(
+            """
+            SELECT s.local_service, t.env,
+                   CAST(coalesce(c.errors, 0) AS BIGINT) AS errors
+            FROM (SELECT DISTINCT local_service FROM spans
+                  WHERE local_service IS NOT NULL) s
+            CROSS JOIN (SELECT unnest(['dev', 'staging', 'prod']) AS env) t
+            LEFT JOIN (
+              SELECT local_service, env,
+                     sum(CASE WHEN is_error THEN 1 END) AS errors
+              FROM spans WHERE local_service IS NOT NULL
+              GROUP BY local_service, env
+            ) c ON c.local_service = s.local_service AND c.env = t.env
             """
         ),
         "z_error_pivot": with_spans_cte(
