@@ -1134,3 +1134,44 @@ def corpus_card(docs: DataFrame) -> DataFrame:
         "n_distinct_texts",
         (F.col("n_docs") - F.col("n_distinct_texts")).alias("n_exact_dups"),
     )
+
+
+def token_budget_sample(docs: DataFrame, budget_tokens: int = 20000) -> DataFrame:
+    """Deterministic corpus subset up to a token budget: order documents by
+    md5(doc_id) (a stable shuffle) and keep the prefix whose cumulative
+    token count fits the budget — how training mixtures cut a source to a
+    target token share.
+
+    The cumulative sum is a DISTRIBUTED TWO-LEVEL PREFIX SUM, not a global
+    single-partition window: partition by the first hash nibble (16
+    buckets), take per-bucket totals (16 rows — window over those is
+    trivially cheap at any scale), broadcast each bucket's starting offset
+    back, and add a within-bucket running sum.  Global cum = offset +
+    within — exact integers, identical to the oracle's flat window.
+
+    Columns: doc_id, n_tokens, cum_tokens.
+    """
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    ).withColumn("bkt", F.substring("rk", 1, 1))
+    per_bucket = d.groupBy("bkt").agg(F.sum("n_tokens").alias("bsum"))
+    w16 = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = per_bucket.select(
+        F.col("bkt").alias("_bkt"),
+        (F.sum("bsum").over(w16) - F.col("bsum")).alias("offset"),
+    )
+    win = Window.partitionBy("bkt").orderBy("rk", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = d.join(
+        F.broadcast(offsets), F.col("bkt") == F.col("_bkt")
+    ).withColumn(
+        "cum_tokens", F.col("offset") + F.sum("n_tokens").over(win)
+    )
+    return cum.filter(F.col("cum_tokens") <= budget_tokens).select(
+        "doc_id", "n_tokens", "cum_tokens"
+    )

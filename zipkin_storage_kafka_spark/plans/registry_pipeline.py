@@ -277,6 +277,10 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.corpus_card(_docs(spark, sf_dir))
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.token_budget_sample(_docs(spark, sf_dir))
+
+
 def _rp_simhash_oracle() -> str:
     """SQL twin of similarity.rp_simhash_stats, baking the same md5-seeded
     +-1 weights (1-based array indexing in DuckDB matches element_at)."""
@@ -671,6 +675,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "emb_rp_simhash": q_emb_rp_simhash,
         "text_char_lm_score": q_text_char_lm,
         "pipe_corpus_card": q_corpus_card,
+        "text_token_budget_sample": q_token_budget_sample,
     }
 
 
@@ -1689,5 +1694,24 @@ def pipeline_oracles() -> dict[str, str]:
               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
                 AS n_exact_dups
             FROM documents
+        """,
+        "text_token_budget_sample": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS rk
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (
+                       ORDER BY rk, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum_tokens
+              FROM d
+            )
+            SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c WHERE cum_tokens <= 20000
         """,
     }
