@@ -230,3 +230,27 @@ def test_pagerank_mass_bounds(spark, sf_dir):
     assert n > 0
     assert total <= 1_000_000
     assert total >= n * ((1_000_000 - 850_000) // n)
+
+
+def test_salted_join_equivalence(spark, sf_dir):
+    """Salting must not change join results: spans joined to a per-service
+    dim via salted_join == the plain equi-join, row for row."""
+    from zipkin_storage_kafka_spark.operators.skew import salted_join
+    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+
+    spans = spans_from_events(spark, sf_dir).filter(
+        F.col("local_service").isNotNull()
+    )
+    dim = (
+        spans.groupBy("local_service")
+        .agg(F.count(F.lit(1)).alias("svc_total"))
+    )
+    plain = spans.join(dim, "local_service").select(
+        "local_service", "id", "svc_total"
+    )
+    salted = salted_join(
+        spans, dim, on="local_service", salt_src="id"
+    ).select("local_service", "id", "svc_total")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )

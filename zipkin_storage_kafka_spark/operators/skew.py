@@ -50,3 +50,42 @@ def salted_counts(
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
     return partial.groupBy(key).agg(F.sum("_partial").alias(count_col))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_src: str | Column,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Hot-key equi-join salting: split the skewed LEFT side's hot keys
+    across ``n_salts`` sub-keys and REPLICATE the (small-ish) right side
+    once per salt, so no single reduce task owns a whole hot key.  The
+    complement of AQE's skew-join (which only splits at runtime when
+    statistics reveal the skew — salting is the static form you reach for
+    when the hot key is known, e.g. the null-bucket or a mega-tenant).
+
+    The salt is a deterministic hash of ``salt_src`` (a row-unique-ish
+    LEFT column), never rand(): results are reproducible and the
+    equivalence to the unsalted join is testable.  Right-side replication
+    multiplies its shuffle volume by n_salts — use for right sides well
+    under left/n_salts.
+
+    Returns the joined frame with internal salt columns dropped;
+    equivalence pinned in test_properties.py::test_salted_join_equivalence.
+    """
+    src = F.col(salt_src) if isinstance(salt_src, str) else salt_src
+    salt = F.expr(
+        f"CAST(conv(substr(md5(CAST({salt_src} AS STRING)), 1, 8), 16, 10)"
+        f" AS BIGINT) % {n_salts}"
+    ) if isinstance(salt_src, str) else (
+        F.abs(F.hash(src)) % n_salts
+    )
+    left2 = left.withColumn("_salt", salt)
+    right2 = right.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)])),
+    )
+    joined = left2.join(right2, [on, "_salt"])
+    return joined.drop("_salt")
