@@ -94,3 +94,77 @@ def test_service_pagerank_hand_computed(spark):
         for r in service_pagerank(links).collect()
     }
     assert out == {"A": 50000, "B": 60625, "C": 133406}
+
+
+def test_span_depths_colliding_ids_across_traces(spark):
+    """zipkin2 span ids are unique only WITHIN a trace: the same id in two
+    traces must not splice ancestries (the sweep join is trace-qualified).
+
+    t1: r1 -> dup (depth 1); t2: dup is the ROOT, c2 -> dup (depth 1).
+    An unqualified join on span id would match t2's c2 against t1's dup
+    row too, duplicating rows and fabricating a depth-2 path.
+    """
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        span_depths,
+    )
+
+    rows = [
+        ("t1", "r1", None), ("t1", "dup", "r1"),
+        ("t2", "dup", None), ("t2", "c2", "dup"),
+    ]
+    spans = spark.createDataFrame(
+        rows, "trace_id string, id string, parent_id string"
+    )
+    out = span_depths(spans).collect()
+    assert len(out) == 4  # no row duplication from cross-trace matches
+    got = {(r["trace_id"], r["id"]): r["depth"] for r in out}
+    assert got == {
+        ("t1", "r1"): 0, ("t1", "dup"): 1,
+        ("t2", "dup"): 0, ("t2", "c2"): 1,
+    }
+
+
+def test_critical_paths_colliding_ids_across_traces(spark):
+    """Path costs with a cross-trace id collision: t2's child must sum only
+    its OWN trace's root duration (100+7), never t1's dup duration."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        critical_paths,
+    )
+
+    rows = [
+        ("t1", "r1", None, 50), ("t1", "dup", "r1", 20),
+        ("t2", "dup", None, 100), ("t2", "c2", "dup", 7),
+    ]
+    spans = spark.createDataFrame(
+        rows, "trace_id string, id string, parent_id string, duration long"
+    )
+    got = {
+        r["trace_id"]: (r["n_spans"], r["critical_path_us"])
+        for r in critical_paths(spans).collect()
+    }
+    assert got == {"t1": (2, 70), "t2": (2, 107)}
+
+
+def test_self_time_colliding_ids_across_traces(spark):
+    """Child-duration subtraction must be per (trace_id, parent_id): span
+    'dup' in svc2/t2 has NO children and must not absorb t1's child sum."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        self_time_by_service,
+    )
+
+    rows = [
+        ("t1", "dup", None, "svc1", 50),
+        ("t1", "k1", "dup", "svc1", 20),
+        ("t2", "dup", None, "svc2", 100),
+    ]
+    spans = spark.createDataFrame(
+        rows,
+        "trace_id string, id string, parent_id string, "
+        "local_service string, duration long",
+    )
+    got = {
+        r["local_service"]: r["self_time_us"]
+        for r in self_time_by_service(spans).collect()
+    }
+    # svc1: (50-20) + 20 = 50; svc2: 100 untouched (no cross-trace leak)
+    assert got == {"svc1": 50, "svc2": 100}

@@ -130,8 +130,12 @@ def span_depths(spans: DataFrame, max_sweeps: int = 20) -> DataFrame:
     scalar (sum of distances, non-decreasing, capped by the fixpoint) per
     sweep to stop.
 
-    Span ids are globally unique here, so the ancestor join needs no
-    trace qualification.  Returns: trace_id, id, depth.
+    Every sweep join is qualified by ``trace_id``: zipkin2 span ids are
+    unique only *within* a trace (64-bit random — cross-trace collisions
+    are a birthday-bound certainty at 100 TB span volumes), and the
+    reference builds its SpanNode tree strictly per trace.  The extra key
+    also co-partitions the sweep with every other trace-keyed stage.
+    Returns: trace_id, id, depth.
     """
     base = spans.select("trace_id", "id", "parent_id")
     cur = base.select(
@@ -148,12 +152,17 @@ def span_depths(spans: DataFrame, max_sweeps: int = 20) -> DataFrame:
     prev_sum = cur.agg(F.sum("dist")).collect()[0][0] or 0
     for _ in range(max_sweeps):
         look = cur.select(
+            F.col("trace_id").alias("_tid"),
             F.col("id").alias("_aid"),
             F.col("anc").alias("_anc2"),
             F.col("dist").alias("_d2"),
         )
         nxt = (
-            cur.join(look, F.col("anc") == F.col("_aid"))
+            cur.join(
+                look,
+                (F.col("anc") == F.col("_aid"))
+                & (F.col("trace_id") == F.col("_tid")),
+            )
             .select(
                 "trace_id",
                 "id",
@@ -222,13 +231,18 @@ def span_path_costs(spans: DataFrame, max_sweeps: int = 20) -> DataFrame:
     prev_sum = cur.agg(F.sum("dist")).collect()[0][0] or 0
     for _ in range(max_sweeps):
         look = cur.select(
+            F.col("trace_id").alias("_tid"),
             F.col("id").alias("_aid"),
             F.col("anc").alias("_anc2"),
             F.col("dist").alias("_d2"),
             F.col("w").alias("_w2"),
         )
         nxt = (
-            cur.join(look, F.col("anc") == F.col("_aid"))
+            cur.join(
+                look,
+                (F.col("anc") == F.col("_aid"))
+                & (F.col("trace_id") == F.col("_tid")),
+            )
             .select(
                 "trace_id",
                 "id",
@@ -244,9 +258,14 @@ def span_path_costs(spans: DataFrame, max_sweeps: int = 20) -> DataFrame:
             break
         prev_sum = cur_sum
     root_durs = base.select(
-        F.col("id").alias("_rid"), F.col("dur").alias("_rdur")
+        F.col("trace_id").alias("_rtid"),
+        F.col("id").alias("_rid"),
+        F.col("dur").alias("_rdur"),
     )
-    return cur.join(root_durs, F.col("anc") == F.col("_rid")).select(
+    return cur.join(
+        root_durs,
+        (F.col("anc") == F.col("_rid")) & (F.col("trace_id") == F.col("_rtid")),
+    ).select(
         "trace_id",
         "id",
         (F.col("w") + F.col("_rdur")).alias("path_cost"),
@@ -274,11 +293,13 @@ def self_time_by_service(spans: DataFrame) -> DataFrame:
     direct children (time attributable to the span itself rather than its
     callees — negative when children overlap their parent, which async
     fan-out legitimately produces, so no clamping).  One children
-    aggregation + one left join, both keyed on the span id; at 100 TB both
-    shuffle on the same key and AQE plans them as a single exchange reuse.
-    Columns: local_service, n_spans, self_time_us.
+    aggregation + one left join, both keyed on (trace_id, span id) — span
+    ids are only per-trace unique in zipkin2, and the shared key also means
+    both stages shuffle on the same columns so AQE plans a single exchange
+    reuse at 100 TB.  Columns: local_service, n_spans, self_time_us.
     """
     base = spans.select(
+        "trace_id",
         "local_service",
         "id",
         "parent_id",
@@ -286,12 +307,20 @@ def self_time_by_service(spans: DataFrame) -> DataFrame:
     )
     child_sums = (
         base.filter(F.col("parent_id").isNotNull())
-        .groupBy("parent_id")
+        .groupBy("trace_id", "parent_id")
         .agg(F.sum("dur").alias("child_dur"))
-        .select(F.col("parent_id").alias("_pid"), "child_dur")
+        .select(
+            F.col("trace_id").alias("_ctid"),
+            F.col("parent_id").alias("_pid"),
+            "child_dur",
+        )
     )
     return (
-        base.join(child_sums, F.col("id") == F.col("_pid"), "left")
+        base.join(
+            child_sums,
+            (F.col("id") == F.col("_pid")) & (F.col("trace_id") == F.col("_ctid")),
+            "left",
+        )
         .groupBy("local_service")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),

@@ -1164,11 +1164,13 @@ def zipkin_oracles() -> dict[str, str]:
         ),
         "z_trace_depth": f"""
             WITH RECURSIVE {SPANS_ORACLE_CTE.strip()},
-            rec(id, depth) AS (
-              SELECT id, CAST(0 AS BIGINT) FROM spans WHERE parent_id IS NULL
+            rec(trace_id, id, depth) AS (
+              SELECT trace_id, id, CAST(0 AS BIGINT)
+              FROM spans WHERE parent_id IS NULL
               UNION ALL
-              SELECT s.id, r.depth + 1
-              FROM spans s JOIN rec r ON s.parent_id = r.id
+              SELECT s.trace_id, s.id, r.depth + 1
+              FROM spans s
+              JOIN rec r ON s.parent_id = r.id AND s.trace_id = r.trace_id
             )
             SELECT depth, CAST(count(*) AS BIGINT) AS n_spans
             FROM rec GROUP BY depth
@@ -1180,7 +1182,8 @@ def zipkin_oracles() -> dict[str, str]:
               FROM spans WHERE parent_id IS NULL
               UNION ALL
               SELECT s.trace_id, s.id, r.cost + coalesce(s.duration, 0)
-              FROM spans s JOIN rec r ON s.parent_id = r.id
+              FROM spans s
+              JOIN rec r ON s.parent_id = r.id AND s.trace_id = r.trace_id
             )
             SELECT trace_id, CAST(count(*) AS BIGINT) AS n_spans,
                    CAST(max(cost) AS BIGINT) AS critical_path_us
@@ -1194,15 +1197,16 @@ def zipkin_oracles() -> dict[str, str]:
                    CAST(sum(coalesce(s.duration, 0)
                             - coalesce(c.child_dur, 0)) AS BIGINT)
                      AS self_time_us
-            FROM spans s LEFT JOIN child c ON s.id = c.pid
+            FROM spans s
+            LEFT JOIN child c ON s.id = c.pid AND s.trace_id = c.tid
             GROUP BY s.local_service
             """,
             extra_ctes="""
             child AS (
-              SELECT parent_id AS pid,
+              SELECT trace_id AS tid, parent_id AS pid,
                      sum(coalesce(duration, 0)) AS child_dur
               FROM spans WHERE parent_id IS NOT NULL
-              GROUP BY parent_id
+              GROUP BY trace_id, parent_id
             )
             """,
         ),
