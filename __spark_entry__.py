@@ -95,7 +95,12 @@ def _ordered(parts: dict[str, dict]) -> dict:
         **parts["pipeline"],
         **parts["analytics"],
     }
-    out = {name: merged.pop(name) for name in _FIRST50 if name in merged}
+    missing = [name for name in _FIRST50 if name not in merged]
+    assert not missing, (
+        f"_FIRST50 entries missing from registries (rename?): {missing} — "
+        "the budgeted correctness prefix must never silently shift"
+    )
+    out = {name: merged.pop(name) for name in _FIRST50}
     rest_zk = [k for k in parts["zipkin"] if k in merged]
     rest_pipe = [k for k in parts["pipeline"] if k in merged]
     rest_ana = [k for k in parts["analytics"] if k in merged]

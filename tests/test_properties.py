@@ -254,3 +254,24 @@ def test_salted_join_equivalence(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_salted_join_equivalence_column_src_with_nulls(spark):
+    """The Column-input salt path must keep NULL-salt_src rows (coalesce)
+    and handle hash()==Integer.MIN_VALUE (pmod, not abs-%): equivalence to
+    the plain join must hold row for row including NULL salt sources."""
+    from zipkin_storage_kafka_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [("k1", "a"), ("k1", None), ("k2", "b"), ("k2", None), ("k1", "c")],
+        "k string, tag string",
+    )
+    dim = spark.createDataFrame([("k1", 10), ("k2", 20)], "k string, v int")
+    plain = left.join(dim, "k").select("k", "tag", "v")
+    salted = salted_join(left, dim, on="k", salt_src=F.col("tag")).select(
+        "k", "tag", "v"
+    )
+    key = lambda r: (r[0], r[1] or "", r[2])
+    assert sorted(plain.collect(), key=key) == sorted(
+        salted.collect(), key=key
+    )

@@ -166,9 +166,12 @@ def anomalous_span_counts(spans: DataFrame, z2_threshold: int = 9) -> DataFrame:
     over the span store.
 
     Determinism: the per-service moments (n, sum, sum-of-squares) are
-    EXACT bigint aggregates (micros squared times row counts stay under
-    int64); the z² test is evaluated per row from those exact integers
-    with one float expression — identical operands in both engines, so no
+    EXACT decimal(38,0) aggregates — Spark's non-ANSI bigint sum silently
+    wraps on overflow, and sum(dur²) at 100 TB row counts exceeds int64
+    (10^11 rows × (10^9 µs)² ≈ 10^29), so the accumulation is widened to
+    decimal BEFORE the multiply; the z² test is evaluated per row from
+    those exact integers with one float expression — identical operands
+    in both engines (the DuckDB oracle accumulates in HUGEINT), so no
     accumulation-order drift anywhere.  The test multiplies out the
     variance so there is no per-group division:
     (n·x − s)² · (n−1) > t · n · (n·sumsq − s²).
@@ -182,18 +185,21 @@ def anomalous_span_counts(spans: DataFrame, z2_threshold: int = 9) -> DataFrame:
     ).select(
         "local_service", F.col("duration").cast("long").alias("dur")
     )
+    dur_dec = F.col("dur").cast("decimal(18,0)")
     stats = base.groupBy(F.col("local_service").alias("_svc")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("dur").alias("s"),
-        F.sum(F.col("dur") * F.col("dur")).alias("sq"),
+        F.sum(F.col("dur").cast("decimal(28,0)")).alias("s"),
+        F.sum(dur_dec * dur_dec).alias("sq"),
     )
     joined = base.join(
         F.broadcast(stats), F.col("local_service") == F.col("_svc")
     )
+    n_x_minus_s = (
+        F.col("n").cast("decimal(19,0)") * F.col("dur").cast("decimal(18,0)")
+        - F.col("s")
+    ).cast("double")
     lhs = (
-        (F.col("n") * F.col("dur") - F.col("s")).cast("double")
-        * (F.col("n") * F.col("dur") - F.col("s")).cast("double")
-        * (F.col("n") - 1).cast("double")
+        n_x_minus_s * n_x_minus_s * (F.col("n") - 1).cast("double")
     )
     rhs = (
         F.lit(float(z2_threshold))

@@ -75,12 +75,19 @@ def salted_join(
     Returns the joined frame with internal salt columns dropped;
     equivalence pinned in test_properties.py::test_salted_join_equivalence.
     """
+    # Both salt paths must yield a NON-NULL value in [0, n_salts) for every
+    # row: hash() can return Integer.MIN_VALUE (abs stays negative, so pmod
+    # not abs-%), and a NULL salt_src must still salt (coalesce to '') — a
+    # NULL or out-of-range salt would silently drop rows from the inner
+    # join on _salt, breaking equivalence to the unsalted join.
     src = F.col(salt_src) if isinstance(salt_src, str) else salt_src
     salt = F.expr(
-        f"CAST(conv(substr(md5(CAST({salt_src} AS STRING)), 1, 8), 16, 10)"
-        f" AS BIGINT) % {n_salts}"
+        f"CAST(conv(substr(md5(coalesce(CAST({salt_src} AS STRING), '')),"
+        f" 1, 8), 16, 10) AS BIGINT) % {n_salts}"
     ) if isinstance(salt_src, str) else (
-        F.abs(F.hash(src)) % n_salts
+        F.pmod(
+            F.hash(F.coalesce(src.cast("string"), F.lit(""))), F.lit(n_salts)
+        ).cast("bigint")
     )
     left2 = left.withColumn("_salt", salt)
     right2 = right.withColumn(

@@ -999,8 +999,8 @@ def zipkin_oracles() -> dict[str, str]:
                      count(*) AS n_anomalies
               FROM b JOIN st ON st._svc = b.local_service
               WHERE st.n >= 2
-                AND CAST(st.n * b.dur - st.s AS DOUBLE)
-                    * CAST(st.n * b.dur - st.s AS DOUBLE)
+                AND CAST(CAST(st.n AS HUGEINT) * b.dur - st.s AS DOUBLE)
+                    * CAST(CAST(st.n AS HUGEINT) * b.dur - st.s AS DOUBLE)
                     * CAST(st.n - 1 AS DOUBLE)
                   > 9.0 * CAST(st.n AS DOUBLE)
                     * (CAST(st.n AS DOUBLE) * CAST(st.sq AS DOUBLE)
@@ -1017,8 +1017,8 @@ def zipkin_oracles() -> dict[str, str]:
             st AS (
               SELECT local_service AS _svc,
                      CAST(count(*) AS BIGINT) AS n,
-                     CAST(sum(dur) AS BIGINT) AS s,
-                     CAST(sum(dur * dur) AS BIGINT) AS sq
+                     sum(CAST(dur AS HUGEINT)) AS s,
+                     sum(CAST(dur AS HUGEINT) * dur) AS sq
               FROM b GROUP BY local_service
             )
             """,

@@ -1637,8 +1637,8 @@ def pipeline_oracles() -> dict[str, str]:
             ),
             ranked AS (
               SELECT doc_id, n_terms, score_micro,
-                     row_number() OVER (ORDER BY score_micro DESC, doc_id)
-                       AS rank
+                     CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                       AS INT) AS rank
               FROM sc
             )
             SELECT * FROM ranked WHERE rank <= 20
