@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from zipkin_storage_kafka_spark.functions.portable import round4
+from zipkin_storage_kafka_spark.functions.portable import bounded_window, round4
 from zipkin_storage_kafka_spark.sources.tables import load_table, to_epoch_micros
 
 DEC = "decimal(30,6)"
@@ -930,8 +930,11 @@ def rolling_revenue(spark: SparkSession, sf_dir: str, days: int = 7) -> DataFram
         .groupBy("day_idx")
         .agg(F.sum("rev").alias("_day_rev"))
     )
+    # per-day rows: the frame is bounded by the corpus date span (a few
+    # thousand rows at ANY data scale), so the constant-partition window
+    # is deliberate — see functions.portable.bounded_window.
     w = (
-        Window.orderBy("day_idx")
+        bounded_window("day_idx")
         .rangeBetween(-(days - 1), Window.currentRow)
     )
     return daily.select(
@@ -943,23 +946,40 @@ def rolling_revenue(spark: SparkSession, sf_dir: str, days: int = 7) -> DataFram
     )
 
 
-def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customer_deciles(
+    spark: SparkSession, sf_dir: str, mode: str = "exact"
+) -> DataFrame:
     """Customer spend deciles: ntile(10) over total order value, reported
     as per-decile aggregates (the whale-curve / LTV-banding query).
 
-    The ntile window is unpartitioned but runs AFTER per-customer
-    aggregation (rows = customer count, not order count) — and the decile
-    report output is 10 rows.  At extreme customer counts the same result
-    computes from approx percentile boundaries + a broadcast bucket join;
-    the exact ntile keeps the oracle bit-exact here.
+    ``mode='exact'`` (default, oracle flavor) is bit-exact SQL ntile over
+    the total order (_spend desc, o_custkey) via
+    ``operators.ntile.distributed_ntile`` — range partition + two-level
+    rank, NO single-partition window, so billions of customers stay
+    parallel.  ``mode='approx'`` bands by percentile_approx boundaries
+    instead (no total order at all).
     """
+    from zipkin_storage_kafka_spark.operators.ntile import (
+        approx_buckets,
+        distributed_ntile,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).alias("_spend"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w = Window.orderBy(F.col("_spend").desc(), F.col("o_custkey"))
-    tiled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    if mode == "approx":
+        tiled = approx_buckets(
+            per_cust, 10, F.col("_spend") * -1, bucket_col="decile"
+        )
+    else:
+        tiled = per_cust.withColumn(
+            "_neg_spend", F.col("_spend") * -1
+        )
+        tiled = distributed_ntile(
+            tiled, 10, ["_neg_spend", "o_custkey"], bucket_col="decile"
+        ).drop("_neg_spend")
     return (
         tiled.groupBy("decile")
         .agg(

@@ -1,0 +1,127 @@
+"""Distributed ntile: exact SQL ``ntile(k)`` semantics without the
+single-partition window.
+
+``Window.orderBy(...)`` with no partition spec moves EVERY row to one task
+(Spark's ``WindowExec: No Partition Defined`` warning) — one row per
+document or customer is still billions of rows in one task at 100 TB.  The
+reference never ranks globally (Kafka Streams has no total-order
+operator); this module is part of the engine's beyond-the-reference
+analytics surface, built scale-first.
+
+Two flavors:
+
+``distributed_ntile``
+    BIT-EXACT ``ntile(k)`` over a total order, as a two-level rank:
+
+    1. ``repartitionByRange`` on the total-order key — the range exchange
+       samples boundaries, so partition p holds a contiguous key slice.
+       The frame is locally checkpointed ONCE so the two consumers below
+       read the same materialized partitioning (a recomputed range
+       exchange may re-sample different boundaries).
+    2. per-partition ``row_number`` (window PARTITIONED by the range id —
+       parallel) + per-partition row counts joined as broadcast offsets;
+       the offset prefix-sum is a triangular self-join over the tiny
+       (#partitions) count table, NOT an unpartitioned window, so the
+       whole plan emits zero single-partition window stages.
+    3. closed form: with 0-based global rank r and n total rows, SQL
+       ntile assigns bucket ``(r * k) div n + 1`` — integer arithmetic,
+       exactly the remainder-to-early-buckets split ntile specifies.
+
+    Cost: one range shuffle + one broadcast join — same order as the sort
+    any exact quantile needs, but parallel end to end.
+
+``approx_buckets``
+    The no-total-order flavor: one ``percentile_approx`` aggregation
+    yields k-1 boundary values (a one-row broadcast), bucket = 1 + #
+    boundaries below the value.  No shuffle of the data at all beyond the
+    aggregation's partial+final pass; edges are approximate (sketch
+    accuracy), which a curriculum/LTV banding tolerates at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: list[str],
+    bucket_col: str = "bucket",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``bucket_col`` = exact ntile(``n_buckets``) over the total
+    order ``order_cols`` (must be a UNIQUE key combination — ties would
+    make the global rank, and thus bucket edges, nondeterministic).
+    """
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    # offsets: triangular join over <= n_partitions rows (no window)
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"), F.col("a._c").alias("_c"))
+        .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_off"))
+        .select("_pid", "_off")
+    )
+    total = counts.agg(F.sum("_c").alias("_n"))
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            bucket_col,
+            (
+                F.expr(f"((_off + _rn - 1) * {int(n_buckets)}) div _n")
+                + F.lit(1)
+            ).cast("int"),
+        )
+        .drop("_pid", "_rn", "_off", "_n")
+    )
+
+
+def approx_buckets(
+    df: DataFrame,
+    n_buckets: int,
+    value_col: str | Column,
+    bucket_col: str = "bucket",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Append ``bucket_col`` from approx-quantile boundaries: bucket =
+    1 + count of boundaries strictly below the value.  Boundary rows can
+    land either side of their edge (sketch error + ties share a bucket),
+    so bucket POPULATIONS are approximate; values are never moved across
+    more than the sketch error.
+    """
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.percentile_approx(
+            val.cast("double"), F.array(*[F.lit(p) for p in probs]),
+            F.lit(accuracy),
+        ).alias("_bounds")
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            bucket_col,
+            (
+                F.lit(1)
+                + F.aggregate(
+                    "_bounds",
+                    F.lit(0),
+                    lambda acc, bnd: acc
+                    + F.when(val.cast("double") > bnd, 1).otherwise(0),
+                )
+            ).cast("int"),
+        )
+        .drop("_bounds")
+    )

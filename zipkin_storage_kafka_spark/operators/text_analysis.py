@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from zipkin_storage_kafka_spark.functions.portable import round4
+from zipkin_storage_kafka_spark.functions.portable import bounded_window, round4
 
 # tiny function-word lists for the language heuristic (public knowledge —
 # standard high-frequency function words per language)
@@ -353,7 +353,7 @@ def encode_token_ids(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
     # the unpartitioned row_number window only ever sees K rows, never the
     # full distinct-token set.
     topk = freq.orderBy(F.col("cnt").desc(), "token").limit(vocab_size)
-    w = Window.orderBy(F.col("cnt").desc(), "token")
+    w = bounded_window(F.col("cnt").desc(), "token")
     vocab = topk.withColumn("id", F.row_number().over(w)).select(
         "token", "id"
     )
@@ -700,26 +700,40 @@ def mixture_weights(docs: DataFrame, max_epochs: float = 2.0) -> DataFrame:
     )
 
 
-def length_buckets(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
+def length_buckets(
+    docs: DataFrame, n_buckets: int = 10, mode: str = "exact"
+) -> DataFrame:
     """Length-curriculum banding: ntile ``n_buckets`` over per-doc token
     counts (total order (n_tokens, doc_id), so band edges are
     deterministic), with per-band size stats — the audit behind
     length-bucketed batch packing / curriculum schedules.
 
-    The global sort is over one row per DOC (not tokens); at 100 TB the
-    same banding comes from an approx-quantile pass + threshold filter,
-    trading exact edges for no sort — documented, same output shape.
+    ``mode='exact'`` (default, the oracle flavor) is BIT-EXACT SQL ntile
+    computed scale-safe by ``operators.ntile.distributed_ntile`` — range
+    partition + two-level rank, no single-partition window anywhere, so
+    one-row-per-doc at 100 TB stays parallel.  ``mode='approx'`` skips
+    the total order entirely: percentile_approx boundaries + broadcast
+    bucket assignment (approximate edges, cheapest possible pass).
 
     Output: bucket (1..n), n_docs, min_tokens, max_tokens, avg_tokens
     (round 4).
     """
+    from zipkin_storage_kafka_spark.operators.ntile import (
+        approx_buckets,
+        distributed_ntile,
+    )
+
     with_len = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    w = Window.orderBy("n_tokens", "doc_id")
+    if mode == "approx":
+        tiled = approx_buckets(with_len, n_buckets, "n_tokens")
+    else:
+        tiled = distributed_ntile(
+            with_len, n_buckets, ["n_tokens", "doc_id"]
+        )
     return (
-        with_len.withColumn("bucket", F.ntile(n_buckets).over(w))
-        .groupBy("bucket")
+        tiled.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("n_tokens").alias("min_tokens"),
@@ -946,7 +960,7 @@ def bm25_topk(
     top = scored.orderBy(F.col("score_micro").desc(), F.col("doc_id")).limit(
         k
     )
-    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    w = bounded_window(F.col("score_micro").desc(), F.col("doc_id"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "n_terms", "score_micro", "rank"
     )
@@ -1157,7 +1171,7 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int = 20000) -> DataFram
         F.md5(F.col("doc_id").cast("string")).alias("rk"),
     ).withColumn("bkt", F.substring("rk", 1, 1))
     per_bucket = d.groupBy("bkt").agg(F.sum("n_tokens").alias("bsum"))
-    w16 = Window.orderBy("bkt").rowsBetween(
+    w16 = bounded_window("bkt").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     offsets = per_bucket.select(
