@@ -219,3 +219,33 @@ def test_bucketed_spans_join_no_shuffle(spark, sf_dir, tmp_path):
     assert plan.count("Bucketed: true") == 2, plan
     assert links.count() > 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_autocomplete_keys_are_config(spark, sf_dir, tmp_path):
+    """autoCompleteKeys is builder config in the reference
+    (KafkaStorageBuilder.java), not a literal: a different key set must
+    flow through both the SpanStore facade and the materialized store."""
+    from zipkin_storage_kafka_spark.plans.query_api import SpanStore
+
+    spans = spans_from_events(spark, sf_dir)
+
+    store = SpanStore(spans, autocomplete_keys=("k",))
+    keys = [r["tag_key"] for r in store.get_autocomplete_keys().collect()]
+    assert keys == ["k"]
+    # a key outside the configured whitelist yields no values
+    assert store.get_autocomplete_values("environment").count() == 0
+    assert store.get_autocomplete_values("k").count() == 1
+
+    out = str(tmp_path / "stores_k")
+    materialize_stores(spark, spans, out, autocomplete_keys=("k",))
+    tags = {
+        r["tag_key"]
+        for r in read_store(spark, out, "autocomplete_tags").collect()
+    }
+    assert tags == {"k"}
+
+    # default config unchanged
+    assert [
+        r["tag_key"]
+        for r in SpanStore(spans).get_autocomplete_keys().collect()
+    ] == ["environment", "k"]

@@ -43,8 +43,23 @@ def _with_event_date(df: DataFrame, micros_col: str) -> DataFrame:
     )
 
 
-def materialize_stores(spark: SparkSession, spans: DataFrame, out_dir: str) -> None:
-    """Build every queryable store from a spans DataFrame."""
+def materialize_stores(
+    spark: SparkSession,
+    spans: DataFrame,
+    out_dir: str,
+    autocomplete_keys: tuple[str, ...] | None = None,
+) -> None:
+    """Build every queryable store from a spans DataFrame.
+
+    ``autocomplete_keys`` mirrors the reference's builder config
+    (KafkaStorageBuilder.java autocompleteKeys): the whitelist of tag
+    keys the autocomplete store indexes."""
+    from zipkin_storage_kafka_spark.plans.query_api import (
+        DEFAULT_AUTOCOMPLETE_KEYS,
+    )
+
+    if autocomplete_keys is None:
+        autocomplete_keys = DEFAULT_AUTOCOMPLETE_KEYS
     traces = _with_event_date(aggregate_traces(spans), "trace_timestamp")
     traces.write.mode("overwrite").partitionBy(DATE_COL).parquet(
         os.path.join(out_dir, "traces")
@@ -61,7 +76,7 @@ def materialize_stores(spark: SparkSession, spans: DataFrame, out_dir: str) -> N
     for name, df in (
         ("span_names", span_names(spans)),
         ("remote_service_names", remote_service_names(spans)),
-        ("autocomplete_tags", autocomplete_tags(spans, keys=("environment", "k"))),
+        ("autocomplete_tags", autocomplete_tags(spans, keys=autocomplete_keys)),
     ):
         df.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, name))
 

@@ -42,6 +42,12 @@ TRACE_MANY_LIMIT = 1000
 DEFAULT_QUERY_LIMIT = 10
 DEFAULT_LOOKBACK_MS = 86_400_000
 
+# The reference's autoCompleteKeys is BUILDER config
+# (KafkaStorageBuilder.java autocompleteKeys / zipkin2 StorageComponent
+# .Builder#autocompleteKeys), not a constant; this default matches the
+# testdata's two whitelisted tag keys.
+DEFAULT_AUTOCOMPLETE_KEYS = ("environment", "k")
+
 
 @dataclass(frozen=True)
 class QueryRequest:
@@ -135,8 +141,10 @@ class SpanStore:
         trace_search_enabled: bool = True,
         trace_by_id_query_enabled: bool = True,
         dependency_query_enabled: bool = True,
+        autocomplete_keys: tuple[str, ...] = DEFAULT_AUTOCOMPLETE_KEYS,
     ) -> None:
         self.spans = spans
+        self.autocomplete_keys = tuple(autocomplete_keys)
         # Optional pre-materialized link rows / trace rollups (the
         # reference's zipkin-dependency and zipkin-traces stores); derived
         # from spans when absent.
@@ -231,14 +239,14 @@ class SpanStore:
     # -- autocomplete (GET /autocompleteTags... — :165-187,292-309) --
     def get_autocomplete_keys(self) -> DataFrame:
         return (
-            autocomplete_tags(self.spans, keys=("environment", "k"))
+            autocomplete_tags(self.spans, keys=self.autocomplete_keys)
             .select("tag_key")
             .orderBy("tag_key")
             .limit(AUTOCOMPLETE_LIMIT)
         )
 
     def get_autocomplete_values(self, key: str) -> DataFrame:
-        return autocomplete_tags(self.spans, keys=("environment", "k")).filter(
+        return autocomplete_tags(self.spans, keys=self.autocomplete_keys).filter(
             F.col("tag_key") == key
         )
 
