@@ -248,3 +248,78 @@ import pytest
 def test_malformed_raises(buf):
     with pytest.raises(ValueError):
         decode_span(buf)
+
+
+def test_jvm_protobuf_detection_and_fallback(spark):
+    """spark-protobuf is absent in this sandbox: detection must say so
+    (cached), and proto_to_spans must silently use the Python codec —
+    the flip to from_protobuf is automatic the day the jar appears."""
+    from zipkin_storage_kafka_spark.sources.proto_spans import (
+        jvm_protobuf_available,
+        proto_to_spans,
+    )
+
+    assert jvm_protobuf_available(spark) is False
+    assert jvm_protobuf_available(spark) is False  # cached second call
+
+    spans = [{
+        "trace_id": "000000000000000a", "parent_id": None, "id": "0000000000000001",
+        "kind": "SERVER", "name": "get", "timestamp": 1_700_000_000_000_000,
+        "duration": 100, "local_endpoint": {"service_name": "svc",
+        "ipv4": None, "ipv6": None, "port": None}, "remote_endpoint": None,
+        "annotations": [], "tags": {"k": "v"}, "debug": None, "shared": None,
+    }]
+    from zipkin_storage_kafka_spark.functions.proto import encode_span_list
+
+    df = spark.createDataFrame(
+        [(bytearray(encode_span_list(spans)),)], "value binary"
+    )
+    out = proto_to_spans(df).collect()  # use_jvm=None -> auto-detect -> False
+    assert len(out) == 1 and out[0]["trace_id"] == "000000000000000a"
+    assert out[0]["local_service"] == "svc" and out[0]["tags"] == {"k": "v"}
+
+
+def test_zipkin_descriptor_set_wire_structure(spark):
+    """The self-encoded FileDescriptorSet must parse as valid proto wire
+    format (our own reader) with the four zipkin messages, correct field
+    numbers, and the map_entry marker on TagsEntry — the descriptor is
+    what from_protobuf will consume when the jar ships, so its structure
+    is pinned even while the JVM path can't run offline."""
+    from zipkin_storage_kafka_spark.functions.proto import _fields
+    from zipkin_storage_kafka_spark.functions.proto_descriptor import (
+        zipkin_descriptor_set,
+    )
+
+    blob = zipkin_descriptor_set()
+    files = [v for f, w, v in _fields(blob) if f == 1]
+    assert len(files) == 1
+    file_fields = list(_fields(files[0]))
+    name = [v for f, w, v in file_fields if f == 1][0].decode()
+    package = [v for f, w, v in file_fields if f == 2][0].decode()
+    syntax = [v for f, w, v in file_fields if f == 12][0].decode()
+    assert (name, package, syntax) == ("zipkin.proto", "zipkin.proto3", "proto3")
+
+    messages = {}
+    for f, w, v in file_fields:
+        if f != 4:
+            continue
+        mf = list(_fields(v))
+        mname = [x for ff, ww, x in mf if ff == 1][0].decode()
+        messages[mname] = mf
+    assert set(messages) == {"Span", "Endpoint", "Annotation", "ListOfSpans"}
+
+    # Span: field numbers 1..13 in schema order
+    span_fields = [x for ff, ww, x in messages["Span"] if ff == 2]
+    nums = []
+    for sf in span_fields:
+        sub = list(_fields(sf))
+        nums.append([x for ff, ww, x in sub if ff == 3][0])
+    assert nums == list(range(1, 14))
+
+    # TagsEntry nested in Span with map_entry option set
+    nested = [x for ff, ww, x in messages["Span"] if ff == 3]
+    assert len(nested) == 1
+    tf = list(_fields(nested[0]))
+    assert [x for ff, ww, x in tf if ff == 1][0].decode() == "TagsEntry"
+    options = [x for ff, ww, x in tf if ff == 7]
+    assert options and list(_fields(options[0]))[0][0] == 7  # map_entry
