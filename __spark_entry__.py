@@ -25,16 +25,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Deliberately ordered: the correctness harness walks this dict in insertion
-# order and has a finite budget (rounds 1 and 2 each recorded exactly the
-# first 50 entries).  _FIRST50 pins the budgeted prefix explicitly: the
-# zipkin-core block (the SURVEY section-2 parity gate, cheap members first)
-# followed by a hand-picked cross-family sample (dedup, TPC-H, text, ANN,
-# multimodal, events, embeddings, composed pipeline) so a 50-row cutoff
-# still yields driver-green rows for EVERY operator family.  Queries added
-# later always land AFTER this prefix, interleaved pipeline/analytics, so
-# new work can never displace the budgeted coverage.
-_FIRST50 = (
-    # zipkin core (SURVEY section-2 ids)
+# order and has a finite budget (rounds 1-3 each recorded exactly the first
+# 50 entries).  _FIRST50 pins the budgeted prefix explicitly: the pinned
+# zipkin-core block (the SURVEY section-2 parity gate — identical every
+# round) followed by a PER-ROUND ROTATION of queries that have never had a
+# driver row (ROTATION.md tracks cumulative driver-green coverage; rounds
+# 2+3 re-checked the same 50, leaving 73 of 123 never driver-checked —
+# VERDICT r03 next-round #1).  Queries outside the prefix land AFTER it,
+# interleaved pipeline/analytics, so new work can never displace the
+# budgeted coverage.
+_PINNED_ZIPKIN_CORE = (
     "a2_trace_summaries",
     "j1_a8_dependency_links",
     "j1_links_tree",
@@ -66,27 +66,36 @@ _FIRST50 = (
     "z_sketch_service_traces",
     "z_trace_depth",
     "f5_proto_roundtrip",
-    # cross-family sample
-    "dedup_exact",
-    "h1_pricing_summary",
-    "text_token_stats",
-    "ann_cosine_topk",
-    "mm_resize_meta",
-    "ev_asof_attribution",
-    "emb_label_centroids",
-    "pipe_clean_corpus",
-    "dedup_minhash_lsh",
-    "h5_nation_revenue",
-    "text_quality",
-    "ann_ivf_topk",
-    "mm_extract_features",
-    "ev_user_sessions",
-    "emb_quantize_int8",
-    "dedup_simhash",
-    "text_fingerprint",
-    "h14_promo_revenue",
-    "text_langid",
 )
+
+# Round-4 rotation: 19 first-time keys, every family represented, biased
+# toward operators whose code changed this round (trace-qualified sweeps:
+# z_critical_path / z_self_time; decimal moments: z_anomalous_spans;
+# distributed ntile: w_customer_deciles / text_length_buckets; the new
+# streaming driver row: w1_stream_traces).
+_ROTATION = (
+    "w1_stream_traces",
+    "z_critical_path",
+    "z_self_time",
+    "z_anomalous_spans",
+    "z_service_pagerank",
+    "w_customer_deciles",
+    "text_length_buckets",
+    "text_bpe_train",
+    "text_tfidf",
+    "text_pii_scrub",
+    "dedup_cluster_resolve",
+    "ann_batch_topk",
+    "emb_kmeans_step",
+    "emb_pq_encode",
+    "ev_event_funnel",
+    "ev_cohort_retention",
+    "hr_pricing_cube",
+    "h20_excess_stock",
+    "h2_min_cost_supplier",
+)
+
+_FIRST50 = _PINNED_ZIPKIN_CORE + _ROTATION
 
 
 def _ordered(parts: dict[str, dict]) -> dict:

@@ -720,6 +720,20 @@ def q_self_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return self_time_by_service(_spans(spark, sf_dir))
 
 
+def q_stream_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 driver-visible row: the session-window streaming pipeline run
+    to completion (availableNow + watermark sentinels), serving closed
+    sessions from its sink — streaming.jobs.sessionized_summaries_via_stream.
+    The oracle reproduces session_window semantics with gaps-and-islands
+    sessionization, so stream==batch parity is finally a DRIVER row, not
+    only a pytest (SpanAggregationTopologyTest.java:84-93 choreography)."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        sessionized_summaries_via_stream,
+    )
+
+    return sessionized_summaries_via_stream(spark, sf_dir)
+
+
 def zipkin_queries() -> dict[str, QueryFn]:
     return {
         "a2_trace_summaries": q_trace_summaries,
@@ -761,6 +775,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_anomalous_spans": q_anomalous_spans,
         "z_error_pivot": q_error_pivot,
         "z_error_unpivot": q_error_unpivot,
+        "w1_stream_traces": q_stream_traces,
     }
 
 
@@ -973,6 +988,34 @@ def zipkin_oracles() -> dict[str, str]:
               GROUP BY local_service, env
             ) c ON c.local_service = s.local_service AND c.env = t.env
             """
+        ),
+        "w1_stream_traces": with_spans_cte(
+            """
+            SELECT trace_id,
+                   CAST(min(timestamp) // 1000 AS BIGINT) AS session_start_ms,
+                   CAST(max(timestamp) // 1000 + 60000 AS BIGINT)
+                     AS session_end_ms,
+                   CAST(count(*) AS BIGINT) AS span_count,
+                   CAST(min(timestamp) AS BIGINT) AS trace_timestamp
+            FROM sess GROUP BY trace_id, sess_id
+            """,
+            extra_ctes="""
+            lagged AS (
+              SELECT trace_id, timestamp,
+                     CASE WHEN timestamp - lag(timestamp) OVER
+                          (PARTITION BY trace_id ORDER BY timestamp)
+                          >= 60000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM spans
+            ),
+            sess AS (
+              SELECT trace_id, timestamp,
+                     sum(new_sess) OVER (PARTITION BY trace_id
+                         ORDER BY timestamp
+                         ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM lagged
+            )
+            """,
         ),
         "z_error_pivot": with_spans_cte(
             """
