@@ -41,21 +41,3 @@ def round6(col: Column) -> Column:
 
 def round6_sql(expr: str) -> str:
     return f"((round(({expr}) * 1000000) / 1000000) + 0.0)"
-
-
-def bounded_window(*order_cols) -> "WindowSpec":  # noqa: F821
-    """Window spec for frames that are PROVABLY BOUNDED to a driver-scale
-    row count by construction (a post-TakeOrdered top-k, a per-day rollup,
-    a 16-bucket offset table) — never raw data.
-
-    Semantically identical to ``Window.orderBy(...)``, but partitioned by a
-    constant so the partition spec is non-empty: WindowExec then never logs
-    its "No Partition Defined ... single partition" warning, and plan lints
-    (tests/test_ntile.py's detector) can treat any REMAINING unpartitioned
-    window as a genuine scale bug rather than noise.  The single partition
-    is the point: the frame is small; use ``operators.ntile`` when it
-    isn't.
-    """
-    from pyspark.sql import Window
-
-    return Window.partitionBy(F.lit(0)).orderBy(*order_cols)

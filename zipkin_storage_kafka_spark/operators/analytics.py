@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from zipkin_storage_kafka_spark.functions.portable import bounded_window, round4
+from zipkin_storage_kafka_spark.functions.portable import round4
 from zipkin_storage_kafka_spark.sources.tables import load_table, to_epoch_micros
 
 DEC = "decimal(30,6)"
@@ -930,19 +930,25 @@ def rolling_revenue(spark: SparkSession, sf_dir: str, days: int = 7) -> DataFram
         .groupBy("day_idx")
         .agg(F.sum("rev").alias("_day_rev"))
     )
-    # per-day rows: the frame is bounded by the corpus date span (a few
-    # thousand rows at ANY data scale), so the constant-partition window
-    # is deliberate — see functions.portable.bounded_window.
-    w = (
-        bounded_window("day_idx")
-        .rangeBetween(-(days - 1), Window.currentRow)
+    # per-day rows are bounded by the corpus date span (a few thousand at
+    # ANY data scale): the trailing sum is a broadcast range self-join
+    # over that tiny table rather than an unpartitioned range window —
+    # same rows (existing days only), no single-partition WindowExec.
+    d2 = daily.select(
+        F.col("day_idx").alias("_d"), F.col("_day_rev").alias("_r")
     )
-    return daily.select(
-        "day_idx",
-        round4(F.col("_day_rev").cast("double")).alias("day_revenue"),
-        round4(F.sum("_day_rev").over(w).cast("double")).alias(
-            "trailing_revenue"
-        ),
+    in_window = (F.col("_d") <= F.col("day_idx")) & (
+        F.col("_d") >= F.col("day_idx") - (days - 1)
+    )
+    return (
+        daily.join(F.broadcast(d2), in_window)
+        .groupBy("day_idx", "_day_rev")
+        .agg(F.sum("_r").alias("_trail"))
+        .select(
+            "day_idx",
+            round4(F.col("_day_rev").cast("double")).alias("day_revenue"),
+            round4(F.col("_trail").cast("double")).alias("trailing_revenue"),
+        )
     )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from zipkin_storage_kafka_spark.functions.portable import bounded_window, round4
+from zipkin_storage_kafka_spark.functions.portable import round4
 
 # tiny function-word lists for the language heuristic (public knowledge —
 # standard high-frequency function words per language)
@@ -349,13 +349,20 @@ def encode_token_ids(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # top-K first via TakeOrderedAndProject (distributed heap), THEN rank:
-    # the unpartitioned row_number window only ever sees K rows, never the
-    # full distinct-token set.
+    # top-K first via TakeOrderedAndProject (distributed heap), THEN rank
+    # the K survivors by a triangular self-join (id = 1 + #rows strictly
+    # before me in (cnt desc, token) order) — K^2 comparisons over K=100
+    # rows, and unlike a global row_number window it never plans a
+    # single-partition WindowExec.
     topk = freq.orderBy(F.col("cnt").desc(), "token").limit(vocab_size)
-    w = bounded_window(F.col("cnt").desc(), "token")
-    vocab = topk.withColumn("id", F.row_number().over(w)).select(
-        "token", "id"
+    t1 = topk.select(F.col("token").alias("_t"), F.col("cnt").alias("_c"))
+    before_me = (F.col("_c") > F.col("cnt")) | (
+        (F.col("_c") == F.col("cnt")) & (F.col("_t") < F.col("token"))
+    )
+    vocab = (
+        topk.join(t1, before_me, "left")
+        .groupBy("token")
+        .agg((F.count("_t") + 1).cast("int").alias("id"))
     )
     encoded = toks.join(F.broadcast(vocab), "token", "left").select(
         "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
@@ -955,14 +962,23 @@ def bm25_topk(
         F.sum("micro").alias("score_micro"),
     )
     # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k +
-    # k-row driver merge); the rank window then only ever sees k rows —
-    # never a full global sort.
+    # k-row driver merge); rank the k survivors by triangular self-join
+    # (rank = 1 + #rows strictly before me) — k^2 over k=20 rows, no
+    # single-partition WindowExec anywhere in the plan.
     top = scored.orderBy(F.col("score_micro").desc(), F.col("doc_id")).limit(
         k
     )
-    w = bounded_window(F.col("score_micro").desc(), F.col("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "doc_id", "n_terms", "score_micro", "rank"
+    t1 = top.select(
+        F.col("doc_id").alias("_d"), F.col("score_micro").alias("_s")
+    )
+    before_me = (F.col("_s") > F.col("score_micro")) | (
+        (F.col("_s") == F.col("score_micro")) & (F.col("_d") < F.col("doc_id"))
+    )
+    return (
+        top.join(t1, before_me, "left")
+        .groupBy("doc_id", "n_terms", "score_micro")
+        .agg((F.count("_d") + 1).cast("int").alias("rank"))
+        .select("doc_id", "n_terms", "score_micro", "rank")
     )
 
 
@@ -1171,12 +1187,15 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int = 20000) -> DataFram
         F.md5(F.col("doc_id").cast("string")).alias("rk"),
     ).withColumn("bkt", F.substring("rk", 1, 1))
     per_bucket = d.groupBy("bkt").agg(F.sum("n_tokens").alias("bsum"))
-    w16 = bounded_window("bkt").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # offsets = sum of strictly-earlier buckets: triangular join over the
+    # 16-row bucket table (not a window — no single-partition WindowExec)
+    b2 = per_bucket.select(
+        F.col("bkt").alias("_b2"), F.col("bsum").alias("_s2")
     )
-    offsets = per_bucket.select(
-        F.col("bkt").alias("_bkt"),
-        (F.sum("bsum").over(w16) - F.col("bsum")).alias("offset"),
+    offsets = (
+        per_bucket.join(b2, F.col("_b2") < F.col("bkt"), "left")
+        .groupBy(F.col("bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("_s2"), F.lit(0)).alias("offset"))
     )
     win = Window.partitionBy("bkt").orderBy("rk", "doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
