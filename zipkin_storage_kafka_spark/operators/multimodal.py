@@ -19,6 +19,7 @@ the decode stage sets decode parallelism independent of file layout.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -184,3 +185,200 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real image codec: 24-bit uncompressed BMP in pure numpy/struct.
+#
+# The generic decode_payload above is an honestly-documented stub because
+# the container has no media libraries — but BMP needs none: the format is
+# a fixed header + raw BGR rows, so encode/decode/resize below are a REAL
+# binary image codec (headers, bottom-up row order, 4-byte row padding,
+# channel order all handled).  The pixel SYNTHESIS for fixtures is integer
+# arithmetic ((doc_id*31 + y*7 + x*3 + c*11) % 256) so the DuckDB oracle
+# reproduces decoded statistics closed-form — the t2 gate checks the whole
+# encode->decode(->resize->encode->decode) pipeline value-for-value.
+# ---------------------------------------------------------------------------
+
+BMP_HEADER_BYTES = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def bmp_row_size(width: int) -> int:
+    """Bytes per stored row: 3 bytes/pixel padded up to a 4-byte boundary."""
+    return ((3 * width + 3) // 4) * 4
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP.
+
+    Real format details handled: little-endian headers, BGR channel order,
+    bottom-up row storage, rows padded to 4 bytes.
+    """
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    row = bmp_row_size(w)
+    img_size = row * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", BMP_HEADER_BYTES + img_size, 0, 0, BMP_HEADER_BYTES
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    buf = np.zeros((h, row), dtype=np.uint8)
+    # vertical flip (BMP stores bottom row first) + RGB -> BGR
+    buf[:, : 3 * w] = pixels[::-1, :, ::-1].reshape(h, 3 * w)
+    return header + info + buf.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an (h, w, 3) uint8 RGB array.
+
+    Accepts any conforming producer's file (positive = bottom-up or
+    negative = top-down height), not just :func:`encode_bmp` output.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row = bmp_row_size(w)
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=row * h, offset=offset
+    ).reshape(h, row)
+    rgb = arr[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
+    if bottom_up:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize with floor index mapping
+    (src = (dst * src_dim) // dst_dim) — the mapping is integer math so the
+    oracle reproduces resized statistics exactly."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[np.ix_(ys, xs)]
+
+
+def synth_pixels(doc_id: int, width: int, height: int) -> np.ndarray:
+    """Deterministic fixture pixels: (doc_id*31 + y*7 + x*3 + c*11) % 256.
+    Pure integer arithmetic — DuckDB reproduces any decoded statistic."""
+    y = np.arange(height, dtype=np.int64).reshape(-1, 1, 1)
+    x = np.arange(width, dtype=np.int64).reshape(1, -1, 1)
+    c = np.arange(3, dtype=np.int64).reshape(1, 1, -1)
+    return ((doc_id * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+
+
+BMP_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+BMP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("px00_r", T.IntegerType()),
+        T.StructField("r_mean", T.DoubleType()),
+        T.StructField("g_mean", T.DoubleType()),
+        T.StructField("b_mean", T.DoubleType()),
+    ]
+)
+
+
+def bmp_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Render a REAL BMP per document: w = n_chars%24+8, h = n_chars%16+8,
+    pixels from :func:`synth_pixels`.  Arrow-batched; payloads never touch
+    the driver."""
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 24 + 8).cast("int").alias("width"),
+        (F.col("n_chars") % 16 + 8).cast("int").alias("height"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_bmp(synth_pixels(mid, w, h))
+                for mid, w, h in zip(
+                    pdf["media_id"], pdf["width"], pdf["height"]
+                )
+            ]
+            out = pdf.copy()
+            out["payload"] = pd.Series(payloads, index=pdf.index, dtype=object)
+            yield out
+
+    return base.mapInPandas(run, BMP_MEDIA_SCHEMA)
+
+
+def _bmp_stats_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols: dict[str, list] = {
+        "media_id": [],
+        "width": [],
+        "height": [],
+        "payload_bytes": [],
+        "px00_r": [],
+        "r_mean": [],
+        "g_mean": [],
+        "b_mean": [],
+    }
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        img = decode_bmp(payload)
+        h, w, _ = img.shape
+        n = h * w
+        sums = img.reshape(n, 3).sum(axis=0, dtype=np.int64)
+        cols["media_id"].append(mid)
+        cols["width"].append(w)
+        cols["height"].append(h)
+        cols["payload_bytes"].append(len(payload))
+        cols["px00_r"].append(int(img[0, 0, 0]))
+        cols["r_mean"].append(int(sums[0]) / n)
+        cols["g_mean"].append(int(sums[1]) / n)
+        cols["b_mean"].append(int(sums[2]) / n)
+    return pd.DataFrame(cols)
+
+
+def bmp_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode every BMP payload and emit per-channel means + dims + the
+    top-left red value (px00_r pins vertical orientation: a decoder that
+    forgot the bottom-up flip reads row h-1 there and the oracle catches
+    it)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _bmp_stats_pdf(pdf)
+
+    return media.mapInPandas(run, BMP_STATS_SCHEMA)
+
+
+def bmp_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Real resize: decode -> nearest-neighbor -> re-encode.  Unlike
+    :func:`resize_images` (metadata-only stub for the generic media kinds),
+    this path transforms the actual bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = pd.Series(
+                [
+                    encode_bmp(resize_nearest(decode_bmp(p), out_w, out_h))
+                    for p in pdf["payload"]
+                ],
+                index=pdf.index,
+                dtype=object,
+            )
+            out["width"] = np.int32(out_w)
+            out["height"] = np.int32(out_h)
+            yield out
+
+    return media.mapInPandas(run, BMP_MEDIA_SCHEMA)

@@ -448,6 +448,30 @@ def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end: render a 24-bit BMP per document
+    (synthetic integer-arithmetic pixels), then DECODE the actual bytes
+    (headers, bottom-up rows, BGR, padding) and emit per-channel means.
+    The oracle recomputes every statistic closed-form from the pixel
+    formula — a decoder bug (orientation, channel order, padding) breaks
+    the value hash."""
+    media = mm.bmp_media_from_documents(_docs(spark, sf_dir))
+    return mm.bmp_decode_stats(media)
+
+
+def q_mm_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode -> nearest-neighbor 16x16 -> re-encode -> decode again: two
+    full codec roundtrips on real bytes; oracle maps the resize index math
+    ((dst*src)//16) onto the pixel formula."""
+    media = mm.bmp_media_from_documents(_docs(spark, sf_dir))
+    resized = mm.bmp_resize(media, 16, 16)
+    stats = mm.bmp_decode_stats(resized)
+    return stats.select(
+        "media_id", "width", "height", "payload_bytes",
+        "r_mean", "g_mean", "b_mean",
+    )
+
+
 def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch serving: top-k for a block of query vectors in one corpus scan
     (WindowGroupLimit keeps per-partition partial top-k below the
@@ -646,6 +670,8 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "mm_resize_meta": q_mm_resize_meta,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_extract_features": q_mm_extract_features,
+        "mm_bmp_roundtrip": q_mm_bmp_roundtrip,
+        "mm_bmp_resize": q_mm_bmp_resize,
         "ann_batch_topk": q_ann_batch_topk,
         "emb_quantize_int8": q_emb_quantize_int8,
         "pipe_clean_corpus": q_pipe_clean_corpus,
@@ -1276,6 +1302,80 @@ def pipeline_oracles() -> dict[str, str]:
                           * power(16.0, 8 - j)
                    )) / 4294967296.0 AS f0
             FROM documents
+        """,
+        # Closed-form reproduction of the REAL BMP decode: pixel (y,x,c) =
+        # (doc_id*31 + y*7 + x*3 + c*11) % 256, payload = 54-byte header +
+        # 4-byte-padded BGR rows.  Any codec bug (orientation, channel
+        # order, padding math) diverges from these values.
+        "mm_bmp_roundtrip": """
+            WITH d AS (
+              SELECT doc_id,
+                     n_chars % 24 + 8 AS w,
+                     n_chars % 16 + 8 AS h
+              FROM documents
+            ),
+            ys AS (
+              SELECT doc_id, w, h,
+                     unnest(generate_series(0, h - 1)) AS y
+              FROM d
+            ),
+            cell AS (
+              SELECT doc_id, w, h, y,
+                     unnest(generate_series(0, w - 1)) AS x
+              FROM ys
+            ),
+            px AS (
+              SELECT doc_id, w, h,
+                     (doc_id*31 + y*7 + x*3) % 256      AS pr,
+                     (doc_id*31 + y*7 + x*3 + 11) % 256 AS pg,
+                     (doc_id*31 + y*7 + x*3 + 22) % 256 AS pb
+              FROM cell
+            )
+            SELECT doc_id AS media_id,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(54 + ((3*w + 3) // 4) * 4 * h AS BIGINT)
+                     AS payload_bytes,
+                   CAST((doc_id*31) % 256 AS INTEGER) AS px00_r,
+                   CAST(sum(pr) AS DOUBLE) / (w*h) AS r_mean,
+                   CAST(sum(pg) AS DOUBLE) / (w*h) AS g_mean,
+                   CAST(sum(pb) AS DOUBLE) / (w*h) AS b_mean
+            FROM px
+            GROUP BY doc_id, w, h
+        """,
+        # Resize oracle: nearest-neighbor index mapping src=(dst*src_dim)//16
+        # composed with the same pixel formula; resized payload is the
+        # constant 54 + row_size(16)*16 = 822 bytes.
+        "mm_bmp_resize": """
+            WITH d AS (
+              SELECT doc_id,
+                     n_chars % 24 + 8 AS w,
+                     n_chars % 16 + 8 AS h
+              FROM documents
+            ),
+            grid AS (SELECT unnest(generate_series(0, 15)) AS i),
+            cell AS (
+              SELECT d.doc_id,
+                     (yo.i * d.h) // 16 AS sy,
+                     (xo.i * d.w) // 16 AS sx
+              FROM d, grid AS yo, grid AS xo
+            ),
+            px AS (
+              SELECT doc_id,
+                     (doc_id*31 + sy*7 + sx*3) % 256      AS pr,
+                     (doc_id*31 + sy*7 + sx*3 + 11) % 256 AS pg,
+                     (doc_id*31 + sy*7 + sx*3 + 22) % 256 AS pb
+              FROM cell
+            )
+            SELECT doc_id AS media_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   CAST(822 AS BIGINT) AS payload_bytes,
+                   CAST(sum(pr) AS DOUBLE) / 256 AS r_mean,
+                   CAST(sum(pg) AS DOUBLE) / 256 AS g_mean,
+                   CAST(sum(pb) AS DOUBLE) / 256 AS b_mean
+            FROM px
+            GROUP BY doc_id
         """,
         "mm_frame_sample": """
             WITH v AS (
