@@ -275,3 +275,36 @@ def test_salted_join_equivalence_column_src_with_nulls(spark):
     assert sorted(plain.collect(), key=key) == sorted(
         salted.collect(), key=key
     )
+
+
+def test_substring_duplication_hand_fixture(spark):
+    """Hand-computed windows (no oracle in the loop — guards against the
+    both-engines-no-op failure mode): 26-char doc has 7 20-char windows,
+    23-char doc has 4; exactly the position-1 window string is shared."""
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        substring_duplication,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqrstuvwxyz"),
+            (2, "abcdefghijklmnopqrstXYZ"),
+            (3, "short"),  # < window: contributes nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_duplication(docs, window=20).collect()
+    }
+    assert set(out) == {1, 2}
+    assert (out[1]["n_windows"], out[1]["n_dup"]) == (7, 1)
+    assert (out[2]["n_windows"], out[2]["n_dup"]) == (4, 1)
+    assert out[1]["dup_rate"] == 1 / 7
+    # intra-doc repetition also counts as duplication (corpus-wide >= 2)
+    rep = spark.createDataFrame(
+        [(9, "xxxxxxxxxxxxxxxxxxxxx")],  # 21 chars -> 2 identical windows
+        "doc_id long, text string",
+    )
+    r = substring_duplication(rep, window=20).collect()[0]
+    assert (r["n_windows"], r["n_dup"], r["dup_rate"]) == (2, 2, 1.0)

@@ -443,3 +443,55 @@ def fuzzy_decontaminate(docs: DataFrame, candidates: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_train_neighbors"),
         F.max("n_bands").alias("max_bands"),
     )
+
+
+SUBSTR_WINDOW = 20
+
+
+def substring_duplication(
+    docs: DataFrame, window: int = SUBSTR_WINDOW
+) -> DataFrame:
+    """Exact substring-level duplication rate per document.
+
+    The measure from Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022): a char window is *duplicated* when
+    the identical ``window``-char string occurs >= 2 times corpus-wide;
+    a document's dup_rate is the duplicated fraction of its windows.
+    Catches boilerplate and templated spans that document-level
+    (exact/MinHash) dedup misses entirely.
+
+    Plan: every position explodes to one (doc_id, md5(window)) row via a
+    native ``sequence -> transform -> explode`` (zero-shuffle, JVM-side;
+    only the 32-char hash survives column pruning).  Corpus occurrence
+    counts come from ``count(*) OVER (PARTITION BY h)`` — ONE shuffle on
+    the hash key and ONE scan of the exploded windows (a groupBy+join-back
+    formulation costs a second scan of the explode plus a second exchange;
+    measured 3 Exchanges vs 2 here).  Per-doc rate is a final doc_id agg.
+    Total rows ~= corpus chars: linear, never pairwise; md5 partition keys
+    are uniform so the h-shuffle is skew-free by construction, and each
+    window group holds exactly one key's occurrences (bounded by the true
+    duplication mass, never a global sort).
+
+    Columns: doc_id, n_windows, n_dup, dup_rate.
+    """
+    wins = docs.filter(F.length("text") >= window).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - F.lit(window - 1)),
+                lambda i: F.md5(F.substring("text", i, F.lit(window))),
+            )
+        ).alias("h"),
+    )
+    per_h = Window.partitionBy("h")
+    flagged = wins.select(
+        "doc_id",
+        (F.count(F.lit(1)).over(per_h) >= 2).cast("long").alias("dup"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("dup").alias("n_dup"),
+        (F.sum("dup").cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+    )
+
+

@@ -164,6 +164,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact duplication rate (Lee et al. ACL 2022):
+    fraction of each doc's 20-char windows that occur >=2 times
+    corpus-wide — catches templated spans document-level dedup misses."""
+    return dd.substring_duplication(_docs(spark, sf_dir))
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_stats(_docs(spark, sf_dir))
 
@@ -654,6 +661,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_substring": q_dedup_substring,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1047,6 +1055,33 @@ def pipeline_oracles() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
                      AS member_ids
             FROM lab GROUP BY component_id
+        """,
+        # Two-pass window counting mirrored exactly: same 1-based
+        # substring indexing, same md5 hashing, same >=2 duplication rule.
+        "dedup_substring": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) - 19 AS nw
+              FROM documents WHERE length(text) >= 20
+            ),
+            w AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, nw)) AS i
+              FROM d
+            ),
+            hw AS (
+              SELECT doc_id,
+                     md5(substring(text, CAST(i AS INTEGER), 20)) AS h
+              FROM w
+            ),
+            c AS (SELECT h, count(*) AS cnt FROM hw GROUP BY h)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup,
+                   CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) AS dup_rate
+            FROM hw JOIN c USING (h)
+            GROUP BY doc_id
         """,
         "dedup_simhash": """
             WITH words AS (
