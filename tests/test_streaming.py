@@ -453,3 +453,21 @@ def test_error_rate_alert_stream_matches_batch(spark, tmp_path):
     )
     batch_rows = error_rate_alert_stream(batch).collect()
     assert sorted(map(tuple, batch_rows)) == sorted(map(tuple, got))
+
+
+def test_stream_dedup_driver_row_drops_echoes(spark, sf_dir):
+    """w2_stream_dedup: the runner injects one echo per 5th doc; the
+    completed stream must emit exactly the corpus-wide distinct texts —
+    i.e. every echo (and nothing else) dropped."""
+    from pyspark.sql import functions as F
+
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        deduped_docs_via_stream,
+    )
+
+    out = deduped_docs_via_stream(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_echoes = docs.filter(F.col("doc_id") % 5 == 0).count()
+    assert n_echoes > 0  # the duplicate injection is live, not a no-op
+    assert out.count() == docs.select("text").distinct().count()
+    assert set(out.columns) == {"text_hash", "n_chars"}

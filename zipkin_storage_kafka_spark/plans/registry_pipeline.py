@@ -164,6 +164,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(_docs(spark, sf_dir))
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family x dedup-family driver row: streaming exact dedup
+    (dropDuplicatesWithinWatermark) run to completion over a
+    duplicate-injected document stream; order-invariant output so the
+    batch oracle (distinct text hashes) is exact. See
+    streaming.jobs.deduped_docs_via_stream."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        deduped_docs_via_stream,
+    )
+
+    return deduped_docs_via_stream(spark, sf_dir)
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact duplication rate (Lee et al. ACL 2022):
     fraction of each doc's 20-char windows that occur >=2 times
@@ -662,6 +675,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_substring": q_dedup_substring,
+        "w2_stream_dedup": q_stream_dedup,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1055,6 +1069,15 @@ def pipeline_oracles() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
                      AS member_ids
             FROM lab GROUP BY component_id
+        """,
+        # Streaming dedup survivors == corpus-wide distinct texts: the
+        # echo rows injected by the runner are verbatim copies, so the
+        # oracle is a plain DISTINCT over the raw table; the row-count
+        # gate proves the echoes were actually dropped.
+        "w2_stream_dedup": """
+            SELECT DISTINCT md5(text) AS text_hash,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
         """,
         # Two-pass window counting mirrored exactly: same 1-based
         # substring indexing, same md5 hashing, same >=2 duplication rule.

@@ -520,3 +520,98 @@ def sessionized_summaries_via_stream(
     return spark.read.parquet(traces_out).filter(
         ~F.col("trace_id").startswith(SENTINEL_TRACE_PREFIX)
     )
+
+
+def deduped_docs_via_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    dup_every: int = 5,
+) -> DataFrame:
+    """Run the streaming exact-dedup pipeline TO COMPLETION over a
+    documents stream and return the surviving records — the second
+    driver-checkable streaming row (pairs the W-family with the dedup
+    family the way sessionized_summaries_via_stream pairs it with A2).
+
+    The raw documents table has no exact duplicates, and a dedup that
+    never drops anything is indistinguishable from a no-op (the round-2
+    lesson) — so the stream input is the corpus PLUS an echo of every
+    ``dup_every``-th document (same text, new doc_id, one minute later in
+    a SECOND input file, i.e. a later micro-batch).  The pipeline must
+    drop exactly the echoes: output cardinality is the distinct-text
+    count, which the driver's row-count gate checks against the oracle.
+
+    The output contract is order-invariant on purpose: only
+    (md5(text), length(text)) survive, which are identical for every
+    member of a duplicate clique — so WHICH representative
+    dropDuplicatesWithinWatermark keeps (arrival order inside a
+    micro-batch is partition-dependent) cannot affect the value hash.
+
+    The watermark delay (30 days) exceeds the synthetic event-time span,
+    so no state is evicted mid-run and survivors are exact corpus-wide
+    distincts; bounded-state eviction behavior itself is pinned by the
+    pytest streaming suite (test_streaming.py).
+    """
+    import os
+    import tempfile
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(docs_path)
+    memo_key = ("w2_dedup", sf_dir, dup_every, st.st_size, st.st_mtime_ns)
+    cached = _STREAM_SINK_MEMO.get(memo_key)
+    if cached is not None and os.path.isdir(cached):
+        return spark.read.parquet(cached)
+
+    epoch_micros = 1_700_000_000_000_000
+    docs = spark.read.parquet(docs_path)
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.timestamp_micros(
+            (F.lit(epoch_micros) + F.col("doc_id") * 1_000_000).cast("long")
+        ).alias("ts"),
+    )
+    echoes = base.filter(F.col("doc_id") % dup_every == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        "text",
+        (F.col("ts") + F.expr("INTERVAL 1 MINUTE")).alias("ts"),
+    )
+
+    work = tempfile.mkdtemp(prefix="w2_stream_dedup_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "deduped")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+    base.coalesce(1).write.parquet(in_dir, mode="append")
+    echoes.coalesce(1).write.parquet(in_dir, mode="append")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    survivors = streaming_exact_dedup(
+        stream, content_col="text", watermark_delay="30 days"
+    )
+    q = (
+        survivors.select(
+            F.col("content_hash").alias("text_hash"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    _STREAM_SINK_MEMO[memo_key] = out_dir
+    return spark.read.parquet(out_dir)
