@@ -308,3 +308,22 @@ def test_substring_duplication_hand_fixture(spark):
     )
     r = substring_duplication(rep, window=20).collect()[0]
     assert (r["n_windows"], r["n_dup"], r["dup_rate"]) == (2, 2, 1.0)
+
+
+def test_substring_duplication_hash_flavors_agree(spark, sf_dir):
+    """The xxhash64 scale path changes key width only: per-doc rates must
+    be identical to the md5 oracle flavor on real data."""
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        substring_duplication,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    md5_rows = {
+        r["doc_id"]: (r["n_windows"], r["n_dup"])
+        for r in substring_duplication(docs, hash_fn="md5").collect()
+    }
+    xx_rows = {
+        r["doc_id"]: (r["n_windows"], r["n_dup"])
+        for r in substring_duplication(docs, hash_fn="xxhash64").collect()
+    }
+    assert md5_rows == xx_rows

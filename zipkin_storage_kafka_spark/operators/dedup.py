@@ -449,7 +449,7 @@ SUBSTR_WINDOW = 20
 
 
 def substring_duplication(
-    docs: DataFrame, window: int = SUBSTR_WINDOW
+    docs: DataFrame, window: int = SUBSTR_WINDOW, hash_fn: str = "md5"
 ) -> DataFrame:
     """Exact substring-level duplication rate per document.
 
@@ -467,19 +467,31 @@ def substring_duplication(
     the hash key and ONE scan of the exploded windows (a groupBy+join-back
     formulation costs a second scan of the explode plus a second exchange;
     measured 3 Exchanges vs 2 here).  Per-doc rate is a final doc_id agg.
-    Total rows ~= corpus chars: linear, never pairwise; md5 partition keys
-    are uniform so the h-shuffle is skew-free by construction, and each
-    window group holds exactly one key's occurrences (bounded by the true
-    duplication mass, never a global sort).
+    Total rows ~= corpus chars: linear, never pairwise; hashed partition
+    keys are uniform so the h-shuffle is skew-free by construction, and
+    each window group holds exactly one key's occurrences (bounded by the
+    true duplication mass, never a global sort).
+
+    ``hash_fn``: ``"md5"`` (default) keeps the DuckDB-reproducible oracle
+    flavor; ``"xxhash64"`` is the 100 TB path — an 8-byte bigint key
+    instead of a 32-char string cuts the shuffle payload ~4x and compares
+    as a long (collision odds at 2^64 are negligible next to the >=2
+    duplication threshold).  The flag changes key width only, never
+    semantics — pinned by a test that both flavors produce identical
+    per-doc rates.
 
     Columns: doc_id, n_windows, n_dup, dup_rate.
     """
+    hasher = {
+        "md5": lambda c: F.md5(c),
+        "xxhash64": lambda c: F.xxhash64(c),
+    }[hash_fn]
     wins = docs.filter(F.length("text") >= window).select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.length("text") - F.lit(window - 1)),
-                lambda i: F.md5(F.substring("text", i, F.lit(window))),
+                lambda i: hasher(F.substring("text", i, F.lit(window))),
             )
         ).alias("h"),
     )
