@@ -168,3 +168,58 @@ def test_self_time_colliding_ids_across_traces(spark):
     }
     # svc1: (50-20) + 20 = 50; svc2: 100 untouched (no cross-trace leak)
     assert got == {"svc1": 50, "svc2": 100}
+
+
+def test_star_cc_equals_propagation_on_fixture_graphs(spark):
+    """Large-star/small-star CC must produce the identical component map
+    as min-label propagation on shapes that stress different paths: a
+    clique (dedup-typical), a 12-hop chain (diameter worst case for
+    propagation), a bridge of two cliques, and disjoint components with
+    an isolated pair."""
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    graphs = {
+        "clique": [(a, b) for a in range(1, 6) for b in range(a + 1, 6)],
+        "chain": [(i, i + 1) for i in range(1, 13)],
+        "bridged": [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 12), (12, 10)],
+        "disjoint": [(1, 2), (5, 6), (6, 7), (100, 101)],
+    }
+    for name, edges in graphs.items():
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        prop = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(pairs).collect()
+        }
+        star = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components_star(pairs).collect()
+        }
+        assert prop == star, name
+        # component ids are the true minima
+        for doc, comp in star.items():
+            assert comp <= doc, name
+
+
+def test_star_cc_equals_propagation_on_lsh_candidates(spark, sf_dir):
+    """Same equivalence on the real LSH candidate graph."""
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import (
+        _lsh_candidates,
+    )
+
+    pairs = _lsh_candidates(spark, sf_dir)
+    prop = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(pairs).collect()
+    }
+    star = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert prop == star

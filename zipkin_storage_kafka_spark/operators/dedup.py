@@ -337,9 +337,9 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
 
     Scale: sweeps = component diameter (near-dup clusters are near-cliques,
     so 2-3 in practice); each sweep shuffles |edges| keyed rows.  For
-    graphs with giant components the large-star/small-star variant halves
-    the diameter per round — same skeleton, different join; not needed for
-    dedup-shaped graphs.
+    graphs with giant components use :func:`connected_components_star`
+    (alternating large-star/small-star, O(log^2 n) rounds independent of
+    diameter) — equivalence between the two is test-pinned.
     """
     # localCheckpoint (not persist): a persisted iterate caches DATA but
     # keeps the full logical lineage, so every sweep makes Catalyst
@@ -383,12 +383,129 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
-def dedup_clusters(pairs: DataFrame) -> DataFrame:
+def connected_components_star(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    giant-component scale path named by :func:`connected_components`'s
+    docstring, now implemented: converges in O(log^2 n) rounds regardless
+    of component DIAMETER, where plain min-label propagation needs
+    diameter rounds (a 10^6-hop chain -> ~40 rounds here vs 10^6 there).
+
+    Same output contract as :func:`connected_components`: one row per
+    participating doc, ``component_id`` = smallest reachable doc_id.
+
+    Each phase is one groupBy (min neighbor) + one join back — the same
+    per-round shuffle volume as a propagation sweep, so this is strictly
+    the better asymptotic at equal round cost; dedup graphs are
+    near-cliques (diameter 2-3) where both finish in ~3 rounds, which is
+    why propagation remains the default flavor.  Equivalence on clique,
+    chain, bridge, and LSH-candidate graphs is test-pinned.
+
+    Termination reads TWO scalars per round (edge count + label-sum
+    fingerprint), never rows; lineage is truncated per round with
+    localCheckpoint exactly as in :func:`connected_components`.
+    """
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        # the edge list is an UNDIRECTED graph stored as directed rows;
+        # every phase reads full adjacency, so re-symmetrize first (a
+        # phase's output keeps only the root-ward direction — without
+        # this the root's own perspective vanishes after one contraction
+        # and the edge set collapses to empty)
+        return e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def _mins(e: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) + {u}): one partial-agg shuffle keyed on src
+        return (
+            e.groupBy("src")
+            .agg(F.min("dst").alias("_m"))
+            .select("src", F.least("src", F.col("_m")).alias("_m"))
+        )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # connect every strictly-larger neighbor to m(u)
+        s = _sym(e)
+        return (
+            s.join(_mins(s), "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # connect u and every smaller-or-equal neighbor to m(u)
+        s = _sym(e)
+        j = s.join(_mins(s), "src")
+        smaller = j.filter(F.col("dst") <= F.col("src")).select(
+            F.col("dst").alias("src"), F.col("_m").alias("dst")
+        )
+        self_edge = j.select("src", F.col("_m").alias("dst"))
+        return (
+            smaller.union(self_edge)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    prev = None
+    for _ in range(max_iters):
+        # one round = large-star then small-star; after small-star every
+        # edge points from a node to a (current) component-local minimum
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        fp = edges.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("src") + F.col("dst")).alias("s")
+        ).collect()[0]
+        cur = (fp["n"], fp["s"])
+        if cur == prev:
+            break
+        prev = cur
+
+    # fixpoint edges form stars (v -> component min); isolated-after-dedup
+    # nodes (none in practice: every pair node has an edge) label as
+    # themselves via the left join
+    labels = nodes.join(
+        edges.groupBy("src").agg(F.min("dst").alias("_root")),
+        nodes["doc_id"] == F.col("src"),
+        "left",
+    ).select(
+        "doc_id",
+        F.least("doc_id", F.coalesce("_root", "doc_id")).alias("component_id"),
+    )
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, flavor: str = "propagation") -> DataFrame:
     """Near-dup cluster report from verified pairs: one row per component
     with its size and the CSV-joined sorted member list (scalar columns so
     the driver's value hash applies).  Columns: component_id, n_docs,
-    member_ids."""
-    cc = connected_components(pairs)
+    member_ids.
+
+    ``flavor``: ``"propagation"`` (min-label sweeps, default — optimal for
+    small-diameter dedup graphs) or ``"star"``
+    (:func:`connected_components_star`, the giant-component path)."""
+    cc = {
+        "propagation": connected_components,
+        "star": connected_components_star,
+    }[flavor](pairs)
     return cc.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.concat_ws(

@@ -668,6 +668,21 @@ def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(pairs)
 
 
+def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster report through the large-star/small-star CC
+    (Kiveris et al. SoCC 2014) — O(log^2 n) rounds independent of
+    component diameter, the giant-component scale flavor.  Output
+    contract identical to dedup_cluster_resolve, so the oracle is the
+    same label-propagation CTE: the driver checks both flavors against
+    one independent derivation."""
+    pairs = dd.jaccard_pairs(
+        _shingles(spark, sf_dir),
+        _lsh_candidates(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+    )
+    return dd.dedup_clusters(pairs, flavor="star")
+
+
 def pipeline_queries() -> dict[str, QueryFn]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -702,6 +717,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_train_split": q_text_train_split,
         "text_encode_ids": q_text_encode_ids,
         "dedup_cluster_resolve": q_dedup_cluster_resolve,
+        "dedup_cluster_star": q_dedup_cluster_star,
         "text_pack_sequences": q_text_pack_sequences,
         "text_repetition": q_text_repetition,
         "text_stratified_sample": q_text_stratified_sample,
@@ -728,6 +744,14 @@ def pipeline_queries() -> dict[str, QueryFn]:
 
 
 def pipeline_oracles() -> dict[str, str]:
+    oracles = _pipeline_oracles_base()
+    # Both CC flavors share one output contract; checking them against the
+    # SAME independent recursive-CTE derivation is the point.
+    oracles["dedup_cluster_star"] = oracles["dedup_cluster_resolve"]
+    return oracles
+
+
+def _pipeline_oracles_base() -> dict[str, str]:
     return {
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
