@@ -158,6 +158,10 @@ _HEADLINE = [
     "text_char_lm_score",
     "h8_national_market_share",
     "h9_product_profit",
+    "dedup_substring",
+    "mm_bmp_roundtrip",
+    "w2_stream_dedup",
+    "dedup_cluster_star",
     "h2_min_cost_supplier",
     "h11_important_stock",
     "dedup_cluster_resolve",
