@@ -397,3 +397,40 @@ def test_slowest_per_service_uses_window_group_limit(spark, sf_dir):
 
     plan = _plan(slowest_spans_per_service(spans_from_events(spark, sf_dir)))
     assert "WindowGroupLimit" in plan
+
+
+def test_substring_dedup_two_exchanges_one_scan(spark, sf_dir):
+    """dedup_substring must keep the window-count formulation: exactly two
+    exchanges (hash key, then doc_id) and ONE parquet scan — the
+    groupBy+join-back alternative re-scans the explode and adds a third
+    exchange.  The scan must prune to (doc_id, text)."""
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        substring_duplication,
+    )
+
+    import re
+
+    df = substring_duplication(load_table(spark, sf_dir, "documents"))
+    plan = _plan(df)
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 2, plan
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 1, plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_bmp_pipeline_single_scan_no_shuffle(spark, sf_dir):
+    """The BMP render->decode-stats pipeline is two chained mapInPandas
+    stages over one pruned scan — no exchange anywhere (partition-
+    preserving, payloads never shuffled)."""
+    from zipkin_storage_kafka_spark.operators.multimodal import (
+        bmp_decode_stats,
+        bmp_media_from_documents,
+    )
+
+    media = bmp_media_from_documents(load_table(spark, sf_dir, "documents"))
+    plan = _plan(bmp_decode_stats(media))
+    assert "Exchange" not in plan, plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema  # width/height derive from n_chars only
