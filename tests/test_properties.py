@@ -327,3 +327,30 @@ def test_substring_duplication_hash_flavors_agree(spark, sf_dir):
         for r in substring_duplication(docs, hash_fn="xxhash64").collect()
     }
     assert md5_rows == xx_rows
+
+
+def test_latency_percentiles_approx_mode_within_bound(spark, sf_dir):
+    """The approx flavor (approx_percentile, no per-group sort) must land
+    within the sketch's rank-error bound of the exact flavor, and exact
+    stays the oracle default."""
+    from zipkin_storage_kafka_spark.plans.registry import (
+        q_latency_percentiles,
+    )
+
+    exact = {
+        r["local_service"]: r
+        for r in q_latency_percentiles(spark, sf_dir, mode="exact").collect()
+    }
+    approx = {
+        r["local_service"]: r
+        for r in q_latency_percentiles(spark, sf_dir, mode="approx").collect()
+    }
+    assert set(exact) == set(approx)
+    for svc, er in exact.items():
+        ar = approx[svc]
+        assert ar["n_spans"] == er["n_spans"]
+        for q in ("p50", "p95", "p99"):
+            # approx_percentile returns an actual data value near the
+            # requested rank; allow 25% relative slack (tiny per-service
+            # groups at test sf make rank error coarse)
+            assert abs(ar[q] - er[q]) <= 0.25 * max(er[q], 1.0), (svc, q)

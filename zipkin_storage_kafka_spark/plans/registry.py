@@ -448,20 +448,27 @@ def q_sketch_service_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_traces_sketch(_spans(spark, sf_dir))
 
 
-def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-service latency quantiles (engine extension): exact
-    linear-interpolation percentiles — the p50/p95/p99 panel every tracing
-    UI shows.  Exact `percentile` sorts per group (fine at per-service
-    cardinality); at 100 TB swap `percentile` for `approx_percentile`
-    (t-digest sketch, map-side combinable) — same call shape, documented
-    trade: sketch error vs no per-group sort."""
+def q_latency_percentiles(
+    spark: SparkSession, sf_dir: str, mode: str = "exact"
+) -> DataFrame:
+    """Per-service latency quantiles (engine extension): the p50/p95/p99
+    panel every tracing UI shows.
+
+    ``mode='exact'`` (default, the oracle flavor): linear-interpolation
+    `percentile` — sorts per group, fine at per-service cardinality.
+    ``mode='approx'`` (the 100 TB flavor): `approx_percentile`
+    (KLL-style sketch, map-side combinable — no per-group sort; same call
+    shape, documented trade: bounded rank error vs the sort).  Both modes
+    produce the same schema; a test pins the approx mode within its
+    accuracy bound of exact."""
     from zipkin_storage_kafka_spark.functions.portable import round4
 
+    fn = "percentile" if mode == "exact" else "approx_percentile"
     spans = _spans(spark, sf_dir)
     return spans.groupBy("local_service").agg(
-        round4(F.expr("percentile(duration, 0.5)")).alias("p50"),
-        round4(F.expr("percentile(duration, 0.95)")).alias("p95"),
-        round4(F.expr("percentile(duration, 0.99)")).alias("p99"),
+        round4(F.expr(f"{fn}(duration, 0.5)")).alias("p50"),
+        round4(F.expr(f"{fn}(duration, 0.95)")).alias("p95"),
+        round4(F.expr(f"{fn}(duration, 0.99)")).alias("p99"),
         F.count(F.lit(1)).alias("n_spans"),
     )
 
