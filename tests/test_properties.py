@@ -354,3 +354,24 @@ def test_latency_percentiles_approx_mode_within_bound(spark, sf_dir):
             # requested rank; allow 25% relative slack (tiny per-service
             # groups at test sf make rank error coarse)
             assert abs(ar[q] - er[q]) <= 0.25 * max(er[q], 1.0), (svc, q)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    """encode->decode is the identity for ANY (h, w, 3) uint8 image —
+    all padding residues, degenerate 1-pixel rows/columns included."""
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
