@@ -471,3 +471,72 @@ def test_stream_dedup_driver_row_drops_echoes(spark, sf_dir):
     assert n_echoes > 0  # the duplicate injection is live, not a no-op
     assert out.count() == docs.select("text").distinct().count()
     assert set(out.columns) == {"text_hash", "n_chars"}
+
+
+def test_checkpoint_recovery_dedup_state_survives_restart(spark, tmp_path):
+    """W7 exactly-once, demonstrated across a RESTART: run the dedup
+    stream to completion, stop it, append new input containing a
+    cross-run duplicate, and resume from the SAME checkpoint.  The second
+    run must (a) reprocess nothing from run 1 (no duplicate emissions)
+    and (b) still drop the cross-run duplicate — i.e. the
+    dropDuplicatesWithinWatermark state store was recovered from the
+    checkpoint, not rebuilt empty."""
+    from zipkin_storage_kafka_spark.streaming.jobs import streaming_exact_dedup
+
+    docs_in = tmp_path / "docs_in"
+    docs_in.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ck")
+    base_ms = 1_700_000_000_000
+
+    def run_once(rows, fname):
+        # write each batch as its own file so run 2 sees only new files
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pylist([r.asDict() for r in rows]),
+            str(docs_in / fname),
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts_ms long")
+            .parquet(str(docs_in))
+            .withColumn("ts", F.timestamp_millis("ts_ms"))
+        )
+        q = (
+            streaming_exact_dedup(stream)
+            .select("doc_id", "text")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(
+        [
+            Row(doc_id=1, text="alpha", ts_ms=base_ms),
+            Row(doc_id=2, text="beta", ts_ms=base_ms + 1_000),
+            Row(doc_id=3, text="alpha", ts_ms=base_ms + 2_000),  # in-run dup
+        ],
+        "a.parquet",
+    )
+    first = spark.read.parquet(sink).collect()
+    assert {r["text"] for r in first} == {"alpha", "beta"}
+    assert len(first) == 2
+
+    run_once(
+        [
+            Row(doc_id=4, text="alpha", ts_ms=base_ms + 3_000),  # CROSS-run dup
+            Row(doc_id=5, text="gamma", ts_ms=base_ms + 4_000),  # new
+        ],
+        "b.parquet",
+    )
+    final = spark.read.parquet(sink).collect()
+    texts = sorted(r["text"] for r in final)
+    # run 2 emitted ONLY gamma: alpha was dropped by recovered state and
+    # run-1 rows were not reprocessed
+    assert texts == ["alpha", "beta", "gamma"]
+    assert {r["doc_id"] for r in final} == {1, 2, 5}
