@@ -375,3 +375,61 @@ def test_bmp_roundtrip_property(w, h, seed):
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_giant_trace_hot_key_aggregation(spark):
+    """Hot-key robustness: one 50k-span trace among 200 normal traces.
+    The per-trace aggregation and the dependency self-join must stay
+    correct (span_count, link call totals) — the single giant group is
+    the skew shape AQE/salting exist for; this pins that the operators
+    are semantically safe under it."""
+    from pyspark.sql import functions as F
+
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        dependency_links,
+    )
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        trace_summaries,
+    )
+
+    n_giant, n_normal = 50_000, 200
+    giant = spark.range(n_giant).select(
+        F.lit("giant").alias("trace_id"),
+        F.format_string("g%08x", "id").alias("id"),
+        F.when(F.col("id") > 0, F.format_string("g%08x", F.col("id") - 1))
+        .alias("parent_id"),
+        F.lit(None).cast("string").alias("kind"),
+        F.lit("op").alias("name"),
+        (F.lit(1_700_000_000_000_000) + F.col("id")).alias("timestamp"),
+        F.lit(10).alias("duration"),
+        F.concat(F.lit("svc"), (F.col("id") % 5).cast("string")).alias(
+            "local_service"
+        ),
+        F.lit(None).cast("string").alias("remote_service"),
+        F.lit(None).cast("string").alias("tag_k"),
+        F.lit(None).cast("string").alias("env"),
+        F.lit(False).alias("is_error"),
+    )
+    normal = spark.range(n_normal).select(
+        F.format_string("t%04x", "id").alias("trace_id"),
+        F.format_string("n%08x", "id").alias("id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit(None).cast("string").alias("kind"),
+        F.lit("op").alias("name"),
+        (F.lit(1_700_000_000_000_000) + F.col("id")).alias("timestamp"),
+        F.lit(10).alias("duration"),
+        F.lit("svcn").alias("local_service"),
+        F.lit(None).cast("string").alias("remote_service"),
+        F.lit(None).cast("string").alias("tag_k"),
+        F.lit(None).cast("string").alias("env"),
+        F.lit(False).alias("is_error"),
+    )
+    spans = giant.unionByName(normal)
+    summaries = {
+        r["trace_id"]: r for r in trace_summaries(spans).collect()
+    }
+    assert len(summaries) == n_normal + 1
+    assert summaries["giant"]["span_count"] == n_giant
+    # the giant trace is a chain across svc0..svc4: every child span is
+    # one call edge (dependency_links emits one row per call)
+    assert dependency_links(spans).count() == n_giant - 1
