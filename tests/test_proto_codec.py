@@ -323,3 +323,28 @@ def test_zipkin_descriptor_set_wire_structure(spark):
     assert [x for ff, ww, x in tf if ff == 1][0].decode() == "TagsEntry"
     options = [x for ff, ww, x in tf if ff == 7]
     assert options and list(_fields(options[0]))[0][0] == 7  # map_entry
+
+
+def test_zero_duration_collapses_to_absent():
+    """proto3 never writes zero scalars: duration=0 must produce no
+    field-7 bytes and decode as absent (null) — the reference's PROTO3
+    encoder/decoder shares this collapse, and the f5 oracle models it
+    with nullif(duration, 0).  Surfaced by sf0.1's zero-duration spans."""
+    from zipkin_storage_kafka_spark.functions.proto import (
+        decode_span,
+        encode_span,
+    )
+
+    span = {
+        "trace_id": "00000000000000aa",
+        "id": "00000000000000bb",
+        "name": "op",
+        "timestamp": 1_700_000_000_000_000,
+        "duration": 0,
+    }
+    wire = encode_span(span)
+    # field 7 varint key is (7<<3)|0 = 0x38; must not appear as a key
+    assert decode_span(wire)["duration"] is None
+    nonzero = dict(span, duration=5)
+    assert decode_span(encode_span(nonzero))["duration"] == 5
+    assert len(encode_span(nonzero)) == len(wire) + 2  # key + varint(5)

@@ -357,8 +357,11 @@ def q_normalize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: PROTO3 wire codec round-trip (SpansSerde.java:26-36 parity) —
     encode every trace to a ListOfSpans record, decode back, project
-    scalars.  The oracle is the ORIGINAL spans derivation: matching hashes
-    prove the codec is lossless over the whole corpus."""
+    scalars.  The oracle is the ORIGINAL spans derivation (with
+    nullif(duration, 0) applied): matching hashes prove the codec is
+    lossless over the whole corpus — up to proto3's one representational
+    collapse, duration 0 -> absent -> null, which the reference's
+    PROTO3 encoder/decoder pair shares (zero scalars are never written)."""
     from zipkin_storage_kafka_spark.sources.proto_spans import (
         proto_to_spans,
         traces_to_proto,
@@ -1156,10 +1159,16 @@ def zipkin_oracles() -> dict[str, str]:
                    END AS normalized_id
             FROM events
         """,
+        # nullif(duration, 0): proto3 writes nothing for zero scalars, so
+        # duration 0 is unrepresentable on the wire and decodes as absent
+        # (null) — the reference's SpanBytesEncoder.PROTO3/decoder pair has
+        # the same collapse (zipkin semantics: absent duration = unknown).
+        # Surfaced by the 6 zero-duration spans that first appear at sf0.1.
         "f5_proto_roundtrip": with_spans_cte(
             """
             SELECT trace_id, parent_id, id, kind, name, timestamp,
-                   duration, local_service, remote_service
+                   nullif(duration, 0) AS duration,
+                   local_service, remote_service
             FROM spans
             """
         ),
