@@ -1,0 +1,155 @@
+"""Hand-computed fixtures for the corpus-assembly operators added after
+round 4's rotation: semantic dedup (SemDeDup), native-HLL cardinality,
+per-source quota sampling, and the deterministic global shuffle.  Each test
+pins a semantic decision the DuckDB oracle alone could rubber-stamp (the
+round-2 lesson: both engines can agree while both no-op)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from zipkin_storage_kafka_spark.operators import text_analysis as ta
+from zipkin_storage_kafka_spark.operators.similarity import semantic_dedup
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v], label=lbl)
+         for i, v, lbl in rows],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+
+
+def _assign_df(spark, pairs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, label=c) for i, c in pairs],
+        "vec_id bigint, label int",
+    )
+
+
+def test_semantic_dedup_cell_bounded(spark):
+    """Identical vectors in the SAME cell dedup (higher id dropped);
+    the identical vector in ANOTHER cell survives — the cell equi-join
+    bounds the candidate space by construction, so cross-cell twins are
+    out of scope (SemDeDup's deliberate approximation)."""
+    emb = _emb_df(
+        spark,
+        [(1, [1, 0], 0), (2, [1, 0], 0), (3, [0, 1], 0), (4, [1, 0], 1)],
+    )
+    assign = _assign_df(spark, [(1, 0), (2, 0), (3, 0), (4, 1)])
+    # centroids unused when assign is given, but required non-None
+    centroids = spark.createDataFrame(
+        [Row(label=0, centroid=[1.0, 0.0]), Row(label=1, centroid=[1.0, 0.0])]
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            emb, centroids=centroids, assign=assign, threshold=0.9
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_semantic_dedup_greedy_uses_dropped_neighbors(spark):
+    """The id-ordered greedy drops a vector when ANY lower-id same-cell
+    neighbor is above threshold — including neighbors that were
+    themselves dropped.  Chain a~b, b~c with a!~c: b drops against a,
+    then c drops against b (even though b is gone), leaving only a."""
+    emb = _emb_df(
+        spark,
+        [(1, [1.0, 0.0], 0), (2, [0.8, 0.6], 0), (3, [0.28, 0.96], 0)],
+    )
+    assign = _assign_df(spark, [(1, 0), (2, 0), (3, 0)])
+    centroids = spark.createDataFrame([Row(label=0, centroid=[1.0, 0.0])])
+    # cos(1,2)=0.8, cos(2,3)=0.8, cos(1,3)=0.28
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            emb, centroids=centroids, assign=assign, threshold=0.8
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_hll_sketches_merge(spark):
+    """DataSketches HLL binaries are mergeable: per-split sketches union
+    into a whole-input estimate no matter how the splits are grouped —
+    the property that lets a counters store pre-aggregate per-partition
+    sketches and union at query time instead of re-shuffling raw ids.
+    The guarantee is BOUNDED ERROR, not bit identity: each union step may
+    promote sparse coupon sketches to the dense HLL array (and a
+    re-serialized union re-unioned shifts again), so one-pass / one-stage
+    / two-stage estimates differ by ulps of the estimator but all stay
+    within the lgK=14 ~0.8% RSE of the exact count — which is what the
+    hll_ok accuracy gate in hll_distinct_traces asserts in production."""
+    df = spark.range(0, 2000).select(
+        F.col("id").cast("string").alias("v"),
+        (F.col("id") % 4).alias("split"),
+    )
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(14))).alias("est")
+    ).collect()[0]["est"]
+    parts = df.groupBy("split").agg(
+        F.hll_sketch_agg("v", F.lit(14)).alias("sk")
+    )
+    merged = parts.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    # associativity: union the same sketches in two stages -> same estimate
+    staged = (
+        parts.groupBy((F.col("split") % 2).alias("half"))
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    for est in (whole, merged, staged):
+        assert abs(est - 2000) <= 0.03 * 2000
+    assert abs(merged - whole) <= 0.01 * 2000
+    assert abs(staged - merged) <= 0.01 * 2000
+
+
+def test_quota_sample_keeps_per_source_best(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ta.quota_sample(docs, per_source=10)
+    pdf = out.toPandas()
+    # exactly min(10, n_source) survivors per source, ranks 1..k
+    sizes = pdf.groupby("source")["rk"].agg(["size", "max", "min"])
+    assert (sizes["size"] <= 10).all()
+    assert (sizes["min"] == 1).all()
+    assert (sizes["max"] == sizes["size"]).all()
+    # survivors are the top-k by (quality desc, doc_id) per source
+    q = (
+        ta.quality_score(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .toPandas()
+        .sort_values(["source", "quality", "doc_id"],
+                     ascending=[True, False, True])
+    )
+    expect = set(
+        q.groupby("source").head(10)["doc_id"].tolist()
+    )
+    assert set(pdf["doc_id"].tolist()) == expect
+
+
+def test_global_shuffle_deterministic_and_seed_sensitive(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = ta.global_shuffle(docs, seed=42).toPandas()
+    b = ta.global_shuffle(docs, seed=42).toPandas()
+    c = ta.global_shuffle(docs, seed=43).toPandas()
+    key = ["shard", "position", "doc_id", "sort_key"]
+    assert a.sort_values(key).values.tolist() == b.sort_values(key).values.tolist()
+    # a different seed permutes: at least one doc changes (shard, position)
+    ja = a.set_index("doc_id")[["shard", "position"]]
+    jc = c.set_index("doc_id")[["shard", "position"]]
+    assert (ja != jc.loc[ja.index]).any().any()
+    # every row appears exactly once; positions are 1..n contiguous per shard
+    assert a["doc_id"].is_unique and len(a) == docs.count()
+    for _, grp in a.groupby("shard"):
+        assert sorted(grp["position"].tolist()) == list(
+            range(1, len(grp) + 1)
+        )
+    # shard is the first nibble of the sort key
+    assert (
+        a["shard"] == a["sort_key"].str[0].apply(lambda h: int(h, 16))
+    ).all()

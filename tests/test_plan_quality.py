@@ -434,3 +434,43 @@ def test_bmp_pipeline_single_scan_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan, plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" not in read_schema  # width/height derive from n_chars only
+
+
+def test_quota_sample_uses_window_group_limit(spark, sf_dir):
+    """Per-source quota must compile to Partial+Final WindowGroupLimit
+    (per-task top-k heaps) — a skewed mega-source costs a heap per task,
+    never a single-partition sort."""
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        quota_sample,
+    )
+
+    plan = _plan(quota_sample(load_table(spark, sf_dir, "documents")))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # Partial below the exchange
+
+
+def test_global_shuffle_single_exchange(spark, sf_dir):
+    """The seeded shuffle must add exactly ONE exchange (the
+    repartition-by-shard a training writer needs anyway): key + shard are
+    rowwise projections, position is a shard-partitioned window — no
+    global sort anywhere."""
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        global_shuffle,
+    )
+
+    import re
+
+    plan = _plan(global_shuffle(load_table(spark, sf_dir, "documents")))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema  # key derives from doc_id only
+
+
+def test_semantic_dedup_candidate_join_on_cell(spark, sf_dir):
+    """SemDeDup's pair enumeration must be an equi-join keyed on the cell
+    (candidate space = sum of squared cell sizes) with the cosine test as
+    a join residual — never a cross join."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["dedup_semantic"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -595,3 +595,62 @@ def rp_simhash_stats(emb: DataFrame, bits: int = RP_BITS) -> DataFrame:
             F.min("vec_id").alias("min_vec_id"),
         )
     )
+
+
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    assign: DataFrame | None = None,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
+    embedding space, then drop near-identical members WITHIN each cell —
+    semantic near-duplicate pruning whose candidate space is bounded by
+    the cell partition, never all-pairs.
+
+    Keep policy (deterministic, oracle-reproducible): a vector is dropped
+    iff some SAME-CELL vector with a LOWER vec_id has cosine >=
+    ``threshold``.  (The paper keeps the member farthest from the
+    centroid; id-ordered greedy is the engine-portable equivalent of the
+    ``canonical_doc_id = min(doc_id)`` policy the exact-dedup chain
+    already uses.)  Cosines are rounded to 4 decimals before the
+    threshold test so both engines make identical keep decisions.
+
+    Output: vec_id, cell, keep (bool) — exactly one row per vector.
+
+    Scale (100 TB): cell assignment is the IVF ingest index (broadcast
+    centroids, built once, reused here verbatim via the ``centroids`` /
+    ``assign`` parameters); the candidate join is an equi-join on cell,
+    so work is sum(c_i^2) over cell sizes, not n^2 — cap the max cell by
+    raising k at quantizer-training time (the paper uses k ~ sqrt(n)).
+    The dropped-id set stays distributed end to end (left anti-style
+    join, no driver collect).
+    """
+    if centroids is None:
+        centroids = ivf_centroids(embeddings)
+    if assign is None:
+        assign = ivf_assignments(embeddings, centroids)
+    e = embeddings.select(
+        "vec_id", _as_double("embedding").alias("emb")
+    ).join(assign.withColumnRenamed("label", "cell"), "vec_id")
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
+        F.sqrt(_dot(F.col("a.emb"), F.col("a.emb")))
+        * F.sqrt(_dot(F.col("b.emb"), F.col("b.emb")))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(round4(cos) >= F.lit(threshold))
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(
+        dropped.withColumn("_dup", F.lit(1)), "vec_id", "left"
+    ).select("vec_id", "cell", F.col("_dup").isNull().alias("keep"))

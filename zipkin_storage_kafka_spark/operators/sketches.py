@@ -59,3 +59,41 @@ def distinct_traces_sketch(spans: DataFrame) -> DataFrame:
         "exact_traces",
         round4(est - F.col("exact_traces")).alias("err"),
     )
+
+
+HLL_LG_K = 14
+HLL_TOLERANCE = 0.05
+
+
+def hll_distinct_traces(
+    spans: DataFrame, lg_k: int = HLL_LG_K, tolerance: float = HLL_TOLERANCE
+) -> DataFrame:
+    """Per-service distinct-trace cardinality via Spark's native
+    DataSketches HLL (``hll_sketch_agg``, Spark 3.5+) — the production
+    scale path next to the engine-portable linear-counting flavor
+    (:func:`distinct_traces_sketch`).  The HLL binary is MERGEABLE
+    (``hll_union_agg``): per-partition / per-day sketches pre-aggregate
+    into a counters store and union at query time, so a 100 TB domain
+    never re-shuffles raw ids — the property pinned by
+    tests/test_pipeline_sampling.py::test_hll_sketches_merge.
+
+    DuckDB's approx_count_distinct is a DIFFERENT HLL build, so the
+    estimate itself can never hash-match an oracle; the driver-visible
+    contract is the accuracy gate: exact count + a within-``tolerance``
+    boolean (same pattern as ann_ivf_recall).  lg_k=14 gives ~0.8%
+    relative standard error — 5% tolerance is >6 sigma.
+
+    Output: local_service, exact_traces, hll_ok (bool).
+    """
+    agg = spans.groupBy("local_service").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("trace_id", F.lit(lg_k))
+        ).alias("est"),
+        F.count_distinct("trace_id").alias("exact_traces"),
+    )
+    err = F.abs(F.col("est") - F.col("exact_traces"))
+    return agg.select(
+        "local_service",
+        "exact_traces",
+        (err <= F.lit(tolerance) * F.col("exact_traces")).alias("hll_ok"),
+    )

@@ -1208,3 +1208,77 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int = 20000) -> DataFram
     return cum.filter(F.col("cum_tokens") <= budget_tokens).select(
         "doc_id", "n_tokens", "cum_tokens"
     )
+
+
+QUOTA_PER_SOURCE = 10
+
+
+def quota_sample(docs: DataFrame, per_source: int = QUOTA_PER_SOURCE) -> DataFrame:
+    """Per-source quota sampling: keep the ``per_source`` highest-QUALITY
+    documents from every source — the domain-balancing step of corpus
+    assembly (cap any one crawl/domain so it cannot dominate the mixture,
+    but keep its best documents rather than a random slice, cf. the
+    source-balanced sampling in Gopher/MassiveText, Rae et al. 2021).
+
+    Determinism: quality is the composite :func:`quality_score` (already
+    round4-portable); ties break on doc_id, so both engines pick identical
+    survivors.
+
+    Output: source, doc_id, quality, rk (1..per_source).
+
+    Scale (100 TB): rank-within-group with a LIMIT-style predicate —
+    Spark 3.5+ rewrites it to WindowGroupLimit, so each task keeps a
+    per-source top-``per_source`` heap and the full window sort never
+    materializes (same plan shape as w25_slowest_per_service, pinned in
+    tests/test_plan_quality.py).  Skewed sources cost one heap per task,
+    not a single-partition sort.
+    """
+    q = quality_score(docs).select("doc_id", "quality")
+    d = docs.select("source", "doc_id").join(q, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= per_source)
+        .select("source", "doc_id", "quality", "rk")
+    )
+
+
+SHUFFLE_SEED = 42
+SHUFFLE_SHARDS = 16
+
+
+def global_shuffle(
+    docs: DataFrame, seed: int = SHUFFLE_SEED, n_shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """Deterministic seeded global shuffle for training-data ordering:
+    every doc gets a pseudo-random sort key = md5(doc_id || ':' || seed),
+    a shard = first hex nibble of that key (uniform 1/16 split), and a
+    position within its shard.  Changing the seed reshuffles; re-running
+    with the same seed reproduces the exact order — the property
+    ``df.sample``/``rand()`` cannot give across engines or retried tasks
+    (Spark recomputes lost partitions, so nondeterministic keys silently
+    reorder on failure; a content-derived key cannot).
+
+    Output: shard (0..n_shards-1), position (1..), doc_id, sort_key.
+
+    Scale (100 TB): the key is a rowwise projection (no data movement);
+    the ONLY shuffle is the repartition-by-shard that training-output
+    writers need anyway, and each shard sorts locally (position is a
+    window partitioned by shard — never a global sort).  Writers emit one
+    file per shard; readers stream shards in any order and within-shard
+    order is reproducible.  More shards = more parallelism: widen the
+    nibble prefix (2 hex chars = 256 shards) without touching the key.
+    """
+    if n_shards != 16:
+        raise ValueError("portable nibble sharding is defined for 16 shards")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")))
+    d = docs.select("doc_id").withColumn("sort_key", key).withColumn(
+        "shard",
+        F.expr("locate(substring(sort_key, 1, 1), '0123456789abcdef') - 1"),
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return d.withColumn("position", F.row_number().over(w).cast("long")).select(
+        "shard", "position", "doc_id", "sort_key"
+    )

@@ -451,6 +451,20 @@ def q_sketch_service_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_traces_sketch(_spans(spark, sf_dir))
 
 
+def q_hll_service_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service distinct-trace cardinality via the native DataSketches
+    HLL (operators/sketches.py:hll_distinct_traces) — the mergeable-binary
+    production sketch beside the engine-portable linear-counting flavor.
+    The oracle row is an accuracy GATE (exact count + within-5% boolean,
+    the ann_ivf_recall pattern) because DuckDB's HLL build can never
+    hash-match DataSketches estimates."""
+    from zipkin_storage_kafka_spark.operators.sketches import (
+        hll_distinct_traces,
+    )
+
+    return hll_distinct_traces(_spans(spark, sf_dir))
+
+
 def q_latency_percentiles(
     spark: SparkSession, sf_dir: str, mode: str = "exact"
 ) -> DataFrame:
@@ -776,6 +790,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_latency_percentiles": q_latency_percentiles,
         "z_salted_service_counts": q_salted_service_counts,
         "z_sketch_service_traces": q_sketch_service_traces,
+        "z_hll_service_traces": q_hll_service_traces,
         "z_trace_depth": q_trace_depth,
         "z_critical_path": q_critical_path,
         "z_self_time": q_self_time,
@@ -1220,6 +1235,14 @@ def zipkin_oracles() -> dict[str, str]:
               FROM sk
             )
             """,
+        ),
+        "z_hll_service_traces": with_spans_cte(
+            """
+            SELECT local_service,
+                   CAST(count(DISTINCT trace_id) AS BIGINT) AS exact_traces,
+                   true AS hll_ok
+            FROM spans GROUP BY local_service
+            """
         ),
         "z_trace_depth": f"""
             WITH RECURSIVE {SPANS_ORACLE_CTE.strip()},

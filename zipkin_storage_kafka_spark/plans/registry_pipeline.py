@@ -683,6 +683,25 @@ def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(pairs, flavor="star")
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the shared IVF index: the coarse cells bound the
+    pairwise-cosine candidate space (operators/similarity.py:
+    semantic_dedup).  Reuses the cached ingest-time index, so the
+    per-query plan adds only the within-cell join + anti-join."""
+    centroids, assign = _ivf_index(spark, sf_dir)
+    return sim.semantic_dedup(
+        _emb(spark, sf_dir), centroids=centroids, assign=assign
+    )
+
+
+def q_text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.quota_sample(_docs(spark, sf_dir))
+
+
+def q_text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.global_shuffle(_docs(spark, sf_dir))
+
+
 def pipeline_queries() -> dict[str, QueryFn]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -718,6 +737,9 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_encode_ids": q_text_encode_ids,
         "dedup_cluster_resolve": q_dedup_cluster_resolve,
         "dedup_cluster_star": q_dedup_cluster_star,
+        "dedup_semantic": q_dedup_semantic,
+        "text_quota_sample": q_text_quota_sample,
+        "text_global_shuffle": q_text_global_shuffle,
         "text_pack_sequences": q_text_pack_sequences,
         "text_repetition": q_text_repetition,
         "text_stratified_sample": q_text_stratified_sample,
@@ -1333,6 +1355,101 @@ def _pipeline_oracles_base() -> dict[str, str]:
             WHERE assign.label IN (SELECT label FROM probe)
               AND e.vec_id <> {ANN_QUERY_VEC}
             ORDER BY cos DESC, vec_id LIMIT {ANN_IVF_K}
+        """,
+        "dedup_semantic": f"""
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cent AS (
+              SELECT label, list(c ORDER BY i) AS cv FROM (
+                SELECT label, i, avg(x) AS c FROM (
+                  SELECT label,
+                         unnest(generate_series(1, len(v))) AS i,
+                         unnest(v) AS x
+                  FROM e
+                ) GROUP BY label, i
+              ) GROUP BY label
+            ),
+            sim AS (
+              SELECT e.vec_id, cent.label,
+                     ((round((list_dot_product(v, cv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(cv, cv)))) * 1000000)
+                       / 1000000) + 0.0) AS s
+              FROM e CROSS JOIN cent
+            ),
+            assign AS (
+              SELECT vec_id, label FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, label) AS rk
+                FROM sim
+              ) WHERE rk = 1
+            ),
+            m AS (
+              SELECT e.vec_id, assign.label AS cell, e.v
+              FROM e JOIN assign USING (vec_id)
+            ),
+            dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM m a JOIN m b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE ((round((list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)))) * 10000)
+                      / 10000) + 0.0) >= {sim.SEMDEDUP_THRESHOLD}
+            )
+            SELECT m.vec_id, m.cell,
+                   (m.vec_id NOT IN (SELECT vec_id FROM dropped)) AS keep
+            FROM m
+        """,
+        "text_quota_sample": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            s AS (
+              SELECT doc_id,
+                     len(w) AS n_tokens,
+                     len(list_filter(w, x -> x IN {_STOP_SQL})) AS stop_cnt,
+                     (round((len(list_distinct(w)) * 1.0 / len(w)) * 10000)
+                        / 10000 + 0.0) AS ttr
+              FROM t
+            ),
+            q AS (
+              SELECT doc_id,
+                     (round((0.4 * (CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+                           + 0.3 * least(1.0, 5.0 * (stop_cnt * 1.0 / n_tokens))
+                           + 0.3 * ttr) * 10000) / 10000 + 0.0) AS quality
+              FROM s
+            ),
+            r AS (
+              SELECT d.source, d.doc_id, q.quality,
+                     CAST(row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY q.quality DESC, d.doc_id) AS INT) AS rk
+              FROM documents d JOIN q USING (doc_id)
+            )
+            SELECT source, doc_id, quality, rk
+            FROM r WHERE rk <= {ta.QUOTA_PER_SOURCE}
+        """,
+        "text_global_shuffle": f"""
+            WITH k AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || ':{ta.SHUFFLE_SEED}')
+                       AS sort_key
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, sort_key,
+                     CAST(strpos('0123456789abcdef',
+                                 substring(sort_key, 1, 1)) - 1 AS INT)
+                       AS shard
+              FROM k
+            )
+            SELECT shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY shard
+                     ORDER BY sort_key, doc_id) AS BIGINT) AS position,
+                   doc_id, sort_key
+            FROM s
         """,
         "text_regex_tokens": r"""
             WITH t AS (
