@@ -540,3 +540,56 @@ def test_checkpoint_recovery_dedup_state_survives_restart(spark, tmp_path):
     # run-1 rows were not reprocessed
     assert texts == ["alpha", "beta", "gamma"]
     assert {r["doc_id"] for r in final} == {1, 2, 5}
+
+
+def test_stream_links_conservation_vs_batch(spark, sf_dir):
+    """The streaming topology derives links from each EMITTED trace
+    session, so a parent/child pair straddling a session split produces
+    no link — exactly the reference's behavior when spans arrive more
+    than traceTimeout apart.  Conservation: batch whole-trace link count
+    == streamed link count + straddling-pair count (independently
+    derived via batch gaps-and-islands), and on this gap-heavy corpus
+    the straddle count is non-zero (the semantics are exercised, not
+    vacuously equal)."""
+    from pyspark.sql import Window
+
+    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+    from zipkin_storage_kafka_spark.streaming.jobs import links_via_stream
+
+    spans = spans_from_events(spark, sf_dir)
+    c = spans.alias("c")
+    p = spans.alias("p")
+    batch_total = c.join(
+        p,
+        (F.col("c.trace_id") == F.col("p.trace_id"))
+        & (F.col("c.parent_id") == F.col("p.id")),
+    ).count()
+
+    w = Window.partitionBy("trace_id").orderBy("timestamp")
+    sessed = spans.withColumn(
+        "new_sess",
+        (
+            (F.col("timestamp") - F.lag("timestamp").over(w)) >= 60_000_000
+        ).cast("int"),
+    ).withColumn(
+        "sess_id",
+        F.sum(F.coalesce(F.col("new_sess"), F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sc = sessed.alias("sc")
+    sp = sessed.alias("sp")
+    straddling = sc.join(
+        sp,
+        (F.col("sc.trace_id") == F.col("sp.trace_id"))
+        & (F.col("sc.parent_id") == F.col("sp.id"))
+        & (F.col("sc.sess_id") != F.col("sp.sess_id")),
+    ).count()
+
+    streamed_total = (
+        links_via_stream(spark, sf_dir)
+        .agg(F.sum("call_count"))
+        .collect()[0][0]
+    )
+    assert straddling > 0
+    assert streamed_total + straddling == batch_total

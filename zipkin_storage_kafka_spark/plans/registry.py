@@ -758,6 +758,20 @@ def q_stream_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized_summaries_via_stream(spark, sf_dir)
 
 
+def q_stream_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/J1 driver-visible row: the full aggregation topology run to
+    completion — session-window closed traces fanned out through
+    foreachBatch into per-emitted-trace dependency links, merged into the
+    A8 counter shape (streaming.jobs.links_via_stream).  The oracle
+    sessionizes with gaps-and-islands and joins parent/child WITHIN a
+    session, because that is what the reference topology emits: a span
+    pair split across trace sessions produces no link
+    (SpanAggregationTopology.java:92-121)."""
+    from zipkin_storage_kafka_spark.streaming.jobs import links_via_stream
+
+    return links_via_stream(spark, sf_dir)
+
+
 def zipkin_queries() -> dict[str, QueryFn]:
     return {
         "a2_trace_summaries": q_trace_summaries,
@@ -801,6 +815,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_error_pivot": q_error_pivot,
         "z_error_unpivot": q_error_unpivot,
         "w1_stream_traces": q_stream_traces,
+        "w3_stream_links": q_stream_links,
     }
 
 
@@ -1013,6 +1028,38 @@ def zipkin_oracles() -> dict[str, str]:
               GROUP BY local_service, env
             ) c ON c.local_service = s.local_service AND c.env = t.env
             """
+        ),
+        "w3_stream_links": with_spans_cte(
+            """
+            SELECT parent, child,
+                   CAST(count(*) AS BIGINT) AS call_count,
+                   CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                     AS error_count,
+                   parent || ':' || child AS link_key
+            FROM sess_links GROUP BY parent, child
+            """,
+            extra_ctes="""
+            lagged AS (
+              SELECT *, CASE WHEN timestamp - lag(timestamp) OVER
+                   (PARTITION BY trace_id ORDER BY timestamp)
+                   >= 60000000
+                 THEN 1 ELSE 0 END AS new_sess
+              FROM spans
+            ),
+            sess AS (
+              SELECT *, sum(new_sess) OVER (PARTITION BY trace_id
+                  ORDER BY timestamp
+                  ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM lagged
+            ),
+            sess_links AS (
+              SELECT p.local_service AS parent, c.local_service AS child,
+                     c.is_error
+              FROM sess c JOIN sess p
+                ON c.trace_id = p.trace_id AND c.sess_id = p.sess_id
+                   AND c.parent_id = p.id
+            )
+            """,
         ),
         "w1_stream_traces": with_spans_cte(
             """

@@ -115,10 +115,22 @@ def trace_aggregation_stream(
 def links_from_trace_batch(traces: DataFrame) -> DataFrame:
     """Per-trace dependency links from an emitted (closed-trace) batch —
     the ``spansToDependencyLinks`` stage (SpanAggregationTopology.java:
-    115-121), run inside foreachBatch on the small closed-trace batch."""
-    exploded = traces.select("trace_id", F.explode("spans").alias("s"))
+    115-121), run inside foreachBatch on the small closed-trace batch.
+
+    The join is qualified by (trace_id, session_start_ms): each emitted
+    row is one trace SESSION, and links derive within that session only —
+    exactly what the reference computes from each aggregated trace it
+    emits.  Without the session key, two sessions of the same trace
+    landing in one micro-batch would cross-join parent/child spans that
+    the session window deliberately separated (and the result would
+    depend on which sessions shared a batch — nondeterministic under
+    retrigger)."""
+    exploded = traces.select(
+        "trace_id", "session_start_ms", F.explode("spans").alias("s")
+    )
     child = exploded.select(
         "trace_id",
+        "session_start_ms",
         F.col("s.id").alias("id"),
         F.col("s.parent_id").alias("parent_id"),
         F.col("s.local_service").alias("child"),
@@ -127,12 +139,14 @@ def links_from_trace_batch(traces: DataFrame) -> DataFrame:
     ).alias("c")
     parent = exploded.select(
         "trace_id",
+        "session_start_ms",
         F.col("s.id").alias("p_id"),
         F.col("s.local_service").alias("parent"),
     ).alias("p")
     return child.join(
         parent,
         (F.col("c.trace_id") == F.col("p.trace_id"))
+        & (F.col("c.session_start_ms") == F.col("p.session_start_ms"))
         & (F.col("c.parent_id") == F.col("p.p_id")),
         "inner",
     ).select(
@@ -415,6 +429,52 @@ SENTINEL_TRACE_PREFIX = "zzwatermark_sentinel"
 _STREAM_SINK_MEMO: dict[tuple, str] = {}
 
 
+def _write_stream_input(spans: DataFrame, in_dir: str, gap_micros: int) -> None:
+    """Stage a span corpus as stream input files plus two watermark
+    sentinels 2x/4x the gap past max event time (pipe-then-advance,
+    SpanAggregationTopologyTest.java:84-93) — the second sentinel absorbs
+    the one-micro-batch eviction lag.  File mtimes are pinned so
+    maxFilesPerTrigger replays them in a deterministic order."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(in_dir)
+    spans.coalesce(2).write.parquet(in_dir, mode="append")
+    max_ts = spans.agg(F.max("timestamp")).collect()[0][0]
+    t0 = 1_000_000_000
+    for f in os.listdir(in_dir):
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(in_dir, f), (t0, t0))
+
+    def _sentinel(seq: int, ts: int) -> None:
+        cols = [fld.name for fld in SPANS_STREAM_SCHEMA.fields]
+        row = {
+            "trace_id": f"{SENTINEL_TRACE_PREFIX}_{seq}",
+            "id": f"s{seq}", "parent_id": None, "kind": None,
+            "name": "flush", "timestamp": ts, "duration": 1,
+            "local_service": "sentinel", "remote_service": None,
+            "tag_k": None, "env": None, "is_error": False,
+        }
+        schema = pa.schema(
+            [
+                (c, pa.int64() if c in ("timestamp", "duration")
+                 else pa.bool_() if c == "is_error" else pa.string())
+                for c in cols
+            ]
+        )
+        fpath = os.path.join(in_dir, f"sentinel{seq}.parquet")
+        pq.write_table(
+            pa.Table.from_pydict({c: [row[c]] for c in cols}, schema=schema),
+            fpath,
+        )
+        os.utime(fpath, (t0 + 100 * seq, t0 + 100 * seq))
+
+    _sentinel(1, max_ts + 2 * gap_micros)
+    _sentinel(2, max_ts + 4 * gap_micros)
+
+
 def sessionized_summaries_via_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -464,40 +524,7 @@ def sessionized_summaries_via_stream(
     in_dir = os.path.join(work, "in")
     traces_out = os.path.join(work, "traces")
     ckpt = os.path.join(work, "ckpt")
-    os.makedirs(in_dir)
-
-    spans.coalesce(2).write.parquet(in_dir, mode="append")
-    max_ts = spans.agg(F.max("timestamp")).collect()[0][0]
-    t0 = 1_000_000_000
-    for f in os.listdir(in_dir):
-        if f.endswith(".parquet"):
-            os.utime(os.path.join(in_dir, f), (t0, t0))
-
-    def _sentinel(seq: int, ts: int) -> None:
-        cols = [fld.name for fld in SPANS_STREAM_SCHEMA.fields]
-        row = {
-            "trace_id": f"{SENTINEL_TRACE_PREFIX}_{seq}",
-            "id": f"s{seq}", "parent_id": None, "kind": None,
-            "name": "flush", "timestamp": ts, "duration": 1,
-            "local_service": "sentinel", "remote_service": None,
-            "tag_k": None, "env": None, "is_error": False,
-        }
-        schema = pa.schema(
-            [
-                (c, pa.int64() if c in ("timestamp", "duration")
-                 else pa.bool_() if c == "is_error" else pa.string())
-                for c in cols
-            ]
-        )
-        fpath = os.path.join(in_dir, f"sentinel{seq}.parquet")
-        pq.write_table(
-            pa.Table.from_pydict({c: [row[c]] for c in cols}, schema=schema),
-            fpath,
-        )
-        os.utime(fpath, (t0 + 100 * seq, t0 + 100 * seq))
-
-    _sentinel(1, max_ts + 2 * gap_micros)
-    _sentinel(2, max_ts + 4 * gap_micros)
+    _write_stream_input(spans, in_dir, gap_micros)
 
     closed = trace_aggregation_stream(
         spans_stream_from_dir(spark, in_dir, max_files_per_trigger=1), gap
@@ -519,6 +546,82 @@ def sessionized_summaries_via_stream(
     _STREAM_SINK_MEMO[memo_key] = traces_out
     return spark.read.parquet(traces_out).filter(
         ~F.col("trace_id").startswith(SENTINEL_TRACE_PREFIX)
+    )
+
+
+def links_via_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = DEFAULT_TRACE_TIMEOUT,
+    gap_micros: int = 60_000_000,
+) -> DataFrame:
+    """W3/J1 driver-visible row: the FULL aggregation topology run to
+    completion — spans stream -> session-window closed traces ->
+    per-emitted-trace dependency links (foreachBatch) -> counter merge —
+    i.e. both ``.to()`` sinks of SpanAggregationTopology.java:92-121 in
+    one pass, not just the traces sink that w1 checks.
+
+    Semantics note the oracle must model: links derive from each EMITTED
+    trace session (the reference does exactly this — spans separated by
+    more than traceTimeout aggregate into different traces, so a
+    parent/child pair straddling a session split produces NO link).  The
+    batch j1_a8 flavor links whole traces; on gap-heavy data the two
+    legitimately differ, and the difference equals the straddling-pair
+    count (pinned by tests/test_streaming.py::
+    test_stream_links_conservation_vs_batch).
+
+    Columns: parent, child, call_count, error_count, link_key — the
+    j1_a8/A8 merge shape served from the streaming counter store.
+    """
+    import os
+    import tempfile
+
+    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(events_path)
+    memo_key = ("links", sf_dir, gap, st.st_size, st.st_mtime_ns)
+    cached = _STREAM_SINK_MEMO.get(memo_key)
+    if cached is None or not os.path.isdir(cached):
+        spans = spans_from_events(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix="w3_stream_")
+        in_dir = os.path.join(work, "in")
+        links_out = os.path.join(work, "links")
+        ckpt = os.path.join(work, "ckpt")
+        _write_stream_input(spans, in_dir, gap_micros)
+
+        closed = trace_aggregation_stream(
+            spans_stream_from_dir(spark, in_dir, max_files_per_trigger=1), gap
+        )
+
+        def emit(batch: DataFrame, epoch_id: int) -> None:
+            links_from_trace_batch(batch).write.mode("append").parquet(
+                links_out
+            )
+
+        q = (
+            closed.writeStream.outputMode("append")
+            .foreachBatch(emit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_SINK_MEMO[memo_key] = links_out
+        cached = links_out
+
+    raw = spark.read.parquet(cached).filter(
+        ~F.col("trace_id").startswith(SENTINEL_TRACE_PREFIX)
+    )
+    return raw.groupBy("parent", "child").agg(
+        F.count(F.lit(1)).alias("call_count"),
+        F.sum(F.col("is_error").cast("long")).alias("error_count"),
+    ).select(
+        "parent",
+        "child",
+        "call_count",
+        "error_count",
+        F.concat_ws(":", "parent", "child").alias("link_key"),
     )
 
 
