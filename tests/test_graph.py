@@ -223,3 +223,36 @@ def test_star_cc_equals_propagation_on_lsh_candidates(spark, sf_dir):
         for r in connected_components_star(pairs).collect()
     }
     assert prop == star
+
+
+def test_trace_concurrency_hand_fixture(spark):
+    """Sweep-line overlap pinned by hand: three overlapping spans peak at
+    3; a back-to-back pair (B starts exactly when A ends) peaks at 1
+    (ends sort before starts at equal time); a zero/null-duration span is
+    concurrent with itself for one micro."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        trace_concurrency,
+    )
+
+    rows = [
+        # t1: [0,100) [50,150) [60,70) -> peak 3
+        ("t1", "a", 0, 100),
+        ("t1", "b", 50, 100),
+        ("t1", "c", 60, 10),
+        # t2: [0,100) then [100,200) -> never overlap
+        ("t2", "a", 0, 100),
+        ("t2", "b", 100, 100),
+        # t3: zero-duration at 5 inside [0,100) -> peak 2;
+        # null duration at 300, alone -> still counts itself
+        ("t3", "a", 0, 100),
+        ("t3", "b", 5, 0),
+        ("t3", "c", 300, None),
+    ]
+    spans = spark.createDataFrame(
+        rows, "trace_id string, id string, timestamp long, duration long"
+    )
+    out = {
+        r["trace_id"]: (r["n_spans"], r["max_concurrent"])
+        for r in trace_concurrency(spans).collect()
+    }
+    assert out == {"t1": (3, 3), "t2": (2, 1), "t3": (3, 2)}

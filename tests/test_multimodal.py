@@ -198,3 +198,96 @@ def test_bmp_media_pipeline_spark(spark, sf_dir):
     for r in resized.collect():
         img = decode_bmp(bytes(r["payload"]))
         assert img.shape == (16, 16, 3)
+
+
+def test_wav_golden_bytes():
+    """Pin the WAV wire format: a 2-sample stereo clip must serialize to
+    the canonical 44-byte header + little-endian interleaved int16 data
+    (matched byte-order bugs in both codec directions would survive
+    roundtrip identity but fail this)."""
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.multimodal import encode_wav
+
+    smp = np.array([[1, -2], [256, 32767]], dtype=np.int16)
+    payload = encode_wav(smp, 8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    # fmt: PCM(1), 2 channels, 8000 Hz, byte rate 32000, align 4, 16 bit
+    import struct
+
+    assert struct.unpack_from("<HHIIHH", payload, 20) == (
+        1, 2, 8000, 32000, 4, 16,
+    )
+    assert payload[36:40] == b"data"
+    assert payload[44:] == bytes(
+        [0x01, 0x00, 0xFE, 0xFF, 0x00, 0x01, 0xFF, 0x7F]
+    )
+
+
+def test_wav_roundtrip_identity():
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        synth_samples,
+    )
+
+    for ch in (1, 2):
+        for n in (1, 7, 64):
+            smp = synth_samples(123, n, ch)
+            arr, sr = decode_wav(encode_wav(smp, 16000))
+            assert sr == 16000
+            assert np.array_equal(arr, smp)
+
+
+def test_wav_decodes_foreign_file_with_extra_chunks():
+    """The decoder walks RIFF chunks: a LIST chunk (odd-sized, so padded)
+    between fmt and data — as real recorders write — must not break the
+    data offset; a fixed offset-44 reader would."""
+    import struct
+
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.multimodal import decode_wav
+
+    data = np.array([[5], [-6], [7]], dtype="<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+    info = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # pad to even
+    dat = struct.pack("<4sI", b"data", len(data)) + data
+    body = fmt + info + dat
+    payload = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    arr, sr = decode_wav(payload)
+    assert sr == 8000
+    assert arr.flatten().tolist() == [5, -6, 7]
+
+
+def test_wav_rejects_non_wav_and_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from zipkin_storage_kafka_spark.operators.multimodal import decode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"nope" * 10)
+    # 8-bit PCM is out of scope and must be refused, not mis-decoded
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8)
+    dat = struct.pack("<4sI", b"data", 2) + b"\x01\x02"
+    payload = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt + dat), b"WAVE")
+    with _pytest.raises(ValueError):
+        decode_wav(payload + fmt + dat)
+
+
+def test_wav_resample_index_math():
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.multimodal import (
+        resample_nearest,
+    )
+
+    smp = np.arange(12, dtype=np.int16).reshape(-1, 1)
+    out = resample_nearest(smp, 12000, 4000)  # keep every 3rd sample
+    assert out.flatten().tolist() == [0, 3, 6, 9]
+    up = resample_nearest(smp[:4], 4000, 8000)  # repeat each sample
+    assert up.flatten().tolist() == [0, 0, 1, 1, 2, 2, 3, 3]

@@ -433,3 +433,29 @@ def test_giant_trace_hot_key_aggregation(spark):
     # the giant trace is a chain across svc0..svc4: every child span is
     # one call edge (dependency_links emits one row per call)
     assert dependency_links(spans).count() == n_giant - 1
+
+
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    ch=st.integers(min_value=1, max_value=4),
+    sr=st.sampled_from([4000, 8000, 11025, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(n, ch, sr, seed):
+    """encode->decode is the identity for ANY (n, ch) int16 clip at any
+    rate — full sample range including -32768, every channel count."""
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    smp = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int64).astype(
+        np.int16
+    )
+    arr, out_sr = decode_wav(encode_wav(smp, sr))
+    assert out_sr == sr
+    assert np.array_equal(arr, smp)

@@ -382,3 +382,181 @@ def bmp_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, BMP_MEDIA_SCHEMA)
+
+
+# -- real audio codec: 16-bit PCM WAV (RIFF), pure numpy ----------------------
+#
+# The audio twin of the BMP path above: no media library needed for
+# uncompressed PCM, so the "audio as opaque binary" plumbing gets a REAL
+# encode -> decode -> transform -> re-encode pipeline whose every statistic
+# the DuckDB oracle recomputes closed-form from the sample formula.
+
+WAV_HEADER_BYTES = 44  # RIFF(12) + canonical fmt chunk(24) + data header(8)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (n, ch) int16 array as a canonical PCM WAV: RIFF header,
+    16-byte fmt chunk (format 1 = PCM), little-endian interleaved data."""
+    n, ch = samples.shape
+    assert samples.dtype == np.int16
+    data = np.ascontiguousarray(samples.astype("<i2")).tobytes()
+    riff = struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ", 16, 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16,
+    )
+    return riff + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV to ((n, ch) int16 array, sample_rate).
+
+    A real chunk walk, not an offset-44 assumption: foreign writers put
+    LIST/INFO/fact chunks between fmt and data, and odd-sized chunks are
+    word-padded — both handled, so any conforming producer's file decodes.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_body, data_body = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        body = payload[pos : pos + sz]
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data_body = body
+        pos += sz + (sz & 1)  # chunks are 2-byte aligned
+    if fmt_body is None or data_body is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, ch, sr, _rate, _align, bits = struct.unpack_from(
+        "<HHIIHH", fmt_body, 0
+    )
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (fmt={audio_fmt})")
+    arr = np.frombuffer(data_body, dtype="<i2").reshape(-1, ch)
+    return arr.astype(np.int16), sr
+
+
+def resample_nearest(
+    samples: np.ndarray, sr_in: int, sr_out: int
+) -> np.ndarray:
+    """Nearest-sample resample with floor index mapping
+    (src = (dst * sr_in) // sr_out), out length = (n * sr_out) // sr_in —
+    integer math only, so the oracle reproduces resampled statistics."""
+    n = samples.shape[0]
+    out_n = (n * sr_out) // sr_in
+    idx = (np.arange(out_n) * sr_in) // sr_out
+    return samples[idx]
+
+
+def synth_samples(doc_id: int, n: int, ch: int) -> np.ndarray:
+    """Deterministic fixture audio: ((doc_id*37 + i*13 + c*17) % 65536)
+    - 32768 — full int16 range, pure integer arithmetic for the oracle."""
+    i = np.arange(n, dtype=np.int64).reshape(-1, 1)
+    c = np.arange(ch, dtype=np.int64).reshape(1, -1)
+    return (((doc_id * 37 + i * 13 + c * 17) % 65536) - 32768).astype(
+        np.int16
+    )
+
+
+WAV_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("s0", T.IntegerType()),
+        T.StructField("mean0", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def wav_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Render a REAL WAV per document: n = n_chars%50+20 samples,
+    channels = doc_id%2+1, rate = 8000 + (doc_id%3)*4000.  Arrow-batched;
+    payloads never touch the driver."""
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(8000) + (F.col("doc_id") % 3) * 4000)
+        .cast("int")
+        .alias("sample_rate"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
+        (F.col("n_chars") % 50 + 20).cast("int").alias("n"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(synth_samples(mid, n, ch), sr)
+                for mid, sr, ch, n in zip(
+                    pdf["media_id"], pdf["sample_rate"],
+                    pdf["channels"], pdf["n"],
+                )
+            ]
+            out = pdf[["media_id", "sample_rate", "channels"]].copy()
+            out["payload"] = pd.Series(payloads, index=pdf.index, dtype=object)
+            yield out[["media_id", "sample_rate", "channels", "payload"]]
+
+    return base.mapInPandas(run, WAV_MEDIA_SCHEMA)
+
+
+def _wav_stats_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols: dict[str, list] = {k.name: [] for k in WAV_STATS_SCHEMA.fields}
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        arr, sr = decode_wav(payload)
+        n, ch = arr.shape
+        cols["media_id"].append(mid)
+        cols["sample_rate"].append(sr)
+        cols["channels"].append(ch)
+        cols["n_samples"].append(n)
+        cols["payload_bytes"].append(len(payload))
+        cols["duration_ms"].append(n * 1000 // sr)
+        cols["s0"].append(int(arr[0, 0]))
+        cols["mean0"].append(int(arr[:, 0].sum(dtype=np.int64)) / n)
+        cols["peak"].append(int(np.abs(arr.astype(np.int64)).max()))
+    return pd.DataFrame(cols)
+
+
+def wav_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode every WAV payload: rate/channels/length from the chunk walk,
+    exact integer duration, first sample (pins endianness + interleave
+    offset), channel-0 mean, absolute peak."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _wav_stats_pdf(pdf)
+
+    return media.mapInPandas(run, WAV_STATS_SCHEMA)
+
+
+def wav_resample(media: DataFrame, out_sr: int) -> DataFrame:
+    """Real resample: decode -> nearest-sample index map -> re-encode at
+    ``out_sr`` — the audio analog of bmp_resize, transforming actual
+    bytes, not metadata."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, rates = [], []
+            for payload in pdf["payload"]:
+                arr, sr = decode_wav(payload)
+                payloads.append(encode_wav(resample_nearest(arr, sr, out_sr), out_sr))
+                rates.append(out_sr)
+            out = pdf[["media_id", "channels"]].copy()
+            out["sample_rate"] = np.int32(out_sr)
+            out["payload"] = pd.Series(payloads, index=pdf.index, dtype=object)
+            yield out[["media_id", "sample_rate", "channels", "payload"]]
+
+    return media.mapInPandas(run, WAV_MEDIA_SCHEMA)

@@ -329,3 +329,55 @@ def self_time_by_service(spans: DataFrame) -> DataFrame:
             ).alias("self_time_us"),
         )
     )
+
+
+def trace_concurrency(spans: DataFrame) -> DataFrame:
+    """Per-trace maximum span concurrency by sweep line: explode every
+    span into a +1 event at its start and a -1 event at its end, run a
+    per-trace cumulative sum in event order, and take the running max —
+    the "how parallel did this trace actually get" profile that interval
+    overlap queries need and no built-in Spark operator expresses.
+
+    Interval model (deterministic, oracle-reproducible): a span is active
+    over the closed-open [timestamp, timestamp + max(duration, 1)) — null
+    and zero durations count as 1 micro so every span is concurrent with
+    itself at its own instant.  At equal event times, ends sort before
+    starts (delta ascending), so back-to-back spans (A ends exactly when
+    B starts) never count as overlapping.
+
+    Output: trace_id, n_spans, max_concurrent.
+
+    Scale (100 TB): the sweep is a window PARTITIONED BY trace_id — work
+    and memory bound by the trace size (the 50k-span hot-trace stress in
+    tests/test_properties.py bounds this shape), with full cross-trace
+    parallelism and a single shuffle on trace_id that co-partitions with
+    every other per-trace operator.  A service- or corpus-level sweep
+    (one giant partition) would instead use the two-level distributed
+    prefix sum of text_analysis.token_budget_sample: bucket events by
+    time range, sum per bucket, broadcast bucket offsets, then run the
+    windowed sum within buckets only.
+    """
+    end_ts = F.col("timestamp") + F.greatest(
+        F.coalesce(F.col("duration"), F.lit(0)), F.lit(1)
+    )
+    ev = spans.select(
+        "trace_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("timestamp").alias("ts"), F.lit(1).alias("delta")
+                ),
+                F.struct(end_ts.alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+    ).select("trace_id", F.col("e.ts").alias("ts"), F.col("e.delta").alias("delta"))
+    w = (
+        Window.partitionBy("trace_id")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = ev.withColumn("running", F.sum("delta").over(w))
+    return running.groupBy("trace_id").agg(
+        (F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_spans"),
+        F.max("running").cast("long").alias("max_concurrent"),
+    )

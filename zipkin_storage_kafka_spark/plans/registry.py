@@ -555,6 +555,18 @@ def q_link_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry --------------------------------------------------------------------
 
 
+def q_trace_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trace max span concurrency (engine extension): sweep-line
+    interval overlap — the operator family (interval/overlap joins)
+    Spark has no built-in for, expressed as explode + per-trace windowed
+    prefix sum (operators.trace_aggregation.trace_concurrency)."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        trace_concurrency,
+    )
+
+    return trace_concurrency(_spans(spark, sf_dir))
+
+
 def q_trace_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-count per tree depth (engine extension): read from the same
     materialized pointer-doubling sweep as q_critical_path (the `depth`
@@ -806,6 +818,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_sketch_service_traces": q_sketch_service_traces,
         "z_hll_service_traces": q_hll_service_traces,
         "z_trace_depth": q_trace_depth,
+        "z_trace_concurrency": q_trace_concurrency,
         "z_critical_path": q_critical_path,
         "z_self_time": q_self_time,
         "z_service_pagerank": q_service_pagerank,
@@ -1028,6 +1041,31 @@ def zipkin_oracles() -> dict[str, str]:
               GROUP BY local_service, env
             ) c ON c.local_service = s.local_service AND c.env = t.env
             """
+        ),
+        "z_trace_concurrency": with_spans_cte(
+            """
+            SELECT trace_id,
+                   CAST(count(*) / 2 AS BIGINT) AS n_spans,
+                   CAST(max(running) AS BIGINT) AS max_concurrent
+            FROM swept GROUP BY trace_id
+            """,
+            extra_ctes="""
+            ev AS (
+              SELECT trace_id, timestamp AS ts, 1 AS delta FROM spans
+              UNION ALL
+              SELECT trace_id,
+                     timestamp + greatest(coalesce(duration, 0), 1) AS ts,
+                     -1 AS delta
+              FROM spans
+            ),
+            swept AS (
+              SELECT trace_id,
+                     sum(delta) OVER (PARTITION BY trace_id
+                         ORDER BY ts, delta
+                         ROWS UNBOUNDED PRECEDING) AS running
+              FROM ev
+            )
+            """,
         ),
         "w3_stream_links": with_spans_cte(
             """

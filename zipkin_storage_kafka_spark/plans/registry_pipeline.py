@@ -492,6 +492,25 @@ def q_mm_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end: render a 16-bit PCM WAV per document
+    (synthetic integer samples), then DECODE the actual bytes (RIFF chunk
+    walk, little-endian interleave) and emit rate/length/first-sample/
+    mean/peak.  The oracle recomputes every statistic closed-form from
+    the sample formula — an endianness, interleave, or chunk-offset bug
+    breaks the value hash."""
+    media = mm.wav_media_from_documents(_docs(spark, sf_dir))
+    return mm.wav_decode_stats(media)
+
+
+def q_mm_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode -> nearest-sample resample to 4 kHz -> re-encode -> decode
+    again: two full codec roundtrips on real bytes; oracle maps the
+    resample index math ((i*sr)//4000) onto the sample formula."""
+    media = mm.wav_media_from_documents(_docs(spark, sf_dir))
+    return mm.wav_decode_stats(mm.wav_resample(media, 4000))
+
+
 def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch serving: top-k for a block of query vectors in one corpus scan
     (WindowGroupLimit keeps per-partition partial top-k below the
@@ -728,6 +747,8 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "mm_extract_features": q_mm_extract_features,
         "mm_bmp_roundtrip": q_mm_bmp_roundtrip,
         "mm_bmp_resize": q_mm_bmp_resize,
+        "mm_wav_roundtrip": q_mm_wav_roundtrip,
+        "mm_wav_resample": q_mm_wav_resample,
         "ann_batch_topk": q_ann_batch_topk,
         "emb_quantize_int8": q_emb_quantize_int8,
         "pipe_clean_corpus": q_pipe_clean_corpus,
@@ -1506,6 +1527,81 @@ def _pipeline_oracles_base() -> dict[str, str]:
         # (doc_id*31 + y*7 + x*3 + c*11) % 256, payload = 54-byte header +
         # 4-byte-padded BGR rows.  Any codec bug (orientation, channel
         # order, padding math) diverges from these values.
+        "mm_wav_roundtrip": """
+            WITH d AS (
+              SELECT doc_id,
+                     n_chars % 50 + 20 AS n,
+                     doc_id % 2 + 1 AS ch,
+                     8000 + (doc_id % 3) * 4000 AS sr
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, n, ch, sr,
+                     unnest(generate_series(0, n - 1)) AS i
+              FROM d
+            ),
+            cell AS (
+              SELECT doc_id, n, ch, sr, i,
+                     unnest(generate_series(0, ch - 1)) AS c
+              FROM idx
+            ),
+            smp AS (
+              SELECT doc_id, n, ch, sr, c,
+                     ((doc_id*37 + i*13 + c*17) % 65536) - 32768 AS v
+              FROM cell
+            )
+            SELECT doc_id AS media_id,
+                   CAST(sr AS INTEGER) AS sample_rate,
+                   CAST(ch AS INTEGER) AS channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(44 + n*ch*2 AS BIGINT) AS payload_bytes,
+                   CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+                   CAST(((doc_id*37) % 65536) - 32768 AS INTEGER) AS s0,
+                   CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE) / n
+                     AS mean0,
+                   CAST(max(abs(v)) AS INTEGER) AS peak
+            FROM smp
+            GROUP BY doc_id, n, ch, sr
+        """,
+        "mm_wav_resample": """
+            WITH d AS (
+              SELECT doc_id,
+                     n_chars % 50 + 20 AS n,
+                     doc_id % 2 + 1 AS ch,
+                     8000 + (doc_id % 3) * 4000 AS sr
+              FROM documents
+            ),
+            d2 AS (
+              SELECT doc_id, ch, sr, (n * 4000) // sr AS out_n FROM d
+            ),
+            idx AS (
+              SELECT doc_id, ch, sr, out_n,
+                     unnest(generate_series(0, out_n - 1)) AS i
+              FROM d2
+            ),
+            cell AS (
+              SELECT doc_id, ch, out_n, (i * sr) // 4000 AS si,
+                     unnest(generate_series(0, ch - 1)) AS c
+              FROM idx
+            ),
+            smp AS (
+              SELECT doc_id, ch, out_n, c,
+                     ((doc_id*37 + si*13 + c*17) % 65536) - 32768 AS v
+              FROM cell
+            )
+            SELECT doc_id AS media_id,
+                   CAST(4000 AS INTEGER) AS sample_rate,
+                   CAST(ch AS INTEGER) AS channels,
+                   CAST(out_n AS BIGINT) AS n_samples,
+                   CAST(44 + out_n*ch*2 AS BIGINT) AS payload_bytes,
+                   CAST(out_n * 1000 // 4000 AS BIGINT) AS duration_ms,
+                   CAST(((doc_id*37) % 65536) - 32768 AS INTEGER) AS s0,
+                   CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE) / out_n
+                     AS mean0,
+                   CAST(max(abs(v)) AS INTEGER) AS peak
+            FROM smp
+            GROUP BY doc_id, ch, out_n
+        """,
         "mm_bmp_roundtrip": """
             WITH d AS (
               SELECT doc_id,
