@@ -633,13 +633,19 @@ def semantic_dedup(
         centroids = ivf_centroids(embeddings)
     if assign is None:
         assign = ivf_assignments(embeddings, centroids)
-    e = embeddings.select(
-        "vec_id", _as_double("embedding").alias("emb")
-    ).join(assign.withColumnRenamed("label", "cell"), "vec_id")
+    # Per-vector norm BEFORE the pair join: each sqrt(dot(v,v)) is computed
+    # n times instead of 2*(pairs) times, cutting the per-pair expression
+    # from three dot products to one.  sqrt(aa)*sqrt(bb) is the exact same
+    # float arithmetic as inline, so round4 decisions match the oracle
+    # bit-for-bit.
+    e = (
+        embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+        .join(assign.withColumnRenamed("label", "cell"), "vec_id")
+    )
     a, b = e.alias("a"), e.alias("b")
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
-        F.sqrt(_dot(F.col("a.emb"), F.col("a.emb")))
-        * F.sqrt(_dot(F.col("b.emb"), F.col("b.emb")))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     dropped = (
         a.join(
