@@ -256,3 +256,31 @@ def test_trace_concurrency_hand_fixture(spark):
         for r in trace_concurrency(spans).collect()
     }
     assert out == {"t1": (3, 3), "t2": (2, 1), "t3": (3, 2)}
+
+
+def test_window_active_spans_hand_fixture(spark):
+    """Overlap-aware window counts pinned by hand: a span crossing a
+    minute boundary counts in BOTH windows; one ending exactly on the
+    boundary (half-open interval) counts only in its first; a
+    zero-duration span occupies exactly one window."""
+    from zipkin_storage_kafka_spark.operators.indexes import (
+        window_active_spans,
+    )
+
+    m = 60_000_000
+    rows = [
+        ("t1", "a", "svc", 30_000_000, m),        # [0.5m, 1.5m) -> w0, w1
+        ("t1", "b", "svc", 0, m),                 # [0, 1m) -> w0 only
+        ("t1", "c", "svc", 2 * m, 0),             # zero-dur at 2m -> w2
+        ("t1", "d", None, 0, m),                  # null service dropped
+    ]
+    spans = spark.createDataFrame(
+        rows,
+        "trace_id string, id string, local_service string, "
+        "timestamp long, duration long",
+    )
+    out = {
+        (r["local_service"], r["window_start_ms"]): r["active_spans"]
+        for r in window_active_spans(spans).collect()
+    }
+    assert out == {("svc", 0): 2, ("svc", 60_000): 1, ("svc", 120_000): 1}

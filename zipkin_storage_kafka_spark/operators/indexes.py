@@ -223,3 +223,48 @@ def anomalous_span_counts(spans: DataFrame, z2_threshold: int = 9) -> DataFrame:
             F.coalesce("n_anomalies", F.lit(0)).alias("n_anomalies"),
         )
     )
+
+
+def window_active_spans(
+    spans: DataFrame, window_micros: int = 60_000_000
+) -> DataFrame:
+    """Overlap-aware windowed load: count each span in EVERY 1-minute
+    window its [timestamp, timestamp+max(duration,1)) interval overlaps —
+    the "active spans per window" load profile, vs the A7 counters that
+    bucket by start time only (a 5-minute span spans five windows here
+    and one there).
+
+    Expressed as a bounded explode: sequence(start_idx, last_idx) where
+    last_idx = (end-1) // W, so fanout per span is ceil(duration/W)+1 —
+    bounded by span duration, never by data volume.  After the explode
+    it is a plain partial-aggregated count keyed (service, window); the
+    window index becomes the sink partition column so range queries
+    prune (same layout contract as windowed_link_counters).
+
+    Output: local_service, window_start_ms, active_spans.
+    """
+    # integer div, not float division: epoch micros are ~1.7e15 and a
+    # double-rounded quotient can floor to the wrong window at exact
+    # boundaries
+    idx = F.explode(
+        F.sequence(
+            F.expr(f"timestamp div {window_micros}"),
+            F.expr(
+                f"(timestamp + greatest(coalesce(duration, 0), 1) - 1)"
+                f" div {window_micros}"
+            ),
+        )
+    ).alias("widx")
+    return (
+        spans.filter(F.col("local_service").isNotNull())
+        .select("local_service", idx)
+        .groupBy("local_service", "widx")
+        .agg(F.count(F.lit(1)).alias("active_spans"))
+        .select(
+            "local_service",
+            (F.col("widx") * F.lit(window_micros // 1000)).alias(
+                "window_start_ms"
+            ),
+            "active_spans",
+        )
+    )

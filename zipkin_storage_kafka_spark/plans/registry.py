@@ -555,6 +555,18 @@ def q_link_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry --------------------------------------------------------------------
 
 
+def q_window_active_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-aware windowed load (engine extension): each span counted
+    in every 1-minute window it overlaps (operators.indexes.
+    window_active_spans) — the interval-grid join A7's start-bucketing
+    cannot express."""
+    from zipkin_storage_kafka_spark.operators.indexes import (
+        window_active_spans,
+    )
+
+    return window_active_spans(_spans(spark, sf_dir))
+
+
 def q_trace_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-trace max span concurrency (engine extension): sweep-line
     interval overlap — the operator family (interval/overlap joins)
@@ -819,6 +831,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_hll_service_traces": q_hll_service_traces,
         "z_trace_depth": q_trace_depth,
         "z_trace_concurrency": q_trace_concurrency,
+        "z_window_active_spans": q_window_active_spans,
         "z_critical_path": q_critical_path,
         "z_self_time": q_self_time,
         "z_service_pagerank": q_service_pagerank,
@@ -1041,6 +1054,24 @@ def zipkin_oracles() -> dict[str, str]:
               GROUP BY local_service, env
             ) c ON c.local_service = s.local_service AND c.env = t.env
             """
+        ),
+        "z_window_active_spans": with_spans_cte(
+            """
+            SELECT local_service,
+                   CAST(widx * 60000 AS BIGINT) AS window_start_ms,
+                   CAST(count(*) AS BIGINT) AS active_spans
+            FROM win GROUP BY local_service, widx
+            """,
+            extra_ctes="""
+            win AS (
+              SELECT local_service,
+                     unnest(generate_series(
+                       timestamp // 60000000,
+                       (timestamp + greatest(coalesce(duration, 0), 1) - 1)
+                         // 60000000)) AS widx
+              FROM spans WHERE local_service IS NOT NULL
+            )
+            """,
         ),
         "z_trace_concurrency": with_spans_cte(
             """
