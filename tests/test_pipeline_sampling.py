@@ -153,3 +153,43 @@ def test_global_shuffle_deterministic_and_seed_sensitive(spark, sf_dir):
     assert (
         a["shard"] == a["sort_key"].str[0].apply(lambda h: int(h, 16))
     ).all()
+
+
+def test_semantic_dedup_diverse_keeps_centroid_outlier(spark):
+    """The diverse policy keeps the member LESS similar to its centroid —
+    the opposite survivor from min_id on the same pair — and the greedy
+    priority is the centroid distance, not the id."""
+    emb = _emb_df(spark, [(1, [1.0, 0.0], 0), (2, [0.8, 0.6], 0)])
+    assign = _assign_df(spark, [(1, 0), (2, 0)])
+    centroids = spark.createDataFrame([Row(label=0, centroid=[1.0, 0.0])])
+    # cos(v1,v2)=0.8; centroid cosines: v1 -> 1.0 (close), v2 -> 0.8 (far)
+    kw = dict(centroids=centroids, assign=assign, threshold=0.8)
+    min_id = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(emb, policy="min_id", **kw).collect()
+    }
+    diverse = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(emb, policy="diverse", **kw).collect()
+    }
+    assert min_id == {1: True, 2: False}
+    assert diverse == {1: False, 2: True}
+
+
+def test_semantic_dedup_policies_differ_on_corpus(spark, sf_dir):
+    """Both policies cover the same vector universe, but on the real
+    corpus at least one vector gets a different keep decision — the
+    diverse flavor is not vacuously identical to min_id."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    a = {
+        r["vec_id"]: r["keep"]
+        for r in qs["dedup_semantic"](spark, sf_dir).collect()
+    }
+    b = {
+        r["vec_id"]: r["keep"]
+        for r in qs["dedup_semantic_diverse"](spark, sf_dir).collect()
+    }
+    assert set(a) == set(b)
+    assert any(a[v] != b[v] for v in a)

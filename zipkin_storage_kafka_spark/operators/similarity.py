@@ -605,6 +605,7 @@ def semantic_dedup(
     centroids: DataFrame | None = None,
     assign: DataFrame | None = None,
     threshold: float = SEMDEDUP_THRESHOLD,
+    policy: str = "min_id",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
     embedding space, then drop near-identical members WITHIN each cell —
@@ -612,12 +613,21 @@ def semantic_dedup(
     the cell partition, never all-pairs.
 
     Keep policy (deterministic, oracle-reproducible): a vector is dropped
-    iff some SAME-CELL vector with a LOWER vec_id has cosine >=
-    ``threshold``.  (The paper keeps the member farthest from the
-    centroid; id-ordered greedy is the engine-portable equivalent of the
-    ``canonical_doc_id = min(doc_id)`` policy the exact-dedup chain
-    already uses.)  Cosines are rounded to 4 decimals before the
-    threshold test so both engines make identical keep decisions.
+    iff some SAME-CELL vector of HIGHER PRIORITY has cosine >=
+    ``threshold``, where priority is
+
+    - ``policy="min_id"``: lower vec_id wins — the engine-portable
+      analog of the ``canonical_doc_id = min(doc_id)`` policy the
+      exact-dedup chain uses;
+    - ``policy="diverse"``: the paper's actual rule — the member LESS
+      similar to its cell centroid wins (keeps the outlier of each
+      near-dup group, maximizing retained diversity); centroid cosines
+      are rounded to 6 decimals (the same quantization the IVF argmax
+      uses) with vec_id tie-break, so the priority order is total and
+      engine-portable.
+
+    Pair cosines are rounded to 4 decimals before the threshold test so
+    both engines make identical keep decisions.
 
     Output: vec_id, cell, keep (bool) — exactly one row per vector.
 
@@ -626,9 +636,15 @@ def semantic_dedup(
     ``assign`` parameters); the candidate join is an equi-join on cell,
     so work is sum(c_i^2) over cell sizes, not n^2 — cap the max cell by
     raising k at quantizer-training time (the paper uses k ~ sqrt(n)).
+    The diverse policy adds one broadcast join against the KB-scale
+    centroid table (priority is a rowwise projection, no extra shuffle).
     The dropped-id set stays distributed end to end (left anti-style
     join, no driver collect).
     """
+    from zipkin_storage_kafka_spark.functions.portable import round6
+
+    if policy not in ("min_id", "diverse"):
+        raise ValueError(f"unknown policy {policy!r}")
     if centroids is None:
         centroids = ivf_centroids(embeddings)
     if assign is None:
@@ -643,16 +659,39 @@ def semantic_dedup(
         .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
         .join(assign.withColumnRenamed("label", "cell"), "vec_id")
     )
+    if policy == "diverse":
+        cent = F.broadcast(
+            centroids.select(
+                F.col("label").alias("cell"),
+                F.col("centroid").alias("cvec"),
+                F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias(
+                    "cnrm"
+                ),
+            )
+        )
+        e = e.join(cent, "cell").withColumn(
+            "cs",
+            round6(
+                _dot(F.col("emb"), F.col("cvec"))
+                / (F.col("nrm") * F.col("cnrm"))
+            ),
+        ).drop("cvec", "cnrm")
     a, b = e.alias("a"), e.alias("b")
+    if policy == "diverse":
+        # a outranks b iff a is FARTHER from the centroid (smaller cosine),
+        # vec_id breaking ties — a total order, so exactly one survivor
+        # per mutually-similar clique.
+        outranks = (F.col("a.cs") < F.col("b.cs")) | (
+            (F.col("a.cs") == F.col("b.cs"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+        )
+    else:
+        outranks = F.col("a.vec_id") < F.col("b.vec_id")
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     dropped = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & outranks)
         .filter(round4(cos) >= F.lit(threshold))
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()

@@ -713,6 +713,19 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's diversity-keeping policy: within each
+    near-dup relation the member LEAST similar to its cell centroid
+    survives (round6 priority, vec_id tie-break)."""
+    centroids, assign = _ivf_index(spark, sf_dir)
+    return sim.semantic_dedup(
+        _emb(spark, sf_dir),
+        centroids=centroids,
+        assign=assign,
+        policy="diverse",
+    )
+
+
 def q_text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.quota_sample(_docs(spark, sf_dir))
 
@@ -759,6 +772,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "dedup_cluster_resolve": q_dedup_cluster_resolve,
         "dedup_cluster_star": q_dedup_cluster_star,
         "dedup_semantic": q_dedup_semantic,
+        "dedup_semantic_diverse": q_dedup_semantic_diverse,
         "text_quota_sample": q_text_quota_sample,
         "text_global_shuffle": q_text_global_shuffle,
         "text_pack_sequences": q_text_pack_sequences,
@@ -1414,6 +1428,56 @@ def _pipeline_oracles_base() -> dict[str, str]:
               SELECT DISTINCT b.vec_id
               FROM m a JOIN m b
                 ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE ((round((list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)))) * 10000)
+                      / 10000) + 0.0) >= {sim.SEMDEDUP_THRESHOLD}
+            )
+            SELECT m.vec_id, m.cell,
+                   (m.vec_id NOT IN (SELECT vec_id FROM dropped)) AS keep
+            FROM m
+        """,
+        "dedup_semantic_diverse": f"""
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cent AS (
+              SELECT label, list(c ORDER BY i) AS cv FROM (
+                SELECT label, i, avg(x) AS c FROM (
+                  SELECT label,
+                         unnest(generate_series(1, len(v))) AS i,
+                         unnest(v) AS x
+                  FROM e
+                ) GROUP BY label, i
+              ) GROUP BY label
+            ),
+            sim AS (
+              SELECT e.vec_id, cent.label,
+                     ((round((list_dot_product(v, cv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(cv, cv)))) * 1000000)
+                       / 1000000) + 0.0) AS s
+              FROM e CROSS JOIN cent
+            ),
+            assign AS (
+              SELECT vec_id, label FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, label) AS rk
+                FROM sim
+              ) WHERE rk = 1
+            ),
+            m AS (
+              SELECT e.vec_id, assign.label AS cell, e.v, sim.s
+              FROM e
+              JOIN assign USING (vec_id)
+              JOIN sim ON sim.vec_id = e.vec_id
+                      AND sim.label = assign.label
+            ),
+            dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM m a JOIN m b
+                ON a.cell = b.cell
+               AND (a.s < b.s OR (a.s = b.s AND a.vec_id < b.vec_id))
               WHERE ((round((list_dot_product(a.v, b.v)
                        / (sqrt(list_dot_product(a.v, a.v))
                           * sqrt(list_dot_product(b.v, b.v)))) * 10000)
