@@ -593,3 +593,72 @@ def test_stream_links_conservation_vs_batch(spark, sf_dir):
     )
     assert straddling > 0
     assert streamed_total + straddling == batch_total
+
+
+def test_links_sink_idempotent_under_epoch_retry(spark, dirs):
+    """W7 exactly-once under the REAL failure mode: foreachBatch re-runs
+    an epoch whose sink write landed but whose checkpoint commit did not.
+    Simulated faithfully — delete the newest commit marker from the
+    checkpoint and restart the same pipeline, forcing Structured
+    Streaming to re-execute that epoch.  The epoch-keyed overwrite sink
+    must absorb the replay; a blind append sink would duplicate every
+    row of the replayed epoch."""
+    base = 1_700_000_000
+    _write_batch(spark, dirs["in"], [
+        _span("a", "1", base, svc="svc_a", name="op_a", kind="CLIENT"),
+        _span("a", "2", base + 1, parent="1", svc="svc_b", name="op_b",
+              kind="SERVER"),
+    ], "batch1")
+    _write_batch(spark, dirs["in"], [
+        _span("zz", "9", base + 600, svc="svc_z"),
+    ], "batch2")
+
+    run_aggregation_pipeline(
+        spark, dirs["in"], dirs["traces"], dirs["links"], dirs["ckpt"]
+    )
+
+    def _snapshot():
+        links = spark.read.parquet(dirs["links"])
+        traces = spark.read.parquet(dirs["traces"])
+        return (
+            sorted(
+                (r["trace_id"], r["parent"], r["child"])
+                for r in links.collect()
+            ),
+            sorted(
+                (r["trace_id"], r["span_count"]) for r in traces.collect()
+            ),
+        )
+
+    before = _snapshot()
+    assert len(before[0]) == 1  # the svc_a->svc_b link, exactly once
+
+    # drop the newest commit marker: the epoch's writes survived, its
+    # commit didn't — the restart below must re-execute exactly that epoch
+    commits_dir = os.path.join(dirs["ckpt"], "commits")
+    newest = max(
+        (f for f in os.listdir(commits_dir) if f.isdigit()), key=int
+    )
+    os.remove(os.path.join(commits_dir, newest))
+    crc = os.path.join(commits_dir, f".{newest}.crc")
+    if os.path.exists(crc):  # local-FS checksum sibling blocks the rewrite
+        os.remove(crc)
+
+    def _sink_mtime():
+        return max(
+            os.path.getmtime(os.path.join(root, f))
+            for root, _, files in os.walk(dirs["links"])
+            for f in files
+        )
+
+    mtime_before = _sink_mtime()
+    import time as _t
+
+    _t.sleep(0.05)
+    run_aggregation_pipeline(
+        spark, dirs["in"], dirs["traces"], dirs["links"], dirs["ckpt"]
+    )
+    # the epoch really replayed (sink rewritten) ...
+    assert _sink_mtime() > mtime_before, "replay did not re-execute"
+    # ... and the rewrite absorbed it instead of duplicating
+    assert _snapshot() == before, "replayed epoch must not duplicate rows"

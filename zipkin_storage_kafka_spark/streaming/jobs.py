@@ -245,14 +245,26 @@ def run_aggregation_pipeline(
     available input (availableNow), exactly-once via checkpoint."""
     closed = trace_aggregation_stream(spans_stream_from_dir(spark, input_dir), gap)
 
+    # Exactly-once across retries: foreachBatch can re-run an epoch whose
+    # sink write succeeded but whose checkpoint commit did not (W7).  A
+    # blind append would then DUPLICATE that epoch's rows; writing each
+    # epoch into its own overwritten partition directory makes the retry
+    # idempotent (the standard epoch-keyed idempotent-sink recipe), and
+    # downstream reads see an `epoch` partition column they simply drop.
     def emit(batch: DataFrame, epoch_id: int) -> None:
+        import os
+
         batch.persist()
         try:
-            batch.write.mode("append").parquet(traces_out)
+            batch.write.mode("overwrite").parquet(
+                os.path.join(traces_out, f"epoch={epoch_id}")
+            )
             links = links_from_trace_batch(batch)
-            links.withColumn("ts", F.timestamp_micros("timestamp")).write.mode(
-                "append"
-            ).parquet(links_out)
+            links.withColumn(
+                "ts", F.timestamp_micros("timestamp")
+            ).write.mode("overwrite").parquet(
+                os.path.join(links_out, f"epoch={epoch_id}")
+            )
         finally:
             batch.unpersist()
 
@@ -264,6 +276,15 @@ def run_aggregation_pipeline(
         .start()
     )
     q.awaitTermination()
+    # awaitTermination returns before the query leaves the ACTIVE registry;
+    # an immediate restart on the same checkpoint (recovery tests, replay
+    # after a dropped commit) then trips the concurrent-checkpoint guard.
+    # stop() + drain makes completion synchronous.
+    q.stop()
+    import time as _time
+
+    while any(a.id == q.id for a in spark.streams.active):
+        _time.sleep(0.05)
 
 
 def streaming_minhash_dedup(
@@ -594,9 +615,12 @@ def links_via_stream(
             spans_stream_from_dir(spark, in_dir, max_files_per_trigger=1), gap
         )
 
+        # epoch-keyed idempotent sink: a retried epoch overwrites its own
+        # partition instead of appending duplicates (see
+        # run_aggregation_pipeline's emit for the rationale)
         def emit(batch: DataFrame, epoch_id: int) -> None:
-            links_from_trace_batch(batch).write.mode("append").parquet(
-                links_out
+            links_from_trace_batch(batch).write.mode("overwrite").parquet(
+                os.path.join(links_out, f"epoch={epoch_id}")
             )
 
         q = (
