@@ -291,3 +291,22 @@ def test_wav_resample_index_math():
     assert out.flatten().tolist() == [0, 3, 6, 9]
     up = resample_nearest(smp[:4], 4000, 8000)  # repeat each sample
     assert up.flatten().tolist() == [0, 0, 1, 1, 2, 2, 3, 3]
+
+
+def test_wav_rejects_truncated_chunk():
+    """A data chunk declaring more bytes than remain is corruption and
+    must raise, not silently decode fewer samples."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from zipkin_storage_kafka_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        synth_samples,
+    )
+
+    payload = encode_wav(synth_samples(7, 10, 1), 8000)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(payload[:-6])  # cut mid-data

@@ -193,3 +193,23 @@ def test_semantic_dedup_policies_differ_on_corpus(spark, sf_dir):
     }
     assert set(a) == set(b)
     assert any(a[v] != b[v] for v in a)
+
+
+def test_global_shuffle_wide_prefix_sharding(spark, sf_dir):
+    """256-shard mode widens the hex prefix without changing the sort
+    key: shard = int(first 2 hex chars, 16), still deterministic, and a
+    non-power-of-16 request fails loudly."""
+    import pytest as _pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = ta.global_shuffle(docs, n_shards=256).toPandas()
+    assert (
+        a["shard"] == a["sort_key"].str[:2].apply(lambda h: int(h, 16))
+    ).all()
+    # the key is shard-count independent: same seed -> same sort_key
+    b = ta.global_shuffle(docs).toPandas()
+    assert dict(zip(a["doc_id"], a["sort_key"])) == dict(
+        zip(b["doc_id"], b["sort_key"])
+    )
+    with _pytest.raises(ValueError):
+        ta.global_shuffle(docs, n_shards=10)

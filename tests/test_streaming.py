@@ -662,3 +662,15 @@ def test_links_sink_idempotent_under_epoch_retry(spark, dirs):
     assert _sink_mtime() > mtime_before, "replay did not re-execute"
     # ... and the rewrite absorbed it instead of duplicating
     assert _snapshot() == before, "replayed epoch must not duplicate rows"
+
+
+def test_gap_micros_derivation():
+    """Sentinel placement derives from the ONE gap string, so a
+    non-default session gap can never desynchronize from the watermark
+    advance (the silent-lost-sessions footgun)."""
+    from zipkin_storage_kafka_spark.streaming.jobs import _gap_micros
+
+    assert _gap_micros("1 minute") == 60_000_000
+    assert _gap_micros("5 minutes") == 300_000_000
+    assert _gap_micros("30 seconds") == 30_000_000
+    assert _gap_micros("2 hours") == 7_200_000_000

@@ -421,6 +421,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(payload):
         cid, sz = struct.unpack_from("<4sI", payload, pos)
         pos += 8
+        if sz > len(payload) - pos:
+            # a declared size past the buffer is corruption/truncation —
+            # refuse loudly instead of silently decoding fewer samples
+            raise ValueError(
+                f"truncated chunk {cid!r}: declares {sz} bytes, "
+                f"{len(payload) - pos} remain"
+            )
         body = payload[pos : pos + sz]
         if cid == b"fmt ":
             fmt_body = body

@@ -1268,15 +1268,24 @@ def global_shuffle(
     writers need anyway, and each shard sorts locally (position is a
     window partitioned by shard — never a global sort).  Writers emit one
     file per shard; readers stream shards in any order and within-shard
-    order is reproducible.  More shards = more parallelism: widen the
-    nibble prefix (2 hex chars = 256 shards) without touching the key.
+    order is reproducible.  More shards = more parallelism: any power of
+    16 widens the hex prefix (256 shards = 2 chars, 4096 = 3) without
+    touching the key.
     """
-    if n_shards != 16:
-        raise ValueError("portable nibble sharding is defined for 16 shards")
+    prefix_len = 0
+    n = n_shards
+    while n > 1 and n % 16 == 0:
+        n //= 16
+        prefix_len += 1
+    if n != 1 or prefix_len == 0:
+        raise ValueError(
+            f"n_shards must be a power of 16 (hex-prefix sharding), "
+            f"got {n_shards}"
+        )
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")))
     d = docs.select("doc_id").withColumn("sort_key", key).withColumn(
         "shard",
-        F.expr("locate(substring(sort_key, 1, 1), '0123456789abcdef') - 1"),
+        F.conv(F.substring("sort_key", 1, prefix_len), 16, 10).cast("int"),
     )
     w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
     return d.withColumn("position", F.row_number().over(w).cast("long")).select(

@@ -496,11 +496,68 @@ def _write_stream_input(spans: DataFrame, in_dir: str, gap_micros: int) -> None:
     _sentinel(2, max_ts + 4 * gap_micros)
 
 
+_GAP_UNITS_MICROS = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+}
+
+
+def _gap_micros(gap: str) -> int:
+    """Micros for a Spark interval string like '1 minute' / '30 seconds'.
+    Derived from the ONE gap parameter so sentinel placement, memo keys,
+    and the session window can never desynchronize (a caller-supplied
+    separate gap_micros with a non-default gap would silently strand the
+    last sessions behind the watermark)."""
+    n, unit = gap.strip().split()
+    return int(n) * _GAP_UNITS_MICROS[unit.lower()]
+
+
+def _staged_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str,
+    kind: str,
+    run: "Callable[[DataFrame, str, str], str]",
+) -> DataFrame:
+    """Shared run-to-completion choreography for the driver-visible
+    streaming rows: stage the sf_dir span corpus + watermark sentinels as
+    stream input (:func:`_write_stream_input`), hand the closed-trace
+    stream to ``run(closed, work_dir, checkpoint_dir) -> sink_path``,
+    memoize the sink per (kind, sf_dir, gap, input file identity), and
+    read it back with the sentinel traces dropped."""
+    import os
+    import tempfile
+
+    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    memo_key = (kind, sf_dir, gap, st.st_size, st.st_mtime_ns)
+    cached = _STREAM_SINK_MEMO.get(memo_key)
+    if cached is None or not os.path.isdir(cached):
+        spans = spans_from_events(spark, sf_dir)
+        work = tempfile.mkdtemp(prefix=f"{kind}_stream_")
+        in_dir = os.path.join(work, "in")
+        ckpt = os.path.join(work, "ckpt")
+        _write_stream_input(spans, in_dir, _gap_micros(gap))
+        closed = trace_aggregation_stream(
+            spans_stream_from_dir(spark, in_dir, max_files_per_trigger=1),
+            gap,
+        )
+        cached = run(closed, work, ckpt)
+        _STREAM_SINK_MEMO[memo_key] = cached
+    return spark.read.parquet(cached).filter(
+        ~F.col("trace_id").startswith(SENTINEL_TRACE_PREFIX)
+    )
+
+
 def sessionized_summaries_via_stream(
     spark: SparkSession,
     sf_dir: str,
     gap: str = DEFAULT_TRACE_TIMEOUT,
-    gap_micros: int = 60_000_000,
 ) -> DataFrame:
     """Run the W1/W2 session-window pipeline TO COMPLETION over the
     sf_dir-derived span corpus and return the emitted (closed) sessions —
@@ -524,57 +581,31 @@ def sessionized_summaries_via_stream(
     trace_timestamp.
     """
     import os
-    import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
-
-    events_path = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(events_path)
-    memo_key = (sf_dir, gap, st.st_size, st.st_mtime_ns)
-    cached = _STREAM_SINK_MEMO.get(memo_key)
-    if cached is not None and os.path.isdir(cached):
-        return spark.read.parquet(cached).filter(
-            ~F.col("trace_id").startswith(SENTINEL_TRACE_PREFIX)
+    def run(closed: DataFrame, work: str, ckpt: str) -> str:
+        traces_out = os.path.join(work, "traces")
+        q = (
+            closed.select(
+                "trace_id", "session_start_ms", "session_end_ms",
+                "span_count", "trace_timestamp",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")  # the file sink's manifest log is its own
+            .option("path", traces_out)  # exactly-once story
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
+        q.awaitTermination()
+        return traces_out
 
-    spans = spans_from_events(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="w1_stream_")
-    in_dir = os.path.join(work, "in")
-    traces_out = os.path.join(work, "traces")
-    ckpt = os.path.join(work, "ckpt")
-    _write_stream_input(spans, in_dir, gap_micros)
-
-    closed = trace_aggregation_stream(
-        spans_stream_from_dir(spark, in_dir, max_files_per_trigger=1), gap
-    )
-    q = (
-        closed.select(
-            "trace_id", "session_start_ms", "session_end_ms",
-            "span_count", "trace_timestamp",
-        )
-        .writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", traces_out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-    _STREAM_SINK_MEMO[memo_key] = traces_out
-    return spark.read.parquet(traces_out).filter(
-        ~F.col("trace_id").startswith(SENTINEL_TRACE_PREFIX)
-    )
+    return _staged_stream_run(spark, sf_dir, gap, "w1", run)
 
 
 def links_via_stream(
     spark: SparkSession,
     sf_dir: str,
     gap: str = DEFAULT_TRACE_TIMEOUT,
-    gap_micros: int = 60_000_000,
 ) -> DataFrame:
     """W3/J1 driver-visible row: the FULL aggregation topology run to
     completion — spans stream -> session-window closed traces ->
@@ -595,25 +626,11 @@ def links_via_stream(
     j1_a8/A8 merge shape served from the streaming counter store.
     """
     import os
-    import tempfile
 
-    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+    from zipkin_storage_kafka_spark.functions.zipkin import link_key
 
-    events_path = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(events_path)
-    memo_key = ("links", sf_dir, gap, st.st_size, st.st_mtime_ns)
-    cached = _STREAM_SINK_MEMO.get(memo_key)
-    if cached is None or not os.path.isdir(cached):
-        spans = spans_from_events(spark, sf_dir)
-        work = tempfile.mkdtemp(prefix="w3_stream_")
-        in_dir = os.path.join(work, "in")
+    def run(closed: DataFrame, work: str, ckpt: str) -> str:
         links_out = os.path.join(work, "links")
-        ckpt = os.path.join(work, "ckpt")
-        _write_stream_input(spans, in_dir, gap_micros)
-
-        closed = trace_aggregation_stream(
-            spans_stream_from_dir(spark, in_dir, max_files_per_trigger=1), gap
-        )
 
         # epoch-keyed idempotent sink: a retried epoch overwrites its own
         # partition instead of appending duplicates (see
@@ -631,22 +648,13 @@ def links_via_stream(
             .start()
         )
         q.awaitTermination()
-        _STREAM_SINK_MEMO[memo_key] = links_out
-        cached = links_out
+        return links_out
 
-    raw = spark.read.parquet(cached).filter(
-        ~F.col("trace_id").startswith(SENTINEL_TRACE_PREFIX)
-    )
+    raw = _staged_stream_run(spark, sf_dir, gap, "w3", run)
     return raw.groupBy("parent", "child").agg(
         F.count(F.lit(1)).alias("call_count"),
         F.sum(F.col("is_error").cast("long")).alias("error_count"),
-    ).select(
-        "parent",
-        "child",
-        "call_count",
-        "error_count",
-        F.concat_ws(":", "parent", "child").alias("link_key"),
-    )
+    ).withColumn("link_key", link_key())
 
 
 def deduped_docs_via_stream(
