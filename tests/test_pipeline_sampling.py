@@ -213,3 +213,45 @@ def test_global_shuffle_wide_prefix_sharding(spark, sf_dir):
     )
     with _pytest.raises(ValueError):
         ta.global_shuffle(docs, n_shards=10)
+
+
+def test_alignment_audit_hand_fixture(spark):
+    """All three statuses pinned by hand (the raw testdata is fully
+    aligned at the driver's sf0.01 gate, where this audit degenerates to
+    one 'aligned' row — at sf0.1 doc_only appears; orphan vec rows only
+    here)."""
+    from zipkin_storage_kafka_spark.operators.corpus import alignment_audit
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(2, [0.0]), (3, [0.0]), (9, [0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["status"]: (r["n"], r["min_id"], r["max_id"])
+        for r in alignment_audit(docs, emb).collect()
+    }
+    assert out == {
+        "aligned": (2, 2, 3),
+        "doc_only": (1, 1, 1),
+        "vec_only": (1, 9, 9),
+    }
+
+
+def test_corpus_diff_hand_fixture(spark):
+    """added/removed/changed/unchanged pinned by hand, including a
+    same-id text rewrite (changed) and an id collision-free re-add."""
+    from zipkin_storage_kafka_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "keep"), (2, "edit me"), (3, "drop me")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "keep"), (2, "edited"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

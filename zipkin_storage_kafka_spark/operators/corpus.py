@@ -1,0 +1,70 @@
+"""Corpus-management operators: cross-modality alignment audits and
+snapshot diffs — the data-quality bookkeeping a training-data pipeline
+runs between ingest and training (which ids have every modality? what
+changed since the last snapshot?).
+
+Scale design (100 TB): both operators are single equi-joins on the id —
+full outer with rowwise status projection — followed by a partial-agged
+count.  No window, no explode, no driver collect; the join co-partitions
+with every other id-keyed stage.  Content comparison is md5 (the engine's
+standard portable content hash), so the diff never shuttles document
+bodies through the shuffle — 32-byte hashes only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def alignment_audit(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Doc <-> embedding alignment: which doc_ids have an embedding row
+    (vec_id) and which rows of either table are orphans.  Multimodal
+    pipelines run this after every embedding job — silent id drift
+    (a failed embedding shard, a re-keyed ingest) shows up here first.
+
+    Output: one row per status in {aligned, doc_only, vec_only}:
+    status, n, min_id, max_id.
+    """
+    d = docs.select(F.col("doc_id").alias("id")).withColumn(
+        "_d", F.lit(1)
+    )
+    v = embeddings.select(F.col("vec_id").alias("id")).withColumn(
+        "_v", F.lit(1)
+    )
+    joined = d.join(v, "id", "full_outer")
+    status = (
+        F.when(F.col("_d").isNotNull() & F.col("_v").isNotNull(), "aligned")
+        .when(F.col("_d").isNotNull(), "doc_only")
+        .otherwise("vec_only")
+    )
+    return (
+        joined.select("id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+    )
+
+
+def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot delta by content hash: classify every doc_id across two
+    corpus snapshots as added / removed / changed / unchanged — the delta
+    report an incremental ingest emits so downstream jobs (dedup index,
+    embeddings) reprocess only what moved.
+
+    Output: doc_id, status.  Only the md5 of the text crosses the join
+    (32 bytes/doc), never the bodies.
+    """
+    o = old.select("doc_id", F.md5("text").alias("_oh"))
+    n = new.select("doc_id", F.md5("text").alias("_nh"))
+    joined = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("_oh").isNull(), "added")
+        .when(F.col("_nh").isNull(), "removed")
+        .when(F.col("_oh") == F.col("_nh"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select("doc_id", status.alias("status"))

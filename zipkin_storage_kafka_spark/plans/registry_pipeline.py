@@ -702,6 +702,39 @@ def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(pairs, flavor="star")
 
 
+def q_pipe_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc <-> embedding id alignment audit (operators/corpus.py): one
+    full-outer equi-join, rowwise status, partial-agged counts — the
+    cross-modality hygiene check run after every embedding job."""
+    from zipkin_storage_kafka_spark.operators import corpus
+
+    return corpus.alignment_audit(
+        _docs(spark, sf_dir), _emb(spark, sf_dir)
+    )
+
+
+def q_pipe_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta by content hash (operators/corpus.py): the 'new'
+    snapshot derives deterministically from the corpus (doc_id%13 rows
+    removed, %7 rows edited, %11 rows re-added under shifted ids) so
+    both engines diff the same pair; only 32-byte md5 hashes cross the
+    join, never document bodies."""
+    from zipkin_storage_kafka_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = docs.filter("doc_id % 13 != 0").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter("doc_id % 11 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" new")).alias("text"),
+    )
+    return corpus.corpus_diff(docs, new.unionByName(added))
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the shared IVF index: the coarse cells bound the
     pairwise-cosine candidate space (operators/similarity.py:
@@ -796,6 +829,8 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "emb_rp_simhash": q_emb_rp_simhash,
         "text_char_lm_score": q_text_char_lm,
         "pipe_corpus_card": q_corpus_card,
+        "pipe_alignment_audit": q_pipe_alignment_audit,
+        "pipe_corpus_diff": q_pipe_corpus_diff,
         "text_token_budget_sample": q_token_budget_sample,
     }
 
@@ -1390,6 +1425,41 @@ def _pipeline_oracles_base() -> dict[str, str]:
             WHERE assign.label IN (SELECT label FROM probe)
               AND e.vec_id <> {ANN_QUERY_VEC}
             ORDER BY cos DESC, vec_id LIMIT {ANN_IVF_K}
+        """,
+        "pipe_alignment_audit": """
+            WITH d AS (SELECT doc_id AS id FROM documents),
+            v AS (SELECT vec_id AS id FROM embeddings),
+            j AS (
+              SELECT coalesce(d.id, v.id) AS id,
+                     d.id IS NOT NULL AS has_d,
+                     v.id IS NOT NULL AS has_v
+              FROM d FULL OUTER JOIN v ON d.id = v.id
+            )
+            SELECT CASE WHEN has_d AND has_v THEN 'aligned'
+                        WHEN has_d THEN 'doc_only'
+                        ELSE 'vec_only' END AS status,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(id) AS BIGINT) AS min_id,
+                   CAST(max(id) AS BIGINT) AS max_id
+            FROM j GROUP BY 1
+        """,
+        "pipe_corpus_diff": """
+            WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+            new AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                              ELSE text END) AS h
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, md5(text || ' new') AS h
+              FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+                   CASE WHEN old.h IS NULL THEN 'added'
+                        WHEN new.h IS NULL THEN 'removed'
+                        WHEN old.h = new.h THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
         """,
         "dedup_semantic": f"""
             WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
