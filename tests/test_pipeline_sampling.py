@@ -255,3 +255,23 @@ def test_corpus_diff_hand_fixture(spark):
     )
     out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_curriculum_order_phases_by_quality(spark, sf_dir):
+    """Phase 1 holds the top-quality quartile: every phase-1 doc has
+    quality >= every phase-4 doc, phases are balanced (exact ntile), and
+    within-phase order is the seeded shuffle key, not quality."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pdf = ta.curriculum_order(docs).toPandas()
+    n = len(pdf)
+    sizes = pdf.groupby("phase").size()
+    assert sorted(sizes.index) == [1, 2, 3, 4]
+    assert sizes.max() - sizes.min() <= 1  # exact ntile balance
+    assert sizes.sum() == n
+    assert pdf[pdf.phase == 1]["quality"].min() >= pdf[
+        pdf.phase == 4
+    ]["quality"].max()
+    # within a phase the order is the md5 key: positions are NOT sorted
+    # by quality (the shuffle is real)
+    p1 = pdf[pdf.phase == 1].sort_values("position")
+    assert not p1["quality"].is_monotonic_decreasing

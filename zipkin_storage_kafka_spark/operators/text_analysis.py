@@ -1291,3 +1291,42 @@ def global_shuffle(
     return d.withColumn("position", F.row_number().over(w).cast("long")).select(
         "shard", "position", "doc_id", "sort_key"
     )
+
+
+CURRICULUM_PHASES = 4
+
+
+def curriculum_order(
+    docs: DataFrame,
+    phases: int = CURRICULUM_PHASES,
+    seed: int = SHUFFLE_SEED,
+) -> DataFrame:
+    """Curriculum training order: partition the corpus into quality
+    phases (phase 1 = highest-quality quartile first, the
+    clean-data-first schedule of curriculum learning) and shuffle
+    deterministically WITHIN each phase — a composition of the quality
+    scorer, the distributed exact ntile, and the seeded-shuffle key.
+
+    Output: phase (1..phases), position (1.. within phase), doc_id,
+    quality.
+
+    Scale (100 TB): phase assignment is the range-partition + two-level
+    rank of ``operators.ntile.distributed_ntile`` (bit-exact SQL
+    ntile, NO single-partition window); the within-phase position is a
+    window partitioned by phase over the md5 shuffle key — reproducible
+    under task retries, same property as :func:`global_shuffle`.
+    """
+    from zipkin_storage_kafka_spark.operators.ntile import distributed_ntile
+
+    q = quality_score(docs).select(
+        "doc_id", "quality", (-F.col("quality")).alias("_negq")
+    )
+    bucketed = distributed_ntile(
+        q, phases, ["_negq", "doc_id"], bucket_col="phase"
+    ).drop("_negq")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")))
+    d = bucketed.withColumn("_sk", key)
+    w = Window.partitionBy("phase").orderBy("_sk", "doc_id")
+    return d.withColumn(
+        "position", F.row_number().over(w).cast("long")
+    ).select("phase", "position", "doc_id", "quality")

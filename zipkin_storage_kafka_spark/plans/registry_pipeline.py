@@ -735,6 +735,10 @@ def q_pipe_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.corpus_diff(docs, new.unionByName(added))
 
 
+def q_text_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.curriculum_order(_docs(spark, sf_dir))
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the shared IVF index: the coarse cells bound the
     pairwise-cosine candidate space (operators/similarity.py:
@@ -808,6 +812,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "dedup_semantic_diverse": q_dedup_semantic_diverse,
         "text_quota_sample": q_text_quota_sample,
         "text_global_shuffle": q_text_global_shuffle,
+        "text_curriculum_order": q_text_curriculum_order,
         "text_pack_sequences": q_text_pack_sequences,
         "text_repetition": q_text_repetition,
         "text_stratified_sample": q_text_stratified_sample,
@@ -1460,6 +1465,42 @@ def _pipeline_oracles_base() -> dict[str, str]:
                         WHEN old.h = new.h THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        """,
+        "text_curriculum_order": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            s AS (
+              SELECT doc_id,
+                     len(w) AS n_tokens,
+                     len(list_filter(w, x -> x IN {_STOP_SQL})) AS stop_cnt,
+                     (round((len(list_distinct(w)) * 1.0 / len(w)) * 10000)
+                        / 10000 + 0.0) AS ttr
+              FROM t
+            ),
+            q AS (
+              SELECT doc_id,
+                     (round((0.4 * (CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+                           + 0.3 * least(1.0, 5.0 * (stop_cnt * 1.0 / n_tokens))
+                           + 0.3 * ttr) * 10000) / 10000 + 0.0) AS quality
+              FROM s
+            ),
+            phased AS (
+              SELECT doc_id, quality,
+                     CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id)
+                       AS INT) AS phase
+              FROM q
+            ),
+            keyed AS (
+              SELECT doc_id, quality, phase,
+                     md5(CAST(doc_id AS VARCHAR) || ':42') AS sk
+              FROM phased
+            )
+            SELECT phase,
+                   CAST(row_number() OVER (
+                     PARTITION BY phase ORDER BY sk, doc_id) AS BIGINT)
+                     AS position,
+                   doc_id, quality
+            FROM keyed
         """,
         "dedup_semantic": f"""
             WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
