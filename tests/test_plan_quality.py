@@ -474,3 +474,24 @@ def test_semantic_dedup_candidate_join_on_cell(spark, sf_dir):
 
     plan = _plan(entrymod.queries()["dedup_semantic"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_curriculum_order_no_global_window(spark, sf_dir):
+    """The phase assignment must come from the distributed ntile (range
+    partition + per-partition rank), never a single-partition ntile
+    window: every Window in the plan carries a partition spec."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_curriculum_order"](spark, sf_dir))
+    # a Window's Arguments end with "], [partition_cols], [order_cols]";
+    # an empty partition list ("], [], [") is the single-partition sort
+    # this operator exists to avoid.  (The plan's one SinglePartition
+    # exchange is the 1-row total-count scalar of distributed_ntile —
+    # legitimate; only Window partition specs are constrained here.)
+    for m in re.finditer(
+        r"^\(\d+\) Window\b.*\n((?:.+\n)+?)(?=^\(\d+\))", plan, re.M
+    ):
+        args = [l for l in m.group(1).splitlines() if "Arguments:" in l][0]
+        assert "],[],[" not in args.replace(" ", ""), args

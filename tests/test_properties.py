@@ -459,3 +459,47 @@ def test_wav_roundtrip_property(n, ch, sr, seed):
     arr, out_sr = decode_wav(encode_wav(smp, sr))
     assert out_sr == sr
     assert np.array_equal(arr, smp)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=list("ab the of xyz"), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    n_sources=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=99),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sampling_operator_invariants(spark, texts, n_sources, seed):
+    """Invariants of the corpus-assembly operators on ARBITRARY tiny
+    corpora (empty strings, whitespace runs, single docs included):
+    quota respects the per-source cap; global_shuffle is a permutation
+    with contiguous per-shard positions; curriculum phases partition the
+    corpus with sizes differing by at most 1."""
+    from zipkin_storage_kafka_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [
+            (i, t, "en", f"src{i % n_sources}", len(t))
+            for i, t in enumerate(texts)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    n = len(texts)
+
+    quota = ta.quota_sample(docs, per_source=2).toPandas()
+    assert (quota.groupby("source").size() <= 2).all()
+
+    shuf = ta.global_shuffle(docs, seed=seed).toPandas()
+    assert sorted(shuf["doc_id"]) == list(range(n))
+    for _, grp in shuf.groupby("shard"):
+        assert sorted(grp["position"]) == list(range(1, len(grp) + 1))
+
+    cur = ta.curriculum_order(docs).toPandas()
+    assert sorted(cur["doc_id"]) == list(range(n))
+    sizes = cur.groupby("phase").size()
+    assert sizes.max() - sizes.min() <= 1
