@@ -796,6 +796,17 @@ def q_stream_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links_via_stream(spark, sf_dir)
 
 
+def q_stream_span_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A4 driver row for the STORAGE path: the span-names index stream
+    (complete mode, no watermark — the W5 lateness split) run to
+    completion; oracle = the batch A4 derivation, so store==batch parity
+    is a driver row for the index topology too
+    (streaming.jobs.index_via_stream)."""
+    from zipkin_storage_kafka_spark.streaming.jobs import index_via_stream
+
+    return index_via_stream(spark, sf_dir, "span_names")
+
+
 def zipkin_queries() -> dict[str, QueryFn]:
     return {
         "a2_trace_summaries": q_trace_summaries,
@@ -842,6 +853,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_error_unpivot": q_error_unpivot,
         "w1_stream_traces": q_stream_traces,
         "w3_stream_links": q_stream_links,
+        "w4_stream_span_names": q_stream_span_names,
     }
 
 
@@ -850,6 +862,15 @@ def zipkin_oracles() -> dict[str, str]:
     hi_ms = FIND_TRACES_REQUEST.end_ts
     dep_lo_ms = DEPENDENCIES_END_TS - DEPENDENCIES_LOOKBACK
     dep_hi_ms = DEPENDENCIES_END_TS
+    oracles = _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms)
+    # The streamed index store must equal the batch A4 derivation —
+    # checking both against ONE independent SQL is the point (same
+    # pattern as dedup_cluster_star).
+    oracles["w4_stream_span_names"] = oracles["a4_span_names"]
+    return oracles
+
+
+def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
     return {
         "a2_trace_summaries": with_spans_cte(
             "SELECT * FROM trace_summaries", _SUMMARIES_CTE

@@ -525,10 +525,11 @@ def _staged_stream_run(
 ) -> DataFrame:
     """Shared run-to-completion choreography for the driver-visible
     streaming rows: stage the sf_dir span corpus + watermark sentinels as
-    stream input (:func:`_write_stream_input`), hand the closed-trace
-    stream to ``run(closed, work_dir, checkpoint_dir) -> sink_path``,
+    stream input (:func:`_write_stream_input`), hand the RAW spans
+    stream to ``run(stream, work_dir, checkpoint_dir) -> sink_path``,
     memoize the sink per (kind, sf_dir, gap, input file identity), and
-    read it back with the sentinel traces dropped."""
+    read it back (sentinel traces dropped when the sink carries
+    trace_id; sinks without it must filter sentinels themselves)."""
     import os
     import tempfile
 
@@ -543,15 +544,17 @@ def _staged_stream_run(
         in_dir = os.path.join(work, "in")
         ckpt = os.path.join(work, "ckpt")
         _write_stream_input(spans, in_dir, _gap_micros(gap))
-        closed = trace_aggregation_stream(
-            spans_stream_from_dir(spark, in_dir, max_files_per_trigger=1),
-            gap,
+        stream = spans_stream_from_dir(
+            spark, in_dir, max_files_per_trigger=1
         )
-        cached = run(closed, work, ckpt)
+        cached = run(stream, work, ckpt)
         _STREAM_SINK_MEMO[memo_key] = cached
-    return spark.read.parquet(cached).filter(
-        ~F.col("trace_id").startswith(SENTINEL_TRACE_PREFIX)
-    )
+    out = spark.read.parquet(cached)
+    if "trace_id" in out.columns:
+        out = out.filter(
+            ~F.col("trace_id").startswith(SENTINEL_TRACE_PREFIX)
+        )
+    return out
 
 
 def sessionized_summaries_via_stream(
@@ -582,8 +585,9 @@ def sessionized_summaries_via_stream(
     """
     import os
 
-    def run(closed: DataFrame, work: str, ckpt: str) -> str:
+    def run(stream: DataFrame, work: str, ckpt: str) -> str:
         traces_out = os.path.join(work, "traces")
+        closed = trace_aggregation_stream(stream, gap)
         q = (
             closed.select(
                 "trace_id", "session_start_ms", "session_end_ms",
@@ -629,8 +633,9 @@ def links_via_stream(
 
     from zipkin_storage_kafka_spark.functions.zipkin import link_key
 
-    def run(closed: DataFrame, work: str, ckpt: str) -> str:
+    def run(stream: DataFrame, work: str, ckpt: str) -> str:
         links_out = os.path.join(work, "links")
+        closed = trace_aggregation_stream(stream, gap)
 
         # epoch-keyed idempotent sink: a retried epoch overwrites its own
         # partition instead of appending duplicates (see
@@ -655,6 +660,61 @@ def links_via_stream(
         F.count(F.lit(1)).alias("call_count"),
         F.sum(F.col("is_error").cast("long")).alias("error_count"),
     ).withColumn("link_key", link_key())
+
+
+def index_via_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    which: str = "span_names",
+    gap: str = DEFAULT_TRACE_TIMEOUT,
+) -> DataFrame:
+    """W-family driver row for the STORAGE path: run an A4-A6 index
+    stream (complete output mode — the storage topology has no watermark,
+    W5 split) to completion over the staged span corpus and serve the
+    final store state.  Complete mode + foreachBatch OVERWRITE of the
+    whole sink is the natural idempotent pairing: every batch rewrites
+    the full (tiny) index, the last batch wins, and a replayed epoch is
+    harmless by construction.
+
+    Sentinels are filtered BEFORE aggregation (they are watermark
+    choreography, not data, and this path has no trace_id in its output
+    for the generic read-back filter to use).
+
+    Output matches the batch A4 contract: service_name, names
+    (comma-joined sorted list).
+    """
+    import os
+
+    def run(stream: DataFrame, work: str, ckpt: str) -> str:
+        index_out = os.path.join(work, "index")
+        idx = index_stream(
+            stream.filter(
+                ~F.col("trace_id").startswith(SENTINEL_TRACE_PREFIX)
+            ),
+            which,
+        )
+
+        def emit(batch: DataFrame, epoch_id: int) -> None:
+            batch.write.mode("overwrite").parquet(index_out)
+
+        q = (
+            idx.writeStream.outputMode("complete")
+            .foreachBatch(emit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return index_out
+
+    raw = _staged_stream_run(spark, sf_dir, gap, f"w4_{which}", run)
+    # batch-contract shape: comma-joined sorted names (collect_set order
+    # is nondeterministic; the sort pins the hash)
+    set_col = [c for c in raw.columns if c != "service_name" and c != "tag_key"][0]
+    return raw.select(
+        *[c for c in raw.columns if c != set_col],
+        F.array_join(F.array_sort(set_col), ",").alias(set_col),
+    )
 
 
 def deduped_docs_via_stream(
