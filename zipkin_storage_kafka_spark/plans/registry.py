@@ -807,6 +807,19 @@ def q_stream_span_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_via_stream(spark, sf_dir, "span_names")
 
 
+def q_stream_dependency_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/A7 driver row: the dependency-counter topology (the reference's
+    third Kafka-Streams app) run to completion as two chained
+    availableNow stages — session links then 1-minute tumbling counters
+    (streaming.jobs.dependency_windows_via_stream).  The oracle composes
+    gaps-and-islands sessionization with the window floor."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        dependency_windows_via_stream,
+    )
+
+    return dependency_windows_via_stream(spark, sf_dir)
+
+
 def zipkin_queries() -> dict[str, QueryFn]:
     return {
         "a2_trace_summaries": q_trace_summaries,
@@ -854,6 +867,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "w1_stream_traces": q_stream_traces,
         "w3_stream_links": q_stream_links,
         "w4_stream_span_names": q_stream_span_names,
+        "w5_stream_dependency_windows": q_stream_dependency_windows,
     }
 
 
@@ -1145,6 +1159,38 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
             sess_links AS (
               SELECT p.local_service AS parent, c.local_service AS child,
                      c.is_error
+              FROM sess c JOIN sess p
+                ON c.trace_id = p.trace_id AND c.sess_id = p.sess_id
+                   AND c.parent_id = p.id
+            )
+            """,
+        ),
+        "w5_stream_dependency_windows": with_spans_cte(
+            """
+            SELECT (c.timestamp // 60000000) * 60000 AS window_start_ms,
+                   parent, child,
+                   CAST(count(*) AS BIGINT) AS call_count,
+                   CAST(sum(CASE WHEN c.is_error THEN 1 ELSE 0 END)
+                     AS BIGINT) AS error_count
+            FROM sess_links c GROUP BY 1, 2, 3
+            """,
+            extra_ctes="""
+            lagged AS (
+              SELECT *, CASE WHEN timestamp - lag(timestamp) OVER
+                   (PARTITION BY trace_id ORDER BY timestamp)
+                   >= 60000000
+                 THEN 1 ELSE 0 END AS new_sess
+              FROM spans
+            ),
+            sess AS (
+              SELECT *, sum(new_sess) OVER (PARTITION BY trace_id
+                  ORDER BY timestamp
+                  ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM lagged
+            ),
+            sess_links AS (
+              SELECT p.local_service AS parent, c.local_service AS child,
+                     c.is_error, c.timestamp
               FROM sess c JOIN sess p
                 ON c.trace_id = p.trace_id AND c.sess_id = p.sess_id
                    AND c.parent_id = p.id

@@ -717,6 +717,139 @@ def index_via_stream(
     )
 
 
+
+def dependency_windows_via_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = DEFAULT_TRACE_TIMEOUT,
+) -> DataFrame:
+    """W5/A7 driver row completing the THIRD reference topology
+    (DependencyStorageTopology.java:52-108): session-closed traces ->
+    per-trace links -> 1-minute tumbling counters, run to completion as
+    two chained availableNow stages exactly the way the reference chains
+    two Kafka-Streams apps through the zipkin-dependency topic — Spark
+    cannot run two stateful aggs in one streaming query, and the
+    reference does not either.
+
+    Stage A is the w3 links pipeline (epoch-keyed idempotent sink);
+    stage B streams that sink through the tumbling-window counter agg,
+    with two sentinel LINK batches appended 2x/4x the window past max
+    link time so the watermark provably closes every real window (the
+    same pipe-then-advance choreography as the span-side sentinels).
+
+    Output: window_start_ms, parent, child, call_count, error_count —
+    the a7 contract over SESSION-SCOPED links (the oracle models both
+    the sessionization and the window floor).
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def run(stream: DataFrame, work: str, ckpt: str) -> str:
+        links_out = os.path.join(work, "links")
+        closed = trace_aggregation_stream(stream, gap)
+
+        def emit(batch: DataFrame, epoch_id: int) -> None:
+            links_from_trace_batch(batch).write.mode("overwrite").parquet(
+                os.path.join(links_out, f"epoch={epoch_id}")
+            )
+
+        q = (
+            closed.writeStream.outputMode("append")
+            .foreachBatch(emit)
+            .option("checkpointLocation", os.path.join(ckpt, "links"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # Stage B replays stage A's epoch files in FILE order, not event
+        # order — links from a later epoch can carry earlier timestamps.
+        # A zero-delay watermark would mark those "late" and silently
+        # drop their windows, so the delay is sized to the full replay
+        # disorder (max - min event time): the watermark then never
+        # passes any real link until the sentinels arrive.
+        bounds = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(links_out)
+            .agg(
+                F.min("timestamp").alias("lo"),
+                F.max("timestamp").alias("hi"),
+            )
+            .collect()[0]
+        )
+        min_ts, max_ts = bounds["lo"], bounds["hi"]
+        disorder_us = max_ts - min_ts + 1
+        schema = pa.schema(
+            [
+                ("trace_id", pa.string()), ("parent", pa.string()),
+                ("child", pa.string()), ("is_error", pa.bool_()),
+                ("timestamp", pa.int64()),
+            ]
+        )
+        t0 = 1_000_000_000
+        for f in os.listdir(links_out):
+            _touch_tree(os.path.join(links_out, f), t0)
+        for seq in (1, 2):
+            row = {
+                "trace_id": [f"{SENTINEL_TRACE_PREFIX}_{seq}"],
+                "parent": [f"{SENTINEL_TRACE_PREFIX}"],
+                "child": [f"{SENTINEL_TRACE_PREFIX}"],
+                "is_error": [False],
+                # past max + the disorder-sized delay + seq windows, so
+                # the delayed watermark still clears every real window
+                "timestamp": [
+                    max_ts + disorder_us + seq * 2 * 60_000_000
+                ],
+            }
+            fpath = os.path.join(links_out, f"zsentinel{seq}.parquet")
+            pq.write_table(pa.Table.from_pydict(row, schema=schema), fpath)
+            os.utime(fpath, (t0 + 100 * seq, t0 + 100 * seq))
+
+        lstream = (
+            spark.readStream.schema(
+                "trace_id string, parent string, child string, "
+                "is_error boolean, timestamp long"
+            )
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(links_out)
+            .withColumn("ts", F.timestamp_micros("timestamp"))
+        )
+        counters = dependency_counter_stream(
+            lstream, watermark_delay=f"{disorder_us} microseconds"
+        )
+        out = os.path.join(work, "counters")
+        q2 = (
+            counters.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(ckpt, "counters"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        return out
+
+    raw = _staged_stream_run(spark, sf_dir, gap, "w5", run)
+    return raw.filter(
+        ~F.col("parent").startswith(SENTINEL_TRACE_PREFIX)
+    )
+
+
+def _touch_tree(path: str, t: int) -> None:
+    """Pin mtimes recursively so the file stream replays stage A's output
+    in a deterministic order before the sentinel batches."""
+    import os
+
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            _touch_tree(os.path.join(path, f), t)
+    else:
+        os.utime(path, (t, t))
+
+
 def deduped_docs_via_stream(
     spark: SparkSession,
     sf_dir: str,
