@@ -110,3 +110,44 @@ def test_ntile_queries_have_no_single_partition_window(spark, sf_dir):
     ):
         offenders = _unpartitioned_window_lines(_plan(df))
         assert not offenders, offenders
+
+
+def test_distributed_ntile_remainder_front_loads(spark):
+    """n=10, k=4 — the case where the even-spread closed form
+    floor((r-1)k/n)+1 diverges from SQL ntile (3,2,3,2 vs 3,3,2,2).
+    Pinned against F.ntile directly."""
+    from zipkin_storage_kafka_spark.operators.ntile import distributed_ntile
+
+    rows = [(i, (i * 37) % 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["b"]
+        for r in df.withColumn("b", F.ntile(4).over(w)).collect()
+    }
+    got = {
+        r["id"]: r["bucket"]
+        for r in distributed_ntile(df, 4, ["v", "id"]).collect()
+    }
+    assert got == want
+
+
+def test_distributed_ntile_matches_sql_ntile_sweep(spark):
+    """Exhaustive n x k sweep (n 1..25, k in {2,3,4,7,10}): bucket
+    assignment equals F.ntile for EVERY size/bucket combination — no
+    arithmetic-coincidence passes."""
+    from zipkin_storage_kafka_spark.operators.ntile import distributed_ntile
+
+    for n in range(1, 26):
+        rows = [(i, (i * 37) % 100) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        w = Window.orderBy("v", "id")
+        want = {
+            r["id"]: r["b"]
+            for r in df.withColumn("b", F.ntile(7).over(w)).collect()
+        }
+        got = {
+            r["id"]: r["bucket"]
+            for r in distributed_ntile(df, 7, ["v", "id"]).collect()
+        }
+        assert got == want, f"n={n}"

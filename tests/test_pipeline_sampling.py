@@ -275,3 +275,18 @@ def test_curriculum_order_phases_by_quality(spark, sf_dir):
     # by quality (the shuffle is real)
     p1 = pdf[pdf.phase == 1].sort_values("position")
     assert not p1["quality"].is_monotonic_decreasing
+
+
+def test_corpus_diff_null_text_is_presence_not_absence(spark):
+    """A doc PRESENT with NULL text must diff as changed/unchanged, never
+    as added/removed — presence is tracked by markers, not md5 nullness."""
+    from zipkin_storage_kafka_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now set"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {1: "changed", 2: "unchanged", 3: "changed"}

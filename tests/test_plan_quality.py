@@ -480,18 +480,20 @@ def test_curriculum_order_no_global_window(spark, sf_dir):
     """The phase assignment must come from the distributed ntile (range
     partition + per-partition rank), never a single-partition ntile
     window: every Window in the plan carries a partition spec."""
-    import re
-
     import __spark_entry__ as entrymod
 
     plan = _plan(entrymod.queries()["text_curriculum_order"](spark, sf_dir))
-    # a Window's Arguments end with "], [partition_cols], [order_cols]";
-    # an empty partition list ("], [], [") is the single-partition sort
-    # this operator exists to avoid.  (The plan's one SinglePartition
-    # exchange is the 1-row total-count scalar of distributed_ntile —
-    # legitimate; only Window partition specs are constrained here.)
-    for m in re.finditer(
-        r"^\(\d+\) Window\b.*\n((?:.+\n)+?)(?=^\(\d+\))", plan, re.M
-    ):
-        args = [l for l in m.group(1).splitlines() if "Arguments:" in l][0]
-        assert "],[],[" not in args.replace(" ", ""), args
+    # A Window's detail line is "Arguments: [funcs], [partitionSpec],
+    # [orderSpec]" — three bracket groups when partitioned, two when the
+    # partition spec is empty (the single-partition sort this operator
+    # exists to avoid).  Same detection as tests/test_ntile.py.  The
+    # plan's one SinglePartition exchange is the 1-row total-count scalar
+    # of distributed_ntile — legitimate; only Windows are constrained.
+    window_lines = [
+        l
+        for l in plan.splitlines()
+        if "windowspecdefinition" in l and l.strip().startswith("Arguments:")
+    ]
+    assert window_lines, "plan should contain Window detail lines"
+    bad = [l for l in window_lines if l.count("], [") < 2]
+    assert not bad, bad

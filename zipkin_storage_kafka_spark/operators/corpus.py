@@ -57,14 +57,23 @@ def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
 
     Output: doc_id, status.  Only the md5 of the text crosses the join
     (32 bytes/doc), never the bodies.
+
+    Row presence is tracked by explicit markers, not hash nullness: a
+    doc PRESENT with NULL text has a NULL md5, and conflating that with
+    an absent row would misreport it added/removed (the same
+    absence-vs-NULL discipline as :func:`alignment_audit`).
     """
-    o = old.select("doc_id", F.md5("text").alias("_oh"))
-    n = new.select("doc_id", F.md5("text").alias("_nh"))
+    o = old.select(
+        "doc_id", F.md5("text").alias("_oh")
+    ).withColumn("_in_old", F.lit(1))
+    n = new.select(
+        "doc_id", F.md5("text").alias("_nh")
+    ).withColumn("_in_new", F.lit(1))
     joined = o.join(n, "doc_id", "full_outer")
     status = (
-        F.when(F.col("_oh").isNull(), "added")
-        .when(F.col("_nh").isNull(), "removed")
-        .when(F.col("_oh") == F.col("_nh"), "unchanged")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(F.col("_oh").eqNullSafe(F.col("_nh")), "unchanged")
         .otherwise("changed")
     )
     return joined.select("doc_id", status.alias("status"))

@@ -73,17 +73,28 @@ def distributed_ntile(
     )
     total = counts.agg(F.sum("_c").alias("_n"))
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    # SQL ntile(k) front-loads the remainder: the first (n mod k) buckets
+    # get ceil(n/k) rows, the rest floor(n/k).  The tempting closed form
+    # floor((r-1)*k/n)+1 spreads the remainder EVENLY instead (e.g. n=10,
+    # k=4: sizes 3,2,3,2 vs SQL's 3,3,2,2) and only coincides when the
+    # remainder happens to front-load — so the piecewise form below is
+    # required for bit-exact parity with engine ntile()/DuckDB ntile().
+    k = int(n_buckets)
+    bucket = F.expr(
+        f"CASE WHEN _n % {k} = 0 THEN"
+        f"  ((_off + _rn - 1) div (_n div {k})) + 1 "
+        f"WHEN (_off + _rn) <= ((_n div {k}) + 1) * (_n % {k}) THEN"
+        f"  ((_off + _rn - 1) div ((_n div {k}) + 1)) + 1 "
+        f"ELSE"
+        f"  (_n % {k}) + ((_off + _rn"
+        f"    - ((_n div {k}) + 1) * (_n % {k}) - 1) div (_n div {k})) + 1 "
+        f"END"
+    )
     return (
         ranged.withColumn("_rn", F.row_number().over(w_local))
         .join(F.broadcast(offsets), "_pid")
         .crossJoin(F.broadcast(total))
-        .withColumn(
-            bucket_col,
-            (
-                F.expr(f"((_off + _rn - 1) * {int(n_buckets)}) div _n")
-                + F.lit(1)
-            ).cast("int"),
-        )
+        .withColumn(bucket_col, bucket.cast("int"))
         .drop("_pid", "_rn", "_off", "_n")
     )
 

@@ -1246,6 +1246,12 @@ def quota_sample(docs: DataFrame, per_source: int = QUOTA_PER_SOURCE) -> DataFra
 
 
 SHUFFLE_SEED = 42
+def _shuffle_key(seed: int):
+    """The seeded deterministic shuffle key — md5(doc_id ':' seed) —
+    shared by global_shuffle and curriculum_order AND mirrored verbatim
+    in their DuckDB oracles; change it in one place or parity breaks."""
+    return F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")))
+
 SHUFFLE_SHARDS = 16
 
 
@@ -1282,8 +1288,9 @@ def global_shuffle(
             f"n_shards must be a power of 16 (hex-prefix sharding), "
             f"got {n_shards}"
         )
-    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")))
-    d = docs.select("doc_id").withColumn("sort_key", key).withColumn(
+    d = docs.select("doc_id").withColumn(
+        "sort_key", _shuffle_key(seed)
+    ).withColumn(
         "shard",
         F.conv(F.substring("sort_key", 1, prefix_len), 16, 10).cast("int"),
     )
@@ -1324,8 +1331,7 @@ def curriculum_order(
     bucketed = distributed_ntile(
         q, phases, ["_negq", "doc_id"], bucket_col="phase"
     ).drop("_negq")
-    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")))
-    d = bucketed.withColumn("_sk", key)
+    d = bucketed.withColumn("_sk", _shuffle_key(seed))
     w = Window.partitionBy("phase").orderBy("_sk", "doc_id")
     return d.withColumn(
         "position", F.row_number().over(w).cast("long")

@@ -450,6 +450,25 @@ SENTINEL_TRACE_PREFIX = "zzwatermark_sentinel"
 _STREAM_SINK_MEMO: dict[tuple, str] = {}
 
 
+def _write_sentinel_file(fpath: str, row: dict, schema, mtime: int) -> None:
+    """One single-row parquet sentinel file with a pinned mtime — the
+    pipe-then-advance watermark choreography shared by the span-side and
+    link-side staged streams (two sentinels per stream: the second
+    absorbs the one-micro-batch eviction lag)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pydict(
+            {c: [row[c]] for c in row}, schema=schema
+        ),
+        fpath,
+    )
+    os.utime(fpath, (mtime, mtime))
+
+
 def _write_stream_input(spans: DataFrame, in_dir: str, gap_micros: int) -> None:
     """Stage a span corpus as stream input files plus two watermark
     sentinels 2x/4x the gap past max event time (pipe-then-advance,
@@ -459,41 +478,36 @@ def _write_stream_input(spans: DataFrame, in_dir: str, gap_micros: int) -> None:
     import os
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     os.makedirs(in_dir)
     spans.coalesce(2).write.parquet(in_dir, mode="append")
     max_ts = spans.agg(F.max("timestamp")).collect()[0][0]
     t0 = 1_000_000_000
-    for f in os.listdir(in_dir):
-        if f.endswith(".parquet"):
-            os.utime(os.path.join(in_dir, f), (t0, t0))
+    _touch_tree(in_dir, t0)
 
-    def _sentinel(seq: int, ts: int) -> None:
-        cols = [fld.name for fld in SPANS_STREAM_SCHEMA.fields]
-        row = {
-            "trace_id": f"{SENTINEL_TRACE_PREFIX}_{seq}",
-            "id": f"s{seq}", "parent_id": None, "kind": None,
-            "name": "flush", "timestamp": ts, "duration": 1,
-            "local_service": "sentinel", "remote_service": None,
-            "tag_k": None, "env": None, "is_error": False,
-        }
-        schema = pa.schema(
-            [
-                (c, pa.int64() if c in ("timestamp", "duration")
-                 else pa.bool_() if c == "is_error" else pa.string())
-                for c in cols
-            ]
+    cols = [fld.name for fld in SPANS_STREAM_SCHEMA.fields]
+    schema = pa.schema(
+        [
+            (c, pa.int64() if c in ("timestamp", "duration")
+             else pa.bool_() if c == "is_error" else pa.string())
+            for c in cols
+        ]
+    )
+    for seq in (1, 2):
+        _write_sentinel_file(
+            os.path.join(in_dir, f"sentinel{seq}.parquet"),
+            {
+                "trace_id": f"{SENTINEL_TRACE_PREFIX}_{seq}",
+                "id": f"s{seq}", "parent_id": None, "kind": None,
+                "name": "flush",
+                "timestamp": max_ts + 2 * seq * gap_micros,
+                "duration": 1,
+                "local_service": "sentinel", "remote_service": None,
+                "tag_k": None, "env": None, "is_error": False,
+            },
+            schema,
+            t0 + 100 * seq,
         )
-        fpath = os.path.join(in_dir, f"sentinel{seq}.parquet")
-        pq.write_table(
-            pa.Table.from_pydict({c: [row[c]] for c in cols}, schema=schema),
-            fpath,
-        )
-        os.utime(fpath, (t0 + 100 * seq, t0 + 100 * seq))
-
-    _sentinel(1, max_ts + 2 * gap_micros)
-    _sentinel(2, max_ts + 4 * gap_micros)
 
 
 _GAP_UNITS_MICROS = {
@@ -709,8 +723,14 @@ def index_via_stream(
 
     raw = _staged_stream_run(spark, sf_dir, gap, f"w4_{which}", run)
     # batch-contract shape: comma-joined sorted names (collect_set order
-    # is nondeterministic; the sort pins the hash)
-    set_col = [c for c in raw.columns if c != "service_name" and c != "tag_key"][0]
+    # is nondeterministic; the sort pins the hash).  The set column per
+    # index is a closed mapping — fail loudly on an unknown kind rather
+    # than guessing by elimination.
+    set_col = {
+        "span_names": "names",
+        "remote_service_names": "remote_services",
+        "autocomplete_tags": "tag_values",
+    }[which]
     return raw.select(
         *[c for c in raw.columns if c != set_col],
         F.array_join(F.array_sort(set_col), ",").alias(set_col),
@@ -744,7 +764,6 @@ def dependency_windows_via_stream(
     import os
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     def run(stream: DataFrame, work: str, ckpt: str) -> str:
         links_out = os.path.join(work, "links")
@@ -780,6 +799,18 @@ def dependency_windows_via_stream(
             .collect()[0]
         )
         min_ts, max_ts = bounds["lo"], bounds["hi"]
+        if max_ts is None:
+            # zero links in the whole corpus (all roots, or every
+            # parent/child pair session-split): the counter store is
+            # legitimately empty — emit it instead of crashing on
+            # None-arithmetic below
+            out = os.path.join(work, "counters")
+            spark.createDataFrame(
+                [],
+                "window_start_ms long, parent string, child string, "
+                "call_count long, error_count long",
+            ).write.parquet(out)
+            return out
         disorder_us = max_ts - min_ts + 1
         schema = pa.schema(
             [
@@ -789,23 +820,23 @@ def dependency_windows_via_stream(
             ]
         )
         t0 = 1_000_000_000
-        for f in os.listdir(links_out):
-            _touch_tree(os.path.join(links_out, f), t0)
+        _touch_tree(links_out, t0)
         for seq in (1, 2):
-            row = {
-                "trace_id": [f"{SENTINEL_TRACE_PREFIX}_{seq}"],
-                "parent": [f"{SENTINEL_TRACE_PREFIX}"],
-                "child": [f"{SENTINEL_TRACE_PREFIX}"],
-                "is_error": [False],
-                # past max + the disorder-sized delay + seq windows, so
-                # the delayed watermark still clears every real window
-                "timestamp": [
-                    max_ts + disorder_us + seq * 2 * 60_000_000
-                ],
-            }
-            fpath = os.path.join(links_out, f"zsentinel{seq}.parquet")
-            pq.write_table(pa.Table.from_pydict(row, schema=schema), fpath)
-            os.utime(fpath, (t0 + 100 * seq, t0 + 100 * seq))
+            _write_sentinel_file(
+                os.path.join(links_out, f"zsentinel{seq}.parquet"),
+                {
+                    "trace_id": f"{SENTINEL_TRACE_PREFIX}_{seq}",
+                    "parent": SENTINEL_TRACE_PREFIX,
+                    "child": SENTINEL_TRACE_PREFIX,
+                    "is_error": False,
+                    # past max + the disorder-sized delay + seq windows,
+                    # so the delayed watermark still clears every window
+                    "timestamp": max_ts + disorder_us
+                    + seq * 2 * 60_000_000,
+                },
+                schema,
+                t0 + 100 * seq,
+            )
 
         lstream = (
             spark.readStream.schema(
