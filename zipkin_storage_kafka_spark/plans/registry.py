@@ -820,6 +820,14 @@ def q_stream_dependency_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dependency_windows_via_stream(spark, sf_dir)
 
 
+def q_stream_remote_services(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A5 driver row: the remote-service-names index store via the
+    same complete-mode storage-path stream as w4_stream_span_names."""
+    from zipkin_storage_kafka_spark.streaming.jobs import index_via_stream
+
+    return index_via_stream(spark, sf_dir, "remote_service_names")
+
+
 def zipkin_queries() -> dict[str, QueryFn]:
     return {
         "a2_trace_summaries": q_trace_summaries,
@@ -868,6 +876,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "w3_stream_links": q_stream_links,
         "w4_stream_span_names": q_stream_span_names,
         "w5_stream_dependency_windows": q_stream_dependency_windows,
+        "w4_stream_remote_services": q_stream_remote_services,
     }
 
 
@@ -881,6 +890,7 @@ def zipkin_oracles() -> dict[str, str]:
     # checking both against ONE independent SQL is the point (same
     # pattern as dedup_cluster_star).
     oracles["w4_stream_span_names"] = oracles["a4_span_names"]
+    oracles["w4_stream_remote_services"] = oracles["a5_remote_service_names"]
     return oracles
 
 
