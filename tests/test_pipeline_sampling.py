@@ -290,3 +290,29 @@ def test_corpus_diff_null_text_is_presence_not_absence(spark):
     )
     out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert out == {1: "changed", 2: "unchanged", 3: "changed"}
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    """The distributed covariance equals numpy's population covariance on
+    a hand fixture — an INDEPENDENT implementation, not the SQL mirror
+    (diagonal = variance, off-diagonal symmetric pairs, round4)."""
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        covariance_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=(50, 5)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["di"], r["dj"]): r["cov"]
+        for r in covariance_matrix(emb).collect()
+    }
+    want = np.cov(data.astype(np.float64).T, bias=True)
+    assert len(got) == 5 * 6 // 2
+    for (di, dj), c in got.items():
+        assert abs(c - want[di - 1, dj - 1]) <= 1e-4, (di, dj)

@@ -699,3 +699,52 @@ def semantic_dedup(
     return e.join(
         dropped.withColumn("_dup", F.lit(1)), "vec_id", "left"
     ).select("vec_id", "cell", F.col("_dup").isNull().alias("keep"))
+
+
+def covariance_matrix(embeddings: DataFrame) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions — the
+    input to whitening / PCA (the d x d matrix is KB-sized for any real
+    d, so the eigendecomposition itself is legitimately a driver-side
+    numpy call on this operator's output; computing the MATRIX is the
+    distributed part).
+
+    Output: di, dj (1-based, di <= dj), cov (round4, population).
+
+    Scale (100 TB): the cross-product stream is generated ROWWISE (a
+    nested array transform — d*(d+1)/2 structs per vector, no self-join,
+    no shuffle before aggregation), then partial-aggregated down to
+    d*(d+1)/2 keys regardless of corpus size; the per-dimension means are
+    a d-row broadcast.  Double sums stay far inside the round4 tolerance
+    (same argument as :func:`dimension_stats`).
+    """
+    pairs = embeddings.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(embedding, (xi, i) ->"
+                "  transform(slice(embedding, i + 1, size(embedding) - i),"
+                "    (xj, j) ->"
+                "    struct(i + 1 AS di, i + j + 1 AS dj,"
+                "           CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE)"
+                "             AS xy))))"
+            )
+        ).alias("p")
+    ).select("p.di", "p.dj", "p.xy")
+    sums = pairs.groupBy("di", "dj").agg(
+        F.sum("xy").alias("sxy"), F.count(F.lit(1)).alias("n")
+    )
+    dims = embeddings.select(
+        F.posexplode(_as_double("embedding")).alias("pos", "x")
+    ).groupBy((F.col("pos") + 1).alias("dim")).agg(F.avg("x").alias("mu"))
+    mi = F.broadcast(dims.select(F.col("dim").alias("di"), F.col("mu").alias("_mi")))
+    mj = F.broadcast(dims.select(F.col("dim").alias("dj"), F.col("mu").alias("_mj")))
+    return (
+        sums.join(mi, "di")
+        .join(mj, "dj")
+        .select(
+            F.col("di").cast("int").alias("di"),
+            F.col("dj").cast("int").alias("dj"),
+            round4(
+                F.col("sxy") / F.col("n") - F.col("_mi") * F.col("_mj")
+            ).alias("cov"),
+        )
+    )

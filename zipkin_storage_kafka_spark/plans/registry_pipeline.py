@@ -739,6 +739,14 @@ def q_text_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.curriculum_order(_docs(spark, sf_dir))
 
 
+def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle dimension covariance (whitening/PCA prep): rowwise
+    cross-product generation, d(d+1)/2-key partial agg, broadcast means
+    (operators/similarity.py:covariance_matrix).  The eigen step on the
+    KB-sized output is a driver-side numpy call by design."""
+    return sim.covariance_matrix(_emb(spark, sf_dir))
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the shared IVF index: the coarse cells bound the
     pairwise-cosine candidate space (operators/similarity.py:
@@ -818,6 +826,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_stratified_sample": q_text_stratified_sample,
         "text_decontaminate": q_text_decontaminate,
         "emb_dim_stats": q_emb_dim_stats,
+        "emb_covariance": q_emb_covariance,
         "emb_kmeans_step": q_emb_kmeans_step,
         "text_boilerplate": q_text_boilerplate,
         "text_tfidf": q_text_tfidf,
@@ -1501,6 +1510,28 @@ def _pipeline_oracles_base() -> dict[str, str]:
                      AS position,
                    doc_id, quality
             FROM keyed
+        """,
+        "emb_covariance": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            x AS (
+              SELECT vec_id, i, v[i] AS xi
+              FROM e, unnest(generate_series(1, len(v))) t(i)
+            ),
+            m AS (SELECT i, avg(xi) AS mu FROM x GROUP BY i),
+            p AS (
+              SELECT a.i AS di, b.i AS dj,
+                     sum(a.xi * b.xi) AS sxy, count(*) AS n
+              FROM x a JOIN x b
+                ON a.vec_id = b.vec_id AND a.i <= b.i
+              GROUP BY 1, 2
+            )
+            SELECT CAST(di AS INT) AS di, CAST(dj AS INT) AS dj,
+                   ((round((sxy / n - ma.mu * mb.mu) * 10000) / 10000)
+                     + 0.0) AS cov
+            FROM p
+            JOIN m ma ON ma.i = p.di
+            JOIN m mb ON mb.i = p.dj
         """,
         "dedup_semantic": f"""
             WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
