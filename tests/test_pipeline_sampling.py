@@ -316,3 +316,46 @@ def test_covariance_matrix_matches_numpy(spark):
     assert len(got) == 5 * 6 // 2
     for (di, dj), c in got.items():
         assert abs(c - want[di - 1, dj - 1]) <= 1e-4, (di, dj)
+
+
+def test_semantic_dedup_arrow_equals_sql(spark, sf_dir):
+    """The vectorized (gram-matrix) flavor makes EXACTLY the same keep
+    decisions as the expression flavor — on the real corpus and on the
+    hand fixtures (same cells, same round4 threshold, same greedy)."""
+    import __spark_entry__ as entrymod
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_arrow,
+    )
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import _ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, assign = _ivf_index(spark, sf_dir)
+    sql_keep = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            emb, centroids=cents, assign=assign
+        ).collect()
+    }
+    arrow_keep = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup_arrow(
+            emb, centroids=cents, assign=assign
+        ).collect()
+    }
+    assert sql_keep == arrow_keep
+
+    # hand fixture: chain greedy (b drops vs a, c drops vs dropped b)
+    fixture = _emb_df(
+        spark,
+        [(1, [1.0, 0.0], 0), (2, [0.8, 0.6], 0), (3, [0.28, 0.96], 0)],
+    )
+    fx_assign = _assign_df(spark, [(1, 0), (2, 0), (3, 0)])
+    fx_cents = spark.createDataFrame([Row(label=0, centroid=[1.0, 0.0])])
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup_arrow(
+            fixture, centroids=fx_cents, assign=fx_assign, threshold=0.8
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False}

