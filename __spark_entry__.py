@@ -68,31 +68,33 @@ _PINNED_ZIPKIN_CORE = (
     "f5_proto_roundtrip",
 )
 
-# Round-4 rotation: 19 first-time keys, every family represented, biased
-# toward operators whose code changed this round (trace-qualified sweeps:
-# z_critical_path / z_self_time; decimal moments: z_anomalous_spans;
-# distributed ntile: w_customer_deciles / text_length_buckets; the new
-# streaming driver row: w1_stream_traces).
+# Round-5 rotation: 19 first-time keys (VERDICT r04 next-round #1).  The
+# five streaming rows complete the reference's three-topology surface
+# (SpanAggregationTopology / DependencyStorageTopology /
+# TraceStorageTopology) under the driver's oracle; the rest are the
+# round-4 operators (SemDeDup both policies, star CC, substring dedup,
+# BMP/WAV codecs, HLL, concurrency sweeps, covariance, curriculum,
+# corpus audit/diff).
 _ROTATION = (
-    "w1_stream_traces",
-    "z_critical_path",
-    "z_self_time",
-    "z_anomalous_spans",
-    "z_service_pagerank",
-    "w_customer_deciles",
-    "text_length_buckets",
-    "text_bpe_train",
-    "text_tfidf",
-    "text_pii_scrub",
-    "dedup_cluster_resolve",
-    "ann_batch_topk",
-    "emb_kmeans_step",
-    "emb_pq_encode",
-    "ev_event_funnel",
-    "ev_cohort_retention",
-    "hr_pricing_cube",
-    "h20_excess_stock",
-    "h2_min_cost_supplier",
+    "w2_stream_dedup",
+    "w3_stream_links",
+    "w4_stream_span_names",
+    "w4_stream_remote_services",
+    "w5_stream_dependency_windows",
+    "dedup_semantic",
+    "dedup_semantic_diverse",
+    "dedup_cluster_star",
+    "dedup_substring",
+    "mm_bmp_roundtrip",
+    "mm_bmp_resize",
+    "mm_wav_roundtrip",
+    "z_hll_service_traces",
+    "z_trace_concurrency",
+    "z_window_active_spans",
+    "emb_covariance",
+    "text_curriculum_order",
+    "pipe_alignment_audit",
+    "pipe_corpus_diff",
 )
 
 _FIRST50 = _PINNED_ZIPKIN_CORE + _ROTATION
