@@ -359,3 +359,60 @@ def test_semantic_dedup_arrow_equals_sql(spark, sf_dir):
         ).collect()
     }
     assert out == {1: True, 2: False, 3: False}
+
+
+def test_semantic_dedup_arrow_diverse_equals_sql(spark, sf_dir):
+    """The gram-matrix kernel under policy="diverse" (sort the cell by
+    the Spark-side round6 centroid cosine, then the same triangle) makes
+    EXACTLY the expression flavor's keep decisions on the real corpus,
+    and reproduces the opposite-survivor and dropped-dropper fixtures."""
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        semantic_dedup_arrow,
+    )
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import _ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, assign = _ivf_index(spark, sf_dir)
+    kw = dict(centroids=cents, assign=assign, policy="diverse")
+    sql_keep = {
+        r["vec_id"]: r["keep"] for r in semantic_dedup(emb, **kw).collect()
+    }
+    arrow_keep = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup_arrow(emb, **kw).collect()
+    }
+    assert sql_keep == arrow_keep
+
+    # opposite-survivor fixture (same as the expression-flavor pin): the
+    # centroid outlier v2 wins under diverse even though v1 has the
+    # lower id.
+    pair = _emb_df(spark, [(1, [1.0, 0.0], 0), (2, [0.8, 0.6], 0)])
+    fx = dict(
+        centroids=spark.createDataFrame(
+            [Row(label=0, centroid=[1.0, 0.0])]
+        ),
+        assign=_assign_df(spark, [(1, 0), (2, 0)]),
+        threshold=0.8,
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup_arrow(pair, policy="diverse", **fx).collect()
+    }
+    assert out == {1: False, 2: True}
+
+    # chain fixture under diverse priority: centroid cosines order the
+    # chain v3 (0.28) -> v2 (0.8) -> v1 (1.0); v3 survives as the
+    # outlier, drops v2 (cos .8), and the DROPPED v2 still drops v1
+    # (cos .8) — the documented non-sequential rule, arrow flavor.
+    chain = _emb_df(
+        spark,
+        [(1, [1.0, 0.0], 0), (2, [0.8, 0.6], 0), (3, [0.28, 0.96], 0)],
+    )
+    fx["assign"] = _assign_df(spark, [(1, 0), (2, 0), (3, 0)])
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup_arrow(
+            chain, policy="diverse", **fx
+        ).collect()
+    }
+    assert out == {1: False, 2: False, 3: True}

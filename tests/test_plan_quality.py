@@ -476,6 +476,18 @@ def test_semantic_dedup_candidate_join_on_cell(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_semantic_dedup_diverse_uses_arrow_kernel(spark, sf_dir):
+    """The diverse registry row must run the per-cell gram-matrix kernel
+    (FlatMapGroupsInPandas on the cell grouping), not the per-pair
+    Catalyst lambda fold — and pair enumeration must never be a cross
+    join (the kernel's grouping IS the cell bound)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["dedup_semantic_diverse"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_curriculum_order_no_global_window(spark, sf_dir):
     """The phase assignment must come from the distributed ntile (range
     partition + per-partition rank), never a single-partition ntile

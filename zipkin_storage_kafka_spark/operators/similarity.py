@@ -439,8 +439,14 @@ def kmeans_fit(
         # Unchanged signature == unchanged assignment == `cent` (computed
         # FROM that assignment last round) is already the fixpoint, with
         # its member counts consistent — so break before recomputing.
+        # bit_xor of per-row xxhash64(vec_id, seed_id) replaced the earlier
+        # sum(vec_id*seed_id): the sum admits trade collisions (two
+        # DIFFERENT assignments sharing a total, e.g. {1->4,3->2} vs
+        # {1->2,3->4}), which could break the loop one round early with no
+        # signal; the xor-of-hashes form is order-independent AND
+        # collision-resistant per assignment pair.
         chk = best.agg(
-            F.sum(F.col("vec_id") * F.col("seed_id"))
+            F.bit_xor(F.xxhash64(F.col("vec_id"), F.col("seed_id")))
         ).collect()[0][0]
         if chk == prev_chk:
             break
@@ -629,6 +635,19 @@ def semantic_dedup(
     Pair cosines are rounded to 4 decimals before the threshold test so
     both engines make identical keep decisions.
 
+    Divergence from the paper, named explicitly: this drop rule is
+    NON-SEQUENTIAL — a vector that is itself dropped still drops
+    lower-priority members (the existential test above ignores the
+    dropper's own fate), whereas SemDeDup's sequential greedy would
+    re-admit a vector whose only near-dups were already removed.  On
+    transitive near-dup chains (a~b~c, a!~c) this keeps STRICTLY FEWER
+    vectors than the paper's rule (chain keeps {a} here, {a, c} in the
+    paper).  Deliberate: the existential form is a self-join/one-pass
+    triangle instead of an inherently sequential scan, it is
+    fixture-pinned (tests/test_pipeline_sampling.py chain fixture), and
+    both engines implement it identically — but do not assume
+    paper-exact retention counts.
+
     Output: vec_id, cell, keep (bool) — exactly one row per vector.
 
     Scale (100 TB): cell assignment is the IVF ingest index (broadcast
@@ -752,7 +771,17 @@ def covariance_matrix(embeddings: DataFrame) -> DataFrame:
 
 def _round4_np(x):
     """numpy twin of functions.portable.round4 (HALF-UP, away from zero)
-    — numpy's own round() is half-even and would flip boundary pairs."""
+    — numpy's own round() is half-even and would flip boundary pairs.
+
+    Residual caveat (deliberate): this rounds the BINARY double directly,
+    while Spark's F.round goes through BigDecimal.valueOf (HALF_UP on the
+    shortest DECIMAL representation).  A cosine an ulp below a .00005
+    boundary can therefore round up here but down in Spark; on such an
+    exact-boundary pair semantic_dedup_arrow and semantic_dedup could
+    make opposite keep decisions.  Astronomically unlikely on real data
+    (needs |cos·1e4 - (k+0.5)| within ~1 ulp), and the equivalence tests
+    pin the current corpus; a decimal-string round-trip would close it at
+    ~3x the kernel cost if bit-exactness is ever required."""
     import numpy as np
 
     return np.sign(x) * np.floor(np.abs(x) * 10000.0 + 0.5) / 10000.0
@@ -763,27 +792,43 @@ def semantic_dedup_arrow(
     centroids: DataFrame | None = None,
     assign: DataFrame | None = None,
     threshold: float = SEMDEDUP_THRESHOLD,
+    policy: str = "min_id",
 ) -> DataFrame:
-    """Vectorized flavor of :func:`semantic_dedup` (min-id policy): each
+    """Vectorized flavor of :func:`semantic_dedup` (both policies): each
     cell's pairwise cosines computed as ONE numpy gram matrix inside
     ``applyInPandas`` instead of per-pair Catalyst lambda folds.
 
     Semantics are identical (same cells, same round4 threshold test,
-    same id-ordered greedy over ALL lower-id members) — pinned by
-    tests/test_pipeline_sampling.py::test_semantic_dedup_arrow_equals_sql
-    on the corpus and the hand fixtures.  Cosine is computed in the same
+    same priority-ordered drop rule over ALL higher-priority members) —
+    pinned by tests/test_pipeline_sampling.py equivalence tests on the
+    corpus and the hand fixtures.  Pair cosine is computed in the same
     algebraic form (dot / (|a|·|b|)) with HALF-UP rounding, so the two
-    flavors agree to round4 everywhere the inputs do.
+    flavors agree to round4 everywhere the inputs do; for
+    ``policy="diverse"`` the round6 centroid-cosine PRIORITY is computed
+    Spark-side with the identical expression the fold flavor uses, so
+    priority order cannot diverge between flavors at all — only the pair
+    cosine crosses into numpy.  Both flavors share SemDeDup's
+    non-sequential drop rule (see :func:`semantic_dedup`): a vector
+    already dropped still drops lower-priority members, which keeps <=
+    the paper's sequential-greedy retention on transitive near-dup
+    chains.
 
     Scale (100 TB): the expression flavor evaluates an O(d) fold per
     candidate pair in interpreted higher-order functions (~1 µs/pair);
     the gram matrix is BLAS at memory bandwidth (~1 ns/multiply) —
-    measured 2.6 s -> 0.5 s at sf0.1.  Memory per task is one cell's
-    c x d matrix + c x c gram; cap the max cell (raise k) exactly as the
-    pair-join flavor requires anyway.
+    measured 2.6 s -> 0.5 s at sf0.1 (min-id), 2.7 s -> sub-second
+    (diverse).  Memory per task is one cell's c x d matrix + c x c gram;
+    cap the max cell (raise k) exactly as the pair-join flavor requires
+    anyway.  The diverse priority adds one broadcast join against the
+    KB-scale centroid table — no extra shuffle; the sort inside the
+    kernel is per-cell, already-local.
     """
     import pandas as pd
 
+    from zipkin_storage_kafka_spark.functions.portable import round6
+
+    if policy not in ("min_id", "diverse"):
+        raise ValueError(f"unknown policy {policy!r}")
     if centroids is None:
         centroids = ivf_centroids(embeddings)
     if assign is None:
@@ -791,11 +836,39 @@ def semantic_dedup_arrow(
     e = embeddings.select("vec_id", "embedding").join(
         assign.withColumnRenamed("label", "cell"), "vec_id"
     )
+    diverse = policy == "diverse"
+    if diverse:
+        cent = F.broadcast(
+            centroids.select(
+                F.col("label").alias("cell"),
+                F.col("centroid").alias("cvec"),
+                F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias(
+                    "cnrm"
+                ),
+            )
+        )
+        emb_d = _as_double("embedding")
+        e = (
+            e.join(cent, "cell")
+            .withColumn(
+                "cs",
+                round6(
+                    _dot(emb_d, F.col("cvec"))
+                    / (F.sqrt(_dot(emb_d, emb_d)) * F.col("cnrm"))
+                ),
+            )
+            .drop("cvec", "cnrm")
+        )
 
     def cell(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        # Priority order = drop-rule order: a row is dropped iff ANY
+        # earlier row in this sort is round4-similar (the triangle test
+        # below), so sorting by (cs, vec_id) vs (vec_id,) is the entire
+        # policy difference.
+        keys = ["cs", "vec_id"] if diverse else ["vec_id"]
+        pdf = pdf.sort_values(keys).reset_index(drop=True)
         m = np.stack(
             [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
         )

@@ -763,9 +763,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_semantic_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the paper's diversity-keeping policy: within each
     near-dup relation the member LEAST similar to its cell centroid
-    survives (round6 priority, vec_id tie-break)."""
+    survives (round6 priority, vec_id tie-break).  Served by the
+    vectorized per-cell gram-matrix kernel — the priority itself stays a
+    Spark-side round6 expression identical to the fold flavor's, so the
+    two flavors cannot disagree on ordering (equivalence test-pinned;
+    operators/similarity.py:semantic_dedup_arrow)."""
     centroids, assign = _ivf_index(spark, sf_dir)
-    return sim.semantic_dedup(
+    return sim.semantic_dedup_arrow(
         _emb(spark, sf_dir),
         centroids=centroids,
         assign=assign,
