@@ -361,6 +361,33 @@ def test_semantic_dedup_arrow_equals_sql(spark, sf_dir):
     assert out == {1: True, 2: False, 3: False}
 
 
+def test_encode_ids_rank_and_oov_fixture(spark):
+    """Hand fixture for the vocab rank (count desc, token asc, 1-based)
+    and OOV->0 encoding: 'b' (3 uses) outranks 'a' (2) outranks 'c'/'d'
+    (1 each, alpha tie-break), and with vocab_size=3 'd' is OOV."""
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        encode_token_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="b a b"), Row(doc_id=2, text="a b c d")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["ids_hash"])
+        for r in encode_token_ids(docs, vocab_size=3).collect()
+    }
+    import hashlib
+
+    # vocab: b->1, a->2, c->3; d OOV
+    assert out[1] == (
+        3, 0, hashlib.md5(b"1,2,1").hexdigest()
+    )
+    assert out[2] == (
+        4, 1, hashlib.md5(b"2,1,3,0").hexdigest()
+    )
+
+
 def test_semantic_dedup_arrow_diverse_equals_sql(spark, sf_dir):
     """The gram-matrix kernel under policy="diverse" (sort the cell by
     the Spark-side round6 centroid cosine, then the same triangle) makes

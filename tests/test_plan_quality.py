@@ -476,6 +476,23 @@ def test_semantic_dedup_candidate_join_on_cell(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_encode_ids_single_vocab_scan(spark, sf_dir):
+    """The vocab rank must reference the token-count shuffle ONCE (r4's
+    triangular self-join planned the corpus tokenize+count twice — a full
+    extra scan+explode+exchange, the r5 bench fix): exactly two parquet
+    scans total (vocab build + encode pass), no nested-loop join, and
+    the corpus top-K still a TakeOrderedAndProject heap."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_encode_ids"](spark, sf_dir))
+    ops = [l for l in plan.splitlines() if re.match(r"\(\d+\) \w", l)]
+    assert sum("Scan parquet" in o for o in ops) == 2, ops
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_semantic_dedup_diverse_uses_arrow_kernel(spark, sf_dir):
     """The diverse registry row must run the per-cell gram-matrix kernel
     (FlatMapGroupsInPandas on the cell grouping), not the per-pair

@@ -23,9 +23,14 @@ Two flavors:
        the offset prefix-sum is a triangular self-join over the tiny
        (#partitions) count table, NOT an unpartitioned window, so the
        whole plan emits zero single-partition window stages.
-    3. closed form: with 0-based global rank r and n total rows, SQL
-       ntile assigns bucket ``(r * k) div n + 1`` — integer arithmetic,
-       exactly the remainder-to-early-buckets split ntile specifies.
+    3. piecewise front-loaded-remainder formula: with 1-based global rank
+       ``r = _off + _rn`` and n total rows, the first ``n mod k`` buckets
+       hold ``ceil(n/k)`` rows and the rest ``floor(n/k)`` — computed by
+       the three-case integer expression in :func:`distributed_ntile`
+       (uniform case, inside-the-front-loaded-span case, after-it case).
+       The simpler closed form ``(r*k) div n + 1`` spreads the remainder
+       evenly instead and does NOT match SQL ntile; see the inline
+       comment for the n=10, k=4 counterexample.
 
     Cost: one range shuffle + one broadcast join — same order as the sort
     any exact quantile needs, but parallel end to end.

@@ -350,19 +350,31 @@ def encode_token_ids(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     # top-K first via TakeOrderedAndProject (distributed heap), THEN rank
-    # the K survivors by a triangular self-join (id = 1 + #rows strictly
-    # before me in (cnt desc, token) order) — K^2 comparisons over K=100
-    # rows, and unlike a global row_number window it never plans a
-    # single-partition WindowExec.
+    # the K survivors by collapsing them into ONE sorted array and
+    # exploding back out with the position as the id.  Over K=100 rows
+    # the collapse is a single KB-sized row; unlike a global row_number
+    # window it never plans a single-partition WindowExec, and unlike the
+    # r4 triangular self-join it references `topk` ONCE — the self-join
+    # planned the corpus-wide tokenize+count shuffle twice (one full
+    # extra scan+explode+exchange, the r4 bench's 3x regression).
+    # struct(-cnt, token) ascending == (cnt desc, token asc).
     topk = freq.orderBy(F.col("cnt").desc(), "token").limit(vocab_size)
-    t1 = topk.select(F.col("token").alias("_t"), F.col("cnt").alias("_c"))
-    before_me = (F.col("_c") > F.col("cnt")) | (
-        (F.col("_c") == F.col("cnt")) & (F.col("_t") < F.col("token"))
-    )
     vocab = (
-        topk.join(t1, before_me, "left")
-        .groupBy("token")
-        .agg((F.count("_t") + 1).cast("int").alias("id"))
+        topk.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cnt")).alias("_nc"),
+                        F.col("token").alias("token"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "s"))
+        .select(
+            F.col("s.token").alias("token"),
+            (F.col("pos") + 1).cast("int").alias("id"),
+        )
     )
     encoded = toks.join(F.broadcast(vocab), "token", "left").select(
         "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")

@@ -242,7 +242,15 @@ def run_aggregation_pipeline(
     -> foreachBatch fanout writing BOTH the traces sink and the derived
     links sink — the micro-batch analog of the topology's two ``.to()``
     sinks (SpanAggregationTopology.java:92-96).  Runs to completion on
-    available input (availableNow), exactly-once via checkpoint."""
+    available input (availableNow), exactly-once via checkpoint.
+
+    OUTPUT CONTRACT (changed in r4): ``traces_out`` and ``links_out`` are
+    parquet datasets partitioned by an ``epoch=N`` directory per
+    micro-batch — readers of either sink see an extra ``epoch`` int
+    partition column they should drop (``spark.read.parquet(out)
+    .drop("epoch")``).  The epoch keying is what makes retried epochs
+    idempotent (see below); DEPLOY.md's runbook carries the same note.
+    """
     closed = trace_aggregation_stream(spans_stream_from_dir(spark, input_dir), gap)
 
     # Exactly-once across retries: foreachBatch can re-run an epoch whose
@@ -474,13 +482,21 @@ def _write_stream_input(spans: DataFrame, in_dir: str, gap_micros: int) -> None:
     sentinels 2x/4x the gap past max event time (pipe-then-advance,
     SpanAggregationTopologyTest.java:84-93) — the second sentinel absorbs
     the one-micro-batch eviction lag.  File mtimes are pinned so
-    maxFilesPerTrigger replays them in a deterministic order."""
+    maxFilesPerTrigger replays them in a deterministic order.
+
+    The corpus is written as ONE file deliberately: with per-file
+    micro-batches and a tight event-time watermark, a second corpus file
+    whose events predate the first file's max would be dropped as late —
+    correctness must not depend on the accidental time-ordering of
+    coalesced partitions (multi-batch replay and watermark advance are
+    still exercised by the two sentinel files, which are strictly
+    later-timestamped by construction)."""
     import os
 
     import pyarrow as pa
 
     os.makedirs(in_dir)
-    spans.coalesce(2).write.parquet(in_dir, mode="append")
+    spans.coalesce(1).write.parquet(in_dir, mode="append")
     max_ts = spans.agg(F.max("timestamp")).collect()[0][0]
     t0 = 1_000_000_000
     _touch_tree(in_dir, t0)
