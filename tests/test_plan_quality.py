@@ -476,6 +476,60 @@ def test_semantic_dedup_candidate_join_on_cell(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_gopher_rules_pure_map_stage(spark, sf_dir):
+    """The Gopher gate is a full-corpus pre-dedup filter — it must plan
+    as a single map stage: zero exchanges, zero joins, zero windows."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_gopher_rules"](spark, sf_dir))
+    for op in ("Exchange", "Join", "Window", "CartesianProduct"):
+        assert op not in plan, (op, plan)
+
+
+def test_slo_burn_partitioned_window_over_tiny_frame(spark, sf_dir):
+    """Burn rates aggregate spans FIRST (service x window cardinality),
+    then window over that tiny frame per service: every Window carries a
+    partition spec, and no join appears at all."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["z_slo_burn"](spark, sf_dir))
+    assert "Join" not in plan
+    window_lines = [
+        l
+        for l in plan.splitlines()
+        if "windowspecdefinition" in l and l.strip().startswith("Arguments:")
+    ]
+    assert window_lines, "plan should contain Window detail lines"
+    bad = [l for l in window_lines if l.count("], [") < 2]
+    assert not bad, bad
+
+
+def test_pq_adc_broadcast_lut_and_topk_heap(spark, sf_dir):
+    """ADC search must join the code table against a BROADCAST lookup
+    table (the corpus never shuffles for the join) and take the top-k
+    via a TakeOrderedAndProject heap, never a global sort."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ann_pq_adc"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_curve_no_per_threshold_pass(spark, sf_dir):
+    """The retention curve must be ONE pair pass + one conditional agg:
+    exactly one corpus-side equi-join on the cell (no cross join), and
+    the threshold fan-out is an array explode of a 1-row aggregate, so
+    the explode feeds from an aggregate, not from the corpus."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["dedup_semantic_curve"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # one Generate (the threshold explode) — a per-threshold corpus pass
+    # would need none (replicated joins) or several
+    assert plan.count("(Generate") <= 2, plan
+
+
 def test_encode_ids_single_vocab_scan(spark, sf_dir):
     """The vocab rank must reference the token-count shuffle ONCE (r4's
     triangular self-join planned the corpus tokenize+count twice — a full

@@ -1,0 +1,199 @@
+"""Hand-computed fixtures for the round-5 operators: SLO burn-rate
+alerting, Gopher quality rules, n-gram novelty attribution, the SemDeDup
+retention curve, and PQ asymmetric-distance search.  Each pins a semantic
+decision the DuckDB oracle alone could rubber-stamp (both engines agreeing
+while both no-op is the round-2 failure mode these exist to rule out)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from zipkin_storage_kafka_spark.operators.indexes import slo_burn_rate
+from zipkin_storage_kafka_spark.operators.text_analysis import (
+    gopher_rules,
+    ngram_novelty,
+)
+
+
+def _spans_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                local_service=svc,
+                timestamp=widx * 60_000_000 + off,
+                is_error=err,
+            )
+            for svc, widx, off, err in rows
+        ],
+        "local_service string, timestamp long, is_error boolean",
+    )
+
+
+def test_slo_burn_dual_window_alerting(spark):
+    """The page flag needs BOTH windows burning: a short spike against a
+    long clean history must NOT alert; sustained errors must; and the
+    RANGE frame must skip value-gaps (an isolated window 8 windows after
+    the last traffic sees only itself in its long frame)."""
+    rows = []
+    # widx 0: 10 clean spans; widx 1: 10 spans all errors (sustained
+    # enough that the 2-window long frame also burns)
+    rows += [("a", 0, i, False) for i in range(10)]
+    rows += [("a", 1, i, True) for i in range(10)]
+    # widx 10: isolated errored window after a gap — long frame covers
+    # widx 6..10 = only itself, so it pages
+    rows += [("a", 10, 0, True)]
+    # service b: 4 big clean windows then a small spike — short burns
+    # (100 >= 14.4) but the long frame dilutes it (~0.25), so NO page
+    rows += [("b", w, i, False) for w in range(4) for i in range(1000)]
+    rows += [("b", 4, i, i == 0) for i in range(10)]
+    out = {
+        (r["local_service"], r["window_start_ms"] // 60000): (
+            r["short_burn"],
+            r["long_burn"],
+            r["alert"],
+        )
+        for r in slo_burn_rate(_spans_df(spark, rows)).collect()
+    }
+    assert out[("a", 0)] == (0.0, 0.0, False)
+    assert out[("a", 1)] == (1000.0, 500.0, True)
+    assert out[("a", 10)] == (1000.0, 1000.0, True)  # gap: frame = itself
+    assert out[("b", 4)][0] == 100.0
+    assert out[("b", 4)][1] < 14.4 and out[("b", 4)][2] is False
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows],
+        "doc_id bigint, text string",
+    )
+
+
+def test_gopher_rules_each_rule_rejects_independently(spark):
+    """One fixture doc per rule, failing ONLY that rule (other signals
+    kept in-bounds), plus one doc passing all four."""
+    good = " ".join(["the", "a"] + [f"word{i:02d}" for i in range(23)])
+    short = "the a tiny little doc"
+    longwords = " ".join(
+        ["the", "a"] + [f"wordofmanychars{i:02d}" for i in range(18)]
+    )
+    repeated = " ".join(["the", "the"] + ["data"] * 28)
+    nostop = " ".join(f"token{i:02d}" for i in range(25))
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            _docs_df(
+                spark,
+                [(1, good), (2, short), (3, longwords), (4, repeated),
+                 (5, nostop)],
+            )
+        ).collect()
+    }
+    assert out[1]["pass"] is True
+    assert out[2]["word_count_ok"] is False and out[2]["pass"] is False
+    assert out[3]["word_len_ok"] is False
+    assert (
+        out[3]["word_count_ok"] is True and out[3]["stopword_ok"] is True
+    )
+    assert out[4]["repetition_ok"] is False and out[4]["stopword_ok"] is True
+    assert out[4]["word_count_ok"] is True and out[4]["word_len_ok"] is True
+    assert out[5]["stopword_ok"] is False
+    assert out[5]["word_count_ok"] is True and out[5]["repetition_ok"] is True
+
+
+def test_ngram_novelty_first_owner_attribution(spark):
+    """min-doc_id owns each gram: doc 1's grams are all novel, doc 2
+    shares one of two with doc 1 (novelty 0.5), and a doc too short for
+    any gram still gets its zero row (the left-join spine)."""
+    from zipkin_storage_kafka_spark.operators.dedup import shingles_native
+
+    docs = _docs_df(spark, [(1, "a b c d"), (2, "a b c x"), (3, "a b")])
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(shingles_native(docs), docs).collect()
+    }
+    assert out[1] == (2, 2, 1.0)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (0, 0, 0.0)
+
+
+def test_semantic_retention_curve_fixture_and_corpus_consistency(
+    spark, sf_dir
+):
+    """Hand curve: 4 one-cell vectors with pair cosines {1.0, 0.6, 0.8}
+    — kept counts 1 at t=0.5 and 3 at t=0.9; and on the real corpus the
+    curve point at the SemDeDup default threshold must equal
+    dedup_semantic's actual keep count (the curve IS that operator
+    evaluated at every threshold)."""
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        semantic_dedup_arrow,
+        semantic_retention_curve,
+    )
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import _ivf_index
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[1.0, 0.0]),
+            Row(vec_id=3, embedding=[0.6, 0.8]),
+            Row(vec_id=4, embedding=[0.0, 1.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    assign = spark.createDataFrame(
+        [Row(vec_id=i, label=0) for i in (1, 2, 3, 4)],
+        "vec_id bigint, label int",
+    )
+    cents = spark.createDataFrame([Row(label=0, centroid=[1.0, 0.0])])
+    curve = {
+        r["threshold"]: r["n_kept"]
+        for r in semantic_retention_curve(
+            emb, centroids=cents, assign=assign, thresholds=(0.5, 0.9)
+        ).collect()
+    }
+    assert curve == {0.5: 1, 0.9: 3}
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids, corpus_assign = _ivf_index(spark, sf_dir)
+    full = {
+        r["threshold"]: r["n_kept"]
+        for r in semantic_retention_curve(
+            corpus, centroids=centroids, assign=corpus_assign
+        ).collect()
+    }
+    kept = (
+        semantic_dedup_arrow(
+            corpus, centroids=centroids, assign=corpus_assign
+        )
+        .filter("keep")
+        .count()
+    )
+    assert full[SEMDEDUP_THRESHOLD] == kept
+    # retention is monotone non-decreasing in the threshold
+    ts = sorted(full)
+    assert all(full[a] <= full[b] for a, b in zip(ts, ts[1:]))
+
+
+def test_pq_adc_exact_on_codebook_aligned_corpus(spark):
+    """When every corpus vector IS a codebook reconstruction, ADC equals
+    the exact squared L2 distance to the query: v2/v3 mix subspaces from
+    both codebook entries, proving the per-subspace LUT composition
+    (ties broken by vec_id)."""
+    from zipkin_storage_kafka_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[0.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[1.0, 1.0, 1.0, 1.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0, 1.0, 1.0]),
+            Row(vec_id=3, embedding=[1.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = pq_adc_topk(emb, 0, k_results=4, m=2, k=2).collect()
+    assert [(r["vec_id"], r["adc_d2"]) for r in rows] == [
+        (0, 0.0),
+        (2, 2.0),
+        (3, 2.0),
+        (1, 4.0),
+    ]

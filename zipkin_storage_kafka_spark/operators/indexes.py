@@ -268,3 +268,89 @@ def window_active_spans(
             "active_spans",
         )
     )
+
+
+# Multi-window burn-rate alerting constants (Google SRE Workbook ch. 5,
+# "Alerting on SLOs", public): page when BOTH a short and a long window
+# burn the error budget faster than BURN_ALERT_FACTOR x the sustainable
+# rate — the short window gives fast detection, the long window keeps a
+# transient blip from paging.
+SLO_ERROR_BUDGET = 0.001  # 99.9% availability target
+BURN_ALERT_FACTOR = 14.4
+BURN_LONG_WINDOWS = 5
+
+
+def slo_burn_rate(
+    spans: DataFrame,
+    window_micros: int = 60_000_000,
+    long_windows: int = BURN_LONG_WINDOWS,
+    error_budget: float = SLO_ERROR_BUDGET,
+    alert_factor: float = BURN_ALERT_FACTOR,
+) -> DataFrame:
+    """Multi-window SLO burn-rate per service: for each (service, 1-min
+    window), the short-window burn rate (error rate / error budget), the
+    long-window burn rate (same, over this + the previous
+    ``long_windows - 1`` windows), and the page-worthy flag when BOTH
+    exceed ``alert_factor`` — the SRE-workbook multiwindow alert, served
+    from the trace store's span table.
+
+    The long window is a RANGE frame over the integer window index, so
+    gaps (windows with no traffic) are handled by value, not by row
+    position.  Counts stay exact integers through both frames; rates
+    divide exact sums and round4 only at the output boundary — the same
+    discipline as q_service_error_rate.
+
+    Output: local_service, window_start_ms, n_spans, n_errors,
+    short_burn, long_burn, alert.
+
+    Scale (100 TB): one partial-aggregated count shuffle keyed
+    (service, window) — cardinality #services x #windows, not span
+    count — then a per-service window function over that ALREADY-TINY
+    frame (a year of minutes is 525k rows per service).  The alert scan
+    never touches raw spans twice.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        spans.filter(F.col("local_service").isNotNull())
+        .groupBy(
+            "local_service",
+            F.expr(f"timestamp div {window_micros}").alias("widx"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("is_error").cast("long")).alias("n_errors"),
+        )
+    )
+    w_long = (
+        Window.partitionBy("local_service")
+        .orderBy("widx")
+        .rangeBetween(-(long_windows - 1), 0)
+    )
+    from zipkin_storage_kafka_spark.functions.portable import round4
+
+    short_burn = round4(
+        F.col("n_errors") / F.col("n_spans") / F.lit(error_budget)
+    )
+    long_burn = round4(
+        F.sum("n_errors").over(w_long)
+        / F.sum("n_spans").over(w_long)
+        / F.lit(error_budget)
+    )
+    return (
+        base.select(
+            "local_service",
+            (F.col("widx") * F.lit(window_micros // 1000)).alias(
+                "window_start_ms"
+            ),
+            "n_spans",
+            "n_errors",
+            short_burn.alias("short_burn"),
+            long_burn.alias("long_burn"),
+        )
+        .withColumn(
+            "alert",
+            (F.col("short_burn") >= alert_factor)
+            & (F.col("long_burn") >= alert_factor),
+        )
+    )

@@ -720,6 +720,154 @@ def semantic_dedup(
     ).select("vec_id", "cell", F.col("_dup").isNull().alias("keep"))
 
 
+SEMDEDUP_CURVE_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7)
+
+
+def semantic_retention_curve(
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    assign: DataFrame | None = None,
+    thresholds: tuple[float, ...] = SEMDEDUP_CURVE_THRESHOLDS,
+) -> DataFrame:
+    """Retention curve for threshold tuning: how many vectors
+    :func:`semantic_dedup` (min-id policy) would KEEP at each candidate
+    threshold — the sweep a pipeline owner runs before committing to a
+    SemDeDup cutoff, answered in ONE pass instead of len(thresholds)
+    dedup runs.
+
+    Key observation: under the min-id policy a vector's fate at EVERY
+    threshold is determined by one scalar — the max round4 cosine to any
+    lower-id same-cell vector (``mcos``); it is kept at t iff it has no
+    partner or ``mcos < t``.  So the pair join runs once, collapses to
+    one mcos per vector, and the per-threshold counts are conditional
+    aggregates over that n-row frame (a single partial-agg pass, no
+    corpus replication per threshold).
+
+    Output: threshold (double), n_kept (long) — len(thresholds) rows.
+
+    Scale (100 TB): identical candidate space to semantic_dedup (cell
+    equi-join, sum of squared cell sizes); the curve adds one n-row
+    max-agg and a 1-row conditional aggregate.  Adding thresholds is
+    free (more columns in one agg row, not more passes).
+    """
+    if centroids is None:
+        centroids = ivf_centroids(embeddings)
+    if assign is None:
+        assign = ivf_assignments(embeddings, centroids)
+    e = (
+        embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+        .join(assign.withColumnRenamed("label", "cell"), "vec_id")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    mcos = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.max(round4(cos)).alias("mcos"))
+    )
+    per_vec = e.select("vec_id").join(mcos, "vec_id", "left")
+    counts = per_vec.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                (F.col("mcos") >= F.lit(float(t))).cast("long")
+            ).alias(f"_d{i}")
+            for i, t in enumerate(thresholds)
+        ],
+    )
+    curve = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                (F.col("_n") - F.coalesce(F.col(f"_d{i}"), F.lit(0))).alias(
+                    "n_kept"
+                ),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    return counts.select(F.explode(curve).alias("c")).select(
+        "c.threshold", "c.n_kept"
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k_results: int = 10,
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus —
+    the search half of an IVF-PQ index (:func:`pq_encode` is the build
+    half): the query stays full-precision, every corpus vector is
+    represented only by its ``m`` codes, and distance is approximated as
+    the sum of ``m`` lookup-table entries (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    The LUT is the m x k table of exact squared L2 distances between the
+    query's subvectors and the codebook entries; the per-vector ADC
+    distance sums one LUT entry per subspace and rounds to 4 decimals at
+    the output boundary only (8 same-magnitude double adds are ~1e-15
+    relative error, far inside the round4 tolerance).  Codes come from
+    :func:`pq_encode`'s rounded argmin, so both engines assign identical
+    codes.
+
+    Output: vec_id, adc_d2 — ``k_results`` rows ordered (adc_d2, vec_id).
+
+    Scale (100 TB): the LUT is m*k rows built from ONE broadcast-able
+    query row and the tiny codebook — broadcast to the code table; the
+    corpus side is the (vec_id, m, code) code table (the compressed
+    index, ~m bytes/vector), one broadcast equi-join + per-vector sum +
+    TakeOrdered heap.  The full-precision corpus is never touched at
+    query time — that is the entire point of PQ.
+    """
+    e = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    sub_expr = f"slice(v, m * (size(v) div {m}) + 1, size(v) div {m})"
+    qsub = (
+        e.filter(F.col("vec_id") == query_vec_id)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+            F.col("v"),
+        )
+        .select("m", F.expr(sub_expr).alias("qs"))
+    )
+    codebook = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+            F.col("v"),
+        )
+        .select("code", "m", F.expr(sub_expr).alias("c"))
+    )
+    lut = qsub.join(codebook, "m").select(
+        "m",
+        "code",
+        (
+            _dot(F.col("qs"), F.col("qs"))
+            - F.lit(2.0) * _dot(F.col("qs"), F.col("c"))
+            + _dot(F.col("c"), F.col("c"))
+        ).alias("_d"),
+    )
+    codes = pq_encode(embeddings, m=m, k=k).select("vec_id", "m", "code")
+    return (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(round4(F.sum("_d")).alias("adc_d2"))
+        .orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+        .limit(k_results)
+    )
+
+
 def covariance_matrix(embeddings: DataFrame) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding dimensions — the
     input to whitening / PCA (the d x d matrix is KB-sized for any real

@@ -1315,6 +1315,110 @@ def global_shuffle(
 CURRICULUM_PHASES = 4
 
 
+# Gopher-rule bounds (Rae et al. 2021, "Scaling Language Models: ...
+# Gopher", table A1 — the word-level subset; the line/symbol rules don't
+# apply to the whitespace-token corpus shape).  Word-count bounds are
+# scaled to this corpus's short synthetic docs; production uses the
+# paper's 50..100k.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_AVG_WORD_LEN = 3.0
+GOPHER_MAX_AVG_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_DUP_WORD_RATIO = 0.6
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style document quality gate: the word-level rule subset of
+    Rae et al. 2021's pretraining filters, each reported as its own
+    boolean so a pipeline can audit WHICH rule rejected a document —
+    word-count bounds, mean-word-length bounds, minimum stopword count
+    (gibberish guard), and bulk-repetition bound (1 - distinct/total
+    words).
+
+    All four signals are rowwise projections over one tokenization —
+    zero joins, zero shuffles; at 100 TB this is a scan-speed map stage,
+    which is exactly what a full-corpus pre-dedup gate must be.  Mean
+    word length reuses token_stats' separator identity
+    (len(text) - (n-1)) / n; ratios round4 BEFORE comparison so both
+    engines gate on identical values.
+
+    Output: doc_id, n_words, word_count_ok, word_len_ok, stopword_ok,
+    repetition_ok, pass (AND of the four).
+    """
+    d = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
+    n = F.size("w").cast("long")
+    avg_len = round4((F.length("text") - (n - F.lit(1))) / n)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
+    dup_ratio = round4(
+        F.lit(1.0) - F.size(F.array_distinct("w")) / n
+    )
+    word_count_ok = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    word_len_ok = (avg_len >= GOPHER_MIN_AVG_WORD_LEN) & (
+        avg_len <= GOPHER_MAX_AVG_WORD_LEN
+    )
+    stopword_ok = n_stop >= GOPHER_MIN_STOPWORDS
+    repetition_ok = dup_ratio <= GOPHER_MAX_DUP_WORD_RATIO
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        word_count_ok.alias("word_count_ok"),
+        word_len_ok.alias("word_len_ok"),
+        stopword_ok.alias("stopword_ok"),
+        repetition_ok.alias("repetition_ok"),
+        (word_count_ok & word_len_ok & stopword_ok & repetition_ok).alias(
+            "pass"
+        ),
+    )
+
+
+def ngram_novelty(sh: DataFrame, docs: DataFrame) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct word
+    3-grams whose FIRST corpus occurrence (min doc_id) is this doc — a
+    memorization/contamination proxy (a doc of all-novel grams
+    contributes new text; a doc of 0-novel grams is assembled entirely
+    from earlier material).  ``sh`` is the shared distinct-shingle set
+    (dedup.shingles_native / the registry's memoized ``_shingles``) —
+    the SAME relation the MinHash pipeline consumes, so at 100 TB the
+    expensive explode is computed once per corpus, not per operator.
+
+    Plan: one groupBy(gram) min(doc_id) for first-owner attribution, an
+    equi-join back on gram, and a per-doc partial agg — two hash
+    shuffles, both keyed on high-cardinality uniform keys (gram text,
+    doc_id), no skew hazard.  Docs with fewer than 3 words have no
+    grams: reported with n_grams = 0 and novelty 0.0 via the left join
+    against the doc spine (one row per doc, always).
+
+    Output: doc_id, n_grams, n_novel, novelty (round4).
+    """
+    owner = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(owner, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.col("n_grams").isNull(), F.lit(0.0)
+            )
+            .otherwise(round4(F.col("n_novel") / F.col("n_grams")))
+            .alias("novelty"),
+        )
+    )
+
+
 def curriculum_order(
     docs: DataFrame,
     phases: int = CURRICULUM_PHASES,

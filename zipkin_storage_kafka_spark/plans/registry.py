@@ -36,6 +36,12 @@ from zipkin_storage_kafka_spark.sources.spans import (
     with_spans_cte,
 )
 
+from zipkin_storage_kafka_spark.operators.indexes import (
+    BURN_ALERT_FACTOR as _BURN_ALERT_FACTOR,
+    BURN_LONG_WINDOWS as _BURN_LONG_WINDOWS,
+    SLO_ERROR_BUDGET as _SLO_ERROR_BUDGET,
+)
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Shared oracle CTE fragments -------------------------------------------------
@@ -567,6 +573,17 @@ def q_window_active_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_active_spans(_spans(spark, sf_dir))
 
 
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (engine extension): per
+    (service, 1-min window) short/long burn rates over the error budget
+    with the SRE-workbook dual-window page flag
+    (operators.indexes.slo_burn_rate) — the alerting query a trace
+    store's span table should serve directly."""
+    from zipkin_storage_kafka_spark.operators.indexes import slo_burn_rate
+
+    return slo_burn_rate(_spans(spark, sf_dir))
+
+
 def q_trace_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-trace max span concurrency (engine extension): sweep-line
     interval overlap — the operator family (interval/overlap joins)
@@ -828,6 +845,17 @@ def q_stream_remote_services(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_via_stream(spark, sf_dir, "remote_service_names")
 
 
+def q_stream_autocomplete_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A6 driver row: the autocomplete-tags store (both whitelisted
+    keys, exploded rowwise before the one streaming set-agg) via the
+    same complete-mode storage-path stream — completes the reference's
+    A4/A5/A6 index-store triple under the streaming surface
+    (TraceStorageTopology.java:131-149)."""
+    from zipkin_storage_kafka_spark.streaming.jobs import index_via_stream
+
+    return index_via_stream(spark, sf_dir, "autocomplete_tags")
+
+
 def zipkin_queries() -> dict[str, QueryFn]:
     return {
         "a2_trace_summaries": q_trace_summaries,
@@ -877,6 +905,8 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "w4_stream_span_names": q_stream_span_names,
         "w5_stream_dependency_windows": q_stream_dependency_windows,
         "w4_stream_remote_services": q_stream_remote_services,
+        "w4_stream_autocomplete_tags": q_stream_autocomplete_tags,
+        "z_slo_burn": q_slo_burn,
     }
 
 
@@ -891,6 +921,7 @@ def zipkin_oracles() -> dict[str, str]:
     # pattern as dedup_cluster_star).
     oracles["w4_stream_span_names"] = oracles["a4_span_names"]
     oracles["w4_stream_remote_services"] = oracles["a5_remote_service_names"]
+    oracles["w4_stream_autocomplete_tags"] = oracles["a6_autocomplete_tags"]
     return oracles
 
 
@@ -1098,6 +1129,39 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
               FROM spans WHERE local_service IS NOT NULL
               GROUP BY local_service, env
             ) c ON c.local_service = s.local_service AND c.env = t.env
+            """
+        ),
+        "z_slo_burn": with_spans_cte(
+            f"""
+            SELECT local_service,
+                   CAST(widx * 60000 AS BIGINT) AS window_start_ms,
+                   CAST(n_spans AS BIGINT) AS n_spans,
+                   CAST(n_errors AS BIGINT) AS n_errors,
+                   short_burn,
+                   long_burn,
+                   (short_burn >= {_BURN_ALERT_FACTOR}
+                    AND long_burn >= {_BURN_ALERT_FACTOR}) AS alert
+            FROM (
+              SELECT local_service, widx, n_spans, n_errors,
+                     (round((n_errors * 1.0 / n_spans
+                        / CAST({_SLO_ERROR_BUDGET} AS DOUBLE)) * 10000)
+                        / 10000 + 0.0) AS short_burn,
+                     (round(((sum(n_errors) OVER w) * 1.0
+                        / (sum(n_spans) OVER w)
+                        / CAST({_SLO_ERROR_BUDGET} AS DOUBLE)) * 10000)
+                        / 10000 + 0.0) AS long_burn
+              FROM (
+                SELECT local_service,
+                       timestamp // 60000000 AS widx,
+                       count(*) AS n_spans,
+                       sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS n_errors
+                FROM spans WHERE local_service IS NOT NULL
+                GROUP BY 1, 2
+              )
+              WINDOW w AS (PARTITION BY local_service ORDER BY widx
+                           RANGE BETWEEN {_BURN_LONG_WINDOWS - 1} PRECEDING
+                           AND CURRENT ROW)
+            )
             """
         ),
         "z_window_active_spans": with_spans_cte(

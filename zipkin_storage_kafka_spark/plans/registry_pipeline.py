@@ -777,6 +777,40 @@ def q_dedup_semantic_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup threshold-retention curve: vectors kept at each candidate
+    threshold, answered from ONE pair pass (the per-vector max
+    lower-id-partner cosine determines the fate at every threshold) —
+    the tuning sweep a pipeline owner runs before fixing the cutoff
+    (operators/similarity.py:semantic_retention_curve)."""
+    centroids, assign = _ivf_index(spark, sf_dir)
+    return sim.semantic_retention_curve(
+        _emb(spark, sf_dir), centroids=centroids, assign=assign
+    )
+
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jegou et al. 2011): full-precision
+    query vs code-compressed corpus via an m x k lookup table — the
+    search half of the IVF-PQ index whose build half is emb_pq_encode
+    (operators/similarity.py:pq_adc_topk)."""
+    return sim.pq_adc_topk(_emb(spark, sf_dir), ANN_QUERY_VEC)
+
+
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher word-level quality gate (Rae et al. 2021): per-rule
+    booleans + combined pass, all rowwise over one tokenization
+    (operators/text_analysis.py:gopher_rules)."""
+    return ta.gopher_rules(_docs(spark, sf_dir))
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence 3-gram novelty per document (memorization /
+    contamination proxy), consuming the SAME memoized shingle relation
+    as the MinHash pipeline (operators/text_analysis.py:ngram_novelty)."""
+    return ta.ngram_novelty(_shingles(spark, sf_dir), _docs(spark, sf_dir))
+
+
 def q_text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.quota_sample(_docs(spark, sf_dir))
 
@@ -852,6 +886,10 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "pipe_alignment_audit": q_pipe_alignment_audit,
         "pipe_corpus_diff": q_pipe_corpus_diff,
         "text_token_budget_sample": q_token_budget_sample,
+        "dedup_semantic_curve": q_dedup_semantic_curve,
+        "ann_pq_adc": q_ann_pq_adc,
+        "text_gopher_rules": q_text_gopher_rules,
+        "text_ngram_novelty": q_text_ngram_novelty,
     }
 
 
@@ -864,6 +902,7 @@ def pipeline_oracles() -> dict[str, str]:
 
 
 def _pipeline_oracles_base() -> dict[str, str]:
+    sim_thresholds = sim.SEMDEDUP_CURVE_THRESHOLDS
     return {
         "dedup_exact": """
             SELECT md5(text) AS text_hash,
@@ -2320,5 +2359,163 @@ def _pipeline_oracles_base() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
             FROM c WHERE cum_tokens <= 20000
+        """,
+        "dedup_semantic_curve": f"""
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cent AS (
+              SELECT label, list(c ORDER BY i) AS cv FROM (
+                SELECT label, i, avg(x) AS c FROM (
+                  SELECT label,
+                         unnest(generate_series(1, len(v))) AS i,
+                         unnest(v) AS x
+                  FROM e
+                ) GROUP BY label, i
+              ) GROUP BY label
+            ),
+            sim AS (
+              SELECT e.vec_id, cent.label,
+                     ((round((list_dot_product(v, cv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(cv, cv)))) * 1000000)
+                       / 1000000) + 0.0) AS s
+              FROM e CROSS JOIN cent
+            ),
+            assign AS (
+              SELECT vec_id, label FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, label) AS rk
+                FROM sim
+              ) WHERE rk = 1
+            ),
+            m AS (
+              SELECT e.vec_id, assign.label AS cell, e.v
+              FROM e JOIN assign USING (vec_id)
+            ),
+            mc AS (
+              SELECT b.vec_id,
+                     max(((round((list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)))) * 10000)
+                      / 10000) + 0.0)) AS mcos
+              FROM m a JOIN m b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              GROUP BY 1
+            ),
+            pv AS (
+              SELECT m.vec_id, mc.mcos FROM m LEFT JOIN mc USING (vec_id)
+            ),
+            th AS (
+              SELECT CAST(t.threshold AS DOUBLE) AS threshold
+              FROM (VALUES {", ".join(f"({t})" for t in sim_thresholds)})
+                   t(threshold)
+            )
+            SELECT th.threshold,
+                   CAST(count(*) FILTER (
+                     WHERE pv.mcos IS NULL OR pv.mcos < th.threshold
+                   ) AS BIGINT) AS n_kept
+            FROM th CROSS JOIN pv
+            GROUP BY 1
+        """,
+        "ann_pq_adc": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            sub AS (
+              SELECT vec_id, m,
+                     v[m * (len(v) // {sim.PQ_M}) + 1 :
+                       (m + 1) * (len(v) // {sim.PQ_M})] AS sv
+              FROM e, unnest(generate_series(0, {sim.PQ_M - 1})) t(m)
+            ),
+            cb AS (
+              SELECT vec_id AS code, m,
+                     v[m * (len(v) // {sim.PQ_M}) + 1 :
+                       (m + 1) * (len(v) // {sim.PQ_M})] AS cv
+              FROM (SELECT * FROM e ORDER BY vec_id LIMIT {sim.PQ_K}),
+                   unnest(generate_series(0, {sim.PQ_M - 1})) t(m)
+            ),
+            d AS (
+              SELECT vec_id, m, code,
+                     (round((list_dot_product(sv, sv)
+                             - 2.0 * list_dot_product(sv, cv)
+                             + list_dot_product(cv, cv)) * 10000)
+                        / 10000 + 0.0) AS d2
+              FROM sub JOIN cb USING (m)
+            ),
+            codes AS (
+              SELECT vec_id, m, code FROM (
+                SELECT vec_id, m, code,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d2, code) AS rn
+                FROM d
+              ) WHERE rn = 1
+            ),
+            q AS (SELECT m, sv FROM sub WHERE vec_id = {ANN_QUERY_VEC}),
+            lut AS (
+              SELECT cb.m, cb.code,
+                     (list_dot_product(q.sv, q.sv)
+                      - 2.0 * list_dot_product(q.sv, cb.cv)
+                      + list_dot_product(cb.cv, cb.cv)) AS ld
+              FROM q JOIN cb USING (m)
+            )
+            SELECT vec_id,
+                   (round(sum(ld) * 10000) / 10000 + 0.0) AS adc_d2
+            FROM codes JOIN lut USING (m, code)
+            GROUP BY vec_id
+            ORDER BY adc_d2, vec_id
+            LIMIT 10
+        """,
+        "text_gopher_rules": f"""
+            WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                       FROM documents),
+            s AS (
+              SELECT doc_id,
+                     len(w) AS n_words,
+                     (round(((len(text) - (len(w) - 1)) * 1.0 / len(w))
+                        * 10000) / 10000 + 0.0) AS avg_len,
+                     len(list_filter(w, x -> x IN {_STOP_SQL})) AS n_stop,
+                     (round((1.0 - len(list_distinct(w)) * 1.0 / len(w))
+                        * 10000) / 10000 + 0.0) AS dup_ratio
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   (n_words >= {ta.GOPHER_MIN_WORDS}
+                    AND n_words <= {ta.GOPHER_MAX_WORDS}) AS word_count_ok,
+                   (avg_len >= {ta.GOPHER_MIN_AVG_WORD_LEN}
+                    AND avg_len <= {ta.GOPHER_MAX_AVG_WORD_LEN})
+                     AS word_len_ok,
+                   (n_stop >= {ta.GOPHER_MIN_STOPWORDS}) AS stopword_ok,
+                   (dup_ratio <= {ta.GOPHER_MAX_DUP_WORD_RATIO})
+                     AS repetition_ok,
+                   ((n_words >= {ta.GOPHER_MIN_WORDS}
+                     AND n_words <= {ta.GOPHER_MAX_WORDS})
+                    AND (avg_len >= {ta.GOPHER_MIN_AVG_WORD_LEN}
+                         AND avg_len <= {ta.GOPHER_MAX_AVG_WORD_LEN})
+                    AND (n_stop >= {ta.GOPHER_MIN_STOPWORDS})
+                    AND (dup_ratio <= {ta.GOPHER_MAX_DUP_WORD_RATIO}))
+                     AS "pass"
+            FROM s
+        """,
+        "text_ngram_novelty": f"""
+            WITH {_SHINGLES_CTE.strip()},
+            own AS (
+              SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1
+            ),
+            pd AS (
+              SELECT s.doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN o.first_doc = s.doc_id
+                              THEN 1 ELSE 0 END) AS n_novel
+              FROM sh s JOIN own o USING (sh)
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+                   CASE WHEN pd.n_grams IS NULL THEN 0.0
+                        ELSE (round((pd.n_novel * 1.0 / pd.n_grams)
+                                * 10000) / 10000 + 0.0)
+                   END AS novelty
+            FROM documents d LEFT JOIN pd USING (doc_id)
         """,
     }

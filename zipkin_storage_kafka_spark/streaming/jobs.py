@@ -222,10 +222,29 @@ def index_stream(spans: DataFrame, which: str) -> DataFrame:
             .agg(F.collect_set("remote_service").alias("remote_services"))
         )
     if which == "autocomplete_tags":
+        # Both whitelisted keys (the engine-config analog of
+        # autocompleteKeys, plans/query_api.py:144-147), matching the
+        # batch A6 contract: explode the (key, value) pairs rowwise —
+        # stateless before the one streaming agg — then set-aggregate
+        # per key.
+        kv = spans.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("environment").alias("tag_key"),
+                        F.col("env").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("k").alias("tag_key"),
+                        F.col("tag_k").alias("value"),
+                    ),
+                )
+            ).alias("t")
+        ).select("t.tag_key", "t.value")
         return (
-            spans.filter(F.col("env").isNotNull())
-            .groupBy(F.lit("environment").alias("tag_key"))
-            .agg(F.collect_set("env").alias("tag_values"))
+            kv.filter(F.col("value").isNotNull())
+            .groupBy("tag_key")
+            .agg(F.collect_set("value").alias("tag_values"))
         )
     raise ValueError(f"unknown index {which!r}")
 
