@@ -517,17 +517,31 @@ def test_pq_adc_broadcast_lut_and_topk_heap(spark, sf_dir):
 
 
 def test_semantic_curve_no_per_threshold_pass(spark, sf_dir):
-    """The retention curve must be ONE pair pass + one conditional agg:
-    exactly one corpus-side equi-join on the cell (no cross join), and
+    """The retention curve must be the per-cell gram-matrix kernel
+    (FlatMapGroupsInPandas — the sf1 audit showed the per-pair Catalyst
+    fold blowing the 10x gate) + one conditional agg: no cross join, and
     the threshold fan-out is an array explode of a 1-row aggregate, so
     the explode feeds from an aggregate, not from the corpus."""
     import __spark_entry__ as entrymod
 
     plan = _plan(entrymod.queries()["dedup_semantic_curve"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     # one Generate (the threshold explode) — a per-threshold corpus pass
     # would need none (replicated joins) or several
     assert plan.count("(Generate") <= 2, plan
+
+
+def test_phash_banded_candidates_no_cross_join(spark, sf_dir):
+    """Perceptual-hash near-dup must hash in Arrow-batched Python
+    (MapInPandas over the media bytes) and enumerate candidates via the
+    (band, value) equi-join over DISTINCT hash classes — never a cross
+    join over images."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["mm_phash_neardup"](spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
 def test_encode_ids_single_vocab_scan(spark, sf_dir):

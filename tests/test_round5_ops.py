@@ -197,3 +197,49 @@ def test_pq_adc_exact_on_codebook_aligned_corpus(spark):
         (3, 2.0),
         (1, 4.0),
     ]
+
+
+def test_phash_ahash_invariance_and_class_pairs(spark):
+    """aHash semantics pinned end-to-end through REAL encode/decode:
+    a constant brightness shift yields the IDENTICAL hash (same class,
+    no pair), a single flipped grid cell is a Hamming-1 class pair, and
+    an inverted image differs in every band (not even a candidate)."""
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.multimodal import (
+        bmp_ahash,
+        encode_bmp,
+        phash_class_neardup,
+    )
+
+    def img(fill):  # 8x8, per-cell scalar -> all three channels
+        a = np.zeros((8, 8, 3), dtype=np.uint8)
+        a[:, :, :] = np.asarray(fill, dtype=np.uint8)[:, :, None]
+        return encode_bmp(a)
+
+    half = np.where(np.arange(8)[None, :] >= 4, 200, 0) * np.ones(
+        (8, 1), dtype=int
+    )
+    flipped = half.copy()
+    flipped[0, 7] = 0  # one bright cell goes dark -> Hamming 1
+    rows = [
+        (1, img(half)),
+        (2, img(half + 30)),       # brightness shift -> same hash as 1
+        (3, img(flipped)),
+        (4, img(200 - half)),      # inversion -> all 64 bits differ
+    ]
+    media = spark.createDataFrame(
+        [Row(media_id=i, payload=bytearray(p)) for i, p in rows],
+        "media_id bigint, payload binary",
+    )
+    hashes = bmp_ahash(media)
+    hx = {r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+          for r in hashes.collect()}
+    assert hx[1] == hx[2]          # shift-invariant
+    assert hx[1] != hx[3] and hx[1] != hx[4]
+    pairs = [
+        (r["id_a"], r["id_b"], r["hamming"], r["n_images_a"],
+         r["n_images_b"])
+        for r in phash_class_neardup(hashes).collect()
+    ]
+    assert pairs == [(1, 3, 1, 2, 1)]

@@ -567,3 +567,159 @@ def wav_resample(media: DataFrame, out_sr: int) -> DataFrame:
             yield out[["media_id", "sample_rate", "channels", "payload"]]
 
     return media.mapInPandas(run, WAV_MEDIA_SCHEMA)
+
+
+# Perceptual-hash image near-dup ---------------------------------------------
+
+AHASH_GRID = 8
+PHASH_MAX_HAMMING = 3
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("b0", T.IntegerType(), False),
+        T.StructField("b1", T.IntegerType(), False),
+        T.StructField("b2", T.IntegerType(), False),
+        T.StructField("b3", T.IntegerType(), False),
+    ]
+)
+
+
+def bmp_ahash(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint from REAL image bytes:
+    decode the BMP, nearest-neighbor downsample to the 8x8 grid, integer
+    grayscale (r+g+b) div 3, threshold each cell against the integer mean
+    — 64 bits stored as four 16-bit band integers (b0..b3, bit j of the
+    row-major grid lands in band j div 16 at position j mod 16).
+
+    All arithmetic is integer (floor division throughout), so the oracle
+    reproduces every bit closed-form from the synthetic pixel formula —
+    a decoder bug (orientation, channel order, padding) flips bits and
+    breaks the hash.  aHash is invariant to constant brightness shifts
+    (mean moves with the pixels), which is what makes it a NEAR-dup
+    fingerprint rather than an exact-byte one.
+
+    Scale (100 TB): Arrow-batched ``mapInPandas``, partition-preserving,
+    payloads never on the driver; the hash output is 4 ints/image — the
+    downstream join input is ~10^3x smaller than the media bytes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "media_id": [], "b0": [], "b1": [], "b2": [], "b3": []
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload))
+                small = resize_nearest(
+                    px, AHASH_GRID, AHASH_GRID
+                ).astype(np.int64)
+                gray = (small[:, :, 0] + small[:, :, 1] + small[:, :, 2]) // 3
+                mean = int(gray.sum()) // (AHASH_GRID * AHASH_GRID)
+                bits = (gray >= mean).reshape(-1)  # j = y*8 + x, row-major
+                cols["media_id"].append(int(mid))
+                for i in range(4):
+                    cols[f"b{i}"].append(
+                        int(
+                            sum(
+                                int(bits[16 * i + j]) << j
+                                for j in range(16)
+                            )
+                        )
+                    )
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(run, AHASH_SCHEMA)
+
+
+def phash_neardup(
+    hashes: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance,
+    banded exactly like MinHash-LSH: candidates = pairs agreeing on at
+    least one of the four 16-bit bands (an equi-join on (band, value) —
+    never all-pairs), verified by the exact 64-bit Hamming distance.
+
+    With 4 bands, ``max_hamming`` <= 3 makes the band stage EXACT by
+    pigeonhole (3 differing bits cannot touch all 4 bands), so unlike
+    probabilistic LSH this candidate generation has perfect recall for
+    the verified predicate.
+
+    Output: id_a, id_b (id_a < id_b), hamming (int).
+
+    Scale (100 TB): candidate volume is bounded by band-bucket occupancy
+    (sum of bucket^2 per band), the LSH cost shape; the verify join
+    carries 4 ints per side.  Skewed buckets (e.g. flat images hashing
+    to 0) split under AQE skew-join like any hot LSH bucket.
+    """
+    bands = hashes.select(
+        "media_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "val"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("id_a"),
+            F.col("y.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha, hb = hashes.alias("ha"), hashes.alias("hb")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"ha.b{i}").bitwiseXOR(F.col(f"hb.b{i}"))
+        )
+        for i in range(4)
+    )
+    return (
+        cand.join(ha, F.col("id_a") == F.col("ha.media_id"))
+        .join(hb, F.col("id_b") == F.col("hb.media_id"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def phash_class_neardup(
+    hashes: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-dup search between EXACT-HASH CLASSES: collapse identical
+    aHashes to one canonical representative first (one groupBy — the
+    same exact-before-fuzzy staging pipe_clean_corpus uses before LSH),
+    then run the banded Hamming search over DISTINCT hashes only.
+
+    This is the scale-correct registry flavor: on a corpus with heavy
+    duplication the raw pair set grows with the duplicate mass squared
+    (908k pairs at sf0.1 here — brightness-shifted renders collapse to
+    identical aHashes), while distinct hashes grow sub-linearly
+    (299 -> 1462 for 10x docs on this corpus), so the class pair set is
+    orders of magnitude smaller and carries the SAME information: every
+    raw near-dup pair is reconstructible as (member of class a, member
+    of class b) plus the within-class exact groups.
+
+    Output: id_a, id_b (canonical = min media_id per class, id_a < id_b),
+    hamming, n_images_a, n_images_b.
+    """
+    groups = hashes.groupBy("b0", "b1", "b2", "b3").agg(
+        F.min("media_id").alias("media_id"),
+        F.count(F.lit(1)).alias("n_images"),
+    )
+    pairs = phash_neardup(
+        groups.select("media_id", "b0", "b1", "b2", "b3"), max_hamming
+    )
+    na = groups.select(
+        F.col("media_id").alias("id_a"), F.col("n_images").alias("n_images_a")
+    )
+    nb = groups.select(
+        F.col("media_id").alias("id_b"), F.col("n_images").alias("n_images_b")
+    )
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", "hamming", "n_images_a", "n_images_b")
+    )

@@ -745,34 +745,51 @@ def semantic_retention_curve(
 
     Output: threshold (double), n_kept (long) — len(thresholds) rows.
 
-    Scale (100 TB): identical candidate space to semantic_dedup (cell
-    equi-join, sum of squared cell sizes); the curve adds one n-row
-    max-agg and a 1-row conditional aggregate.  Adding thresholds is
-    free (more columns in one agg row, not more passes).
+    Scale (100 TB): identical candidate space to semantic_dedup (the
+    per-cell pair mass), computed by the SAME per-cell numpy gram-matrix
+    kernel as :func:`semantic_dedup_arrow` — the first sf1 audit of this
+    operator ran the per-pair Catalyst lambda fold instead and blew the
+    10x scaling gate (18.5x at 10x data: pair mass grows with cell
+    density squared, and ~1 µs/pair interpreted folds lose to BLAS by
+    ~1000x); mcos per vector falls out of one masked column-max over the
+    cell's gram triangle.  The curve then adds only a 1-row conditional
+    aggregate.  Adding thresholds is free (more columns in one agg row,
+    not more passes).
     """
+    import pandas as pd
+
     if centroids is None:
         centroids = ivf_centroids(embeddings)
     if assign is None:
         assign = ivf_assignments(embeddings, centroids)
-    e = (
-        embeddings.select("vec_id", _as_double("embedding").alias("emb"))
-        .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
-        .join(assign.withColumnRenamed("label", "cell"), "vec_id")
+    e = embeddings.select("vec_id", "embedding").join(
+        assign.withColumnRenamed("label", "cell"), "vec_id"
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    mcos = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
         )
-        .groupBy(F.col("b.vec_id").alias("vec_id"))
-        .agg(F.max(round4(cos)).alias("mcos"))
+        nrm = np.sqrt((m * m).sum(axis=1))
+        gram = _round4_np((m @ m.T) / np.outer(nrm, nrm))
+        n = len(pdf)
+        # mcos_i = max over j < i of gram[j, i] (lower-id partners only)
+        lower = np.tri(n, dtype=bool, k=-1).T  # True at [j, i] for j < i
+        masked = np.where(lower, gram, -np.inf)
+        mcos = masked.max(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "mcos": np.where(np.isfinite(mcos), mcos, np.nan),
+            }
+        )
+
+    per_vec = e.groupBy("cell").applyInPandas(
+        cell, "vec_id long, mcos double"
     )
-    per_vec = e.select("vec_id").join(mcos, "vec_id", "left")
     counts = per_vec.agg(
         F.count(F.lit(1)).alias("_n"),
         *[

@@ -811,6 +811,18 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.ngram_novelty(_shingles(spark, sf_dir), _docs(spark, sf_dir))
 
 
+def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup by perceptual hash over REAL bytes: render BMPs,
+    decode them, aHash (8x8 integer grayscale threshold), collapse
+    exact-hash classes, banded Hamming-<=3 search between classes
+    (exact by pigeonhole over 4 bands).  The oracle recomputes every
+    hash bit closed-form from the pixel formula — any decoder/resize
+    bug flips bits and breaks the pair set
+    (operators/multimodal.py:bmp_ahash, phash_class_neardup)."""
+    media = mm.bmp_media_from_documents(_docs(spark, sf_dir))
+    return mm.phash_class_neardup(mm.bmp_ahash(media))
+
+
 def q_text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.quota_sample(_docs(spark, sf_dir))
 
@@ -890,6 +902,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "ann_pq_adc": q_ann_pq_adc,
         "text_gopher_rules": q_text_gopher_rules,
         "text_ngram_novelty": q_text_ngram_novelty,
+        "mm_phash_neardup": q_mm_phash_neardup,
     }
 
 
@@ -2496,6 +2509,80 @@ def _pipeline_oracles_base() -> dict[str, str]:
                     AND (dup_ratio <= {ta.GOPHER_MAX_DUP_WORD_RATIO}))
                      AS "pass"
             FROM s
+        """,
+        "mm_phash_neardup": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     n_chars % 24 + 8 AS w,
+                     n_chars % 16 + 8 AS h
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     y * 8 + x AS j,
+                     (((doc_id*31 + ((y*h)//8)*7 + ((x*w)//8)*3) % 256
+                       + (doc_id*31 + ((y*h)//8)*7 + ((x*w)//8)*3 + 11) % 256
+                       + (doc_id*31 + ((y*h)//8)*7 + ((x*w)//8)*3 + 22) % 256
+                      ) // 3) AS gray
+              FROM d,
+                   unnest(generate_series(0, 7)) ty(y),
+                   unnest(generate_series(0, 7)) tx(x)
+            ),
+            mn AS (SELECT doc_id, sum(gray) // 64 AS mean FROM g GROUP BY 1),
+            bits AS (
+              SELECT g.doc_id, j,
+                     CASE WHEN gray >= mean THEN 1 ELSE 0 END AS bit
+              FROM g JOIN mn USING (doc_id)
+            ),
+            bands AS (
+              SELECT doc_id, CAST(j // 16 AS INTEGER) AS band,
+                     CAST(sum(bit * (1 << CAST(j % 16 AS INTEGER)))
+                          AS INTEGER) AS val
+              FROM bits GROUP BY 1, 2
+            ),
+            hx AS (
+              SELECT doc_id,
+                     max(CASE WHEN band = 0 THEN val END) AS b0,
+                     max(CASE WHEN band = 1 THEN val END) AS b1,
+                     max(CASE WHEN band = 2 THEN val END) AS b2,
+                     max(CASE WHEN band = 3 THEN val END) AS b3
+              FROM bands GROUP BY 1
+            ),
+            grp AS (
+              SELECT b0, b1, b2, b3,
+                     min(doc_id) AS cid,
+                     CAST(count(*) AS BIGINT) AS n_images
+              FROM hx GROUP BY 1, 2, 3, 4
+            ),
+            gbands AS (
+              SELECT cid, 0 AS band, b0 AS val FROM grp
+              UNION ALL SELECT cid, 1, b1 FROM grp
+              UNION ALL SELECT cid, 2, b2 FROM grp
+              UNION ALL SELECT cid, 3, b3 FROM grp
+            ),
+            cand AS (
+              SELECT DISTINCT x.cid AS id_a, y.cid AS id_b
+              FROM gbands x JOIN gbands y
+                ON x.band = y.band AND x.val = y.val
+               AND x.cid < y.cid
+            ),
+            verified AS (
+              SELECT c.id_a, c.id_b,
+                     CAST(sum(bit_count(xor(a.val, b.val))) AS INTEGER)
+                       AS hamming
+              FROM cand c
+              JOIN gbands a ON a.cid = c.id_a
+              JOIN gbands b ON b.cid = c.id_b AND b.band = a.band
+              GROUP BY 1, 2
+              HAVING sum(bit_count(xor(a.val, b.val)))
+                       <= {mm.PHASH_MAX_HAMMING}
+            )
+            SELECT v.id_a, v.id_b, v.hamming,
+                   ga.n_images AS n_images_a,
+                   gb.n_images AS n_images_b
+            FROM verified v
+            JOIN grp ga ON ga.cid = v.id_a
+            JOIN grp gb ON gb.cid = v.id_b
         """,
         "text_ngram_novelty": f"""
             WITH {_SHINGLES_CTE.strip()},
