@@ -243,3 +243,41 @@ def test_phash_ahash_invariance_and_class_pairs(spark):
         for r in phash_class_neardup(hashes).collect()
     ]
     assert pairs == [(1, 3, 1, 2, 1)]
+
+
+def test_wav_features_rms_zcr_fixture(spark):
+    """Known PCM through the REAL encoder/decoder: alternating-sign ch0
+    has zcr 1.0 and integer rms, constant-sign ch1 has zero crossings,
+    and zeros count as non-negative (no engine-dependent sign ties)."""
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.multimodal import (
+        encode_wav,
+        wav_features,
+    )
+
+    # 4 samples x 2 channels, interleaved by the codec
+    pcm = np.array(
+        [[100, -7], [-100, -7], [100, -7], [-100, -7]], dtype=np.int16
+    )
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=bytearray(encode_wav(pcm, 8000)))],
+        "media_id bigint, payload binary",
+    )
+    out = {
+        r["channel"]: (
+            r["n_samples"], r["rms"], r["zero_crossings"], r["zcr"]
+        )
+        for r in wav_features(media).collect()
+    }
+    assert out[0] == (4, 100.0, 3, 1.0)
+    assert out[1] == (4, 7.0, 0, 0.0)
+
+    # zeros are non-negative: [0, 0, -5] has ONE crossing (0 -> -5)
+    pcm2 = np.array([[0], [0], [-5]], dtype=np.int16)
+    media2 = spark.createDataFrame(
+        [Row(media_id=2, payload=bytearray(encode_wav(pcm2, 8000)))],
+        "media_id bigint, payload binary",
+    )
+    r = wav_features(media2).collect()[0]
+    assert (r["zero_crossings"], r["zcr"]) == (1, 0.5)

@@ -823,6 +823,15 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.phash_class_neardup(mm.bmp_ahash(media))
 
 
+def q_mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel RMS + zero-crossing rate decoded from REAL WAV bytes;
+    the oracle recomputes both closed-form from the sample formula —
+    integer sums make rms/zcr bit-deterministic with no rounding
+    (operators/multimodal.py:wav_features)."""
+    media = mm.wav_media_from_documents(_docs(spark, sf_dir))
+    return mm.wav_features(media)
+
+
 def q_text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.quota_sample(_docs(spark, sf_dir))
 
@@ -903,6 +912,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_gopher_rules": q_text_gopher_rules,
         "text_ngram_novelty": q_text_ngram_novelty,
         "mm_phash_neardup": q_mm_phash_neardup,
+        "mm_wav_features": q_mm_wav_features,
     }
 
 
@@ -2583,6 +2593,48 @@ def _pipeline_oracles_base() -> dict[str, str]:
             FROM verified v
             JOIN grp ga ON ga.cid = v.id_a
             JOIN grp gb ON gb.cid = v.id_b
+        """,
+        "mm_wav_features": """
+            WITH d AS (
+              SELECT doc_id,
+                     n_chars % 50 + 20 AS n,
+                     doc_id % 2 + 1 AS ch
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, n, ch,
+                     unnest(generate_series(0, n - 1)) AS i
+              FROM d
+            ),
+            cell AS (
+              SELECT doc_id, n, ch, i,
+                     unnest(generate_series(0, ch - 1)) AS c
+              FROM idx
+            ),
+            smp AS (
+              SELECT doc_id, n, c, i,
+                     ((doc_id*37 + i*13 + c*17) % 65536) - 32768 AS v
+              FROM cell
+            ),
+            lagd AS (
+              SELECT doc_id, n, c, v,
+                     lag(v) OVER (PARTITION BY doc_id, c ORDER BY i) AS pv
+              FROM smp
+            )
+            SELECT doc_id AS media_id,
+                   CAST(c AS INTEGER) AS channel,
+                   CAST(n AS BIGINT) AS n_samples,
+                   sqrt(CAST(sum(v*v) AS DOUBLE) / n) AS rms,
+                   CAST(sum(CASE WHEN pv IS NOT NULL
+                                  AND ((v >= 0) != (pv >= 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS zero_crossings,
+                   CAST(sum(CASE WHEN pv IS NOT NULL
+                                  AND ((v >= 0) != (pv >= 0))
+                            THEN 1 ELSE 0 END) AS DOUBLE) / (n - 1)
+                     AS zcr
+            FROM lagd
+            GROUP BY doc_id, c, n
         """,
         "text_ngram_novelty": f"""
             WITH {_SHINGLES_CTE.strip()},
