@@ -503,3 +503,63 @@ def test_sampling_operator_invariants(spark, texts, n_sources, seed):
     assert sorted(cur["doc_id"]) == list(range(n))
     sizes = cur.groupby("phase").size()
     assert sizes.max() - sizes.min() <= 1
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    shift=st.integers(min_value=0, max_value=55),
+    w=st.integers(min_value=8, max_value=32),
+    h=st.integers(min_value=8, max_value=32),
+)
+@settings(max_examples=60, deadline=None)
+def test_ahash_brightness_shift_invariance_property(seed, shift, w, h):
+    """aHash is bit-invariant under any constant brightness shift that
+    doesn't wrap (pixels capped at 200, shift <= 55): the mean moves
+    with the pixels so every threshold decision is preserved — the
+    property that makes it a NEAR-dup fingerprint.  Also: every band
+    fits 16 bits and the four bands carry all 64 grid bits."""
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.multimodal import ahash_bands
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 201, size=(h, w, 3), dtype=np.uint8)
+    base = ahash_bands(px)
+    shifted = ahash_bands((px.astype(np.int64) + shift).astype(np.uint8))
+    assert base == shifted
+    assert all(0 <= b < 2**16 for b in base)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    n=st.integers(min_value=2, max_value=200),
+    ch=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=60, deadline=None)
+def test_pcm_features_match_reference_property(seed, n, ch):
+    """pcm_channel_features equals an independent per-channel reference
+    (float RMS, explicit crossing loop) on random int16 blocks —
+    including extreme values where a float32 square would overflow
+    (int16 min squared needs int64)."""
+    import math
+
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.multimodal import (
+        pcm_channel_features,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    arr[0, :] = -32768  # force the extreme into every example
+    got = pcm_channel_features(arr)
+    for c in range(ch):
+        v = [int(x) for x in arr[:, c]]
+        rms_ref = math.sqrt(sum(x * x for x in v) / n)
+        cross_ref = sum(
+            1 for a, b in zip(v, v[1:]) if (a >= 0) != (b >= 0)
+        )
+        gc, grms, gcross, gzcr = got[c]
+        assert gc == c and gcross == cross_ref
+        assert grms == rms_ref
+        assert gzcr == cross_ref / (n - 1)

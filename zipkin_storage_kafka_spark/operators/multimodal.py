@@ -585,6 +585,23 @@ AHASH_SCHEMA = T.StructType(
 )
 
 
+def ahash_bands(px: "np.ndarray") -> tuple[int, int, int, int]:
+    """aHash of one decoded (h, w, 3) uint8 image as four 16-bit band
+    ints: nearest-neighbor downsample to the 8x8 grid, integer grayscale
+    (r+g+b) div 3, threshold each cell against the integer mean.  Module
+    level (not a closure) so the invariance properties — constant
+    brightness shifts that don't wrap leave every bit unchanged — are
+    testable without a Spark round-trip."""
+    small = resize_nearest(px, AHASH_GRID, AHASH_GRID).astype(np.int64)
+    gray = (small[:, :, 0] + small[:, :, 1] + small[:, :, 2]) // 3
+    mean = int(gray.sum()) // (AHASH_GRID * AHASH_GRID)
+    bits = (gray >= mean).reshape(-1)  # j = y*8 + x, row-major
+    return tuple(
+        int(sum(int(bits[16 * i + j]) << j for j in range(16)))
+        for i in range(4)
+    )
+
+
 def bmp_ahash(media: DataFrame) -> DataFrame:
     """Average-hash (aHash) perceptual fingerprint from REAL image bytes:
     decode the BMP, nearest-neighbor downsample to the 8x8 grid, integer
@@ -610,23 +627,10 @@ def bmp_ahash(media: DataFrame) -> DataFrame:
                 "media_id": [], "b0": [], "b1": [], "b2": [], "b3": []
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_bmp(bytes(payload))
-                small = resize_nearest(
-                    px, AHASH_GRID, AHASH_GRID
-                ).astype(np.int64)
-                gray = (small[:, :, 0] + small[:, :, 1] + small[:, :, 2]) // 3
-                mean = int(gray.sum()) // (AHASH_GRID * AHASH_GRID)
-                bits = (gray >= mean).reshape(-1)  # j = y*8 + x, row-major
+                bands = ahash_bands(decode_bmp(bytes(payload)))
                 cols["media_id"].append(int(mid))
                 for i in range(4):
-                    cols[f"b{i}"].append(
-                        int(
-                            sum(
-                                int(bits[16 * i + j]) << j
-                                for j in range(16)
-                            )
-                        )
-                    )
+                    cols[f"b{i}"].append(bands[i])
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(run, AHASH_SCHEMA)
@@ -737,6 +741,27 @@ WAV_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def pcm_channel_features(arr: "np.ndarray") -> list[tuple[int, float, int, float]]:
+    """Per-channel (rms, crossings, zcr) of one decoded (n, ch) int16
+    PCM block — module level so the numeric properties (exact integer
+    sums, sign-boundary crossing count) are testable without a Spark
+    round-trip.  Returns [(channel, rms, zero_crossings, zcr), ...]."""
+    import math
+
+    a = arr.astype(np.int64)
+    n, ch = a.shape
+    out = []
+    for c in range(ch):
+        v = a[:, c]
+        sum_sq = int((v * v).sum())
+        nonneg = v >= 0
+        crossings = int((nonneg[:-1] != nonneg[1:]).sum())
+        out.append(
+            (c, math.sqrt(sum_sq / n), crossings, crossings / (n - 1))
+        )
+    return out
+
+
 def wav_features(media: DataFrame) -> DataFrame:
     """Per-channel audio features from REAL PCM bytes: RMS energy and
     zero-crossing rate — the canonical first-pass audio quality/segment
@@ -758,27 +783,20 @@ def wav_features(media: DataFrame) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-
         for pdf in batches:
             cols: dict[str, list] = {
                 k.name: [] for k in WAV_FEATURES_SCHEMA.fields
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 arr, _sr = decode_wav(payload)
-                a = arr.astype(np.int64)
-                n, ch = a.shape
-                for c in range(ch):
-                    v = a[:, c]
-                    sum_sq = int((v * v).sum())
-                    nonneg = v >= 0
-                    crossings = int((nonneg[:-1] != nonneg[1:]).sum())
+                n = arr.shape[0]
+                for c, rms, crossings, zcr in pcm_channel_features(arr):
                     cols["media_id"].append(int(mid))
                     cols["channel"].append(c)
                     cols["n_samples"].append(n)
-                    cols["rms"].append(math.sqrt(sum_sq / n))
+                    cols["rms"].append(rms)
                     cols["zero_crossings"].append(crossings)
-                    cols["zcr"].append(crossings / (n - 1))
+                    cols["zcr"].append(zcr)
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(run, WAV_FEATURES_SCHEMA)
