@@ -532,6 +532,18 @@ def test_semantic_curve_no_per_threshold_pass(spark, sf_dir):
     assert plan.count("(Generate") <= 2, plan
 
 
+def test_dsir_weight_table_broadcast(spark, sf_dir):
+    """DSIR's bucket weight table is FIXED-size (1024 rows) and must
+    reach the per-doc pass as a broadcast — the corpus side never
+    shuffles for the weight join (that is the point of the hashed
+    feature space)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_dsir_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_phash_banded_candidates_no_cross_join(spark, sf_dir):
     """Perceptual-hash near-dup must hash in Arrow-batched Python
     (MapInPandas over the media bytes) and enumerate candidates via the

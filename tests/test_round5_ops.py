@@ -281,3 +281,37 @@ def test_wav_features_rms_zcr_fixture(spark):
     )
     r = wav_features(media2).collect()[0]
     assert (r["zero_crossings"], r["zcr"]) == (1, 0.5)
+
+
+def test_dsir_importance_orders_target_like_docs(spark):
+    """A doc made of target-domain bigrams must outscore a doc of
+    raw-only bigrams (the resampling signal), identical docs score
+    identically, and a gram-less doc keeps its zero spine row."""
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        dsir_importance,
+    )
+
+    rows = [
+        # target domain: 'x y' everywhere
+        Row(doc_id=1, source="src0", text="x y x y x y"),
+        Row(doc_id=2, source="src0", text="x y x y"),
+        # raw-only domain
+        Row(doc_id=3, source="srcZ", text="a b a b a b"),
+        Row(doc_id=4, source="srcZ", text="a b a b a b"),
+        # target-LIKE doc in the raw domain — should still score high
+        Row(doc_id=5, source="srcZ", text="x y x y x y"),
+        Row(doc_id=6, source="srcZ", text="solo"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["weight_micro"], r["avg_weight"])
+        for r in dsir_importance(docs).collect()
+    }
+    assert out[6] == (0, 0, 0.0)
+    # target-typical beats raw-typical, regardless of the doc's source
+    assert out[5][2] > out[3][2]
+    assert out[1][2] > out[3][2]
+    # identical text, identical score
+    assert out[3] == out[4]

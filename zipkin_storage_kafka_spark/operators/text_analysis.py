@@ -1452,3 +1452,124 @@ def curriculum_order(
     return d.withColumn(
         "position", F.row_number().over(w).cast("long")
     ).select("phase", "position", "doc_id", "quality")
+
+
+# DSIR importance weights -----------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_SOURCE = "src0"
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_source: str = DSIR_TARGET_SOURCE,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    score every document by how much more likely its hashed word-bigram
+    features are under a TARGET domain (here: ``source == target_source``)
+    than under the raw corpus — the importance-resampling signal used to
+    upsample target-like data at pretraining scale.
+
+    Hashed n-gram trick, verbatim from the paper: bigrams hash into a
+    FIXED bucket space (md5 prefix mod ``buckets``), so both feature
+    distributions are ``buckets``-dim count vectors no matter the corpus
+    size.  Laplace (+1) smoothing keeps every log finite.
+
+    Exactness discipline (same as char_lm_score): each bucket gets ONE
+    integer micro-logweight ``round(ln(p_target/p_raw) * 1e6)`` computed
+    on the tiny bucket table; per-document totals are exact bigint sums
+    of those integers — no float accumulation over documents.
+
+    Output: doc_id, n_grams, weight_micro, avg_weight (round4; 0.0 for
+    gram-less docs, which keep their row via the doc spine).
+
+    Scale (100 TB): the feature space is FIXED at ``buckets`` keys — the
+    two count aggregations partial-combine down to KBs regardless of
+    corpus size, the weight table broadcasts, and the per-doc pass is
+    one explode + broadcast join + partial agg.  This is the entire
+    point of DSIR's hashing: importance estimation cost is independent
+    of vocabulary growth.
+    """
+    d = spread(docs).select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at("w", i), F.element_at("w", i + F.lit(1))
+        ),
+    )
+    g = d.filter(F.size("w") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(grams).alias("gram"),
+    )
+    occ = g.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+            % buckets
+        ).alias("bucket"),
+    ).groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    raw = occ.groupBy("bucket").agg(F.sum("n").alias("cr"))
+    tgt = (
+        occ.filter(F.col("source") == target_source)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("ct"))
+    )
+    totals = raw.join(tgt, "bucket", "left").agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    lw = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+                        / (F.col("tt") + F.lit(buckets))
+                    )
+                    / (
+                        (F.col("cr") + F.lit(1))
+                        / (F.col("tr") + F.lit(buckets))
+                    )
+                )
+                * F.lit(1_000_000),
+                0,
+            )
+            .cast("long")
+            .alias("lw_micro"),
+        )
+    )
+    per_doc = (
+        occ.join(F.broadcast(lw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.sum(F.col("n") * F.col("lw_micro")).alias("weight_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("weight_micro", F.lit(0)).alias("weight_micro"),
+            F.when(F.col("n_grams").isNull(), F.lit(0.0))
+            .otherwise(
+                round4(
+                    F.col("weight_micro")
+                    / (F.lit(1_000_000.0) * F.col("n_grams"))
+                )
+            )
+            .alias("avg_weight"),
+        )
+    )

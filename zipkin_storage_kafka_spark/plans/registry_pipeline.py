@@ -832,6 +832,15 @@ def q_mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.wav_features(media)
 
 
+def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-ngram importance weights (Xie et al. 2023): how much
+    more likely each doc's hashed word-bigram features are under the
+    target domain (source == src0) than the raw corpus — integer
+    micro-logweights per bucket, exact bigint sums per doc
+    (operators/text_analysis.py:dsir_importance)."""
+    return ta.dsir_importance(_docs(spark, sf_dir))
+
+
 def q_text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.quota_sample(_docs(spark, sf_dir))
 
@@ -913,6 +922,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_ngram_novelty": q_text_ngram_novelty,
         "mm_phash_neardup": q_mm_phash_neardup,
         "mm_wav_features": q_mm_wav_features,
+        "text_dsir_weights": q_text_dsir_weights,
     }
 
 
@@ -2635,6 +2645,59 @@ def _pipeline_oracles_base() -> dict[str, str]:
                      AS zcr
             FROM lagd
             GROUP BY doc_id, c, n
+        """,
+        "text_dsir_weights": f"""
+            WITH d AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))
+                       ::BIGINT % {ta.DSIR_BUCKETS} AS bucket
+              FROM d, unnest(generate_series(1, len(w) - 1)) t(i)
+              WHERE len(w) >= 2
+            ),
+            occ AS (
+              SELECT doc_id, source, bucket, count(*) AS n
+              FROM g GROUP BY 1, 2, 3
+            ),
+            raw AS (SELECT bucket, sum(n) AS cr FROM occ GROUP BY 1),
+            tgt AS (
+              SELECT bucket, sum(n) AS ct FROM occ
+              WHERE source = '{ta.DSIR_TARGET_SOURCE}' GROUP BY 1
+            ),
+            j AS (
+              SELECT raw.bucket, raw.cr, tgt.ct
+              FROM raw LEFT JOIN tgt USING (bucket)
+            ),
+            tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM j),
+            lw AS (
+              SELECT bucket,
+                     CAST(round(ln(
+                       ((coalesce(ct, 0) + 1)
+                          / (tot.tt + {ta.DSIR_BUCKETS}))
+                       / ((cr + 1) / (tot.tr + {ta.DSIR_BUCKETS}))
+                     ) * 1000000) AS BIGINT) AS lw_micro
+              FROM j CROSS JOIN tot
+            ),
+            pd AS (
+              SELECT occ.doc_id,
+                     sum(occ.n) AS n_grams,
+                     sum(occ.n * lw.lw_micro) AS weight_micro
+              FROM occ JOIN lw USING (bucket)
+              GROUP BY 1
+            )
+            SELECT doc.doc_id,
+                   CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(pd.weight_micro, 0) AS BIGINT)
+                     AS weight_micro,
+                   CASE WHEN pd.n_grams IS NULL THEN 0.0
+                        ELSE (round((pd.weight_micro
+                                / (1000000.0 * pd.n_grams)) * 10000)
+                              / 10000 + 0.0)
+                   END AS avg_weight
+            FROM documents doc LEFT JOIN pd USING (doc_id)
         """,
         "text_ngram_novelty": f"""
             WITH {_SHINGLES_CTE.strip()},
