@@ -845,6 +845,19 @@ def q_stream_remote_services(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_via_stream(spark, sf_dir, "remote_service_names")
 
 
+def q_stream_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 driver row (engine extension): per-(service, 1-min tumbling
+    window) span/error counters as a stream run to completion — the
+    streaming face of z_slo_burn's base aggregation; windows emit
+    exactly once in append mode when the sentinel-advanced watermark
+    passes them (streaming.jobs.error_windows_via_stream)."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        error_windows_via_stream,
+    )
+
+    return error_windows_via_stream(spark, sf_dir)
+
+
 def q_stream_autocomplete_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4/A6 driver row: the autocomplete-tags store (both whitelisted
     keys, exploded rowwise before the one streaming set-agg) via the
@@ -907,6 +920,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "w4_stream_remote_services": q_stream_remote_services,
         "w4_stream_autocomplete_tags": q_stream_autocomplete_tags,
         "z_slo_burn": q_slo_burn,
+        "w6_stream_error_windows": q_stream_error_windows,
     }
 
 
@@ -922,6 +936,21 @@ def zipkin_oracles() -> dict[str, str]:
     oracles["w4_stream_span_names"] = oracles["a4_span_names"]
     oracles["w4_stream_remote_services"] = oracles["a5_remote_service_names"]
     oracles["w4_stream_autocomplete_tags"] = oracles["a6_autocomplete_tags"]
+    oracles["w6_stream_error_windows"] = with_spans_cte(
+        """
+        SELECT local_service,
+               CAST((timestamp // 60000000) * 60000 AS BIGINT)
+                 AS window_start_ms,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_errors,
+               ((round((sum(CASE WHEN is_error THEN 1 ELSE 0 END) * 1.0
+                  / count(*)) * 10000) / 10000) + 0.0) AS error_rate
+        FROM spans
+        WHERE local_service IS NOT NULL
+        GROUP BY local_service, timestamp // 60000000
+        """
+    )
     return oracles
 
 

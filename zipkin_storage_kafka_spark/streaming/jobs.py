@@ -773,6 +773,80 @@ def index_via_stream(
 
 
 
+def error_windows_via_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = DEFAULT_TRACE_TIMEOUT,
+) -> DataFrame:
+    """W6 driver row (engine extension beyond the reference's three
+    topologies): per-(service, 1-minute tumbling window) span/error
+    counters as a STREAM — the streaming face of z_slo_burn's base
+    aggregation, run to completion over the staged span corpus with the
+    same pipe-then-advance sentinel choreography as w1/w3/w5.
+
+    Append mode + watermark: a window emits exactly once when the
+    watermark passes its end; the two sentinel batches (2x/4x the gap
+    past max event time) provably close every real window.  Sentinel
+    spans flow THROUGH the aggregation and are dropped at read-back
+    (their service name marks their windows) — filtering them inside
+    the streaming query does not work: Catalyst pushes the filter BELOW
+    the EventTimeWatermark operator, so filtered sentinels would never
+    advance the watermark and the last real window would never close
+    (observed: exactly one missing window before this ordering).
+
+    Output: local_service, window_start_ms, n_spans, n_errors,
+    error_rate (round4) — the batch z_slo_burn short-window contract,
+    so the oracle is the identical spans-CTE aggregation.
+    """
+    import os
+
+    from zipkin_storage_kafka_spark.functions.portable import round4
+
+    def run(stream: DataFrame, work: str, ckpt: str) -> str:
+        out_dir = os.path.join(work, "errwin")
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(
+                F.window("ts", "1 minute").alias("w"), "local_service"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.sum(F.col("is_error").cast("long")).alias("n_errors"),
+            )
+            .select(
+                "local_service",
+                F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                "n_spans",
+                "n_errors",
+            )
+        )
+
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out_dir
+
+    raw = _staged_stream_run(spark, sf_dir, gap, "w6", run)
+    return raw.filter(
+        F.col("local_service").isNotNull()
+        & (F.col("local_service") != "sentinel")
+    ).select(
+        "local_service",
+        "window_start_ms",
+        "n_spans",
+        "n_errors",
+        round4(
+            F.col("n_errors").cast("double") / F.col("n_spans").cast("double")
+        ).alias("error_rate"),
+    )
+
+
 def dependency_windows_via_stream(
     spark: SparkSession,
     sf_dir: str,
