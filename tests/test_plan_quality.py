@@ -532,6 +532,31 @@ def test_semantic_curve_no_per_threshold_pass(spark, sf_dir):
     assert plan.count("(Generate") <= 2, plan
 
 
+def test_truncated_recall_two_topk_heaps(spark, sf_dir):
+    """Both rankings (full and truncated) must be TakeOrderedAndProject
+    heaps over broadcast-query scans — never a global sort or corpus
+    shuffle."""
+    import __spark_entry__ as entrymod
+
+    import re
+
+    plan = _plan(entrymod.queries()["ann_truncated_recall"](spark, sf_dir))
+    heaps = re.findall(r"^\(\d+\) TakeOrderedAndProject", plan, re.M)
+    assert len(heaps) == 2, plan
+    assert not re.search(r"^\(\d+\) Sort\b", plan, re.M), plan
+
+
+def test_zipf_fit_no_global_window(spark, sf_dir):
+    """Rank assignment must be the single-row array collapse (the
+    encode_token_ids pattern), never a partition-less row_number
+    window; the corpus top-K stays a TakeOrdered heap."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_zipf_fit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan, plan
+
+
 def test_dsir_weight_table_broadcast(spark, sf_dir):
     """DSIR's bucket weight table is FIXED-size (1024 rows) and must
     reach the per-doc pass as a broadcast — the corpus side never

@@ -315,3 +315,53 @@ def test_dsir_importance_orders_target_like_docs(spark):
     assert out[1][2] > out[3][2]
     # identical text, identical score
     assert out[3] == out[4]
+
+
+def test_truncated_recall_detects_prefix_divergence(spark):
+    """Hand corpus where the first-2-dims ranking genuinely disagrees
+    with the full ranking: tail-heavy vectors look perfect in the
+    prefix, so exactly one of the top-2 survives -> recall 0.5."""
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        truncated_recall,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),   # query
+            Row(vec_id=1, embedding=[1.0, 0.0, 9.0, 9.0]),   # prefix-perfect
+            Row(vec_id=2, embedding=[1.0, 0.0, -9.0, -9.0]), # prefix-perfect
+            Row(vec_id=3, embedding=[0.9, 0.1, 0.0, 0.0]),   # truly close
+            Row(vec_id=4, embedding=[0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    r = truncated_recall(emb, 0, k=2, dims=2).collect()[0]
+    # full top-2 = {3, 1}; truncated top-2 = {1, 2}; overlap = {1}
+    assert (r["k"], r["dims"], r["n_overlap"], r["recall"]) == (
+        2, 2, 1, 0.5
+    )
+
+
+def test_zipf_fit_matches_numpy_reference(spark):
+    """slope/intercept/r2 agree with numpy's least squares on a small
+    hand corpus, and the slope is negative (frequency falls with
+    rank)."""
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.text_analysis import zipf_fit
+
+    # counts: the 8/4/2 across three types
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2))],
+        "doc_id bigint, text string",
+    )
+    r = zipf_fit(docs).collect()[0]
+    x = np.log(np.array([1.0, 2.0, 3.0]))
+    y = np.log(np.array([8.0, 4.0, 2.0]))
+    slope, intercept = np.polyfit(x, y, 1)
+    pred = slope * x + intercept
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert r["n_types"] == 3
+    assert abs(r["slope"] - slope) < 1e-3 and r["slope"] < 0
+    assert abs(r["intercept"] - intercept) < 1e-3
+    assert abs(r["r2"] - r2) < 1e-3

@@ -1053,3 +1053,50 @@ def semantic_dedup_arrow(
     return e.groupBy("cell").applyInPandas(
         cell, "vec_id long, cell int, keep boolean"
     )
+
+
+MRL_TRUNC_DIMS = 32
+
+
+def truncated_recall(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    dims: int = MRL_TRUNC_DIMS,
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation (Kusupati et al.
+    2022, arXiv:2205.13147): recall@k of brute-force search over the
+    FIRST ``dims`` coordinates against the full-dimension ground truth —
+    the measurement that justifies serving a shorter embedding prefix
+    (2x cheaper dot products, 2x smaller index) at an acceptable recall
+    cost.
+
+    Both rankings use the identical deterministic order
+    (round4 cosine desc, vec_id), so the set intersection is
+    engine-portable.
+
+    Output (one row): k, dims, n_overlap, recall (round4).
+
+    Scale (100 TB): two broadcast-query TakeOrdered passes (the
+    cosine_topk shape — no corpus shuffle) + one k-row join; at
+    production scale the truncated pass reads a PREFIX-sliced column,
+    which parquet serves without touching the tail bytes when the
+    embedding is stored dimension-chunked.
+    """
+    full = cosine_topk(embeddings, query_vec_id, k).select("vec_id")
+    trunc_emb = embeddings.select(
+        "vec_id", F.expr(f"slice(embedding, 1, {dims})").alias("embedding")
+    )
+    trunc = cosine_topk(trunc_emb, query_vec_id, k).select(
+        F.col("vec_id").alias("t_vec")
+    )
+    return (
+        full.join(trunc, F.col("vec_id") == F.col("t_vec"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.lit(dims).cast("int").alias("dims"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            round4(F.col("n_overlap") / F.lit(float(k))).alias("recall"),
+        )
+    )

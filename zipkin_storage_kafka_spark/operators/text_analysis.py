@@ -1573,3 +1573,59 @@ def dsir_importance(
             .alias("avg_weight"),
         )
     )
+
+
+ZIPF_TOP_TYPES = 200
+
+
+def zipf_fit(docs: DataFrame, top: int = ZIPF_TOP_TYPES) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus's top token types: the
+    least-squares slope/intercept/r2 of ln(count) against ln(rank) — the
+    classic corpus-health diagnostic (natural language tracks slope ~ -1;
+    boilerplate-heavy or synthetic corpora flatten or steepen it).
+
+    Rank is assigned by the same single-row array-collapse as
+    encode_token_ids (sort the top-K survivors once, posexplode) — never
+    a partition-less window; the regression is one ``regr_*`` aggregate
+    over ``top`` rows.  round4 on the outputs absorbs the ~1e-13
+    float-sum ordering noise of the regression sums.
+
+    Output (one row): n_types, slope, intercept, r2 (all round4 except
+    n_types).
+
+    Scale (100 TB): one token-count shuffle (the same aggregate every
+    vocab consumer shares) -> TakeOrdered top-K heap -> a KB-sized
+    collapse; the regression input is ``top`` rows regardless of corpus
+    size.
+    """
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    topk = freq.orderBy(F.col("cnt").desc(), "token").limit(top)
+    ranked = (
+        topk.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cnt")).alias("_nc"),
+                        F.col("token").alias("token"),
+                        F.col("cnt").alias("cnt"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "s"))
+        .select(
+            (F.col("pos") + 1).cast("double").alias("rank"),
+            F.col("s.cnt").cast("double").alias("cnt"),
+        )
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        round4(F.regr_slope(F.log("cnt"), F.log("rank"))).alias("slope"),
+        round4(
+            F.regr_intercept(F.log("cnt"), F.log("rank"))
+        ).alias("intercept"),
+        round4(F.regr_r2(F.log("cnt"), F.log("rank"))).alias("r2"),
+    )

@@ -841,6 +841,20 @@ def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.dsir_importance(_docs(spark, sf_dir))
 
 
+def q_ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dimension-truncation recall (Kusupati et al. 2022):
+    recall@k of brute-force search over the first 32 coordinates vs the
+    full-dimension ground truth — the measurement behind serving a
+    shorter embedding prefix (operators/similarity.py:truncated_recall)."""
+    return sim.truncated_recall(_emb(spark, sf_dir), ANN_QUERY_VEC)
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency regression over the top token types — corpus
+    health diagnostic (operators/text_analysis.py:zipf_fit)."""
+    return ta.zipf_fit(_docs(spark, sf_dir))
+
+
 def q_text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.quota_sample(_docs(spark, sf_dir))
 
@@ -923,6 +937,8 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "mm_phash_neardup": q_mm_phash_neardup,
         "mm_wav_features": q_mm_wav_features,
         "text_dsir_weights": q_text_dsir_weights,
+        "ann_truncated_recall": q_ann_truncated_recall,
+        "text_zipf_fit": q_text_zipf_fit,
     }
 
 
@@ -2698,6 +2714,67 @@ def _pipeline_oracles_base() -> dict[str, str]:
                               / 10000 + 0.0)
                    END AS avg_weight
             FROM documents doc LEFT JOIN pd USING (doc_id)
+        """,
+        "ann_truncated_recall": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = {ANN_QUERY_VEC}),
+            full_k AS (
+              SELECT vec_id FROM (
+                SELECT vec_id,
+                       (round((list_dot_product(v, qv)
+                          / (sqrt(list_dot_product(v, v))
+                             * sqrt(list_dot_product(qv, qv)))) * 10000)
+                         / 10000 + 0.0) AS cos
+                FROM e, q WHERE vec_id <> {ANN_QUERY_VEC}
+                ORDER BY cos DESC, vec_id LIMIT 10
+              )
+            ),
+            t AS (SELECT vec_id,
+                         v[1:{sim.MRL_TRUNC_DIMS}] AS v FROM e),
+            qt AS (SELECT v AS qv FROM t WHERE vec_id = {ANN_QUERY_VEC}),
+            trunc_k AS (
+              SELECT vec_id FROM (
+                SELECT vec_id,
+                       (round((list_dot_product(v, qv)
+                          / (sqrt(list_dot_product(v, v))
+                             * sqrt(list_dot_product(qv, qv)))) * 10000)
+                         / 10000 + 0.0) AS cos
+                FROM t, qt WHERE vec_id <> {ANN_QUERY_VEC}
+                ORDER BY cos DESC, vec_id LIMIT 10
+              )
+            )
+            SELECT CAST(10 AS INTEGER) AS k,
+                   CAST({sim.MRL_TRUNC_DIMS} AS INTEGER) AS dims,
+                   CAST(count(*) AS BIGINT) AS n_overlap,
+                   ((round((count(*) / 10.0) * 10000) / 10000) + 0.0)
+                     AS recall
+            FROM full_k JOIN trunc_k USING (vec_id)
+        """,
+        "text_zipf_fit": f"""
+            WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents
+            ),
+            f AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+            topk AS (
+              SELECT token, cnt FROM f
+              ORDER BY cnt DESC, token LIMIT {ta.ZIPF_TOP_TYPES}
+            ),
+            r AS (
+              SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                          AS DOUBLE) AS rank,
+                     CAST(cnt AS DOUBLE) AS cnt
+              FROM topk
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_types,
+                   ((round(regr_slope(ln(cnt), ln(rank)) * 10000)
+                      / 10000) + 0.0) AS slope,
+                   ((round(regr_intercept(ln(cnt), ln(rank)) * 10000)
+                      / 10000) + 0.0) AS intercept,
+                   ((round(regr_r2(ln(cnt), ln(rank)) * 10000)
+                      / 10000) + 0.0) AS r2
+            FROM r
         """,
         "text_ngram_novelty": f"""
             WITH {_SHINGLES_CTE.strip()},
