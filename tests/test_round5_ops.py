@@ -365,3 +365,34 @@ def test_zipf_fit_matches_numpy_reference(spark):
     assert abs(r["slope"] - slope) < 1e-3 and r["slope"] < 0
     assert abs(r["intercept"] - intercept) < 1e-3
     assert abs(r["r2"] - r2) < 1e-3
+
+
+def test_pcm_features_degenerate_blocks():
+    """Conforming-but-degenerate PCM: a single-frame block has zcr 0.0
+    (no division by zero) and an empty block yields no feature rows."""
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.multimodal import (
+        pcm_channel_features,
+    )
+
+    one = pcm_channel_features(np.array([[5, -5]], dtype=np.int16))
+    assert one == [(0, 5.0, 0, 0.0), (1, 5.0, 0, 0.0)]
+    assert pcm_channel_features(np.zeros((0, 2), dtype=np.int16)) == []
+
+
+def test_phash_rejects_hamming_beyond_pigeonhole(spark):
+    """max_hamming > 3 would silently lose pairs whose differing bits
+    touch all four bands — the operator must refuse, not under-recall."""
+    import pytest as _pytest
+
+    from zipkin_storage_kafka_spark.operators.multimodal import (
+        phash_neardup,
+    )
+
+    hashes = spark.createDataFrame(
+        [Row(media_id=1, b0=0, b1=0, b2=0, b3=0)],
+        "media_id bigint, b0 int, b1 int, b2 int, b3 int",
+    )
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        phash_neardup(hashes, max_hamming=4)

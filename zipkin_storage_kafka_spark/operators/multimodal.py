@@ -656,6 +656,16 @@ def phash_neardup(
     carries 4 ints per side.  Skewed buckets (e.g. flat images hashing
     to 0) split under AQE skew-join like any hot LSH bucket.
     """
+    # Pigeonhole exactness only holds for max_hamming <= bands - 1: 4
+    # differing bits CAN touch all four bands, and such pairs would
+    # silently vanish from the candidate join.  Refuse rather than
+    # return an incomplete pair set (recall loss with no error is the
+    # worst failure mode a dedup primitive can have).
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-band pigeonhole "
+            "bound (3); banded candidates would miss qualifying pairs"
+        )
     bands = hashes.select(
         "media_id",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "val"),
@@ -745,20 +755,27 @@ def pcm_channel_features(arr: "np.ndarray") -> list[tuple[int, float, int, float
     """Per-channel (rms, crossings, zcr) of one decoded (n, ch) int16
     PCM block — module level so the numeric properties (exact integer
     sums, sign-boundary crossing count) are testable without a Spark
-    round-trip.  Returns [(channel, rms, zero_crossings, zcr), ...]."""
+    round-trip.  Returns [(channel, rms, zero_crossings, zcr), ...].
+
+    Degenerate-but-conforming inputs (any producer's file, not just the
+    synthetic corpus): an empty data chunk yields NO feature rows (there
+    is no signal to describe), and a single-frame block has zcr 0.0 by
+    definition (a crossing needs two samples) — neither divides by
+    zero."""
     import math
 
     a = arr.astype(np.int64)
     n, ch = a.shape
+    if n == 0:
+        return []
     out = []
     for c in range(ch):
         v = a[:, c]
         sum_sq = int((v * v).sum())
         nonneg = v >= 0
         crossings = int((nonneg[:-1] != nonneg[1:]).sum())
-        out.append(
-            (c, math.sqrt(sum_sq / n), crossings, crossings / (n - 1))
-        )
+        zcr = crossings / (n - 1) if n > 1 else 0.0
+        out.append((c, math.sqrt(sum_sq / n), crossings, zcr))
     return out
 
 

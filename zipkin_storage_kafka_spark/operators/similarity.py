@@ -474,6 +474,39 @@ PQ_M = 8
 PQ_K = 16
 
 
+def _pq_sub_expr(m: int) -> str:
+    """The ONE definition of PQ's subvector slicing (subspace column
+    ``m`` must be in scope): codes are only meaningful against LUTs
+    built from the identical slice, so encode and ADC search both call
+    this instead of carrying private copies that could drift."""
+    return f"slice(v, m * (size(v) div {m}) + 1, size(v) div {m})"
+
+
+def _pq_subvectors(e: DataFrame, m: int) -> DataFrame:
+    """(vec_id, m, s): every vector split into its ``m`` subvectors."""
+    return e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+        F.col("v"),
+    ).select("vec_id", "m", F.expr(_pq_sub_expr(m)).alias("s"))
+
+
+def _pq_codebook(e: DataFrame, m: int, k: int) -> DataFrame:
+    """(code, m, c): the deterministic codebook — the first ``k``
+    vectors' subvectors (a production codebook comes from kmeans_fit per
+    subspace; same shape)."""
+    return (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+            F.col("v"),
+        )
+        .select("code", "m", F.expr(_pq_sub_expr(m)).alias("c"))
+    )
+
+
 def pq_encode(
     embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K
 ) -> DataFrame:
@@ -497,33 +530,8 @@ def pq_encode(
     d2 (round-4 subspace reconstruction error).
     """
     e = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    sub = e.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
-        F.col("v"),
-    ).select(
-        "vec_id",
-        "m",
-        F.expr(f"slice(v, m * (size(v) div {m}) + 1, size(v) div {m})").alias(
-            "s"
-        ),
-    )
-    codebook = (
-        e.orderBy("vec_id")
-        .limit(k)
-        .select(
-            F.col("vec_id").alias("code"),
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
-            F.col("v"),
-        )
-        .select(
-            "code",
-            "m",
-            F.expr(
-                f"slice(v, m * (size(v) div {m}) + 1, size(v) div {m})"
-            ).alias("c"),
-        )
-    )
+    sub = _pq_subvectors(e, m)
+    codebook = _pq_codebook(e, m, k)
     d2 = round4(
         _dot(F.col("s"), F.col("s"))
         - F.lit(2.0) * _dot(F.col("s"), F.col("c"))
@@ -847,25 +855,10 @@ def pq_adc_topk(
     query time — that is the entire point of PQ.
     """
     e = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    sub_expr = f"slice(v, m * (size(v) div {m}) + 1, size(v) div {m})"
-    qsub = (
-        e.filter(F.col("vec_id") == query_vec_id)
-        .select(
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
-            F.col("v"),
-        )
-        .select("m", F.expr(sub_expr).alias("qs"))
-    )
-    codebook = (
-        e.orderBy("vec_id")
-        .limit(k)
-        .select(
-            F.col("vec_id").alias("code"),
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
-            F.col("v"),
-        )
-        .select("code", "m", F.expr(sub_expr).alias("c"))
-    )
+    qsub = _pq_subvectors(
+        e.filter(F.col("vec_id") == query_vec_id), m
+    ).select("m", F.col("s").alias("qs"))
+    codebook = _pq_codebook(e, m, k)
     lut = qsub.join(codebook, "m").select(
         "m",
         "code",

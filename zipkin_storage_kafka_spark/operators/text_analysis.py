@@ -27,6 +27,22 @@ def with_tokens(docs: DataFrame) -> DataFrame:
     return docs.withColumn("words", F.split(F.col("text"), " "))
 
 
+def stopword_hits(words_col) -> "F.Column":
+    """Occurrences of EN_STOPWORDS in a words array — THE stopword
+    membership expression.  token_stats, the Gopher gate, and the
+    function-word language heuristic all gate on this one definition so
+    their reported signals can never disagree for the same document."""
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    return F.size(F.filter(words_col, lambda w: F.array_contains(stop_arr, w)))
+
+
+def avg_token_len(text_col, n_tokens) -> "F.Column":
+    """Mean token length via the separator identity: total token chars =
+    len(text) - (n-1) single-space separators — no second explode.  One
+    definition shared by token_stats and the Gopher gate."""
+    return (F.length(text_col) - (n_tokens - F.lit(1))) / n_tokens
+
+
 def spread(docs: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism when
     the input arrives under-partitioned.  The testdata documents parquet
@@ -49,12 +65,8 @@ def token_stats(docs: DataFrame) -> DataFrame:
     d = with_tokens(docs)
     n_tokens = F.size("words")
     n_distinct = F.size(F.array_distinct("words"))
-    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    stopword_count = F.size(
-        F.filter("words", lambda w: F.array_contains(stop_arr, w))
-    )
-    # total chars in tokens = len(text) - (n_tokens - 1) separators
-    avg_len = (F.length("text") - (n_tokens - F.lit(1))) / n_tokens
+    stopword_count = stopword_hits("words")
+    avg_len = avg_token_len("text", n_tokens)
     return d.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
@@ -97,8 +109,7 @@ def language_id(docs: DataFrame) -> DataFrame:
     char-trigram profiles — is a planned round-2 operator.)
     """
     d = with_tokens(docs)
-    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    en_hits = F.size(F.filter("words", lambda w: F.array_contains(stop_arr, w)))
+    en_hits = stopword_hits("words")
     predicted = F.when(en_hits > 0, F.lit("en")).otherwise(F.lit("unknown"))
     return d.select(
         "doc_id",
@@ -329,6 +340,41 @@ def train_split(
     )
 
 
+def ranked_collapse(topk: DataFrame) -> DataFrame:
+    """(token, rk, cnt): rank <= K surviving (token, cnt) rows by
+    (cnt desc, token asc) via ONE sorted-array collapse — collect the
+    rows into a single sorted array (struct(-cnt, token) ascending ==
+    the desired order) and posexplode back out with position+1 as the
+    rank.
+
+    This exists because the alternatives both failed: a partition-less
+    row_number window is the single-partition WindowExec the engine
+    bans, and the r4 triangular self-join planned its upstream (the
+    corpus-wide token-count shuffle) TWICE (the r5 bench regression).
+    The collapse references its input exactly once, so every consumer
+    (encode_token_ids' vocab, zipf_fit's rank axis) inherits the
+    single-scan guarantee from one definition."""
+    return (
+        topk.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cnt")).alias("_nc"),
+                        F.col("token").alias("token"),
+                        F.col("cnt").alias("cnt"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "s"))
+        .select(
+            F.col("s.token").alias("token"),
+            (F.col("pos") + 1).alias("rk"),
+            F.col("s.cnt").alias("cnt"),
+        )
+    )
+
+
 def encode_token_ids(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
     """Vocabulary build + token-id encoding: rank the corpus's top-K tokens
     by frequency (count desc, token asc — deterministic), then encode each
@@ -350,31 +396,12 @@ def encode_token_ids(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     # top-K first via TakeOrderedAndProject (distributed heap), THEN rank
-    # the K survivors by collapsing them into ONE sorted array and
-    # exploding back out with the position as the id.  Over K=100 rows
-    # the collapse is a single KB-sized row; unlike a global row_number
-    # window it never plans a single-partition WindowExec, and unlike the
-    # r4 triangular self-join it references `topk` ONCE — the self-join
-    # planned the corpus-wide tokenize+count shuffle twice (one full
-    # extra scan+explode+exchange, the r4 bench's 3x regression).
-    # struct(-cnt, token) ascending == (cnt desc, token asc).
+    # the K survivors with the shared single-scan array collapse (see
+    # ranked_collapse for why neither a global window nor the r4
+    # triangular self-join is acceptable).
     topk = freq.orderBy(F.col("cnt").desc(), "token").limit(vocab_size)
-    vocab = (
-        topk.agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        (-F.col("cnt")).alias("_nc"),
-                        F.col("token").alias("token"),
-                    )
-                )
-            ).alias("arr")
-        )
-        .select(F.posexplode("arr").alias("pos", "s"))
-        .select(
-            F.col("s.token").alias("token"),
-            (F.col("pos") + 1).cast("int").alias("id"),
-        )
+    vocab = ranked_collapse(topk).select(
+        "token", F.col("rk").cast("int").alias("id")
     )
     encoded = toks.join(F.broadcast(vocab), "token", "left").select(
         "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
@@ -1348,9 +1375,8 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     """
     d = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
     n = F.size("w").cast("long")
-    avg_len = round4((F.length("text") - (n - F.lit(1))) / n)
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    n_stop = F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
+    avg_len = round4(avg_token_len("text", n))
+    n_stop = stopword_hits("w")
     dup_ratio = round4(
         F.lit(1.0) - F.size(F.array_distinct("w")) / n
     )
@@ -1603,23 +1629,9 @@ def zipf_fit(docs: DataFrame, top: int = ZIPF_TOP_TYPES) -> DataFrame:
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     topk = freq.orderBy(F.col("cnt").desc(), "token").limit(top)
-    ranked = (
-        topk.agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        (-F.col("cnt")).alias("_nc"),
-                        F.col("token").alias("token"),
-                        F.col("cnt").alias("cnt"),
-                    )
-                )
-            ).alias("arr")
-        )
-        .select(F.posexplode("arr").alias("pos", "s"))
-        .select(
-            (F.col("pos") + 1).cast("double").alias("rank"),
-            F.col("s.cnt").cast("double").alias("cnt"),
-        )
+    ranked = ranked_collapse(topk).select(
+        F.col("rk").cast("double").alias("rank"),
+        F.col("cnt").cast("double").alias("cnt"),
     )
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_types"),

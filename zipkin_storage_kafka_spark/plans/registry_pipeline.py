@@ -752,8 +752,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     flavor (one numpy gram matrix per cell via applyInPandas — the
     100 TB path; measured ~5x the per-pair Catalyst-lambda flavor).
     Identical semantics to operators/similarity.py:semantic_dedup
-    (equivalence test-pinned); the expression flavor stays driver-
-    checked through dedup_semantic_diverse."""
+    (equivalence test-pinned).  Since round 5 BOTH registry rows serve
+    the arrow kernel; the Catalyst-fold flavor has no driver row of its
+    own and is covered by the local equivalence tests only
+    (tests/test_pipeline_sampling.py)."""
     centroids, assign = _ivf_index(spark, sf_dir)
     return sim.semantic_dedup_arrow(
         _emb(spark, sf_dir), centroids=centroids, assign=assign

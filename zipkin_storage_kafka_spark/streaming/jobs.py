@@ -468,6 +468,11 @@ def error_rate_alert_stream(
 
 
 SENTINEL_TRACE_PREFIX = "zzwatermark_sentinel"
+# Service name carried by sentinel spans — shared by the staging writer
+# and every reader that drops sentinels by service (w6): a one-sided
+# rename would silently leak sentinel windows into (or drop real windows
+# from) the counters.
+SENTINEL_SERVICE = "sentinel"
 
 # One stream-to-completion run per (data fingerprint): in the reference the
 # aggregation topology runs CONTINUOUSLY and queries read its stores — the
@@ -537,7 +542,7 @@ def _write_stream_input(spans: DataFrame, in_dir: str, gap_micros: int) -> None:
                 "name": "flush",
                 "timestamp": max_ts + 2 * seq * gap_micros,
                 "duration": 1,
-                "local_service": "sentinel", "remote_service": None,
+                "local_service": SENTINEL_SERVICE, "remote_service": None,
                 "tag_k": None, "env": None, "is_error": False,
             },
             schema,
@@ -835,7 +840,7 @@ def error_windows_via_stream(
     raw = _staged_stream_run(spark, sf_dir, gap, "w6", run)
     return raw.filter(
         F.col("local_service").isNotNull()
-        & (F.col("local_service") != "sentinel")
+        & (F.col("local_service") != SENTINEL_SERVICE)
     ).select(
         "local_service",
         "window_start_ms",
