@@ -557,6 +557,24 @@ def test_zipf_fit_no_global_window(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
 
 
+def test_locf_fill_partitioned_window(spark, sf_dir):
+    """The LOCF carry must run under a window PARTITIONED by event_type
+    (per-type sorts), never a global order; the spine join sides stay
+    broadcast (bounds row + observed means)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ev_locf_fill"](spark, sf_dir))
+    window_lines = [
+        l
+        for l in plan.splitlines()
+        if "windowspecdefinition" in l and l.strip().startswith("Arguments:")
+    ]
+    assert window_lines, "plan should contain Window detail lines"
+    bad = [l for l in window_lines if l.count("], [") < 2]
+    assert not bad, bad
+    assert "BroadcastHashJoin" in plan
+
+
 def test_dsir_weight_table_broadcast(spark, sf_dir):
     """DSIR's bucket weight table is FIXED-size (1024 rows) and must
     reach the per-doc pass as a broadcast — the corpus side never

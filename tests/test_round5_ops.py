@@ -396,3 +396,48 @@ def test_phash_rejects_hamming_beyond_pigeonhole(spark):
     )
     with _pytest.raises(ValueError, match="pigeonhole"):
         phash_neardup(hashes, max_hamming=4)
+
+
+def test_locf_fill_carries_and_leading_nulls(spark, tmp_path):
+    """LOCF semantics on a hand grid: gaps carry the previous observed
+    mean forward, minutes before a type's FIRST observation stay null,
+    and observed minutes report their own (round4 averaged) value."""
+    import datetime as dt
+
+    from zipkin_storage_kafka_spark.operators.analytics import locf_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minute, sec=0):
+        return t0 + dt.timedelta(minutes=minute, seconds=sec)
+
+    rows = [
+        # type A: observed at minutes 0 (two events -> mean) and 3
+        Row(event_id=1, ts=at(0), user_id=1, event_type="A",
+            value=10.0, props="{}"),
+        Row(event_id=2, ts=at(0, 30), user_id=1, event_type="A",
+            value=20.0, props="{}"),
+        Row(event_id=3, ts=at(3), user_id=1, event_type="A",
+            value=99.0, props="{}"),
+        # type B: first observation only at minute 2
+        Row(event_id=4, ts=at(2), user_id=2, event_type="B",
+            value=7.0, props="{}"),
+    ]
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+    out = {
+        (r["event_type"], r["minute_ms"] // 60000): (
+            r["value"], r["is_observed"]
+        )
+        for r in locf_fill(spark, str(tmp_path)).collect()
+    }
+    m0 = min(m for (_t, m) in out)
+    assert out[("A", m0)] == (15.0, True)       # mean of 10, 20
+    assert out[("A", m0 + 1)] == (15.0, False)  # carried
+    assert out[("A", m0 + 2)] == (15.0, False)  # carried
+    assert out[("A", m0 + 3)] == (99.0, True)
+    assert out[("B", m0)] == (None, False)      # before first obs
+    assert out[("B", m0 + 1)] == (None, False)
+    assert out[("B", m0 + 2)] == (7.0, True)
+    assert out[("B", m0 + 3)] == (7.0, False)   # carried to grid end

@@ -904,6 +904,60 @@ def minute_resample(
     )
 
 
+def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill time resample (LOCF — last observation carried
+    forward): per (event_type, minute) mean value on the full observed
+    minute grid, with unobserved minutes carrying the PREVIOUS
+    observation forward — the sensor/price gap-fill semantics
+    (TimescaleDB's ``locf``, QuestDB's ``FILL(PREV)``) that the
+    zero-fill ``minute_resample`` deliberately does not provide, and
+    Spark has no native operator for.
+
+    Shape: the minute spine generates from ONE global (min, max) row
+    via ``sequence`` + explode, cross-joined to the tiny distinct-type
+    dim; observed minute means broadcast-join onto the spine; the carry
+    is ``last(value, ignorenulls)`` over a window PARTITIONED by
+    event_type (never a global sort).  Minutes before a type's first
+    observation stay NULL (nothing to carry).
+
+    Output: event_type, minute_ms, value (round4, nullable),
+    is_observed.
+
+    Scale (100 TB): the spine is (types x observed minutes) — data-RANGE
+    bound, not data-volume bound (a year is 525k minutes/type); at scale
+    the same plan runs per day-partition and the per-type window is a
+    few-thousand-row sort per partition.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import (
+        load_table,
+        to_epoch_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    minute = (to_epoch_micros(ev, "ts") / F.lit(60_000_000)).cast("long")
+    base = ev.select("event_type", minute.alias("m"), "value")
+    obs = base.groupBy("event_type", "m").agg(
+        round4(F.avg("value")).alias("v")
+    )
+    bounds = base.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    types = base.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("m")
+    )
+    j = spine.join(F.broadcast(obs), ["event_type", "m"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        (F.col("m") * 60000).alias("minute_ms"),
+        F.last("v", ignorenulls=True).over(w).alias("value"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )
+
+
 def rolling_revenue(spark: SparkSession, sf_dir: str, days: int = 7) -> DataFrame:
     """Trailing N-day revenue via a RANGE window frame (time-based frames
     are the window feature the rank/rows examples don't cover): revenue per

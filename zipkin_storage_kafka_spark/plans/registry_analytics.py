@@ -137,6 +137,13 @@ def q_minute_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.minute_resample(spark, sf_dir)
 
 
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF) minute resample per event type — the
+    sensor/price gap-fill semantics Spark lacks natively
+    (operators/analytics.py:locf_fill)."""
+    return an.locf_fill(spark, sf_dir)
+
+
 def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.rolling_revenue(spark, sf_dir)
 
@@ -207,6 +214,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "h21_waiting_suppliers": q_waiting_suppliers,
         "ev_asof_attribution": q_asof_attribution,
         "ev_minute_resample": q_minute_resample,
+        "ev_locf_fill": q_locf_fill,
         "w_rolling_revenue": q_rolling_revenue,
         "w_customer_deciles": q_customer_deciles,
         "h12_late_shipment_priority": q_late_shipment_priority,
@@ -574,6 +582,35 @@ def analytics_oracles() -> dict[str, str]:
             SELECT event_id, user_id, ts_us, cause_event_id,
                    ts_us - cause_ts AS gap_us
             FROM carried WHERE event_type = 'purchase'
+        """,
+        "ev_locf_fill": """
+            WITH base AS (
+              SELECT event_type, epoch_us(ts) // 60000000 AS m, value
+              FROM events
+            ),
+            obs AS (
+              SELECT event_type, m,
+                     (round(avg(value) * 10000) / 10000 + 0.0) AS v
+              FROM base GROUP BY 1, 2
+            ),
+            bounds AS (SELECT min(m) AS lo, max(m) AS hi FROM base),
+            types AS (SELECT DISTINCT event_type FROM base),
+            spine AS (
+              SELECT event_type, unnest(generate_series(lo, hi)) AS m
+              FROM types, bounds
+            ),
+            j AS (
+              SELECT s.event_type, s.m, obs.v
+              FROM spine s LEFT JOIN obs USING (event_type, m)
+            )
+            SELECT event_type,
+                   CAST(m * 60000 AS BIGINT) AS minute_ms,
+                   last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY m
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value,
+                   (v IS NOT NULL) AS is_observed
+            FROM j
         """,
         "ev_minute_resample": """
             WITH mm AS (
