@@ -863,6 +863,30 @@ def asof_attribution(
     )
 
 
+def _event_minute(ev: DataFrame) -> F.Column:
+    """THE minute-bucket expression for the events table: integer
+    division on exact epoch-micros (a double-rounded quotient can floor
+    to the wrong minute at epoch magnitudes) — shared by every minute
+    resampler so the bucketing can never drift between them."""
+    from zipkin_storage_kafka_spark.sources.tables import to_epoch_micros
+
+    return (to_epoch_micros(ev, "ts") / F.lit(60_000_000)).cast("long")
+
+
+def _minute_spine(
+    bounds: DataFrame, keyed: DataFrame | None = None
+) -> DataFrame:
+    """Minute grid between the 1-row global (lo, hi) bounds: sequence +
+    explode from ONE aggregated row — no driver loop, no cross join
+    against a fact table.  With ``keyed`` (a tiny key dim), the grid is
+    replicated per key row."""
+    if keyed is None:
+        return bounds.select(F.explode(F.sequence("lo", "hi")).alias("m"))
+    return keyed.crossJoin(F.broadcast(bounds)).select(
+        *keyed.columns, F.explode(F.sequence("lo", "hi")).alias("m")
+    )
+
+
 def minute_resample(
     spark: SparkSession, sf_dir: str, event: str = "purchase"
 ) -> DataFrame:
@@ -884,17 +908,14 @@ def minute_resample(
     )
 
     ev = load_table(spark, sf_dir, "events")
-    minute = (to_epoch_micros(ev, "ts") / F.lit(60_000_000)).cast("long")
     marked = ev.filter(F.col("event_type") == event).select(
-        minute.alias("m")
+        _event_minute(ev).alias("m")
     )
     counts = marked.groupBy("m").agg(F.count(F.lit(1)).alias("n_events"))
     bounds = marked.agg(
         F.min("m").alias("lo"), F.max("m").alias("hi")
     )
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi")).alias("m")
-    )
+    spine = _minute_spine(bounds)
     return (
         spine.join(counts, "m", "left")
         .select(
@@ -934,17 +955,19 @@ def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    minute = (to_epoch_micros(ev, "ts") / F.lit(60_000_000)).cast("long")
-    base = ev.select("event_type", minute.alias("m"), "value")
+    base = ev.select("event_type", _event_minute(ev).alias("m"), "value")
     obs = base.groupBy("event_type", "m").agg(
         round4(F.avg("value")).alias("v")
     )
     bounds = base.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
     types = base.select("event_type").distinct()
-    spine = types.crossJoin(F.broadcast(bounds)).select(
-        "event_type", F.explode(F.sequence("lo", "hi")).alias("m")
-    )
-    j = spine.join(F.broadcast(obs), ["event_type", "m"], "left")
+    spine = _minute_spine(bounds, keyed=types)
+    # no broadcast hint on obs: it grows with (types x observed minutes)
+    # — range-bounded but NOT small-bounded (525k rows/type-year), so
+    # the join strategy belongs to the planner (AQE broadcasts it while
+    # it is small, and degrades gracefully to a shuffle join when a long
+    # retention window outgrows the broadcast limit)
+    j = spine.join(obs, ["event_type", "m"], "left")
     w = (
         Window.partitionBy("event_type")
         .orderBy("m")

@@ -1518,6 +1518,16 @@ def dsir_importance(
     point of DSIR's hashing: importance estimation cost is independent
     of vocabulary growth.
     """
+    # Fail fast on an absent target domain: with zero target docs every
+    # bucket weight degenerates to NULL and the output silently reads
+    # weight_micro=0 / avg_weight=NULL for every doc — garbage with no
+    # signal.  The probe is one limit(1)-short-circuited scan of the
+    # raw docs (NOT the exploded gram pipeline).
+    if docs.filter(F.col("source") == target_source).limit(1).count() == 0:
+        raise ValueError(
+            f"target_source={target_source!r} matches no documents — "
+            "importance weights are undefined without a target sample"
+        )
     d = spread(docs).select(
         "doc_id", "source", F.split("text", " ").alias("w")
     )
@@ -1532,15 +1542,26 @@ def dsir_importance(
         "source",
         F.explode(grams).alias("gram"),
     )
-    occ = g.select(
-        "doc_id",
-        "source",
-        (
-            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
-            % buckets
-        ).alias("bucket"),
-    ).groupBy("doc_id", "source", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
+    # Materialize the per-(doc, bucket) counts ONCE: raw, tgt, and the
+    # per-doc pass all consume `occ`, and without lineage truncation
+    # each reference re-plans the full tokenize+explode+hash+groupBy
+    # pipeline (measured: 12 parquet scans / 5 explodes / zero
+    # ReusedExchange — the same duplicated-upstream pattern as the r4
+    # encode_token_ids regression).  Lazy localCheckpoint = the kmeans/
+    # connected-components discipline: computed on first use, every
+    # later branch reads the materialized partitions.
+    occ = (
+        g.select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+                % buckets
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     raw = occ.groupBy("bucket").agg(F.sum("n").alias("cr"))
     tgt = (

@@ -471,8 +471,11 @@ SENTINEL_TRACE_PREFIX = "zzwatermark_sentinel"
 # Service name carried by sentinel spans — shared by the staging writer
 # and every reader that drops sentinels by service (w6): a one-sided
 # rename would silently leak sentinel windows into (or drop real windows
-# from) the counters.
-SENTINEL_SERVICE = "sentinel"
+# from) the counters.  zz-prefixed like SENTINEL_TRACE_PREFIX so the
+# marker can never collide with a real service name in the same value
+# space (a corpus service literally named "sentinel" must NOT be
+# filtered).
+SENTINEL_SERVICE = "zzwatermark_sentinel_svc"
 
 # One stream-to-completion run per (data fingerprint): in the reference the
 # aggregation topology runs CONTINUOUSLY and queries read its stores — the
