@@ -441,3 +441,34 @@ def test_locf_fill_carries_and_leading_nulls(spark, tmp_path):
     assert out[("B", m0 + 1)] == (None, False)
     assert out[("B", m0 + 2)] == (7.0, True)
     assert out[("B", m0 + 3)] == (7.0, False)   # carried to grid end
+
+
+def test_dedup_agreement_confusion_cells(spark):
+    """Every confusion cell populated by hand: an exact pair that is
+    also near (identical long texts), a near-only neighbor (one word
+    changed), a neither doc, and the sub-shingle carve-out — an exact
+    pair too short to shingle can NEVER be near-flagged, the one
+    legitimate source of only-exact counts."""
+    from zipkin_storage_kafka_spark.operators import dedup as dd
+
+    base = " ".join(f"tok{i:02d}" for i in range(20))
+    near = " ".join([f"tok{i:02d}" for i in range(19)] + ["zzz"])
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),
+            Row(doc_id=3, text=near),
+            Row(doc_id=4, text=" ".join(f"other{i:02d}" for i in range(20))),
+            Row(doc_id=5, text="a b"),
+            Row(doc_id=6, text="a b"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = dd.shingles_native(docs)
+    cand = dd.lsh_candidate_pairs(dd.minhash_buckets(sh))
+    r = dd.dedup_method_agreement(docs, sh, cand, 0.5).collect()[0]
+    assert (
+        r["n_docs"], r["n_exact"], r["n_near"], r["n_both"],
+        r["n_only_exact"], r["n_only_near"], r["n_neither"],
+        r["agreement"],
+    ) == (6, 4, 3, 2, 2, 1, 1, 0.5)

@@ -627,3 +627,59 @@ def substring_duplication(
     )
 
 
+
+
+def dedup_method_agreement(
+    docs: DataFrame,
+    sh: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Cross-method dedup audit: for every document, does EXACT dedup
+    flag it (its md5 group has >1 member) and does NEAR-dup flag it (it
+    appears in any LSH-verified Jaccard >= threshold pair)?  Reported as
+    the one-row confusion summary a pipeline owner reads before picking
+    a dedup policy — and a standing LSH sanity check: exact duplicates
+    share every minhash band, so (for docs long enough to shingle)
+    near-dup must CONTAIN exact-dup; a nonzero only-exact count that
+    isn't explained by sub-shingle docs means candidate recall broke.
+
+    Output (one row): n_docs, n_exact, n_near, n_both, n_only_exact,
+    n_only_near, n_neither, agreement (round4 simple-matching
+    coefficient, (n_both + n_neither) / n_docs).
+
+    Scale (100 TB): one md5 groupBy (the exact-dedup shuffle), the
+    already-bounded candidate verify join, and a doc-keyed left join —
+    no new quadratic surface; the output is one row.
+    """
+    hashes = docs.select("doc_id", F.md5("text").alias("h"))
+    grp = hashes.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+    exact = hashes.join(grp, "h").select(
+        "doc_id", (F.col("_n") > 1).alias("ef")
+    )
+    jp = jaccard_pairs(sh, candidates, threshold)
+    near = (
+        jp.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(jp.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_nf", F.lit(1))
+    )
+    flags = exact.join(near, "doc_id", "left").select(
+        "ef", F.col("_nf").isNotNull().alias("nf")
+    )
+    b = lambda c: c.cast("long")  # noqa: E731
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(b(F.col("ef"))).alias("n_exact"),
+        F.sum(b(F.col("nf"))).alias("n_near"),
+        F.sum(b(F.col("ef") & F.col("nf"))).alias("n_both"),
+        F.sum(b(F.col("ef") & ~F.col("nf"))).alias("n_only_exact"),
+        F.sum(b(~F.col("ef") & F.col("nf"))).alias("n_only_near"),
+        F.sum(b(~F.col("ef") & ~F.col("nf"))).alias("n_neither"),
+    ).select(
+        "n_docs", "n_exact", "n_near", "n_both", "n_only_exact",
+        "n_only_near", "n_neither",
+        round4(
+            (F.col("n_both") + F.col("n_neither")) / F.col("n_docs")
+        ).alias("agreement"),
+    )

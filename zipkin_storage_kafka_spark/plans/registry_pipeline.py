@@ -857,6 +857,19 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.zipf_fit(_docs(spark, sf_dir))
 
 
+def q_pipe_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method dedup confusion summary (exact vs LSH-verified
+    near-dup) + the standing LSH-recall sanity (near must contain exact
+    for shingle-able docs) — operators/dedup.py:dedup_method_agreement,
+    over the shared memoized shingle/candidate relations."""
+    return dd.dedup_method_agreement(
+        _docs(spark, sf_dir),
+        _shingles(spark, sf_dir),
+        _lsh_candidates(spark, sf_dir),
+        JACCARD_THRESHOLD,
+    )
+
+
 def q_text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.quota_sample(_docs(spark, sf_dir))
 
@@ -940,6 +953,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "mm_wav_features": q_mm_wav_features,
         "text_dsir_weights": q_text_dsir_weights,
         "ann_truncated_recall": q_ann_truncated_recall,
+        "pipe_dedup_agreement": q_pipe_dedup_agreement,
         "text_zipf_fit": q_text_zipf_fit,
     }
 
@@ -2777,6 +2791,58 @@ def _pipeline_oracles_base() -> dict[str, str]:
                    ((round(regr_r2(ln(cnt), ln(rank)) * 10000)
                       / 10000) + 0.0) AS r2
             FROM r
+        """,
+        "pipe_dedup_agreement": f"""
+            WITH {_MINHASH_CTE},
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+              GROUP BY 1, 2
+            ),
+            jp AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN cnt ca ON ca.doc_id = doc_a
+              JOIN cnt cb ON cb.doc_id = doc_b
+              WHERE (round((i * 1.0 / (ca.n + cb.n - i)) * 10000)
+                       / 10000 + 0.0) >= {JACCARD_THRESHOLD}
+            ),
+            near AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM jp
+                UNION ALL SELECT doc_b FROM jp
+              )
+            ),
+            ex AS (
+              SELECT doc_id,
+                     count(*) OVER (PARTITION BY md5(text)) > 1 AS ef
+              FROM documents
+            ),
+            flags AS (
+              SELECT ex.ef, (near.doc_id IS NOT NULL) AS nf
+              FROM ex LEFT JOIN near USING (doc_id)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN ef THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_exact,
+                   CAST(sum(CASE WHEN nf THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_near,
+                   CAST(sum(CASE WHEN ef AND nf THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_both,
+                   CAST(sum(CASE WHEN ef AND NOT nf THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_only_exact,
+                   CAST(sum(CASE WHEN NOT ef AND nf THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_only_near,
+                   CAST(sum(CASE WHEN NOT ef AND NOT nf THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_neither,
+                   (round(((sum(CASE WHEN ef AND nf THEN 1 ELSE 0 END)
+                            + sum(CASE WHEN NOT ef AND NOT nf
+                                  THEN 1 ELSE 0 END)) * 1.0 / count(*))
+                      * 10000) / 10000 + 0.0) AS agreement
+            FROM flags
         """,
         "text_ngram_novelty": f"""
             WITH {_SHINGLES_CTE.strip()},
