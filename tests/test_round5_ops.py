@@ -472,3 +472,26 @@ def test_dedup_agreement_confusion_cells(spark):
         r["n_only_exact"], r["n_only_near"], r["n_neither"],
         r["agreement"],
     ) == (6, 4, 3, 2, 2, 1, 1, 0.5)
+
+
+def test_dedup_agreement_null_text_docs_kept(spark):
+    """NULL-text docs (the ingest path nulls malformed documents) must
+    stay in the universe and form ONE exact group — md5(NULL) is NULL
+    and a plain equi-join would silently drop them."""
+    from zipkin_storage_kafka_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=None),
+            Row(doc_id=2, text=None),
+            Row(doc_id=3, text=" ".join(f"w{i}" for i in range(10))),
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = dd.shingles_native(docs)
+    cand = dd.lsh_candidate_pairs(dd.minhash_buckets(sh))
+    r = dd.dedup_method_agreement(docs, sh, cand, 0.5).collect()[0]
+    assert r["n_docs"] == 3          # nothing dropped
+    assert r["n_exact"] == 2         # the two NULL docs are one group
+    assert r["n_near"] == 0
+    assert r["n_neither"] == 1

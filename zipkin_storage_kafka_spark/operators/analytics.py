@@ -863,14 +863,22 @@ def asof_attribution(
     )
 
 
-def _event_minute(ev: DataFrame) -> F.Column:
-    """THE minute-bucket expression for the events table: integer
-    division on exact epoch-micros (a double-rounded quotient can floor
-    to the wrong minute at epoch magnitudes) — shared by every minute
-    resampler so the bucketing can never drift between them."""
+def _with_event_minute(ev: DataFrame) -> DataFrame:
+    """events + ``m`` minute-bucket column via TRUE integer division on
+    exact epoch-micros (`div`, matching the oracles' `//`) — shared by
+    every minute resampler so the bucketing can never drift between
+    them.  The earlier float-divide-then-cast form truncated toward
+    zero (not floor) and rode a double quotient: wrong minute for any
+    pre-epoch timestamp and a rounding hazard at extreme magnitudes —
+    exactly the engine determinism rule ("integer div, not float /, on
+    epoch-micros") this helper exists to enforce."""
     from zipkin_storage_kafka_spark.sources.tables import to_epoch_micros
 
-    return (to_epoch_micros(ev, "ts") / F.lit(60_000_000)).cast("long")
+    return (
+        ev.withColumn("_us", to_epoch_micros(ev, "ts"))
+        .withColumn("m", F.expr("_us div 60000000"))
+        .drop("_us")
+    )
 
 
 def _minute_spine(
@@ -908,8 +916,10 @@ def minute_resample(
     )
 
     ev = load_table(spark, sf_dir, "events")
-    marked = ev.filter(F.col("event_type") == event).select(
-        _event_minute(ev).alias("m")
+    marked = (
+        _with_event_minute(ev)
+        .filter(F.col("event_type") == event)
+        .select("m")
     )
     counts = marked.groupBy("m").agg(F.count(F.lit(1)).alias("n_events"))
     bounds = marked.agg(
@@ -955,12 +965,19 @@ def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select("event_type", _event_minute(ev).alias("m"), "value")
-    obs = base.groupBy("event_type", "m").agg(
-        round4(F.avg("value")).alias("v")
+    base = _with_event_minute(ev).select("event_type", "m", "value")
+    # ONE fact-table pass: bounds and the type dim both derive from the
+    # already-aggregated tiny obs relation (the groupBy preserves every
+    # observed (type, minute)), and the lazy checkpoint stops the three
+    # consumers from each re-planning the scan+aggregate subtree — the
+    # same duplicated-upstream discipline as dsir_importance.
+    obs = (
+        base.groupBy("event_type", "m")
+        .agg(round4(F.avg("value")).alias("v"))
+        .localCheckpoint(eager=False)
     )
-    bounds = base.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
-    types = base.select("event_type").distinct()
+    bounds = obs.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    types = obs.select("event_type").distinct()
     spine = _minute_spine(bounds, keyed=types)
     # no broadcast hint on obs: it grows with (types x observed minutes)
     # — range-bounded but NOT small-bounded (525k rows/type-year), so

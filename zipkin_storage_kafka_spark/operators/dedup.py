@@ -652,7 +652,15 @@ def dedup_method_agreement(
     already-bounded candidate verify join, and a doc-keyed left join —
     no new quadratic surface; the output is one row.
     """
-    hashes = docs.select("doc_id", F.md5("text").alias("h"))
+    # NULL-text docs (the ingest path nulls out malformed documents)
+    # must form ONE exact group like the oracle's window-partition
+    # semantics — md5(NULL) is NULL and an equi-join would silently DROP
+    # those rows, undercounting n_docs.  The sentinel cannot collide
+    # with a real md5 (hex alphabet only).
+    hashes = docs.select(
+        "doc_id",
+        F.coalesce(F.md5("text"), F.lit("__null_text__")).alias("h"),
+    )
     grp = hashes.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
     exact = hashes.join(grp, "h").select(
         "doc_id", (F.col("_n") > 1).alias("ef")

@@ -1521,9 +1521,10 @@ def dsir_importance(
     # Fail fast on an absent target domain: with zero target docs every
     # bucket weight degenerates to NULL and the output silently reads
     # weight_micro=0 / avg_weight=NULL for every doc — garbage with no
-    # signal.  The probe is one limit(1)-short-circuited scan of the
-    # raw docs (NOT the exploded gram pipeline).
-    if docs.filter(F.col("source") == target_source).limit(1).count() == 0:
+    # signal.  isEmpty() evaluates partitions INCREMENTALLY (usually
+    # touching one) where limit(1).count() would launch a task on every
+    # partition.
+    if docs.filter(F.col("source") == target_source).isEmpty():
         raise ValueError(
             f"target_source={target_source!r} matches no documents — "
             "importance weights are undefined without a target sample"
