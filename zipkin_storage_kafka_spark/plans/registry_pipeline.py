@@ -1268,9 +1268,10 @@ def _pipeline_oracles_base() -> dict[str, str]:
               FROM t
             )
             SELECT lang, doc_id, n_tokens,
-                   e - n_tokens AS start_offset,
-                   (e - n_tokens) // {PACK_SEQ_LEN} AS first_seq,
-                   (e - 1) // {PACK_SEQ_LEN} AS last_seq
+                   CAST(e - n_tokens AS BIGINT) AS start_offset,
+                   CAST((e - n_tokens) // {PACK_SEQ_LEN} AS BIGINT)
+                     AS first_seq,
+                   CAST((e - 1) // {PACK_SEQ_LEN} AS BIGINT) AS last_seq
             FROM c
         """,
         "dedup_cluster_resolve": f"""
