@@ -191,8 +191,8 @@ def test_pq_adc_exact_on_codebook_aligned_corpus(spark):
         "vec_id bigint, embedding array<float>",
     )
     rows = pq_adc_topk(emb, 0, k_results=4, m=2, k=2).collect()
+    # the query vector itself is excluded (matching cosine_topk)
     assert [(r["vec_id"], r["adc_d2"]) for r in rows] == [
-        (0, 0.0),
         (2, 2.0),
         (3, 2.0),
         (1, 4.0),

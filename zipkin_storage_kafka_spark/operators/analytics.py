@@ -864,14 +864,15 @@ def asof_attribution(
 
 
 def _with_event_minute(ev: DataFrame) -> DataFrame:
-    """events + ``m`` minute-bucket column via TRUE integer division on
-    exact epoch-micros (`div`, matching the oracles' `//`) — shared by
-    every minute resampler so the bucketing can never drift between
-    them.  The earlier float-divide-then-cast form truncated toward
-    zero (not floor) and rode a double quotient: wrong minute for any
-    pre-epoch timestamp and a rounding hazard at extreme magnitudes —
-    exactly the engine determinism rule ("integer div, not float /, on
-    epoch-micros") this helper exists to enforce."""
+    """events + ``m`` minute-bucket column via integer division on exact
+    epoch-micros (`div`, matching the oracles' `//`) — shared by every
+    minute resampler so the bucketing can never drift between them.
+    Both Spark's `div` and DuckDB's `//` truncate toward zero, so the
+    two engines agree even for pre-epoch timestamps; the point of this
+    helper is eliminating the earlier DOUBLE-precision quotient, whose
+    rounding at extreme magnitudes could land in the wrong minute —
+    the engine determinism rule ("integer div, not float /, on
+    epoch-micros") exists for that, not for floor-vs-truncate."""
     from zipkin_storage_kafka_spark.sources.tables import to_epoch_micros
 
     return (

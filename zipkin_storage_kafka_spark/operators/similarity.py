@@ -788,10 +788,20 @@ def semantic_retention_curve(
         lower = np.tri(n, dtype=bool, k=-1).T  # True at [j, i] for j < i
         masked = np.where(lower, gram, -np.inf)
         mcos = masked.max(axis=0)
+        # no-lower-id-partner marker must be an UNAMBIGUOUS null: pandas
+        # nullable Float64 arrives in Spark as NULL, whereas a raw np.nan
+        # that survived to Spark would sort GREATER than every threshold
+        # (NaN > x) and count the vector as dropped at every t
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"],
-                "mcos": np.where(np.isfinite(mcos), mcos, np.nan),
+                "mcos": pd.array(
+                    [
+                        float(v) if np.isfinite(v) else None
+                        for v in mcos
+                    ],
+                    dtype="Float64",
+                ),
             }
         )
 
@@ -845,7 +855,10 @@ def pq_adc_topk(
     :func:`pq_encode`'s rounded argmin, so both engines assign identical
     codes.
 
-    Output: vec_id, adc_d2 — ``k_results`` rows ordered (adc_d2, vec_id).
+    Output: vec_id, adc_d2 — up to ``k_results`` rows ordered
+    (adc_d2, vec_id); the query vector itself is excluded, matching
+    :func:`cosine_topk`, so ANN rows compose (recall comparisons would
+    otherwise always burn one slot on the query's self-distance).
 
     Scale (100 TB): the LUT is m*k rows built from ONE broadcast-able
     query row and the tiny codebook — broadcast to the code table; the
@@ -871,6 +884,10 @@ def pq_adc_topk(
     codes = pq_encode(embeddings, m=m, k=k).select("vec_id", "m", "code")
     return (
         codes.join(F.broadcast(lut), ["m", "code"])
+        # exclude the query itself, matching cosine_topk — without this
+        # one of the k result slots is always the query's own (near-zero)
+        # self-distance, which skews any recall comparison built on top
+        .filter(F.col("vec_id") != query_vec_id)
         .groupBy("vec_id")
         .agg(round4(F.sum("_d")).alias("adc_d2"))
         .orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())

@@ -762,6 +762,22 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correctness-audit row for the Catalyst-fold SemDeDup flavor
+    (operators/similarity.py:semantic_dedup): identical semantics to
+    dedup_semantic but computed via the per-pair lambda-fold plan.  Both
+    registry serving rows moved to the vectorized arrow kernel in round
+    5, which left the fold flavor guarded only by local equivalence
+    tests — this row keeps the fold-vs-arrow equivalence EXTERNALLY
+    verified (same oracle as dedup_semantic), per ADVICE r05.  The
+    vectorized rows remain the 100 TB serving path; this one exists to
+    be checked, not to be fast."""
+    centroids, assign = _ivf_index(spark, sf_dir)
+    return sim.semantic_dedup(
+        _emb(spark, sf_dir), centroids=centroids, assign=assign
+    )
+
+
 def q_dedup_semantic_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the paper's diversity-keeping policy: within each
     near-dup relation the member LEAST similar to its cell centroid
@@ -955,6 +971,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "ann_truncated_recall": q_ann_truncated_recall,
         "pipe_dedup_agreement": q_pipe_dedup_agreement,
         "text_zipf_fit": q_text_zipf_fit,
+        "dedup_semantic_fold": q_dedup_semantic_fold,
     }
 
 
@@ -963,6 +980,10 @@ def pipeline_oracles() -> dict[str, str]:
     # Both CC flavors share one output contract; checking them against the
     # SAME independent recursive-CTE derivation is the point.
     oracles["dedup_cluster_star"] = oracles["dedup_cluster_resolve"]
+    # Fold-flavor SemDeDup audit row: same semantics, same independent
+    # oracle as the vectorized serving row (ADVICE r05 — keeps the
+    # fold-vs-arrow equivalence externally verified).
+    oracles["dedup_semantic_fold"] = oracles["dedup_semantic"]
     return oracles
 
 
@@ -2527,6 +2548,7 @@ def _pipeline_oracles_base() -> dict[str, str]:
             SELECT vec_id,
                    (round(sum(ld) * 10000) / 10000 + 0.0) AS adc_d2
             FROM codes JOIN lut USING (m, code)
+            WHERE vec_id != {ANN_QUERY_VEC}
             GROUP BY vec_id
             ORDER BY adc_d2, vec_id
             LIMIT 10
