@@ -649,3 +649,29 @@ def test_curriculum_order_no_global_window(spark, sf_dir):
     assert window_lines, "plan should contain Window detail lines"
     bad = [l for l in window_lines if l.count("], [") < 2]
     assert not bad, bad
+
+
+def test_links_bucketed_store_read_no_join_exchange(spark, sf_dir):
+    """The store-read J1 row (j1_links_bucketed) must serve from the
+    bucketed layout: both join sides scan the bucketed table
+    (Bucketed: true x2), the join is a SortMergeJoin with ZERO Exchange
+    below it, and the plan's ONLY Exchange is the final (parent, child)
+    counter merge — the write layout absorbs the pipeline's largest
+    shuffle (VERDICT r05 next-round #2)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["j1_links_bucketed"](spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    # formatted explain lists each node once in the tree and once in the
+    # details; count unique node ids instead of raw mentions
+    exchange_nodes = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(exchange_nodes) == 1, plan
+    # and that one exchange is the counter-merge hash partitioning, not a
+    # pre-join one: it must sit ABOVE the SortMergeJoin in the tree
+    tree = plan.split("(1) ")[0]
+    smj_at = tree.find("SortMergeJoin")
+    ex_at = tree.find("Exchange")
+    assert 0 <= ex_at < smj_at, tree
