@@ -916,6 +916,20 @@ def q_stream_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error_windows_via_stream(spark, sf_dir)
 
 
+def q_stream_trace_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7/A3 driver row: the trace-storage upsert store
+    (TraceStorageTopology.java:96-126) run to completion via
+    applyInPandasWithState keyed state, serving the final store state —
+    the whole-trace aggregation that, unlike w1's session windows,
+    accepts late fragments forever
+    (streaming.jobs.trace_upsert_via_stream)."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        trace_upsert_via_stream,
+    )
+
+    return trace_upsert_via_stream(spark, sf_dir)
+
+
 def q_stream_autocomplete_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4/A6 driver row: the autocomplete-tags store (both whitelisted
     keys, exploded rowwise before the one streaming set-agg) via the
@@ -980,6 +994,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_slo_burn": q_slo_burn,
         "w6_stream_error_windows": q_stream_error_windows,
         "j1_links_bucketed": q_links_bucketed,
+        "w7_stream_trace_upsert": q_stream_trace_upsert,
     }
 
 
@@ -1011,6 +1026,20 @@ def zipkin_oracles() -> dict[str, str]:
         FROM spans
         WHERE local_service IS NOT NULL
         GROUP BY local_service, timestamp // 60000000
+        """
+    )
+    # W7 upsert store: the final state is the NO-watermark whole-trace
+    # aggregation (distinct span ids, min timestamp) — deliberately NOT
+    # the session oracle; appending late fragments forever is what
+    # distinguishes the storage topology from the aggregation one.
+    oracles["w7_stream_trace_upsert"] = with_spans_cte(
+        """
+        SELECT trace_id,
+               string_agg(DISTINCT id, ',' ORDER BY id) AS span_ids,
+               CAST(count(DISTINCT id) AS BIGINT) AS span_count,
+               min(timestamp) AS trace_timestamp
+        FROM spans
+        GROUP BY trace_id
         """
     )
     return oracles

@@ -986,6 +986,80 @@ def dependency_windows_via_stream(
     )
 
 
+def trace_upsert_via_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = DEFAULT_TRACE_TIMEOUT,
+) -> DataFrame:
+    """W7/A3 driver row: the trace-storage UPSERT topology
+    (TraceStorageTopology.java:96-126; engine streaming/stateful.py:
+    trace_upsert_stream) run to completion over the staged span corpus,
+    serving the FINAL store state — the last reference topology surface
+    without an oracle-checked driver row (VERDICT r05 next-round #4).
+
+    Unlike w1's session aggregation, the upsert store appends late
+    fragments FOREVER (the W5 split's storage side): per-trace keyed
+    state via applyInPandasWithState, update output mode, epoch-keyed
+    idempotent parquet sink.  The final state per trace is therefore the
+    WHOLE-trace aggregation with no watermark — which is exactly the
+    oracle (per-trace distinct span ids + min timestamp), and exactly
+    what distinguishes this row from w1's gaps-and-islands session
+    oracle.
+
+    TTL is disabled for the bounded run (a pending processing-time
+    timeout keeps availableNow scheduling state-cleanup batches forever);
+    the 1-day retention eviction itself is pytest-covered
+    (tests/test_stateful_upsert.py).
+
+    Output: trace_id, span_ids (comma-joined SORTED distinct ids — state
+    order is arrival order, sorted at read-back so the value hash is
+    deterministic), span_count, trace_timestamp.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from zipkin_storage_kafka_spark.streaming.stateful import (
+        trace_upsert_stream,
+    )
+
+    def run(stream: DataFrame, work: str, ckpt: str) -> str:
+        out = os.path.join(work, "upsert")
+        upserts = trace_upsert_stream(stream, ttl=False)
+
+        def emit(batch: DataFrame, epoch_id: int) -> None:
+            batch.write.mode("overwrite").parquet(
+                os.path.join(out, f"epoch={epoch_id}")
+            )
+
+        q = (
+            upserts.writeStream.outputMode("update")
+            .foreachBatch(emit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    raw = _staged_stream_run(spark, sf_dir, gap, "w7", run)
+    # the store's CURRENT value per key = the row from the latest batch
+    # that touched the trace (update mode emits one row per touch)
+    w = Window.partitionBy("trace_id").orderBy(
+        F.col("last_updated_batch_count").desc()
+    )
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "trace_id",
+            F.array_join(F.array_sort("span_ids"), ",").alias("span_ids"),
+            "span_count",
+            "trace_timestamp",
+        )
+    )
+
+
 def _touch_tree(path: str, t: int) -> None:
     """Pin mtimes recursively so the file stream replays stage A's output
     in a deterministic order before the sentinel batches."""
