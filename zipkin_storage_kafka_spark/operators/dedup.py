@@ -691,3 +691,86 @@ def dedup_method_agreement(
             (F.col("n_both") + F.col("n_neither")) / F.col("n_docs")
         ).alias("agreement"),
     )
+
+
+def build_dedup_index(
+    docs: DataFrame, n: int = NGRAM, bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """The persisted dedup index of a corpus: one (doc_id, kind, key) row
+    per probe key — ``kind='h'`` with the md5 content hash, plus
+    ``kind='b<band>'`` with each LSH band bucket
+    (:func:`minhash_buckets_rowwise`, so the whole index is a rowwise
+    projection: ZERO shuffle to build, ~5 rows x 33 bytes per doc).
+
+    This is the batch half of the registry the streaming LSH job keeps
+    (streaming/jobs.py:streaming_lsh_bucket_registry): persist this
+    table once per snapshot and every later ingest probes it without
+    ever rescanning old document BODIES — the index is ~1e-4 of corpus
+    bytes at 100 TB.  NULL-text docs contribute no keys (nothing can
+    match them; they are still classified by the prober's left join).
+    """
+    h = docs.select(
+        "doc_id", F.lit("h").alias("kind"), F.md5("text").alias("key")
+    )
+    bb = minhash_buckets_rowwise(docs, n, bands, rows).select(
+        "doc_id",
+        F.concat(F.lit("b"), F.col("b").cast("string")).alias("kind"),
+        F.col("bucket").alias("key"),
+    )
+    return h.unionByName(bb).filter(F.col("key").isNotNull())
+
+
+def incremental_dedup(index: DataFrame, new_docs: DataFrame,
+                      n: int = NGRAM, bands: int = BANDS,
+                      rows: int = ROWS_PER_BAND) -> DataFrame:
+    """Incremental-corpus dedup: classify every NEW-snapshot document
+    against the persisted index of the existing corpus
+    (:func:`build_dedup_index`) — the 100 TB ingest workflow where the
+    old corpus is never rescanned: only its index columns (content
+    hashes + LSH band buckets) participate.
+
+    Status per new doc:
+    - ``exact_dup``  — its md5 matches an old doc's content hash;
+    - ``near_dup``   — no exact match, but >= 1 LSH band bucket collides
+                       with an old doc (the same candidate rule as
+                       :func:`lsh_candidate_pairs`);
+    - ``new``        — no probe key matches (including NULL-text docs,
+                       which have no keys).
+
+    ``matched_old_id`` = the smallest matching old doc_id (exact match
+    preferred over near).  Columns: doc_id, status, matched_old_id.
+
+    Plan: the new side builds the SAME (kind, key) probe rows rowwise,
+    then ONE equi-join on (kind, key) against the index covers exact and
+    near in a single pass — shuffle volume is bounded by probe-key
+    multiplicity exactly like the LSH bucket join, never all-pairs, and
+    the final classification is a doc_id-keyed partial agg + left join
+    back to the snapshot universe.
+    """
+    probes = build_dedup_index(new_docs, n, bands, rows)
+    hits = probes.join(
+        index.select(
+            F.col("doc_id").alias("old_id"), "kind", "key"
+        ),
+        ["kind", "key"],
+    )
+    agg = hits.groupBy("doc_id").agg(
+        F.max((F.col("kind") == "h").cast("int")).alias("_exact"),
+        F.min(F.when(F.col("kind") == "h", F.col("old_id"))).alias(
+            "_exact_id"
+        ),
+        F.min(F.when(F.col("kind") != "h", F.col("old_id"))).alias(
+            "_near_id"
+        ),
+    )
+    return new_docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("_exact") == 1, F.lit("exact_dup"))
+        .when(F.col("_near_id").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        F.when(F.col("_exact") == 1, F.col("_exact_id"))
+        .otherwise(F.col("_near_id"))
+        .alias("matched_old_id"),
+    )

@@ -72,6 +72,30 @@ cand AS (
 """
 )
 
+def _bucket_cte_sql(src: str, pfx: str) -> str:
+    """LSH band-bucket CTEs (same hash family as _MINHASH_CTE) over an
+    arbitrary source CTE — shared by the incremental-dedup oracle, which
+    needs the band math on BOTH snapshot sides."""
+    return f"""
+{pfx}w AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
+{pfx}sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM {pfx}w, unnest(generate_series(1, len(w) - 2)) t(i)
+),
+{pfx}mh AS (
+  SELECT doc_id, b, r,
+         min(md5(CAST(b AS VARCHAR) || '_' || CAST(r AS VARCHAR)
+                 || ':' || sh)) AS m
+  FROM {pfx}sh, unnest(generate_series(0, 3)) bb(b),
+       unnest(generate_series(0, 1)) rr(r)
+  GROUP BY doc_id, b, r
+),
+{pfx}buck AS (
+  SELECT doc_id, b, md5(string_agg(m, '|' ORDER BY r)) AS bucket
+  FROM {pfx}mh GROUP BY doc_id, b
+)"""
+
+
 _EMB_BUCKET_SQL_8 = " || ".join(
     f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 9)
 )
@@ -735,6 +759,30 @@ def q_pipe_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.corpus_diff(docs, new.unionByName(added))
 
 
+def q_pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-corpus dedup (operators/dedup.py:incremental_dedup):
+    a derived new snapshot probed against the persisted index of the
+    existing corpus — exact hashes + LSH band buckets in ONE (kind, key)
+    equi-join, old document bodies never rescanned.  The snapshot
+    derivation is deterministic so both engines classify the same docs:
+    doc_id%5==0 re-ingested verbatim under a new id (exact_dup),
+    %5==1 lightly edited (near_dup when LSH band minima survive the
+    edit — both engines compute the identical band math), %5==2 replaced
+    by fresh md5-derived text (new)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 < 3)
+    new = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .when(
+            F.col("doc_id") % 5 == 1, F.concat("text", F.lit(" extra"))
+        )
+        .otherwise(F.concat(F.lit("fresh doc "), F.md5("text")))
+        .alias("text"),
+    )
+    return dd.incremental_dedup(dd.build_dedup_index(docs), new)
+
+
 def q_text_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.curriculum_order(_docs(spark, sf_dir))
 
@@ -972,6 +1020,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "pipe_dedup_agreement": q_pipe_dedup_agreement,
         "text_zipf_fit": q_text_zipf_fit,
         "dedup_semantic_fold": q_dedup_semantic_fold,
+        "pipe_incremental_dedup": q_pipe_incremental_dedup,
     }
 
 
@@ -984,6 +1033,47 @@ def pipeline_oracles() -> dict[str, str]:
     # oracle as the vectorized serving row (ADVICE r05 — keeps the
     # fold-vs-arrow equivalence externally verified).
     oracles["dedup_semantic_fold"] = oracles["dedup_semantic"]
+    oracles["pipe_incremental_dedup"] = f"""
+        WITH old_docs AS (SELECT doc_id, text FROM documents),
+        new_docs AS (
+          SELECT doc_id + 2000000 AS doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN text
+                      WHEN doc_id % 5 = 1 THEN text || ' extra'
+                      ELSE 'fresh doc ' || md5(text) END AS text
+          FROM documents WHERE doc_id % 5 < 3
+        ),
+        {_bucket_cte_sql("old_docs", "o")},
+        {_bucket_cte_sql("new_docs", "n")},
+        oidx AS (
+          SELECT doc_id, 'h' AS kind, md5(text) AS key FROM old_docs
+          UNION ALL
+          SELECT doc_id, 'b' || CAST(b AS VARCHAR), bucket FROM obuck
+        ),
+        nidx AS (
+          SELECT doc_id, 'h' AS kind, md5(text) AS key FROM new_docs
+          UNION ALL
+          SELECT doc_id, 'b' || CAST(b AS VARCHAR), bucket FROM nbuck
+        ),
+        hits AS (
+          SELECT n.doc_id, n.kind, o.doc_id AS old_id
+          FROM nidx n JOIN oidx o ON n.kind = o.kind AND n.key = o.key
+          WHERE n.key IS NOT NULL
+        ),
+        agg AS (
+          SELECT doc_id,
+                 max(CASE WHEN kind = 'h' THEN 1 ELSE 0 END) AS ex,
+                 min(CASE WHEN kind = 'h' THEN old_id END) AS exid,
+                 min(CASE WHEN kind != 'h' THEN old_id END) AS nearid
+          FROM hits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN a.ex = 1 THEN 'exact_dup'
+                    WHEN a.nearid IS NOT NULL THEN 'near_dup'
+                    ELSE 'new' END AS status,
+               CASE WHEN a.ex = 1 THEN a.exid
+                    ELSE a.nearid END AS matched_old_id
+        FROM new_docs d LEFT JOIN agg a USING (doc_id)
+    """
     return oracles
 
 
