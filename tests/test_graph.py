@@ -201,6 +201,15 @@ def test_star_cc_equals_propagation_on_fixture_graphs(spark):
         # component ids are the true minima
         for doc, comp in star.items():
             assert comp <= doc, name
+        # both m(u) implementations (window single-exchange default vs
+        # AQE-splittable groupBy+join) are interchangeable
+        join_impl = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components_star(
+                pairs, min_impl="join"
+            ).collect()
+        }
+        assert join_impl == star, name
 
 
 def test_star_cc_equals_propagation_on_lsh_candidates(spark, sf_dir):

@@ -384,7 +384,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
 
 
 def connected_components_star(
-    pairs: DataFrame, max_iters: int = 20
+    pairs: DataFrame, max_iters: int = 20, min_impl: str = "window"
 ) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris et
     al., "Connected Components in MapReduce and Beyond", SoCC 2014) — the
@@ -406,19 +406,38 @@ def connected_components_star(
     Termination reads TWO scalars per round (edge count + label-sum
     fingerprint), never rows; lineage is truncated per round with
     localCheckpoint exactly as in :func:`connected_components`.
+
+    ``min_impl`` picks how m(u) = min(N(u) + {u}) is computed per phase
+    (both are test-pinned equivalent; VERDICT r05 next-round #3):
+
+    - ``"window"`` (default): ``min(dst) OVER (PARTITION BY src)`` — ONE
+      exchange per phase instead of the groupBy + join-back's two
+      (measured 2x end-to-end at sf0.1, where round constants dominate).
+      The skew surface is unchanged vs the join formulation's probe side
+      (a hub's adjacency rows land in one src partition either way), but
+      a window partition cannot be split by AQE.
+    - ``"join"``: partial-agg min + join back — the formulation AQE can
+      rescue on PATHOLOGICAL hub graphs (the mins side is one row per
+      src, so a skewed probe partition is splittable).  Large-star
+      itself shrinks max degree every round, so this matters only for
+      extreme first-round hubs (say degree >~ rows-per-partition).
     """
-    nodes = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # node universe from the CHECKPOINTED symmetric edges (every pair node
+    # appears as a src), never from `pairs`: a second reference to the raw
+    # pair relation re-evaluates the whole upstream candidate+verify DAG —
+    # measured 9.4 s of the query's 18.6 s at sf1, the real cost VERDICT
+    # r05 item #3 attributed to the per-round distinct
+    nodes = (
+        edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -433,13 +452,19 @@ def connected_components_star(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
 
-    def _mins(e: DataFrame) -> DataFrame:
-        # m(u) = min(N(u) + {u}): one partial-agg shuffle keyed on src
-        return (
-            e.groupBy("src")
+    def _with_min(s: DataFrame) -> DataFrame:
+        # every row of s + its src's m(u) = min(N(u) + {u})
+        if min_impl == "window":
+            w = Window.partitionBy("src")
+            return s.withColumn(
+                "_m", F.least(F.col("src"), F.min("dst").over(w))
+            )
+        mins = (
+            s.groupBy("src")
             .agg(F.min("dst").alias("_m"))
             .select("src", F.least("src", F.col("_m")).alias("_m"))
         )
+        return s.join(mins, "src")
 
     def _large_star(e: DataFrame) -> DataFrame:
         # connect every strictly-larger neighbor to m(u).  No distinct
@@ -447,9 +472,8 @@ def connected_components_star(
         # edge) and the small-star distinct dedups once per round — one
         # exchange saved per round, measured ~15% off the fixpoint at sf1
         # with identical output (equivalence suite unchanged).
-        s = _sym(e)
         return (
-            s.join(_mins(s), "src")
+            _with_min(_sym(e))
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
@@ -457,8 +481,7 @@ def connected_components_star(
 
     def _small_star(e: DataFrame) -> DataFrame:
         # connect u and every smaller-or-equal neighbor to m(u)
-        s = _sym(e)
-        j = s.join(_mins(s), "src")
+        j = _with_min(_sym(e))
         smaller = j.filter(F.col("dst") <= F.col("src")).select(
             F.col("dst").alias("src"), F.col("_m").alias("dst")
         )
