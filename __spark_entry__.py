@@ -68,33 +68,31 @@ _PINNED_ZIPKIN_CORE = (
     "f5_proto_roundtrip",
 )
 
-# Round-5 rotation: 19 first-time keys (VERDICT r04 next-round #1).  The
-# five streaming rows complete the reference's three-topology surface
-# (SpanAggregationTopology / DependencyStorageTopology /
-# TraceStorageTopology) under the driver's oracle; the rest are the
-# round-4 operators (SemDeDup both policies, star CC, substring dedup,
-# BMP/WAV codecs, HLL, concurrency sweeps, covariance, curriculum,
-# corpus audit/diff).
+# Round-6 rotation: 19 first-time keys (VERDICT r05 next-round #1).  The
+# 14 round-5 operators first (new code jumps the queue per ROTATION.md),
+# then this round's four additions (the bucketed store-read J1, the W7
+# upsert-store topology row, incremental-corpus dedup, and the
+# fold-flavor SemDeDup audit row), then the queue head.
 _ROTATION = (
-    "w2_stream_dedup",
-    "w3_stream_links",
-    "w4_stream_span_names",
-    "w4_stream_remote_services",
-    "w5_stream_dependency_windows",
-    "dedup_semantic",
-    "dedup_semantic_diverse",
-    "dedup_cluster_star",
-    "dedup_substring",
-    "mm_bmp_roundtrip",
-    "mm_bmp_resize",
-    "mm_wav_roundtrip",
-    "z_hll_service_traces",
-    "z_trace_concurrency",
-    "z_window_active_spans",
-    "emb_covariance",
-    "text_curriculum_order",
-    "pipe_alignment_audit",
-    "pipe_corpus_diff",
+    "w4_stream_autocomplete_tags",
+    "z_slo_burn",
+    "dedup_semantic_curve",
+    "ann_pq_adc",
+    "text_gopher_rules",
+    "text_ngram_novelty",
+    "mm_phash_neardup",
+    "mm_wav_features",
+    "text_dsir_weights",
+    "w6_stream_error_windows",
+    "ann_truncated_recall",
+    "text_zipf_fit",
+    "ev_locf_fill",
+    "pipe_dedup_agreement",
+    "j1_links_bucketed",
+    "w7_stream_trace_upsert",
+    "pipe_incremental_dedup",
+    "dedup_semantic_fold",
+    "a9_setops_service_names",
 )
 
 _FIRST50 = _PINNED_ZIPKIN_CORE + _ROTATION
