@@ -119,3 +119,99 @@ def test_incremental_dedup_matches_full_lsh_candidates(spark):
     }
     assert near <= cross
     assert near.isdisjoint(exact)
+
+
+def test_bloom_prefilter_no_false_negatives_and_fp_audit(spark):
+    """Bloom semantics pinned: an exact re-ingest can NEVER be screened
+    out (no false negatives — every one of its k bits was set by the
+    original), a fresh doc with disjoint bits passes as new, and the
+    false_positive column is exactly maybe_dup AND NOT is_dup."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.dedup import bloom_prefilter
+
+    old = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=2, text="zeta eta theta iota kappa"),
+        ],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=11, text="alpha beta gamma delta epsilon"),  # dup
+            Row(doc_id=12, text="completely unrelated fresh words here"),
+            Row(doc_id=13, text=None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["maybe_dup"], r["is_dup"], r["false_positive"])
+        for r in bloom_prefilter(old, new).collect()
+    }
+    assert out[11] == (True, True, False)   # no false negatives, period
+    assert out[13] == (False, False, False)  # NULL text -> new
+    # doc 12: is_dup must be False; maybe_dup is whatever the hash says
+    # (deterministic), and false_positive must equal maybe_dup then
+    md, isd, fp = out[12]
+    assert isd is False and fp == md
+
+
+def test_containment_asymmetric_fixture(spark):
+    """A small doc fully contained in a big doc: containment_ab = 1.0
+    while Jaccard is far below the near-dup threshold — the case this
+    measure exists for."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingles_native,
+    )
+
+    small = "the quick brown fox jumps"
+    big = (
+        small + " over the lazy dog while seventeen other animals watch "
+        "from the fence and discuss the weather at considerable length"
+    )
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=small), Row(doc_id=2, text=big)],
+        "doc_id bigint, text string",
+    )
+    sh = shingles_native(docs)
+    cand = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2, n_bands=1)],
+        "doc_a bigint, doc_b bigint, n_bands bigint",
+    )
+    c = containment_pairs(sh, cand).collect()[0]
+    assert c["containment_ab"] == 1.0
+    assert c["containment_ba"] < 0.2
+    j = jaccard_pairs(sh, cand).collect()[0]
+    assert j["jaccard"] == c["containment_ba"]  # |A n B| = |A| here
+
+
+def test_stream_lsh_registry_echoes_claim_nothing(spark):
+    """The streaming registry's final state must equal the batch distinct
+    band-bucket set: echo duplicates (batch two) may not add rows."""
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        minhash_buckets_rowwise,
+    )
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        lsh_registry_via_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["b"], r["bucket"])
+        for r in lsh_registry_via_stream(spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    want = {
+        (r["b"], r["bucket"])
+        for r in minhash_buckets_rowwise(docs)
+        .select("b", "bucket")
+        .distinct()
+        .collect()
+    }
+    assert got == want

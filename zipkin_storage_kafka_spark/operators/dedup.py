@@ -797,3 +797,149 @@ def incremental_dedup(index: DataFrame, new_docs: DataFrame,
         .otherwise(F.col("_near_id"))
         .alias("matched_old_id"),
     )
+
+
+BLOOM_BITS = 65536
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(col: F.Column, k: int = BLOOM_HASHES,
+                     m: int = BLOOM_BITS) -> F.Column:
+    """Array of the ``k`` bloom bit positions for a text value: position j
+    is the first 8 hex chars of md5("<j>:" || text) mod m — the engine's
+    standard portable hex->int hash (DuckDB twin:
+    ('0x' || substr(md5(...), 1, 8))::BIGINT % m)."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_prefilter(old_docs: DataFrame, new_docs: DataFrame,
+                    k: int = BLOOM_HASHES, m: int = BLOOM_BITS) -> DataFrame:
+    """Bloom-filter membership pre-screen for incremental ingest — the
+    probabilistic fast path in front of :func:`incremental_dedup`'s exact
+    probe: a new doc whose ``k`` bloom bits are NOT all set in the old
+    corpus's filter is DEFINITELY new (no false negatives), so only the
+    maybe-dup minority pays the exact index join.
+
+    The filter is represented as the distinct SET-BIT relation (<= ``m``
+    rows, i.e. <= 64k rows at the defaults — always broadcast-able, the
+    whole point: at 100 TB the "filter" the probe join ships is KBs, not
+    an index).  Membership = every probe bit present, checked as a
+    broadcast semi-ish join + per-doc counting, never a bitmap UDF.
+
+    Output per new doc: doc_id, maybe_dup, is_dup (exact md5 truth),
+    false_positive (= maybe_dup AND NOT is_dup — the measurable FP rate
+    that sizes m/k for a deployment).
+
+    Plan: old side contributes ONLY bit positions and content hashes;
+    probes are a rowwise k-array explode; ONE broadcast join on the bit
+    id + one doc_id partial agg + one hash semi-join.  NULL-text docs
+    have no probe bits and classify (maybe_dup=false, is_dup=false).
+    """
+    old_bits = (
+        old_docs.filter(F.col("text").isNotNull())
+        .select(F.explode(_bloom_positions(F.col("text"), k, m)).alias("bit"))
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    probes = (
+        new_docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_bloom_positions(F.col("text"), k, m))
+            ).alias("bit"),
+        )
+    )
+    checked = probes.join(F.broadcast(old_bits), "bit", "left").groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.coalesce(F.col("_set"), F.lit(0))).alias("_hit"),
+    )
+    old_hashes = (
+        old_docs.filter(F.col("text").isNotNull())
+        .select(F.md5("text").alias("_h"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        new_docs.select("doc_id", F.md5("text").alias("_h"))
+        .join(checked, "doc_id", "left")
+        .join(old_hashes, "_h", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n") == F.col("_hit"), F.lit(False)).alias(
+                "maybe_dup"
+            ),
+            F.col("_dup").isNotNull().alias("is_dup"),
+            (
+                F.coalesce(F.col("_n") == F.col("_hit"), F.lit(False))
+                & F.col("_dup").isNull()
+            ).alias("false_positive"),
+        )
+    )
+
+
+def containment_pairs(
+    sh: DataFrame, candidates: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT for LSH candidate pairs:
+    C(A in B) = |A n B| / |A| and C(B in A) = |A n B| / |B| — the
+    near-dup measure Jaccard misses when a small document is embedded in
+    a much larger one (quote farms, aggregator pages): J(A,B) is tiny
+    but C(A in B) ~ 1 (Broder 1997's containment, the companion measure
+    to resemblance).
+
+    Columns: doc_a, doc_b, containment_ab, containment_ba (round4);
+    ``threshold`` filters on max(containment) when > 0.
+
+    Scale: identical join skeleton to :func:`jaccard_pairs` — the
+    intersection runs ONLY on the LSH-bounded candidate set, per-doc
+    sizes are a broadcastable side computed once, no new quadratic
+    surface.
+    """
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = (
+        candidates.select("doc_a", "doc_b")
+        .join(a, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    out = (
+        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            round4(F.col("i") / F.col("ca.n")).alias("containment_ab"),
+            round4(F.col("i") / F.col("cb.n")).alias("containment_ba"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(
+            F.greatest("containment_ab", "containment_ba") >= threshold
+        )
+    return out

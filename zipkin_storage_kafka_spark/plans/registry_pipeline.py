@@ -783,6 +783,48 @@ def q_pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_dedup(dd.build_dedup_index(docs), new)
 
 
+def q_pipe_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership pre-screen for incremental ingest
+    (operators/dedup.py:bloom_prefilter): the old corpus's set-bit
+    relation (<= 64k rows, broadcast) screens a derived new snapshot;
+    exact md5 truth rides along so the row also MEASURES the false-
+    positive rate that sizes (m, k).  Snapshot: %3==0 verbatim re-ingest
+    (dup, bloom must hit), %3==1 light edit, %3==2 fresh text."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = docs.select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(F.col("doc_id") % 3 == 1, F.concat("text", F.lit(" alt")))
+        .otherwise(F.concat(F.lit("fresh doc "), F.md5("text")))
+        .alias("text"),
+    )
+    return dd.bloom_prefilter(docs, new)
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment over the LSH candidate set
+    (operators/dedup.py:containment_pairs) — catches small-doc-inside-
+    big-doc near-dups whose Jaccard is tiny (Broder 1997's containment
+    companion to resemblance); same bounded join skeleton as the Jaccard
+    verifier."""
+    return dd.containment_pairs(
+        _shingles(spark, sf_dir), _lsh_candidates(spark, sf_dir)
+    )
+
+
+def q_stream_lsh_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 driver row: the streaming LSH band-bucket registry (the
+    streaming half of the incremental-dedup index) run to completion
+    over a duplicate-echo document stream; the final first-owner
+    registry SET equals the batch distinct band buckets — echoes must
+    claim nothing (streaming.jobs.lsh_registry_via_stream)."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        lsh_registry_via_stream,
+    )
+
+    return lsh_registry_via_stream(spark, sf_dir)
+
+
 def q_text_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.curriculum_order(_docs(spark, sf_dir))
 
@@ -1021,6 +1063,9 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_zipf_fit": q_text_zipf_fit,
         "dedup_semantic_fold": q_dedup_semantic_fold,
         "pipe_incremental_dedup": q_pipe_incremental_dedup,
+        "pipe_bloom_prefilter": q_pipe_bloom_prefilter,
+        "dedup_containment": q_dedup_containment,
+        "w8_stream_lsh_registry": q_stream_lsh_registry,
     }
 
 
@@ -1073,6 +1118,71 @@ def pipeline_oracles() -> dict[str, str]:
                CASE WHEN a.ex = 1 THEN a.exid
                     ELSE a.nearid END AS matched_old_id
         FROM new_docs d LEFT JOIN agg a USING (doc_id)
+    """
+    oracles["pipe_bloom_prefilter"] = f"""
+        WITH new_docs AS (
+          SELECT doc_id + 3000000 AS doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN text
+                      WHEN doc_id % 3 = 1 THEN text || ' alt'
+                      ELSE 'fresh doc ' || md5(text) END AS text
+          FROM documents
+        ),
+        old_bits AS (
+          SELECT DISTINCT
+            ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || text), 1, 8))
+              ::BIGINT % {dd.BLOOM_BITS} AS bit
+          FROM documents, unnest(generate_series(0, {dd.BLOOM_HASHES - 1})) t(j)
+          WHERE text IS NOT NULL
+        ),
+        probes AS (
+          SELECT DISTINCT doc_id,
+            ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || text), 1, 8))
+              ::BIGINT % {dd.BLOOM_BITS} AS bit
+          FROM new_docs, unnest(generate_series(0, {dd.BLOOM_HASHES - 1})) t(j)
+          WHERE text IS NOT NULL
+        ),
+        checked AS (
+          SELECT p.doc_id, count(*) AS n,
+                 sum(CASE WHEN ob.bit IS NOT NULL THEN 1 ELSE 0 END) AS hit
+          FROM probes p LEFT JOIN old_bits ob USING (bit)
+          GROUP BY 1
+        ),
+        old_hashes AS (
+          SELECT DISTINCT md5(text) AS h FROM documents
+          WHERE text IS NOT NULL
+        )
+        SELECT d.doc_id,
+               coalesce(c.n = c.hit, FALSE) AS maybe_dup,
+               coalesce(md5(d.text) IN (SELECT h FROM old_hashes), FALSE)
+                 AS is_dup,
+               (coalesce(c.n = c.hit, FALSE)
+                AND NOT coalesce(
+                      md5(d.text) IN (SELECT h FROM old_hashes), FALSE))
+                 AS false_positive
+        FROM new_docs d LEFT JOIN checked c USING (doc_id)
+    """
+    oracles["dedup_containment"] = f"""
+        WITH {_MINHASH_CTE},
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b2 ON b2.doc_id = c.doc_b AND b2.sh = a.sh
+          GROUP BY 1, 2
+        ),
+        n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        SELECT i.doc_a, i.doc_b,
+               (round((i.i * 1.0 / na.n) * 10000) / 10000 + 0.0)
+                 AS containment_ab,
+               (round((i.i * 1.0 / nb.n) * 10000) / 10000 + 0.0)
+                 AS containment_ba
+        FROM inter i
+        JOIN n na ON na.doc_id = i.doc_a
+        JOIN n nb ON nb.doc_id = i.doc_b
+    """
+    oracles["w8_stream_lsh_registry"] = f"""
+        WITH {_bucket_cte_sql("documents", "o")}
+        SELECT DISTINCT b, bucket FROM obuck
     """
     return oracles
 

@@ -1165,3 +1165,92 @@ def deduped_docs_via_stream(
 
     _STREAM_SINK_MEMO[memo_key] = out_dir
     return spark.read.parquet(out_dir)
+
+
+def lsh_registry_via_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    dup_every: int = 5,
+) -> DataFrame:
+    """W8 driver row: the streaming LSH band-bucket REGISTRY
+    (:func:`streaming_lsh_bucket_registry` — the streaming half of the
+    incremental-dedup index whose batch half is
+    operators/dedup.py:build_dedup_index) run to completion over a staged
+    document stream, serving the final registry state.
+
+    Input choreography mirrors w2: the corpus as micro-batch one, then an
+    echo of every ``dup_every``-th document (same text, new id, one
+    minute later) as micro-batch two.  Echoes share every band bucket
+    with their originals, so a correct first-owner registry admits ZERO
+    rows for them — if dropDuplicatesWithinWatermark state broke, the
+    echo batch would re-emit its buckets and the row count/hash would
+    diverge from the oracle.
+
+    Output contract is order-invariant on purpose: (b, bucket) only.
+    WHICH doc owns a bucket depends on partition order inside micro-batch
+    one (every corpus doc arrives together), so owner ids would be
+    nondeterministic — the registry SET is not.  The 30-day watermark
+    exceeds the synthetic event-time span, so nothing evicts mid-run;
+    bounded-state eviction is pinned by the pytest streaming suite.
+    """
+    import os
+    import tempfile
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(docs_path)
+    memo_key = ("w8_lsh", sf_dir, dup_every, st.st_size, st.st_mtime_ns)
+    cached = _STREAM_SINK_MEMO.get(memo_key)
+    if cached is not None and os.path.isdir(cached):
+        return spark.read.parquet(cached)
+
+    epoch_micros = 1_700_000_000_000_000
+    docs = spark.read.parquet(docs_path)
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.timestamp_micros(
+            (F.lit(epoch_micros) + F.col("doc_id") * 1_000_000).cast("long")
+        ).alias("ts"),
+    )
+    echoes = base.filter(F.col("doc_id") % dup_every == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        "text",
+        (F.col("ts") + F.expr("INTERVAL 1 MINUTE")).alias("ts"),
+    )
+
+    work = tempfile.mkdtemp(prefix="w8_lsh_registry_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "registry")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+    base.coalesce(1).write.parquet(in_dir, mode="append")
+    echoes.coalesce(1).write.parquet(in_dir, mode="append")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    registry = streaming_lsh_bucket_registry(
+        stream, watermark_delay="30 days"
+    )
+    q = (
+        registry.select("b", "bucket")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    _STREAM_SINK_MEMO[memo_key] = out_dir
+    return spark.read.parquet(out_dir)
