@@ -215,3 +215,83 @@ def test_stream_lsh_registry_echoes_claim_nothing(spark):
         .collect()
     }
     assert got == want
+
+
+def test_trace_path_signature_order_and_counts(spark):
+    """Signature = FIRST-SEEN service order, not alphabetical: two traces
+    visiting the same services in different orders must produce two
+    different signatures; a repeat visit to a service does not repeat it
+    in the path."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        trace_path_signatures,
+    )
+
+    rows = [
+        # t1: b (t=10) then a (t=20) then b again (t=30)
+        ("t1", "s1", "b", 10), ("t1", "s2", "a", 20), ("t1", "s3", "b", 30),
+        # t2: same set, opposite order
+        ("t2", "s4", "a", 10), ("t2", "s5", "b", 20),
+        # t3: identical path to t2
+        ("t3", "s6", "a", 5), ("t3", "s7", "b", 9),
+    ]
+    spans = spark.createDataFrame(
+        rows, "trace_id string, id string, local_service string, timestamp long"
+    )
+    got = {
+        r["path_signature"]: (r["n_services"], r["n_traces"])
+        for r in trace_path_signatures(spans).collect()
+    }
+    assert got == {"b>a": (2, 1), "a>b": (2, 2)}
+
+
+def test_cosine_range_search_membership(spark):
+    """Range semantics: everything at or above the radius, nothing below,
+    query excluded."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        cosine_range_search,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[1.0, 0.0]),     # cos 1.0
+            Row(vec_id=2, embedding=[1.0, 1.0]),     # cos ~0.7071
+            Row(vec_id=3, embedding=[0.0, 1.0]),     # cos 0.0
+            Row(vec_id=4, embedding=[-1.0, 0.0]),    # cos -1.0
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cos"]
+        for r in cosine_range_search(emb, 0, 0.5).collect()
+    }
+    assert got == {1: 1.0, 2: 0.7071}
+
+
+def test_source_hellinger_extremes(spark):
+    """Identical sources -> BC 1 / H 0; disjoint vocabularies -> BC 0 /
+    H 1; all pairs a < b exactly once."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        source_divergence,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="web", text="apple banana cherry"),
+            Row(doc_id=2, source="mirror", text="apple banana cherry"),
+            Row(doc_id=3, source="code", text="def return lambda"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (r["bhattacharyya"], r["hellinger"])
+        for r in source_divergence(docs).collect()
+    }
+    assert got[("mirror", "web")] == (1.0, 0.0)
+    assert ("code", "mirror") not in got or got[("code", "mirror")][0] == 0.0
+    # disjoint vocab pairs either share no bucket (absent row) or BC 0
+    assert set(got) <= {("mirror", "web"), ("code", "mirror"), ("code", "web")}

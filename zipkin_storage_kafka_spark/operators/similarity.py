@@ -1110,3 +1110,28 @@ def truncated_recall(
             round4(F.col("n_overlap") / F.lit(float(k))).alias("recall"),
         )
     )
+
+
+def cosine_range_search(
+    embeddings: DataFrame, query_vec_id: int, threshold: float
+) -> DataFrame:
+    """Range query over the embedding space: EVERY vector with cosine
+    >= ``threshold`` to the query (the query itself excluded) — the
+    radius-based complement of :func:`cosine_topk` (dedup and
+    retrieval-augmentation ask "all near things", not "the k nearest").
+
+    Columns: vec_id, cos (round4).  No ORDER BY: the result is a SET
+    (ordering without a limit would force a pointless global sort).
+
+    Scale (100 TB): same shape as :func:`cosine_scores` — the 1-row
+    query broadcast against the corpus scan, filter evaluated inside the
+    scan's codegen stage, zero shuffles.  To prune the scan, compose
+    with the IVF index the same way :func:`ann_topk_ivf` does (probe
+    cells by centroid similarity); the brute flavor here is the exact
+    baseline those pruned variants are recalled against.
+    """
+    return (
+        cosine_scores(embeddings, query_vec_id)
+        .filter(F.col("vec_id") != query_vec_id)
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+    )

@@ -1663,3 +1663,74 @@ def zipf_fit(docs: DataFrame, top: int = ZIPF_TOP_TYPES) -> DataFrame:
         ).alias("intercept"),
         round4(F.regr_r2(F.log("cnt"), F.log("rank"))).alias("r2"),
     )
+
+
+SRC_DIV_BUCKETS = 1024
+
+
+def source_divergence(docs: DataFrame, buckets: int = SRC_DIV_BUCKETS) -> DataFrame:
+    """Pairwise distribution distance between SOURCES: each source's
+    unigram distribution is hashed into a fixed ``buckets``-bucket space
+    (the DSIR discipline — fixed keyspace regardless of vocabulary), and
+    every source pair gets its Bhattacharyya coefficient and Hellinger
+    distance — the corpus-drift report a pipeline owner reads before
+    setting mixture weights (did the new crawl shift the distribution?).
+
+    Hellinger, not KL/JS, deliberately: H = sqrt(1 - BC) needs only
+    products, sums, and IEEE-correctly-rounded sqrt — no logarithms, so
+    both engines agree to ~1e-13 before the round4 boundary (the same
+    reason the char-LM scorer uses integer micro-logprobs: libm log is
+    the one non-portable primitive).
+
+    Columns: source_a, source_b (a < b), bhattacharyya, hellinger
+    (both round4).  A pair sharing ZERO buckets emits no row (BC would
+    be exactly 0 / H exactly 1): totally-disjoint sources are absent,
+    which real hashed unigram spaces essentially never produce at 1024
+    buckets — fixture-pinned in test_round6_ops.
+
+    Scale (100 TB): per-(source, bucket) counts partial-agg down to
+    |sources| x ``buckets`` rows no matter the corpus size; the pair
+    join runs on that KB-scale relation.  One corpus-scan shuffle total.
+    """
+    occ = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .select(
+            "source",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+                % buckets
+            ).alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = occ.groupBy("source").agg(F.sum("n").alias("t"))
+    p = occ.join(tot, "source").select(
+        "source",
+        "bucket",
+        (F.col("n").cast("double") / F.col("t")).alias("p"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    bc = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.sum(F.sqrt(F.col("a.p") * F.col("b.p"))).alias("bc"))
+    )
+    return bc.select(
+        "source_a",
+        "source_b",
+        round4(F.col("bc")).alias("bhattacharyya"),
+        round4(
+            F.sqrt(F.greatest(F.lit(1.0) - F.col("bc"), F.lit(0.0)))
+        ).alias("hellinger"),
+    )

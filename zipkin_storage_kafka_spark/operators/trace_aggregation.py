@@ -381,3 +381,47 @@ def trace_concurrency(spans: DataFrame) -> DataFrame:
         (F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_spans"),
         F.max("running").cast("long").alias("max_concurrent"),
     )
+
+
+def trace_path_signatures(spans: DataFrame) -> DataFrame:
+    """Trace-topology fingerprint frequencies: each trace's services in
+    FIRST-SEEN order (min span timestamp per service, service name as
+    the tiebreak) joined into a '>'-signature, counted corpus-wide — the
+    "what call paths exist and how often" rollup dependency links can't
+    answer (links lose path ORDER; two different paths can share an edge
+    multiset).  The aggregation-side analog of the per-trace tree the
+    reference materializes for storage (TraceStorageTopology.java
+    groups whole traces; this summarizes their service order).
+
+    Columns: path_signature, n_services, n_traces.
+
+    Scale (100 TB): two partial-agged shuffles sharing the trace_id key
+    (per-(trace, service) min -> per-trace sort_array collapse), then a
+    signature-keyed count whose cardinality is the distinct-path count —
+    tiny next to span volume.  The sort is a per-ROW array_sort over a
+    trace's distinct services, never a global or window sort.
+    """
+    per_svc = (
+        spans.filter(F.col("local_service").isNotNull())
+        .groupBy("trace_id", "local_service")
+        .agg(F.min("timestamp").alias("t0"))
+    )
+    sig = per_svc.groupBy("trace_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "t0", F.col("local_service").alias("s")
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias("path_signature"),
+        F.count(F.lit(1)).alias("n_services"),
+    )
+    return sig.groupBy("path_signature", "n_services").agg(
+        F.count(F.lit(1)).alias("n_traces")
+    )

@@ -916,6 +916,18 @@ def q_stream_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error_windows_via_stream(spark, sf_dir)
 
 
+def q_trace_path_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace-topology fingerprints: services in first-seen order per
+    trace, '>'-joined, counted corpus-wide — path-ORDER analytics the
+    link store can't answer
+    (operators/trace_aggregation.py:trace_path_signatures)."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        trace_path_signatures,
+    )
+
+    return trace_path_signatures(spans_table(spark, sf_dir))
+
+
 def q_stream_trace_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7/A3 driver row: the trace-storage upsert store
     (TraceStorageTopology.java:96-126) run to completion via
@@ -995,6 +1007,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "w6_stream_error_windows": q_stream_error_windows,
         "j1_links_bucketed": q_links_bucketed,
         "w7_stream_trace_upsert": q_stream_trace_upsert,
+        "z_trace_path_signature": q_trace_path_signature,
     }
 
 
@@ -1040,6 +1053,23 @@ def zipkin_oracles() -> dict[str, str]:
                min(timestamp) AS trace_timestamp
         FROM spans
         GROUP BY trace_id
+        """
+    )
+    oracles["z_trace_path_signature"] = with_spans_cte(
+        """
+        SELECT path_signature,
+               CAST(n_services AS BIGINT) AS n_services,
+               CAST(count(*) AS BIGINT) AS n_traces
+        FROM (
+          SELECT trace_id,
+                 string_agg(s, '>' ORDER BY t0, s) AS path_signature,
+                 count(*) AS n_services
+          FROM (
+            SELECT trace_id, local_service AS s, min(timestamp) AS t0
+            FROM spans WHERE local_service IS NOT NULL
+            GROUP BY trace_id, local_service
+          ) GROUP BY trace_id
+        ) GROUP BY path_signature, n_services
         """
     )
     return oracles

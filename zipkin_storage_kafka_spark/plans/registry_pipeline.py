@@ -33,6 +33,7 @@ CHUNK_TOKENS = 50
 CHUNK_OVERLAP = 10
 VOCAB_SIZE = 100
 PAIR_COS_THRESHOLD = 0.4
+ANN_RANGE_THRESHOLD = 0.3
 JACCARD_THRESHOLD = 0.5
 PACK_SEQ_LEN = 128
 SAMPLE_PERCENT = 20
@@ -825,6 +826,25 @@ def q_stream_lsh_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_registry_via_stream(spark, sf_dir)
 
 
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range query (radius, not top-k): every vector with cosine
+    >= {t} to the query — the "all near things" retrieval shape dedup
+    and RAG ask for (operators/similarity.py:cosine_range_search);
+    broadcast query, filter inside the scan's codegen stage, zero
+    shuffles."""
+    return sim.cosine_range_search(
+        _emb(spark, sf_dir), ANN_QUERY_VEC, ANN_RANGE_THRESHOLD
+    )
+
+
+def q_text_source_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source-pair Hellinger distance over hashed unigram buckets
+    (operators/text_analysis.py:source_divergence) — the corpus-drift
+    report behind mixture-weight decisions; log-free on purpose so both
+    engines agree without integer-log machinery."""
+    return ta.source_divergence(_docs(spark, sf_dir))
+
+
 def q_text_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.curriculum_order(_docs(spark, sf_dir))
 
@@ -1066,6 +1086,8 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "pipe_bloom_prefilter": q_pipe_bloom_prefilter,
         "dedup_containment": q_dedup_containment,
         "w8_stream_lsh_registry": q_stream_lsh_registry,
+        "ann_range_search": q_ann_range_search,
+        "text_source_hellinger": q_text_source_hellinger,
     }
 
 
@@ -1183,6 +1205,52 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["w8_stream_lsh_registry"] = f"""
         WITH {_bucket_cte_sql("documents", "o")}
         SELECT DISTINCT b, bucket FROM obuck
+    """
+    oracles["ann_range_search"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {ANN_QUERY_VEC})
+        SELECT vec_id,
+               (round((list_dot_product(v, qv)
+                     / (sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product(qv, qv)))) * 10000)
+                  / 10000 + 0.0) AS cos
+        FROM e, q
+        WHERE vec_id <> {ANN_QUERY_VEC}
+          AND (round((list_dot_product(v, qv)
+                    / (sqrt(list_dot_product(v, v))
+                       * sqrt(list_dot_product(qv, qv)))) * 10000)
+                 / 10000 + 0.0) >= {ANN_RANGE_THRESHOLD}
+    """
+    oracles["text_source_hellinger"] = f"""
+        WITH wq AS (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        occ AS (
+          SELECT source,
+                 ('0x' || substr(md5(w), 1, 8))::BIGINT
+                   % {ta.SRC_DIV_BUCKETS} AS bucket,
+                 count(*) AS n
+          FROM wq GROUP BY 1, 2
+        ),
+        tot AS (SELECT source, sum(n) AS t FROM occ GROUP BY 1),
+        p AS (
+          SELECT source, bucket, n * 1.0 / t AS p
+          FROM occ JOIN tot USING (source)
+        ),
+        bc AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 sum(sqrt(a.p * b.p)) AS bc
+          FROM p a JOIN p b
+            ON a.bucket = b.bucket AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT source_a, source_b,
+               (round(bc * 10000) / 10000 + 0.0) AS bhattacharyya,
+               (round(sqrt(greatest(1 - bc, 0)) * 10000) / 10000 + 0.0)
+                 AS hellinger
+        FROM bc
     """
     return oracles
 
