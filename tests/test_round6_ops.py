@@ -295,3 +295,81 @@ def test_source_hellinger_extremes(spark):
     assert ("code", "mirror") not in got or got[("code", "mirror")][0] == 0.0
     # disjoint vocab pairs either share no bucket (absent row) or BC 0
     assert set(got) <= {("mirror", "web"), ("code", "mirror"), ("code", "web")}
+
+
+def test_shard_plan_packing_fixture(spark):
+    """Deterministic packing pinned by hand: shard = START offset div
+    target, so a doc straddling a boundary belongs to the shard it
+    starts in; NULL text counts zero bytes but still lands in a shard;
+    totals conserve bytes."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        shard_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="x" * n) for i, n in
+         [(1, 40), (2, 40), (3, 40), (4, 40), (5, 0)]]
+        + [Row(doc_id=6, text=None)],
+        "doc_id bigint, text string",
+    )
+    rows = shard_plan(docs, target_bytes=100).collect()
+    total_docs = sum(r["n_docs"] for r in rows)
+    total_bytes = sum(r["shard_bytes"] for r in rows)
+    assert total_docs == 6 and total_bytes == 160
+    # packing: cumulative starts are 0,40,80,120,... in md5(doc_id)
+    # order; with target 100 the doc starting at 80 still goes to shard
+    # 0 and the one at 120 to shard 1 — exactly two shards here
+    by_shard = {r["shard_id"]: r for r in rows}
+    assert set(by_shard) == {0, 1}
+    assert by_shard[0]["n_docs"] + by_shard[1]["n_docs"] == 6
+
+
+def test_shard_plan_no_global_window(spark, sf_dir):
+    """The prefix sum must be the two-level distributed form: every
+    window in the plan carries a partition spec (same pin as
+    curriculum/ntile)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["pipe_shard_plan"](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    window_lines = [
+        l
+        for l in plan.splitlines()
+        if "windowspecdefinition" in l and l.strip().startswith("Arguments:")
+    ]
+    assert window_lines, "plan should contain Window detail lines"
+    bad = [l for l in window_lines if l.count("], [") < 2]
+    assert not bad, bad
+
+
+def test_ivf_balance_fixture(spark):
+    """Two cells, 3-vs-1 occupancy: share and balance pinned by hand
+    (balance 1.5 / 0.5, shares 0.75 / 0.25)."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.similarity import ivf_balance
+
+    # labels double as cells; vectors sit exactly on their centroids so
+    # assignment is the identity
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, label=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, label=0, embedding=[1.0, 0.0]),
+            Row(vec_id=2, label=0, embedding=[1.0, 0.0]),
+            Row(vec_id=3, label=1, embedding=[0.0, 1.0]),
+        ],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    got = {
+        r["cell"]: (r["n_vecs"], r["share"], r["balance"])
+        for r in ivf_balance(emb).collect()
+    }
+    assert got == {0: (3, 0.75, 1.5), 1: (1, 0.25, 0.5)}

@@ -1135,3 +1135,41 @@ def cosine_range_search(
         .filter(F.col("vec_id") != query_vec_id)
         .filter(F.col("cos") >= F.lit(float(threshold)))
     )
+
+
+def ivf_balance(
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """Cell-occupancy audit of the IVF index: per-cell vector counts,
+    corpus share, and the balance factor (occupancy relative to the
+    uniform t/k) — the index-health report an ANN deployment watches,
+    because a hot cell is THE IVF failure mode at scale (every probe of
+    it scans the skewed mass; rebalance = retrain the coarse quantizer
+    or split the cell).
+
+    Columns: cell, n_vecs, share (round4), balance (round4, 1.0 =
+    perfectly uniform).
+
+    Scale (100 TB): the assignment table partial-aggs to k rows; the
+    1-row totals broadcast back.  Nothing touches the vectors.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(embeddings)
+    if assign is None:
+        assign = ivf_assignments(embeddings, centroids)
+    counts = assign.groupBy(F.col("label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    tot = counts.agg(
+        F.sum("n_vecs").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vecs",
+        round4(F.col("n_vecs").cast("double") / F.col("t")).alias("share"),
+        round4(
+            F.col("n_vecs").cast("double") * F.col("k") / F.col("t")
+        ).alias("balance"),
+    )

@@ -1734,3 +1734,57 @@ def source_divergence(docs: DataFrame, buckets: int = SRC_DIV_BUCKETS) -> DataFr
             F.sqrt(F.greatest(F.lit(1.0) - F.col("bc"), F.lit(0.0)))
         ).alias("hellinger"),
     )
+
+
+SHARD_TARGET_BYTES = 16384
+
+
+def shard_plan(docs: DataFrame, target_bytes: int = SHARD_TARGET_BYTES) -> DataFrame:
+    """Output-shard planning by byte budget: documents in the stable
+    md5(doc_id) order are packed into contiguous shards of ~``target_bytes``
+    (a doc's shard = its STARTING cumulative offset div target, so shard
+    boundaries are deterministic and every engine computes the same
+    packing) — the materialization-planning step before
+    ``materialize_training_shards`` writes files, sized so downstream
+    readers get uniform splits instead of whatever ingest order produced.
+
+    Columns: shard_id, n_docs, shard_bytes.
+
+    Scale (100 TB): the cumulative sum is the same distributed two-level
+    prefix sum as :func:`token_budget_sample` (16 hash buckets, per-bucket
+    offsets broadcast, within-bucket running window) — no single-partition
+    WindowExec; the shard rollup is a partial agg on shard_id.  NULL-text
+    docs count 0 bytes and still land in a shard.
+    """
+    d = docs.select(
+        "doc_id",
+        F.coalesce(F.length("text").cast("long"), F.lit(0)).alias("nb"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    ).withColumn("bkt", F.substring("rk", 1, 1))
+    per_bucket = d.groupBy("bkt").agg(F.sum("nb").alias("bsum"))
+    b2 = per_bucket.select(
+        F.col("bkt").alias("_b2"), F.col("bsum").alias("_s2")
+    )
+    offsets = (
+        per_bucket.join(b2, F.col("_b2") < F.col("bkt"), "left")
+        .groupBy(F.col("bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("_s2"), F.lit(0)).alias("offset"))
+    )
+    win = Window.partitionBy("bkt").orderBy("rk", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = d.join(
+        F.broadcast(offsets), F.col("bkt") == F.col("_bkt")
+    ).withColumn("cum", F.col("offset") + F.sum("nb").over(win))
+    return (
+        cum.select(
+            "doc_id",
+            "nb",
+            F.expr(f"(cum - nb) div {int(target_bytes)}").alias("shard_id"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nb").alias("shard_bytes"),
+        )
+    )

@@ -845,6 +845,25 @@ def q_text_source_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.source_divergence(_docs(spark, sf_dir))
 
 
+def q_emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit (operators/similarity.py:ivf_balance):
+    per-cell occupancy, corpus share, and balance factor vs uniform —
+    the skew report that decides when to retrain/split cells; reads the
+    same memoized index as every other IVF row."""
+    centroids, assign = _ivf_index(spark, sf_dir)
+    return sim.ivf_balance(
+        _emb(spark, sf_dir), centroids=centroids, assign=assign
+    )
+
+
+def q_pipe_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budgeted output-shard planning
+    (operators/text_analysis.py:shard_plan): stable md5-order packing
+    into ~16 KiB shards via the distributed two-level prefix sum — the
+    sizing step before training-shard materialization."""
+    return ta.shard_plan(_docs(spark, sf_dir))
+
+
 def q_text_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.curriculum_order(_docs(spark, sf_dir))
 
@@ -1088,6 +1107,8 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "w8_stream_lsh_registry": q_stream_lsh_registry,
         "ann_range_search": q_ann_range_search,
         "text_source_hellinger": q_text_source_hellinger,
+        "emb_ivf_balance": q_emb_ivf_balance,
+        "pipe_shard_plan": q_pipe_shard_plan,
     }
 
 
@@ -1251,6 +1272,65 @@ def pipeline_oracles() -> dict[str, str]:
                (round(sqrt(greatest(1 - bc, 0)) * 10000) / 10000 + 0.0)
                  AS hellinger
         FROM bc
+    """
+    oracles["emb_ivf_balance"] = """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cent AS (
+          SELECT label, list(c ORDER BY i) AS cv FROM (
+            SELECT label, i, avg(x) AS c FROM (
+              SELECT label,
+                     unnest(generate_series(1, len(v))) AS i,
+                     unnest(v) AS x
+              FROM e
+            ) GROUP BY label, i
+          ) GROUP BY label
+        ),
+        sim AS (
+          SELECT e.vec_id, cent.label,
+                 ((round((list_dot_product(v, cv)
+                    / (sqrt(list_dot_product(v, v))
+                       * sqrt(list_dot_product(cv, cv)))) * 1000000)
+                   / 1000000) + 0.0) AS s
+          FROM e CROSS JOIN cent
+        ),
+        assign AS (
+          SELECT vec_id, label FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, label) AS rk
+            FROM sim
+          ) WHERE rk = 1
+        ),
+        counts AS (
+          SELECT label AS cell, count(*) AS n_vecs
+          FROM assign GROUP BY 1
+        ),
+        tot AS (SELECT sum(n_vecs) AS t, count(*) AS k FROM counts)
+        SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+               (round((n_vecs * 1.0 / t) * 10000) / 10000 + 0.0) AS share,
+               (round((n_vecs * 1.0 * k / t) * 10000) / 10000 + 0.0)
+                 AS balance
+        FROM counts, tot
+    """
+    oracles["pipe_shard_plan"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 coalesce(length(text), 0) AS nb,
+                 md5(CAST(doc_id AS VARCHAR)) AS rk
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, nb,
+                 sum(nb) OVER (ORDER BY rk, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+          FROM d
+        )
+        SELECT (cum - nb) // {ta.SHARD_TARGET_BYTES} AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nb) AS BIGINT) AS shard_bytes
+        FROM c GROUP BY 1
     """
     return oracles
 
