@@ -373,3 +373,45 @@ def test_ivf_balance_fixture(spark):
         for r in ivf_balance(emb).collect()
     }
     assert got == {0: (3, 0.75, 1.5), 1: (1, 0.25, 0.5)}
+
+
+def test_minhash_estimate_identical_and_disjoint(spark):
+    """Estimator semantics pinned: identical docs agree on all 8 minima
+    (est 1.0, exact 1.0, err 0); near-identical docs estimate in
+    granularity-1/8 steps and the error column is |est - exact|."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        minhash_estimate_audit,
+        shingles_native,
+    )
+
+    t = ("the quick brown fox jumps over the lazy dog near the "
+         "old barn tonight")
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=t),
+            Row(doc_id=2, text=t),
+            Row(doc_id=3, text=t + " extra"),
+        ],
+        "doc_id bigint, text string",
+    )
+    cand = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2, n_bands=4), Row(doc_a=1, doc_b=3, n_bands=1)],
+        "doc_a bigint, doc_b bigint, n_bands bigint",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in minhash_estimate_audit(
+            docs, shingles_native(docs), cand
+        ).collect()
+    }
+    r12 = got[(1, 2)]
+    assert (r12["est_jaccard"], r12["jaccard"], r12["abs_err"]) == (
+        1.0, 1.0, 0.0,
+    )
+    r13 = got[(1, 3)]
+    assert r13["est_jaccard"] in {i / 8 for i in range(9)}
+    assert r13["abs_err"] == round(
+        abs(r13["est_jaccard"] - r13["jaccard"]), 4
+    )

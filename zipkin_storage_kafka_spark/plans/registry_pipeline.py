@@ -845,6 +845,19 @@ def q_text_source_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.source_divergence(_docs(spark, sf_dir))
 
 
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit
+    (operators/dedup.py:minhash_estimate_audit): classic per-(band,row)
+    agreement estimate vs exact shingle Jaccard per candidate pair —
+    the trust report behind (bands, rows) tuning, dedup's analog of the
+    ANN recall rows."""
+    return dd.minhash_estimate_audit(
+        _docs(spark, sf_dir),
+        _shingles(spark, sf_dir),
+        _lsh_candidates(spark, sf_dir),
+    )
+
+
 def q_emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index-health audit (operators/similarity.py:ivf_balance):
     per-cell occupancy, corpus share, and balance factor vs uniform —
@@ -1109,6 +1122,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_source_hellinger": q_text_source_hellinger,
         "emb_ivf_balance": q_emb_ivf_balance,
         "pipe_shard_plan": q_pipe_shard_plan,
+        "dedup_minhash_estimate": q_dedup_minhash_estimate,
     }
 
 
@@ -1331,6 +1345,42 @@ def pipeline_oracles() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(nb) AS BIGINT) AS shard_bytes
         FROM c GROUP BY 1
+    """
+    nh = dd.BANDS * dd.ROWS_PER_BAND
+    oracles["dedup_minhash_estimate"] = f"""
+        WITH {_MINHASH_CTE},
+        agree AS (
+          SELECT c.doc_a, c.doc_b,
+                 sum(CASE WHEN a.m = bb.m THEN 1 ELSE 0 END) AS agr
+          FROM cand c
+          JOIN mh a ON a.doc_id = c.doc_a
+          JOIN mh bb ON bb.doc_id = c.doc_b
+                    AND bb.b = a.b AND bb.r = a.r
+          GROUP BY 1, 2
+        ),
+        n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b2 ON b2.doc_id = c.doc_b AND b2.sh = a.sh
+          GROUP BY 1, 2
+        ),
+        vals AS (
+          SELECT g.doc_a, g.doc_b,
+                 (round((agr * 1.0 / {nh}) * 10000) / 10000 + 0.0)
+                   AS est_jaccard,
+                 (round((i.i * 1.0 / (na.n + nb.n - i.i)) * 10000)
+                    / 10000 + 0.0) AS jaccard
+          FROM agree g
+          JOIN inter i USING (doc_a, doc_b)
+          JOIN n na ON na.doc_id = g.doc_a
+          JOIN n nb ON nb.doc_id = g.doc_b
+        )
+        SELECT doc_a, doc_b, est_jaccard, jaccard,
+               (round(abs(est_jaccard - jaccard) * 10000) / 10000 + 0.0)
+                 AS abs_err
+        FROM vals
     """
     return oracles
 
