@@ -415,3 +415,60 @@ def test_minhash_estimate_identical_and_disjoint(spark):
     assert r13["abs_err"] == round(
         abs(r13["est_jaccard"] - r13["jaccard"]), 4
     )
+
+
+def test_reembed_queue_reasons(spark):
+    """Queue composition pinned: added/changed docs always queue;
+    an unchanged doc queues only when its vector is missing; removed
+    docs never queue."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.corpus import reembed_queue
+
+    diff = spark.createDataFrame(
+        [
+            Row(doc_id=1, status="unchanged"),   # has vector -> absent
+            Row(doc_id=2, status="unchanged"),   # no vector -> queued
+            Row(doc_id=3, status="changed"),
+            Row(doc_id=4, status="added"),
+            Row(doc_id=5, status="removed"),
+        ],
+        "doc_id bigint, status string",
+    )
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0]), Row(vec_id=5, embedding=[0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in reembed_queue(diff, emb).collect()
+    }
+    assert got == {2: "missing_vector", 3: "changed", 4: "added"}
+
+
+def test_stream_error_alerts_match_batch_having(spark):
+    """The in-stream HAVING must equal the batch filter over the w5
+    counter rows: alerts = exactly the windows crossing the integer
+    threshold, with truncated basis points."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    alerts = {
+        (r["window_start_ms"], r["parent"], r["child"]): (
+            r["call_count"], r["error_count"], r["error_pct_x100"]
+        )
+        for r in qs["w9_stream_error_alerts"](spark, sf).collect()
+    }
+    base = qs["w5_stream_dependency_windows"](spark, sf).collect()
+    want = {}
+    for r in base:
+        if r["call_count"] >= 1 and r["error_count"] * 100 >= r["call_count"] * 50:
+            want[(r["window_start_ms"], r["parent"], r["child"])] = (
+                r["call_count"],
+                r["error_count"],
+                int(r["error_count"] * 10000 / r["call_count"]),
+            )
+    assert alerts == want

@@ -77,3 +77,39 @@ def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         .otherwise("changed")
     )
     return joined.select("doc_id", status.alias("status"))
+
+
+def reembed_queue(diff: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Embedding work queue from a snapshot diff: the docs the embedding
+    job must (re)process = added/changed docs from :func:`corpus_diff`
+    PLUS surviving docs whose id has no vector row at all (a failed
+    earlier shard) — the incremental-maintenance composition that keeps
+    a 100 TB embedding table in sync without re-embedding the unchanged
+    mass.
+
+    Columns: doc_id, reason ('added' | 'changed' | 'missing_vector').
+    Removed docs are excluded (their vectors get dropped by the
+    alignment sweep, not re-queued).
+
+    Plan: one distinct on the embedding ids (hash partial agg) + one
+    doc_id left join over the diff output — both co-partition with every
+    other id-keyed stage; no bodies move.
+    """
+    have = (
+        embeddings.select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_v", F.lit(1))
+    )
+    return (
+        diff.filter(F.col("status") != "removed")
+        .join(have, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("status").isin("added", "changed"), F.col("status")
+            )
+            .when(F.col("_v").isNull(), F.lit("missing_vector"))
+            .alias("reason"),
+        )
+        .filter(F.col("reason").isNotNull())
+    )

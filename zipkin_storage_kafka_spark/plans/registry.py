@@ -942,6 +942,18 @@ def q_stream_trace_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trace_upsert_via_stream(spark, sf_dir)
 
 
+def q_stream_error_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 driver row: windowed error-rate ALERTS emitted in-stream (the
+    HAVING runs on the streaming aggregate before the sink) through the
+    w5 chained two-stage choreography; integer threshold math, emit-once
+    on window close (streaming.jobs.error_alerts_via_stream)."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        error_alerts_via_stream,
+    )
+
+    return error_alerts_via_stream(spark, sf_dir)
+
+
 def q_stream_autocomplete_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4/A6 driver row: the autocomplete-tags store (both whitelisted
     keys, exploded rowwise before the one streaming set-agg) via the
@@ -1008,6 +1020,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "j1_links_bucketed": q_links_bucketed,
         "w7_stream_trace_upsert": q_stream_trace_upsert,
         "z_trace_path_signature": q_trace_path_signature,
+        "w9_stream_error_alerts": q_stream_error_alerts,
     }
 
 
@@ -1054,6 +1067,47 @@ def zipkin_oracles() -> dict[str, str]:
         FROM spans
         GROUP BY trace_id
         """
+    )
+    # W9 alerts: the w5 sessionized-link window aggregation + the integer
+    # HAVING; floor() mirrors Spark's double->long truncation (DuckDB's
+    # bare CAST rounds to nearest, which would diverge at e.g. 2/3).
+    oracles["w9_stream_error_alerts"] = with_spans_cte(
+        """
+        SELECT window_start_ms, parent, child, call_count, error_count,
+               CAST(floor(error_count * 10000.0 / call_count) AS BIGINT)
+                 AS error_pct_x100
+        FROM (
+          SELECT (c.timestamp // 60000000) * 60000 AS window_start_ms,
+                 parent, child,
+                 CAST(count(*) AS BIGINT) AS call_count,
+                 CAST(sum(CASE WHEN c.is_error THEN 1 ELSE 0 END)
+                   AS BIGINT) AS error_count
+          FROM sess_links c GROUP BY 1, 2, 3
+        )
+        WHERE call_count >= 1 AND error_count * 100 >= call_count * 50
+        """,
+        extra_ctes="""
+        lagged AS (
+          SELECT *, CASE WHEN timestamp - lag(timestamp) OVER
+               (PARTITION BY trace_id ORDER BY timestamp)
+               >= 60000000
+             THEN 1 ELSE 0 END AS new_sess
+          FROM spans
+        ),
+        sess AS (
+          SELECT *, sum(new_sess) OVER (PARTITION BY trace_id
+              ORDER BY timestamp
+              ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM lagged
+        ),
+        sess_links AS (
+          SELECT p.local_service AS parent, c.local_service AS child,
+                 c.is_error, c.timestamp
+          FROM sess c JOIN sess p
+            ON c.trace_id = p.trace_id AND c.sess_id = p.sess_id
+               AND c.parent_id = p.id
+        )
+        """,
     )
     oracles["z_trace_path_signature"] = with_spans_cte(
         """

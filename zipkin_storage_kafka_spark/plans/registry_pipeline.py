@@ -877,6 +877,29 @@ def q_pipe_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.shard_plan(_docs(spark, sf_dir))
 
 
+def q_pipe_reembed_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding work queue from the snapshot diff
+    (operators/corpus.py:reembed_queue): added/changed docs plus
+    surviving docs with no vector row — the incremental-maintenance
+    composition of pipe_corpus_diff and pipe_alignment_audit (same
+    deterministic snapshot derivation as pipe_corpus_diff)."""
+    from zipkin_storage_kafka_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = docs.filter("doc_id % 13 != 0").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter("doc_id % 11 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" new")).alias("text"),
+    )
+    diff = corpus.corpus_diff(docs, new.unionByName(added))
+    return corpus.reembed_queue(diff, _emb(spark, sf_dir))
+
+
 def q_text_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.curriculum_order(_docs(spark, sf_dir))
 
@@ -1123,6 +1146,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "emb_ivf_balance": q_emb_ivf_balance,
         "pipe_shard_plan": q_pipe_shard_plan,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
+        "pipe_reembed_queue": q_pipe_reembed_queue,
     }
 
 
@@ -1381,6 +1405,34 @@ def pipeline_oracles() -> dict[str, str]:
                (round(abs(est_jaccard - jaccard) * 10000) / 10000 + 0.0)
                  AS abs_err
         FROM vals
+    """
+    oracles["pipe_reembed_queue"] = """
+        WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+        new AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                          ELSE text END) AS h
+          FROM documents WHERE doc_id % 13 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, md5(text || ' new') AS h
+          FROM documents WHERE doc_id % 11 = 0
+        ),
+        diff AS (
+          SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+                 CASE WHEN old.h IS NULL THEN 'added'
+                      WHEN new.h IS NULL THEN 'removed'
+                      WHEN old.h = new.h THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        ),
+        have AS (SELECT DISTINCT vec_id AS doc_id FROM embeddings)
+        SELECT d.doc_id,
+               CASE WHEN d.status IN ('added', 'changed') THEN d.status
+                    WHEN h.doc_id IS NULL THEN 'missing_vector'
+               END AS reason
+        FROM diff d LEFT JOIN have h USING (doc_id)
+        WHERE d.status <> 'removed'
+          AND (d.status IN ('added', 'changed') OR h.doc_id IS NULL)
     """
     return oracles
 

@@ -859,6 +859,13 @@ def dependency_windows_via_stream(
     spark: SparkSession,
     sf_dir: str,
     gap: str = DEFAULT_TRACE_TIMEOUT,
+    *,
+    kind: str = "w5",
+    stage_b: "Callable[..., DataFrame] | None" = None,
+    empty_schema: str = (
+        "window_start_ms long, parent string, child string, "
+        "call_count long, error_count long"
+    ),
 ) -> DataFrame:
     """W5/A7 driver row completing the THIRD reference topology
     (DependencyStorageTopology.java:52-108): session-closed traces ->
@@ -877,6 +884,13 @@ def dependency_windows_via_stream(
     Output: window_start_ms, parent, child, call_count, error_count —
     the a7 contract over SESSION-SCOPED links (the oracle models both
     the sessionization and the window floor).
+
+    ``stage_b`` swaps the stage-B streaming aggregation (default
+    :func:`dependency_counter_stream`); any builder with the same
+    ``(links, *, watermark_delay)`` call shape works —
+    :func:`error_rate_alert_stream` rides the identical choreography for
+    the w9 alert row (``kind`` keys the sink memo, ``empty_schema`` the
+    zero-link early exit).
     """
     import os
 
@@ -922,11 +936,7 @@ def dependency_windows_via_stream(
             # legitimately empty — emit it instead of crashing on
             # None-arithmetic below
             out = os.path.join(work, "counters")
-            spark.createDataFrame(
-                [],
-                "window_start_ms long, parent string, child string, "
-                "call_count long, error_count long",
-            ).write.parquet(out)
+            spark.createDataFrame([], empty_schema).write.parquet(out)
             return out
         disorder_us = max_ts - min_ts + 1
         schema = pa.schema(
@@ -965,7 +975,8 @@ def dependency_windows_via_stream(
             .parquet(links_out)
             .withColumn("ts", F.timestamp_micros("timestamp"))
         )
-        counters = dependency_counter_stream(
+        builder = stage_b or dependency_counter_stream
+        counters = builder(
             lstream, watermark_delay=f"{disorder_us} microseconds"
         )
         out = os.path.join(work, "counters")
@@ -980,9 +991,55 @@ def dependency_windows_via_stream(
         q2.awaitTermination()
         return out
 
-    raw = _staged_stream_run(spark, sf_dir, gap, "w5", run)
+    raw = _staged_stream_run(spark, sf_dir, gap, kind, run)
     return raw.filter(
         ~F.col("parent").startswith(SENTINEL_TRACE_PREFIX)
+    )
+
+
+def error_alerts_via_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = DEFAULT_TRACE_TIMEOUT,
+    min_calls: int = 1,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """W9 driver row: the windowed error-rate ALERT stream
+    (:func:`error_rate_alert_stream`) run to completion through the same
+    chained two-stage choreography as w5 — stage A emits session-scoped
+    links, stage B aggregates 1-minute windows and emits ONLY the
+    windows whose integer error percentage crosses the threshold (the
+    HAVING happens in-stream, on the streaming aggregate, before the
+    sink — alerting latency is window close, not a batch sweep later).
+
+    ``min_calls=1`` for the driver row: the corpus's link windows are
+    sparse (every error link is a call_count-1 window), so the
+    operator's production default of 2 would alert on nothing here —
+    the parameter exists precisely because alert floors are
+    deployment-tuned.
+
+    Columns: window_start_ms, parent, child, call_count, error_count,
+    error_pct_x100.
+    """
+
+    def alerts(links: DataFrame, *, watermark_delay: str) -> DataFrame:
+        return error_rate_alert_stream(
+            links,
+            watermark_delay=watermark_delay,
+            min_calls=min_calls,
+            threshold_pct=threshold_pct,
+        )
+
+    return dependency_windows_via_stream(
+        spark,
+        sf_dir,
+        gap,
+        kind=f"w9_{min_calls}_{threshold_pct}",
+        stage_b=alerts,
+        empty_schema=(
+            "window_start_ms long, parent string, child string, "
+            "call_count long, error_count long, error_pct_x100 long"
+        ),
     )
 
 
