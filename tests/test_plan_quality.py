@@ -675,3 +675,59 @@ def test_links_bucketed_store_read_no_join_exchange(spark, sf_dir):
     smj_at = tree.find("SortMergeJoin")
     ex_at = tree.find("Exchange")
     assert 0 <= ex_at < smj_at, tree
+
+
+def test_bloom_prefilter_filter_side_broadcast(spark, sf_dir):
+    """The set-bit relation must reach the probe join as a BROADCAST
+    (it is <= 64k rows by construction); membership must never plan as
+    a big-side shuffle join on the bit key."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["pipe_bloom_prefilter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    smj_on_bit = [
+        l
+        for l in plan.splitlines()
+        if "SortMergeJoin" in l and "bit" in l
+    ]
+    assert not smj_on_bit, smj_on_bit
+
+
+def test_range_search_zero_shuffle(spark, sf_dir):
+    """Radius retrieval is a broadcast crossjoin + codegen filter: the
+    plan must contain NO hash-partitioning exchange at all."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ann_range_search"](spark, sf_dir))
+    assert "hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_trace_path_signature_two_key_shuffles(spark, sf_dir):
+    """The signature rollup is two trace-keyed partial aggs + one
+    signature-keyed count: every exchange partitions on trace_id or the
+    signature columns, and the per-trace ordering is a rowwise
+    array_sort (no window at all)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(
+        entrymod.queries()["z_trace_path_signature"](spark, sf_dir)
+    )
+    assert "windowspecdefinition" not in plan, "must not use a window"
+    ex = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert ex, plan
+    for l in ex:
+        assert "trace_id" in l or "path_signature" in l, l
+
+
+def test_minhash_estimate_no_pair_blowup(spark, sf_dir):
+    """Estimator audit must stay candidate-bounded: no cartesian or
+    nested-loop pair enumeration anywhere in the plan."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(
+        entrymod.queries()["dedup_minhash_estimate"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
