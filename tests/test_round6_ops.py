@@ -472,3 +472,37 @@ def test_stream_error_alerts_match_batch_having(spark):
                 int(r["error_count"] * 10000 / r["call_count"]),
             )
     assert alerts == want
+
+
+def test_centroid_outliers_fixture(spark):
+    """A vector orthogonal to its own (dominant) cell centroid flags as
+    an outlier; on-centroid members do not."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, label=0, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=1, label=0, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=2, label=0, embedding=[1.0, 0.1, 0.0]),
+            Row(vec_id=3, label=1, embedding=[0.0, 1.0, 0.0]),
+            Row(vec_id=4, label=1, embedding=[0.0, 1.0, 0.1]),
+            # garbage row: anti-aligned with its label's centroid, so the
+            # argmax re-assigns it to the OTHER cell, where its cosine is
+            # exactly 0 -> outlier (note a label-0 vector contributes to
+            # label-0's centroid, so a merely-orthogonal vector drags its
+            # own centroid toward itself and stops being an outlier)
+            Row(vec_id=5, label=0, embedding=[-1.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["is_outlier"], r["centroid_cos"])
+        for r in centroid_outliers(emb).collect()
+    }
+    assert len(got) == 6
+    assert got[0][0] is False and got[0][1] > 0.9
+    assert got[5] == (True, 0.0)

@@ -1173,3 +1173,50 @@ def ivf_balance(
             F.col("n_vecs").cast("double") * F.col("k") / F.col("t")
         ).alias("balance"),
     )
+
+
+OUTLIER_COS_THRESHOLD = 0.1
+
+
+def centroid_outliers(
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    assign: DataFrame | None = None,
+    threshold: float = OUTLIER_COS_THRESHOLD,
+) -> DataFrame:
+    """Embedding-quality gate: every vector with its cosine to its OWN
+    cell centroid, flagged an outlier below a FIXED threshold —
+    mis-embedded rows (truncated inputs, encoder failures, garbage
+    docs) sit far from every cluster and surface here before they
+    poison dedup/ANN downstream.
+
+    The flag compares the round6-rounded similarity (the same value the
+    assignment argmax ranks on) against a literal — an exact
+    comparison, so the boolean can never flip between engines on a
+    1-ulp float difference (a derived mean-minus-2-sigma cut would).
+
+    Columns: vec_id, cell, centroid_cos (round4), is_outlier.
+
+    Scale (100 TB): reuses the persisted index's centroid scores (tiny
+    broadcast side); one row per vector out, no new shuffle beyond the
+    assignment join.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(embeddings)
+    if assign is None:
+        assign = ivf_assignments(embeddings, centroids)
+    scores = _centroid_scores(embeddings, centroids)
+    own_assign = assign.select(
+        F.col("vec_id").alias("a_vec"), F.col("label").alias("cell")
+    )
+    own = own_assign.join(
+        scores,
+        (F.col("a_vec") == F.col("vec_id"))
+        & (F.col("cell") == F.col("label")),
+    ).select(F.col("a_vec").alias("vec_id"), "cell", "s")
+    return own.select(
+        "vec_id",
+        "cell",
+        round4(F.col("s")).alias("centroid_cos"),
+        (F.col("s") < F.lit(float(threshold))).alias("is_outlier"),
+    )

@@ -869,6 +869,18 @@ def q_emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality gate (operators/similarity.py:
+    centroid_outliers): own-cell centroid cosine per vector with a
+    fixed-threshold outlier flag (round6 similarity vs literal — the
+    boolean can never flip on a float ulp); shares the memoized IVF
+    index."""
+    centroids, assign = _ivf_index(spark, sf_dir)
+    return sim.centroid_outliers(
+        _emb(spark, sf_dir), centroids=centroids, assign=assign
+    )
+
+
 def q_pipe_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-budgeted output-shard planning
     (operators/text_analysis.py:shard_plan): stable md5-order packing
@@ -1147,6 +1159,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "pipe_shard_plan": q_pipe_shard_plan,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "pipe_reembed_queue": q_pipe_reembed_queue,
+        "emb_centroid_outliers": q_emb_centroid_outliers,
     }
 
 
@@ -1433,6 +1446,40 @@ def pipeline_oracles() -> dict[str, str]:
         FROM diff d LEFT JOIN have h USING (doc_id)
         WHERE d.status <> 'removed'
           AND (d.status IN ('added', 'changed') OR h.doc_id IS NULL)
+    """
+    oracles["emb_centroid_outliers"] = f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cent AS (
+          SELECT label, list(c ORDER BY i) AS cv FROM (
+            SELECT label, i, avg(x) AS c FROM (
+              SELECT label,
+                     unnest(generate_series(1, len(v))) AS i,
+                     unnest(v) AS x
+              FROM e
+            ) GROUP BY label, i
+          ) GROUP BY label
+        ),
+        sim AS (
+          SELECT e.vec_id, cent.label,
+                 ((round((list_dot_product(v, cv)
+                    / (sqrt(list_dot_product(v, v))
+                       * sqrt(list_dot_product(cv, cv)))) * 1000000)
+                   / 1000000) + 0.0) AS s
+          FROM e CROSS JOIN cent
+        ),
+        assign AS (
+          SELECT vec_id, label AS cell, s FROM (
+            SELECT vec_id, label, s,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, label) AS rk
+            FROM sim
+          ) WHERE rk = 1
+        )
+        SELECT vec_id, cell,
+               (round(s * 10000) / 10000 + 0.0) AS centroid_cos,
+               (s < {sim.OUTLIER_COS_THRESHOLD}) AS is_outlier
+        FROM assign
     """
     return oracles
 
