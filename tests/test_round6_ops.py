@@ -506,3 +506,63 @@ def test_centroid_outliers_fixture(spark):
     assert len(got) == 6
     assert got[0][0] is False and got[0][1] > 0.9
     assert got[5] == (True, 0.0)
+
+
+def test_link_window_diff_statuses(spark):
+    """All four edge statuses pinned by hand across the split."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        link_window_diff,
+    )
+
+    rows = [
+        # (trace, parent, child, is_error, ts)   split at 100
+        ("t", "a", "b", False, 50), ("t", "a", "b", False, 150),  # steady
+        ("t", "a", "c", False, 50), ("t", "a", "c", True, 150),
+        ("t", "a", "c", False, 160),                              # changed
+        ("t", "d", "e", False, 50),                               # removed
+        ("t", "f", "g", True, 150),                               # added
+    ]
+    links = spark.createDataFrame(
+        rows,
+        "trace_id string, parent string, child string, "
+        "is_error boolean, timestamp long",
+    )
+    got = {
+        (r["parent"], r["child"]): (
+            r["status"], r["calls_before"], r["calls_after"],
+            r["errors_before"], r["errors_after"],
+        )
+        for r in link_window_diff(links, 100).collect()
+    }
+    assert got[("a", "b")] == ("steady", 1, 1, 0, 0)
+    assert got[("a", "c")] == ("changed", 1, 2, 0, 1)
+    assert got[("d", "e")] == ("removed", 1, 0, 0, 0)
+    assert got[("f", "g")] == ("added", 0, 1, 0, 1)
+
+
+def test_latency_shift_null_for_one_sided_service(spark):
+    """A service active only after the split reports NULL before-side
+    percentiles and NULL shift — never a fabricated zero."""
+    from zipkin_storage_kafka_spark.operators.indexes import latency_shift
+
+    rows = [
+        ("t1", "s1", "svc_old", 10, 50),
+        ("t1", "s2", "svc_old", 20, 150),
+        ("t1", "s3", "svc_new", 30, 150),
+        ("t1", "s4", "svc_new", 40, 160),
+    ]
+    spans = spark.createDataFrame(
+        rows,
+        "trace_id string, id string, local_service string, "
+        "duration long, timestamp long",
+    )
+    got = {
+        r["local_service"]: r for r in latency_shift(spans, 100).collect()
+    }
+    new = got["svc_new"]
+    assert new["n_before"] == 0 and new["n_after"] == 2
+    assert new["p50_before"] is None and new["p50_shift"] is None
+    assert new["p50_after"] == 35.0
+    old = got["svc_old"]
+    assert old["n_before"] == 1 and old["n_after"] == 1
+    assert old["p50_shift"] == 10.0

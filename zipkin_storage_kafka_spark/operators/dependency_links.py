@@ -318,3 +318,45 @@ def merge_counter_windows(
             F.sum("error_count").alias("error_count"),
         )
     )
+
+
+def link_window_diff(links: DataFrame, split_us: int) -> DataFrame:
+    """Dependency-graph diff across a time split (deploy-regression
+    check): per (parent, child) edge, call/error counters BEFORE vs
+    AFTER ``split_us`` and a status — 'added' (new edge), 'removed'
+    (edge gone), 'changed' (call volume moved), 'steady'.  The
+    graph-level question an operator asks after a rollout that the
+    single-window A8 merge can't answer.
+
+    Columns: parent, child, calls_before, calls_after, errors_before,
+    errors_after, status.
+
+    Scale (100 TB): ONE conditional aggregation over the link store —
+    the split is a FILTER inside the same (parent, child) partial agg
+    the A8 merge runs, not a self-join of two window scans; with the
+    store date-partitioned, both windows prune to their partitions.
+    """
+    before = F.col("timestamp") < F.lit(int(split_us))
+    agg = links.groupBy("parent", "child").agg(
+        F.count(F.when(before, 1)).alias("calls_before"),
+        F.count(F.when(~before, 1)).alias("calls_after"),
+        F.sum(F.when(before & F.col("is_error"), 1).otherwise(0)).alias(
+            "errors_before"
+        ),
+        F.sum(F.when(~before & F.col("is_error"), 1).otherwise(0)).alias(
+            "errors_after"
+        ),
+    )
+    return agg.select(
+        "parent",
+        "child",
+        "calls_before",
+        "calls_after",
+        "errors_before",
+        "errors_after",
+        F.when(F.col("calls_before") == 0, "added")
+        .when(F.col("calls_after") == 0, "removed")
+        .when(F.col("calls_before") != F.col("calls_after"), "changed")
+        .otherwise("steady")
+        .alias("status"),
+    )

@@ -354,3 +354,63 @@ def slo_burn_rate(
             & (F.col("long_burn") >= alert_factor),
         )
     )
+
+
+def latency_shift(spans: DataFrame, split_us: int) -> DataFrame:
+    """Per-service latency-percentile shift across a time split — the
+    canary panel read after a deploy: exact p50/p95 before vs after
+    ``split_us`` plus the deltas.  A service present in only one window
+    reports NULL for the missing side (and NULL shift) rather than a
+    fabricated zero.
+
+    Columns: local_service, n_before, n_after, p50_before, p50_after,
+    p50_shift, p95_before, p95_after, p95_shift (percentiles round4).
+
+    Scale (100 TB): one grouped aggregation; the FILTER clause splits
+    the windows inside the same partial agg (no two-scan self-join).
+    Exact `percentile` sorts per (service, window) slice — fine at
+    service cardinality; swap `approx_percentile` at extreme per-group
+    cardinality exactly like z_latency_percentiles' approx mode.
+    """
+    from zipkin_storage_kafka_spark.functions.portable import round4
+
+    s = int(split_us)
+    agg = spans.groupBy("local_service").agg(
+        F.expr(f"count(*) FILTER (WHERE timestamp < {s})").alias(
+            "n_before"
+        ),
+        F.expr(f"count(*) FILTER (WHERE timestamp >= {s})").alias(
+            "n_after"
+        ),
+        round4(
+            F.expr(
+                f"percentile(duration, 0.5) FILTER (WHERE timestamp < {s})"
+            )
+        ).alias("p50_before"),
+        round4(
+            F.expr(
+                f"percentile(duration, 0.5) FILTER (WHERE timestamp >= {s})"
+            )
+        ).alias("p50_after"),
+        round4(
+            F.expr(
+                f"percentile(duration, 0.95) FILTER (WHERE timestamp < {s})"
+            )
+        ).alias("p95_before"),
+        round4(
+            F.expr(
+                f"percentile(duration, 0.95) FILTER (WHERE timestamp >= {s})"
+            )
+        ).alias("p95_after"),
+    )
+    return agg.select(
+        "local_service",
+        "n_before",
+        "n_after",
+        "p50_before",
+        "p50_after",
+        round4(F.col("p50_after") - F.col("p50_before")).alias("p50_shift"),
+        "p95_before",
+        "p95_after",
+        round4(F.col("p95_after") - F.col("p95_before")).alias("p95_shift"),
+    )

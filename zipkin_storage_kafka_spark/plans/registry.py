@@ -942,6 +942,31 @@ def q_stream_trace_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trace_upsert_via_stream(spark, sf_dir)
 
 
+DEPLOY_SPLIT_US = DEPENDENCIES_END_TS * 1000  # corpus midpoint (15 d / 15 d)
+
+
+def q_dependency_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-graph diff across the corpus-midpoint split
+    (operators/dependency_links.py:link_window_diff): edges
+    added/removed/changed between the two 15-day windows — the
+    deploy-regression view over the link store, ONE conditional agg."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        link_window_diff,
+    )
+
+    return link_window_diff(links_table(spark, sf_dir), DEPLOY_SPLIT_US)
+
+
+def q_latency_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service p50/p95 shift across the corpus-midpoint split
+    (operators/indexes.py:latency_shift): the post-deploy canary panel;
+    FILTER-clause windows inside one grouped agg, NULL (not zero) for a
+    service absent from a window."""
+    from zipkin_storage_kafka_spark.operators.indexes import latency_shift
+
+    return latency_shift(spans_table(spark, sf_dir), DEPLOY_SPLIT_US)
+
+
 def q_stream_error_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9 driver row: windowed error-rate ALERTS emitted in-stream (the
     HAVING runs on the streaming aggregate before the sink) through the
@@ -1021,6 +1046,8 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "w7_stream_trace_upsert": q_stream_trace_upsert,
         "z_trace_path_signature": q_trace_path_signature,
         "w9_stream_error_alerts": q_stream_error_alerts,
+        "z_dependency_diff": q_dependency_diff,
+        "z_latency_shift": q_latency_shift,
     }
 
 
@@ -1108,6 +1135,68 @@ def zipkin_oracles() -> dict[str, str]:
                AND c.parent_id = p.id
         )
         """,
+    )
+    split_us = DEPLOY_SPLIT_US
+    oracles["z_dependency_diff"] = with_spans_cte(
+        f"""
+        SELECT parent, child,
+               CAST(count(CASE WHEN timestamp < {split_us} THEN 1 END)
+                 AS BIGINT) AS calls_before,
+               CAST(count(CASE WHEN timestamp >= {split_us} THEN 1 END)
+                 AS BIGINT) AS calls_after,
+               CAST(sum(CASE WHEN timestamp < {split_us} AND is_error
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS errors_before,
+               CAST(sum(CASE WHEN timestamp >= {split_us} AND is_error
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS errors_after,
+               CASE
+                 WHEN count(CASE WHEN timestamp < {split_us} THEN 1 END)
+                      = 0 THEN 'added'
+                 WHEN count(CASE WHEN timestamp >= {split_us} THEN 1 END)
+                      = 0 THEN 'removed'
+                 WHEN count(CASE WHEN timestamp < {split_us} THEN 1 END)
+                      <> count(CASE WHEN timestamp >= {split_us} THEN 1
+                               END) THEN 'changed'
+                 ELSE 'steady'
+               END AS status
+        FROM links GROUP BY parent, child
+        """,
+        _LINKS_CTE,
+    )
+    oracles["z_latency_shift"] = with_spans_cte(
+        f"""
+        SELECT local_service,
+               CAST(count(*) FILTER (WHERE timestamp < {split_us})
+                 AS BIGINT) AS n_before,
+               CAST(count(*) FILTER (WHERE timestamp >= {split_us})
+                 AS BIGINT) AS n_after,
+               (round(quantile_cont(duration, 0.5)
+                  FILTER (WHERE timestamp < {split_us}) * 10000)
+                  / 10000 + 0.0) AS p50_before,
+               (round(quantile_cont(duration, 0.5)
+                  FILTER (WHERE timestamp >= {split_us}) * 10000)
+                  / 10000 + 0.0) AS p50_after,
+               (round(((round(quantile_cont(duration, 0.5)
+                    FILTER (WHERE timestamp >= {split_us}) * 10000)
+                    / 10000)
+                 - (round(quantile_cont(duration, 0.5)
+                    FILTER (WHERE timestamp < {split_us}) * 10000)
+                    / 10000)) * 10000) / 10000 + 0.0) AS p50_shift,
+               (round(quantile_cont(duration, 0.95)
+                  FILTER (WHERE timestamp < {split_us}) * 10000)
+                  / 10000 + 0.0) AS p95_before,
+               (round(quantile_cont(duration, 0.95)
+                  FILTER (WHERE timestamp >= {split_us}) * 10000)
+                  / 10000 + 0.0) AS p95_after,
+               (round(((round(quantile_cont(duration, 0.95)
+                    FILTER (WHERE timestamp >= {split_us}) * 10000)
+                    / 10000)
+                 - (round(quantile_cont(duration, 0.95)
+                    FILTER (WHERE timestamp < {split_us}) * 10000)
+                    / 10000)) * 10000) / 10000 + 0.0) AS p95_shift
+        FROM spans GROUP BY local_service
+        """
     )
     oracles["z_trace_path_signature"] = with_spans_cte(
         """
