@@ -566,3 +566,43 @@ def test_latency_shift_null_for_one_sided_service(spark):
     old = got["svc_old"]
     assert old["n_before"] == 1 and old["n_after"] == 1
     assert old["p50_shift"] == 10.0
+
+
+def test_error_paths_fixture(spark):
+    """Path accumulation pinned on a 4-deep chain with a branch: the
+    error leaf reports the FULL root->leaf service chain in order; an
+    error at the root reports just the root service; non-error spans
+    contribute nothing."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        error_paths,
+    )
+
+    rows = [
+        # chain a -> b -> c -> d (error at d), branch a -> e (error at e)
+        ("t1", "s1", None, "svc_a", False),
+        ("t1", "s2", "s1", "svc_b", False),
+        ("t1", "s3", "s2", "svc_c", False),
+        ("t1", "s4", "s3", "svc_d", True),
+        ("t1", "s5", "s1", "svc_e", True),
+        # root error in a second trace
+        ("t2", "s6", None, "svc_r", True),
+        # same failing route as t1's leaf, different trace
+        ("t3", "s7", None, "svc_a", False),
+        ("t3", "s8", "s7", "svc_b", False),
+        ("t3", "s9", "s8", "svc_c", False),
+        ("t3", "s10", "s9", "svc_d", True),
+    ]
+    spans = spark.createDataFrame(
+        rows,
+        "trace_id string, id string, parent_id string, "
+        "local_service string, is_error boolean",
+    )
+    got = {
+        r["error_path"]: r["n_errors"]
+        for r in error_paths(spans).collect()
+    }
+    assert got == {
+        "svc_a>svc_b>svc_c>svc_d": 2,
+        "svc_a>svc_e": 1,
+        "svc_r": 1,
+    }

@@ -425,3 +425,113 @@ def trace_path_signatures(spans: DataFrame) -> DataFrame:
     return sig.groupBy("path_signature", "n_services").agg(
         F.count(F.lit(1)).alias("n_traces")
     )
+
+
+def span_root_paths(spans: DataFrame, max_sweeps: int = 20) -> DataFrame:
+    """Per-span root-to-span SERVICE path ('>'-joined, root first) —
+    the ingest-time derivation behind route-level analytics (error
+    paths, route sampling), same family as :func:`span_path_costs`.
+
+    Same pointer-doubling skeleton as :func:`span_depths`, extended with
+    PATH accumulation: each span carries (ancestor, services-on-(anc,id]])
+    and every sweep splices the ancestor's own segment IN FRONT —
+    segment concatenation is associative, so doubling composes paths
+    exactly and convergence stays O(log max_depth) joins.  The root's
+    own service is deliberately NOT in the accumulator (its self-loop
+    would double it every sweep); it is prepended once at the end via
+    the roots join.  Orphan spans (unresolvable parents) drop out,
+    matching the recursive-CTE oracle which never reaches them.
+
+    Columns: trace_id, id, root_path.
+
+    Scale (100 TB): every sweep join is (trace_id, anc)-keyed — the
+    trace-co-partitioned shuffle every other trace stage shares; the
+    accumulator is bounded by path depth x service-name bytes; driver
+    reads ONE scalar per sweep.  Like span_path_costs, run once at
+    ingest and persist (sources.spans.root_paths_table).
+    """
+    base = spans.select("trace_id", "id", "parent_id", "local_service")
+    cur = base.select(
+        "trace_id",
+        "id",
+        F.coalesce("parent_id", "id").alias("anc"),
+        F.when(
+            F.col("parent_id").isNotNull(), F.array("local_service")
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("acc"),
+        F.when(F.col("parent_id").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dist"),
+    ).localCheckpoint(eager=False)
+    prev_sum = cur.agg(F.sum("dist")).collect()[0][0] or 0
+    for _ in range(max_sweeps):
+        look = cur.select(
+            F.col("trace_id").alias("_tid"),
+            F.col("id").alias("_aid"),
+            F.col("anc").alias("_anc2"),
+            F.col("acc").alias("_acc2"),
+            F.col("dist").alias("_d2"),
+        )
+        nxt = (
+            cur.join(
+                look,
+                (F.col("anc") == F.col("_aid"))
+                & (F.col("trace_id") == F.col("_tid")),
+            )
+            .select(
+                "trace_id",
+                "id",
+                F.col("_anc2").alias("anc"),
+                F.concat(F.col("_acc2"), F.col("acc")).alias("acc"),
+                (F.col("dist") + F.col("_d2")).alias("dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = nxt.agg(F.sum("dist")).collect()[0][0] or 0
+        cur = nxt
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    roots = base.filter(F.col("parent_id").isNull()).select(
+        "trace_id",
+        F.col("id").alias("anc"),
+        F.col("local_service").alias("_root_svc"),
+    )
+    return cur.join(roots, ["trace_id", "anc"]).select(
+        "trace_id",
+        "id",
+        F.concat_ws(
+            ">", F.concat(F.array("_root_svc"), F.col("acc"))
+        ).alias("root_path"),
+    )
+
+
+def error_paths(
+    spans: DataFrame,
+    max_sweeps: int = 20,
+    paths: DataFrame | None = None,
+) -> DataFrame:
+    """Root-to-error service paths, counted corpus-wide: for every ERROR
+    span, the ordered chain of services from its trace root down to it —
+    "which call path do failures concentrate on", the drill-down a
+    tracing UI offers from the error rate panel (and the path-ORDERED
+    complement of z_service_error_rate, which loses the route).
+
+    Pass a persisted ``paths`` relation (:func:`span_root_paths` /
+    sources.spans.root_paths_table) to skip the sweep — the serving
+    shape: one error-span semi-join + a path-keyed rollup whose
+    cardinality is the distinct failing-route count.
+
+    Columns: error_path, n_errors.
+    """
+    if paths is None:
+        paths = span_root_paths(spans, max_sweeps)
+    err = spans.filter(F.col("is_error")).select("trace_id", "id")
+    return (
+        paths.join(err, ["trace_id", "id"])
+        .select(F.col("root_path").alias("error_path"))
+        .groupBy("error_path")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )

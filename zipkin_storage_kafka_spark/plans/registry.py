@@ -967,6 +967,23 @@ def q_latency_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latency_shift(spans_table(spark, sf_dir), DEPLOY_SPLIT_US)
 
 
+def q_error_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-to-error service paths, counted — where failures concentrate
+    BY ROUTE (operators/trace_aggregation.py:error_paths): served from
+    the persisted root_paths table (path-accumulating pointer doubling
+    runs once at ingest, like path_costs), query = error semi-join +
+    route rollup."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        error_paths,
+    )
+    from zipkin_storage_kafka_spark.sources.spans import root_paths_table
+
+    return error_paths(
+        spans_table(spark, sf_dir),
+        paths=root_paths_table(spark, sf_dir),
+    )
+
+
 def q_stream_error_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9 driver row: windowed error-rate ALERTS emitted in-stream (the
     HAVING runs on the streaming aggregate before the sink) through the
@@ -1048,6 +1065,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "w9_stream_error_alerts": q_stream_error_alerts,
         "z_dependency_diff": q_dependency_diff,
         "z_latency_shift": q_latency_shift,
+        "z_error_paths": q_error_paths,
     }
 
 
@@ -1136,6 +1154,20 @@ def zipkin_oracles() -> dict[str, str]:
         )
         """,
     )
+    oracles["z_error_paths"] = f"""
+        WITH RECURSIVE {SPANS_ORACLE_CTE.strip()},
+        rec(trace_id, id, path, is_error) AS (
+          SELECT trace_id, id, local_service, is_error
+          FROM spans WHERE parent_id IS NULL
+          UNION ALL
+          SELECT s.trace_id, s.id, r.path || '>' || s.local_service,
+                 s.is_error
+          FROM spans s
+          JOIN rec r ON s.parent_id = r.id AND s.trace_id = r.trace_id
+        )
+        SELECT path AS error_path, CAST(count(*) AS BIGINT) AS n_errors
+        FROM rec WHERE is_error GROUP BY 1
+    """
     split_us = DEPLOY_SPLIT_US
     oracles["z_dependency_diff"] = with_spans_cte(
         f"""

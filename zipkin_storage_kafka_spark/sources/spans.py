@@ -317,3 +317,27 @@ def path_costs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: span_path_costs(spans_table(spark, sf_dir)),
         ).persist()
     return _PATH_COSTS_CACHE[key]
+
+
+_ROOT_PATHS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def root_paths_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized persisted per-span root->span service paths
+    (operators.trace_aggregation.span_root_paths) — the same ingest-time
+    discipline as :func:`path_costs_table`: the path-accumulating
+    pointer-doubling sweep runs once per code version + sf_dir; every
+    route-level query (error paths, route rollups) reads the parquet."""
+    key = (id(spark), sf_dir)
+    if key not in _ROOT_PATHS_CACHE:
+        from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+            span_root_paths,
+        )
+
+        _ROOT_PATHS_CACHE[key] = _materialized(
+            spark,
+            sf_dir,
+            "root_paths",
+            lambda: span_root_paths(spans_table(spark, sf_dir)),
+        ).persist()
+    return _ROOT_PATHS_CACHE[key]
