@@ -1299,7 +1299,9 @@ def lsh_registry_via_stream(
         stream, watermark_delay="30 days"
     )
     q = (
-        registry.select("b", "bucket")
+        # bigint band id: the oracle's generate_series-derived b is
+        # BIGINT, and the driver's schema compare must see one type
+        registry.select(F.col("b").cast("long").alias("b"), "bucket")
         .writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)
