@@ -68,31 +68,32 @@ _PINNED_ZIPKIN_CORE = (
     "f5_proto_roundtrip",
 )
 
-# Round-6 rotation: 19 first-time keys (VERDICT r05 next-round #1).  The
-# 14 round-5 operators first (new code jumps the queue per ROTATION.md),
-# then this round's four additions (the bucketed store-read J1, the W7
-# upsert-store topology row, incremental-corpus dedup, and the
-# fold-flavor SemDeDup audit row), then the queue head.
+# Round-7 rotation: 19 first-time keys (VERDICT r06 next-round #1).  The
+# 15 operators registered after the r06 rotation was pinned jump the
+# queue (ROTATION.md rule: new code fronts the rotation), then the
+# recomputed queue head.
 _ROTATION = (
-    "w4_stream_autocomplete_tags",
-    "z_slo_burn",
-    "dedup_semantic_curve",
-    "ann_pq_adc",
-    "text_gopher_rules",
-    "text_ngram_novelty",
-    "mm_phash_neardup",
-    "mm_wav_features",
-    "text_dsir_weights",
-    "w6_stream_error_windows",
-    "ann_truncated_recall",
-    "text_zipf_fit",
-    "ev_locf_fill",
-    "pipe_dedup_agreement",
-    "j1_links_bucketed",
-    "w7_stream_trace_upsert",
-    "pipe_incremental_dedup",
-    "dedup_semantic_fold",
-    "a9_setops_service_names",
+    "pipe_bloom_prefilter",
+    "dedup_containment",
+    "w8_stream_lsh_registry",
+    "z_trace_path_signature",
+    "ann_range_search",
+    "text_source_hellinger",
+    "emb_ivf_balance",
+    "pipe_shard_plan",
+    "dedup_minhash_estimate",
+    "pipe_reembed_queue",
+    "w9_stream_error_alerts",
+    "emb_centroid_outliers",
+    "z_dependency_diff",
+    "z_latency_shift",
+    "z_error_paths",
+    "w25_slowest_per_service",
+    "z_error_pivot",
+    "z_error_unpivot",
+    # VERDICT r06 next-round #2: the P5 disabled-flag row takes the last
+    # slot (h18_large_volume_customers returns to the queue head).
+    "p5_disabled_flags",
 )
 
 _FIRST50 = _PINNED_ZIPKIN_CORE + _ROTATION

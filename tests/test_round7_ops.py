@@ -1,0 +1,126 @@
+"""Round-7 fixtures: the ADVICE r06 hardening (cycle guards in the
+root-path sweep, error-shift semantics in the deploy diff) and the
+round's new operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+_SPAN_SCHEMA = (
+    "trace_id string, id string, parent_id string, local_service string"
+)
+
+
+def _paths(spark, rows):
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        span_root_paths,
+    )
+
+    df = spark.createDataFrame(rows, _SPAN_SCHEMA)
+    return {
+        (r["trace_id"], r["id"]): r["root_path"]
+        for r in span_root_paths(df).collect()
+    }
+
+
+def test_root_paths_self_parent_dropped(spark):
+    """A self-parent span (parent_id == id) is malformed and unreachable
+    from any root — it must drop out instead of doubling its accumulator
+    every sweep (ADVICE r06)."""
+    out = _paths(
+        spark,
+        [
+            Row(trace_id="t", id="a", parent_id=None, local_service="root"),
+            Row(trace_id="t", id="b", parent_id="a", local_service="leaf"),
+            Row(trace_id="t", id="x", parent_id="x", local_service="bad"),
+        ],
+    )
+    assert out == {("t", "a"): "root", ("t", "b"): "root>leaf"}
+
+
+def test_root_paths_even_cycle_dropped(spark):
+    """A 2-cycle (a<->b) never resolves to a root; the anc==id guard
+    removes it the sweep it becomes its own ancestor."""
+    out = _paths(
+        spark,
+        [
+            Row(trace_id="t", id="r", parent_id=None, local_service="svc0"),
+            Row(trace_id="t", id="c", parent_id="r", local_service="svc1"),
+            Row(trace_id="u", id="a", parent_id="b", local_service="s"),
+            Row(trace_id="u", id="b", parent_id="a", local_service="s"),
+        ],
+    )
+    assert out == {("t", "r"): "svc0", ("t", "c"): "svc0>svc1"}
+
+
+def test_root_paths_odd_cycle_dropped(spark):
+    """A 3-cycle's doubling distance is never 0 mod 3, so anc==id never
+    fires — the depth bound (dist > spans-per-trace) must catch it."""
+    out = _paths(
+        spark,
+        [
+            Row(trace_id="t", id="r", parent_id=None, local_service="svc0"),
+            Row(trace_id="u", id="a", parent_id="c", local_service="s"),
+            Row(trace_id="u", id="b", parent_id="a", local_service="s"),
+            Row(trace_id="u", id="c", parent_id="b", local_service="s"),
+        ],
+    )
+    assert out == {("t", "r"): "svc0"}
+
+
+def test_root_paths_null_service_propagates(spark):
+    """A NULL local_service anywhere on the chain NULLs the whole path,
+    matching the recursive-CTE oracle's || semantics (concat_ws would
+    silently skip the hop)."""
+    out = _paths(
+        spark,
+        [
+            Row(trace_id="t", id="r", parent_id=None, local_service="svc0"),
+            Row(trace_id="t", id="m", parent_id="r", local_service=None),
+            Row(trace_id="t", id="l", parent_id="m", local_service="svc2"),
+        ],
+    )
+    assert out == {
+        ("t", "r"): "svc0",
+        ("t", "m"): None,
+        ("t", "l"): None,
+    }
+
+
+def test_link_window_diff_error_shift_is_changed(spark):
+    """Equal call volume but shifted error count must read 'changed' —
+    the deploy-regression signal the panel exists for (ADVICE r06)."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        link_window_diff,
+    )
+
+    links = spark.createDataFrame(
+        [
+            # steady: 1 call each side, 0 errors
+            Row(parent="a", child="b", timestamp=10, is_error=False),
+            Row(parent="a", child="b", timestamp=110, is_error=False),
+            # error shift at steady volume: 0 -> 1 errors
+            Row(parent="a", child="c", timestamp=10, is_error=False),
+            Row(parent="a", child="c", timestamp=110, is_error=True),
+            # volume shift
+            Row(parent="b", child="c", timestamp=10, is_error=False),
+            Row(parent="b", child="c", timestamp=20, is_error=False),
+            Row(parent="b", child="c", timestamp=110, is_error=False),
+            # added / removed
+            Row(parent="c", child="d", timestamp=110, is_error=False),
+            Row(parent="d", child="e", timestamp=10, is_error=False),
+        ],
+        "parent string, child string, timestamp long, is_error boolean",
+    )
+    out = {
+        (r["parent"], r["child"]): r["status"]
+        for r in link_window_diff(links, split_us=100).collect()
+    }
+    assert out == {
+        ("a", "b"): "steady",
+        ("a", "c"): "changed",
+        ("b", "c"): "changed",
+        ("c", "d"): "added",
+        ("d", "e"): "removed",
+    }

@@ -324,9 +324,11 @@ def link_window_diff(links: DataFrame, split_us: int) -> DataFrame:
     """Dependency-graph diff across a time split (deploy-regression
     check): per (parent, child) edge, call/error counters BEFORE vs
     AFTER ``split_us`` and a status — 'added' (new edge), 'removed'
-    (edge gone), 'changed' (call volume moved), 'steady'.  The
-    graph-level question an operator asks after a rollout that the
-    single-window A8 merge can't answer.
+    (edge gone), 'changed' (call volume OR error count moved — for a
+    deploy-regression panel an error shift at steady volume is the
+    primary signal; ADVICE r06), 'steady'.  The graph-level question an
+    operator asks after a rollout that the single-window A8 merge can't
+    answer.
 
     Columns: parent, child, calls_before, calls_after, errors_before,
     errors_after, status.
@@ -356,7 +358,11 @@ def link_window_diff(links: DataFrame, split_us: int) -> DataFrame:
         "errors_after",
         F.when(F.col("calls_before") == 0, "added")
         .when(F.col("calls_after") == 0, "removed")
-        .when(F.col("calls_before") != F.col("calls_after"), "changed")
+        .when(
+            (F.col("calls_before") != F.col("calls_after"))
+            | (F.col("errors_before") != F.col("errors_after")),
+            "changed",
+        )
         .otherwise("steady")
         .alias("status"),
     )

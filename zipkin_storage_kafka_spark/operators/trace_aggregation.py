@@ -442,6 +442,18 @@ def span_root_paths(spans: DataFrame, max_sweeps: int = 20) -> DataFrame:
     the roots join.  Orphan spans (unresolvable parents) drop out,
     matching the recursive-CTE oracle which never reaches them.
 
+    Malformed parent chains are guarded (ADVICE r06): self-parent rows
+    (parent_id == id) are dropped up front, and each sweep drops rows
+    that became their own ancestor (anc == id at dist > 0 — even-length
+    cycles) or whose dist exceeded the max spans-per-trace bound (odd
+    cycles, whose doubling distance never lands on 0 mod cycle length).
+    Both classes are unreachable from any root, so the root-descending
+    recursive-CTE oracle never emits them either — and without the
+    guard they would double acc every sweep (exponential memory) while
+    pinning the convergence test open.  A NULL local_service anywhere
+    on the path NULL-propagates the whole root_path, matching the
+    oracle's ``||`` semantics (concat_ws would silently skip it).
+
     Columns: trace_id, id, root_path.
 
     Scale (100 TB): every sweep join is (trace_id, anc)-keyed — the
@@ -450,7 +462,20 @@ def span_root_paths(spans: DataFrame, max_sweeps: int = 20) -> DataFrame:
     reads ONE scalar per sweep.  Like span_path_costs, run once at
     ingest and persist (sources.spans.root_paths_table).
     """
-    base = spans.select("trace_id", "id", "parent_id", "local_service")
+    base = spans.select(
+        "trace_id", "id", "parent_id", "local_service"
+    ).filter(
+        F.col("parent_id").isNull() | (F.col("parent_id") != F.col("id"))
+    )
+    # Longest possible acyclic parent chain = spans in the trace; any
+    # row whose composed dist exceeds it is on a cycle.  One scalar.
+    depth_bound = (
+        base.groupBy("trace_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+        or 0
+    )
     cur = base.select(
         "trace_id",
         "id",
@@ -487,6 +512,13 @@ def span_root_paths(spans: DataFrame, max_sweeps: int = 20) -> DataFrame:
                 F.concat(F.col("_acc2"), F.col("acc")).alias("acc"),
                 (F.col("dist") + F.col("_d2")).alias("dist"),
             )
+            .filter(
+                (F.col("dist") == 0)
+                | (
+                    (F.col("anc") != F.col("id"))
+                    & (F.col("dist") <= F.lit(depth_bound))
+                )
+            )
             .localCheckpoint(eager=False)
         )
         cur_sum = nxt.agg(F.sum("dist")).collect()[0][0] or 0
@@ -499,12 +531,16 @@ def span_root_paths(spans: DataFrame, max_sweeps: int = 20) -> DataFrame:
         F.col("id").alias("anc"),
         F.col("local_service").alias("_root_svc"),
     )
+    full = F.concat(F.array("_root_svc"), F.col("acc"))
     return cur.join(roots, ["trace_id", "anc"]).select(
         "trace_id",
         "id",
-        F.concat_ws(
-            ">", F.concat(F.array("_root_svc"), F.col("acc"))
-        ).alias("root_path"),
+        F.when(
+            F.exists(full, lambda x: x.isNull()),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.concat_ws(">", full))
+        .alias("root_path"),
     )
 
 

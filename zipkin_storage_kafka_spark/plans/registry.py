@@ -199,7 +199,9 @@ def q_links_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             table=f"zipkin_spans_bucketed_{tag}",
         )
         _BUCKETED_SPANS_MEMO[key] = table
-    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    # requireAllClusterKeysForCoPartition=false is a session default set
+    # by sources.tables._ensure_reader_confs (ADVICE r06) — the bucketed
+    # SMJ below needs it and every query path sets it identically.
     # the merge hint keeps the join a bucketed SMJ even when the corpus is
     # small enough to broadcast — the row exists to exercise the
     # zero-exchange store-read plan at every scale
@@ -1007,6 +1009,81 @@ def q_stream_autocomplete_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_via_stream(spark, sf_dir, "autocomplete_tags")
 
 
+def q_p5_disabled_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 enabled-flag short circuits under the driver gate (VERDICT r06
+    next-round #2): the reference's disabled topologies build NO stores,
+    so every query on a disabled capability returns empty
+    (KafkaSpanStore.java:65-78,121-126; TraceStorageTopology.java:83,127;
+    asserted by TraceStorageTopologyTest.java:45-65).  One row per
+    capability: the DISABLED store's row count (must be 0, via the real
+    short-circuit path) next to the ENABLED store's count for the same
+    request — so the oracle genuinely recomputes the enabled side and a
+    broken short circuit (rows leaking through a disabled flag) flips
+    rows_disabled.
+
+    Columns: capability, rows_disabled, rows_enabled.
+
+    Scale (100 TB): each disabled branch is ``.limit(0)`` — Catalyst
+    folds it to an empty LocalRelation, so the disabled probes scan
+    nothing; the enabled counts are the same partial-agged plans as
+    their own driver rows.
+    """
+    spans = _spans(spark, sf_dir)
+    off = SpanStore(
+        spans,
+        links=links_table(spark, sf_dir),
+        summaries=summaries_table(spark, sf_dir),
+        trace_search_enabled=False,
+        trace_by_id_query_enabled=False,
+        dependency_query_enabled=False,
+    )
+    on = _store(spark, sf_dir)
+    target = (
+        spans.groupBy("trace_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("trace_id"))
+        .limit(1)
+        .select("trace_id")
+        .collect()[0][0]
+    )
+    probes = [
+        (
+            "dependencies",
+            off.get_dependencies(DEPENDENCIES_END_TS, DEPENDENCIES_LOOKBACK),
+            on.get_dependencies(DEPENDENCIES_END_TS, DEPENDENCIES_LOOKBACK),
+        ),
+        (
+            "find_traces",
+            off.get_traces(FIND_TRACES_REQUEST),
+            on.get_traces(FIND_TRACES_REQUEST),
+        ),
+        ("trace_by_id", off.get_trace(target), on.get_trace(target)),
+    ]
+    parts = []
+    for cap, off_df, on_df in probes:
+        parts.append(
+            off_df.agg(
+                F.count(F.lit(1)).cast("long").alias("rows_disabled")
+            )
+            .crossJoin(
+                F.broadcast(
+                    on_df.agg(
+                        F.count(F.lit(1)).cast("long").alias("rows_enabled")
+                    )
+                )
+            )
+            .select(
+                F.lit(cap).alias("capability"),
+                "rows_disabled",
+                "rows_enabled",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("capability")
+
+
 def zipkin_queries() -> dict[str, QueryFn]:
     return {
         "a2_trace_summaries": q_trace_summaries,
@@ -1066,6 +1143,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_dependency_diff": q_dependency_diff,
         "z_latency_shift": q_latency_shift,
         "z_error_paths": q_error_paths,
+        "p5_disabled_flags": q_p5_disabled_flags,
     }
 
 
@@ -1189,7 +1267,12 @@ def zipkin_oracles() -> dict[str, str]:
                       = 0 THEN 'removed'
                  WHEN count(CASE WHEN timestamp < {split_us} THEN 1 END)
                       <> count(CASE WHEN timestamp >= {split_us} THEN 1
-                               END) THEN 'changed'
+                               END)
+                      OR sum(CASE WHEN timestamp < {split_us}
+                                  AND is_error THEN 1 ELSE 0 END)
+                      <> sum(CASE WHEN timestamp >= {split_us}
+                                  AND is_error THEN 1 ELSE 0 END)
+                      THEN 'changed'
                  ELSE 'steady'
                END AS status
         FROM links GROUP BY parent, child
@@ -1247,6 +1330,24 @@ def zipkin_oracles() -> dict[str, str]:
         ) GROUP BY path_signature, n_services
         """
     )
+    # P5: the disabled side is the asserted zero; the enabled side is
+    # recomputed from the SAME independent SQL the three capabilities'
+    # own driver rows use (nested-WITH subqueries — DuckDB scopes each
+    # capability's CTE chain to its own scalar subquery).
+    oracles["p5_disabled_flags"] = f"""
+        SELECT * FROM (
+          SELECT 'dependencies' AS capability,
+                 CAST(0 AS BIGINT) AS rows_disabled,
+                 (SELECT count(*)
+                  FROM ({oracles["s8_get_dependencies"]})) AS rows_enabled
+          UNION ALL
+          SELECT 'find_traces', CAST(0 AS BIGINT),
+                 (SELECT count(*) FROM ({oracles["p4_find_traces"]}))
+          UNION ALL
+          SELECT 'trace_by_id', CAST(0 AS BIGINT),
+                 (SELECT count(*) FROM ({oracles["s9_get_trace"]}))
+        ) ORDER BY capability
+    """
     return oracles
 
 

@@ -50,6 +50,15 @@ def _ensure_reader_confs(spark: SparkSession) -> None:
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+    # Session-wide planner default (ADVICE r06: set once here, not as an
+    # order-dependent side effect of one query): allow co-partitioned
+    # joins when the join keys are a SUPERSET of a bucketed table's
+    # cluster keys — the zero-exchange store-read path
+    # (plans/materialize.py) joins bucketed-by-trace_id spans on
+    # (trace_id, span keys).  Correctness-neutral (Spark only elides an
+    # exchange when the distribution is still satisfied); deterministic
+    # for every plan-pinning test regardless of execution order.
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
 
 
 # Tables big enough that a single-file, single-row-group layout (the driver
