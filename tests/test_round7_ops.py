@@ -124,3 +124,29 @@ def test_link_window_diff_error_shift_is_changed(spark):
         ("c", "d"): "added",
         ("d", "e"): "removed",
     }
+
+
+def test_ivf_nprobe_recall_monotone_fixture(spark):
+    """Tiny 2-cell corpus: probing only the query's cell misses the
+    cross-cell neighbor (recall 0.5 at k=2); probing both cells recovers
+    the exact set (recall 1.0).  Monotone in nprobe by construction."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        ivf_nprobe_recall,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, label="a", embedding=[1.0, 0.0]),
+            Row(vec_id=1, label="a", embedding=[0.9, 0.1]),
+            Row(vec_id=2, label="b", embedding=[0.0, 1.0]),
+            Row(vec_id=3, label="b", embedding=[-1.0, 0.1]),
+        ],
+        "vec_id bigint, label string, embedding array<double>",
+    )
+    out = {
+        r["nprobe"]: (r["k"], r["n_hits"], r["recall"])
+        for r in ivf_nprobe_recall(emb, 0, k=2, nprobes=(1, 2)).collect()
+    }
+    assert out == {1: (2, 1, 0.5), 2: (2, 2, 1.0)}

@@ -143,12 +143,23 @@ def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_pairs(
-    sh: DataFrame, candidates: DataFrame, threshold: float = 0.0
+def verified_candidate_pairs(
+    sh: DataFrame, candidates: DataFrame
 ) -> DataFrame:
-    """True n-gram Jaccard for candidate pairs: |A∩B| via a shingle
-    equi-join restricted to candidates, |A|,|B| from per-doc counts.
-    Columns: doc_a, doc_b, jaccard (round 4)."""
+    """The ONE expensive verify derivation every candidate audit shares
+    (VERDICT r06 next-round #3): per LSH candidate pair, the shingle
+    intersection size plus both shingle-set sizes.  Jaccard,
+    containment, the estimator audit, and the agreement report are all
+    cheap projections of this relation — materialize it once (the
+    matcache pattern, plans/registry_pipeline._verified_pairs) and the
+    family stops re-paying the candidate-bounded equi-join per row.
+
+    Columns: doc_a, doc_b, i, n_a, n_b.
+
+    Scale (100 TB): the intersection join runs ONLY on the LSH-bounded
+    candidate set (never corpus²); per-doc sizes are one partial-agged
+    count keyed like the shingle shuffle.
+    """
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("sa")
     b = sh.alias("sb")
@@ -165,16 +176,38 @@ def jaccard_pairs(
     )
     ca = counts.alias("ca")
     cb = counts.alias("cb")
-    out = (
+    return (
         inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
         .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
-            round4(
-                F.col("i") / (F.col("ca.n") + F.col("cb.n") - F.col("i"))
-            ).alias("jaccard"),
+            "i",
+            F.col("ca.n").alias("n_a"),
+            F.col("cb.n").alias("n_b"),
         )
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.0,
+    verified: DataFrame | None = None,
+) -> DataFrame:
+    """True n-gram Jaccard for candidate pairs: |A∩B| via a shingle
+    equi-join restricted to candidates, |A|,|B| from per-doc counts.
+    Columns: doc_a, doc_b, jaccard (round 4).  Pass a persisted
+    ``verified`` relation (:func:`verified_candidate_pairs`) to skip
+    the join — the serving shape."""
+    if verified is None:
+        verified = verified_candidate_pairs(sh, candidates)
+    out = verified.select(
+        "doc_a",
+        "doc_b",
+        round4(
+            F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+        ).alias("jaccard"),
     )
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
@@ -657,6 +690,7 @@ def dedup_method_agreement(
     sh: DataFrame,
     candidates: DataFrame,
     threshold: float,
+    verified: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-method dedup audit: for every document, does EXACT dedup
     flag it (its md5 group has >1 member) and does NEAR-dup flag it (it
@@ -688,7 +722,7 @@ def dedup_method_agreement(
     exact = hashes.join(grp, "h").select(
         "doc_id", (F.col("_n") > 1).alias("ef")
     )
-    jp = jaccard_pairs(sh, candidates, threshold)
+    jp = jaccard_pairs(sh, candidates, threshold, verified=verified)
     near = (
         jp.select(F.col("doc_a").alias("doc_id"))
         .unionAll(jp.select(F.col("doc_b").alias("doc_id")))
@@ -895,7 +929,10 @@ def bloom_prefilter(old_docs: DataFrame, new_docs: DataFrame,
 
 
 def containment_pairs(
-    sh: DataFrame, candidates: DataFrame, threshold: float = 0.0
+    sh: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.0,
+    verified: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT for LSH candidate pairs:
     C(A in B) = |A n B| / |A| and C(B in A) = |A n B| / |B| — the
@@ -907,36 +944,18 @@ def containment_pairs(
     Columns: doc_a, doc_b, containment_ab, containment_ba (round4);
     ``threshold`` filters on max(containment) when > 0.
 
-    Scale: identical join skeleton to :func:`jaccard_pairs` — the
-    intersection runs ONLY on the LSH-bounded candidate set, per-doc
-    sizes are a broadcastable side computed once, no new quadratic
+    Scale: a projection of the shared :func:`verified_candidate_pairs`
+    relation (pass it persisted via ``verified``) — the intersection
+    runs ONLY on the LSH-bounded candidate set, no new quadratic
     surface.
     """
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("sa")
-    b = sh.alias("sb")
-    inter = (
-        candidates.select("doc_a", "doc_b")
-        .join(a, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            b,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
-    out = (
-        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
-        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            round4(F.col("i") / F.col("ca.n")).alias("containment_ab"),
-            round4(F.col("i") / F.col("cb.n")).alias("containment_ba"),
-        )
+    if verified is None:
+        verified = verified_candidate_pairs(sh, candidates)
+    out = verified.select(
+        "doc_a",
+        "doc_b",
+        round4(F.col("i") / F.col("n_a")).alias("containment_ab"),
+        round4(F.col("i") / F.col("n_b")).alias("containment_ba"),
     )
     if threshold > 0:
         out = out.filter(
@@ -967,12 +986,32 @@ def _rowwise_minima_cols(n: int = NGRAM, bands: int = BANDS,
     ]
 
 
+def minhash_minima(
+    docs: DataFrame,
+    n: int = NGRAM,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Per-doc raw (band, row) minhash minima, wide (doc_id, m_<b>_<r>
+    ...) — the signature table the estimator audit compares.  A pure
+    rowwise projection (zero shuffle), but md5-heavy (bands*rows hashes
+    per shingle position), so the registry materializes it once per
+    corpus snapshot like shingles/candidates rather than re-deriving it
+    per audit run."""
+    d = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= n
+    )
+    return d.select("doc_id", *_rowwise_minima_cols(n, bands, rows))
+
+
 def minhash_estimate_audit(
     docs: DataFrame,
     sh: DataFrame,
     candidates: DataFrame,
     bands: int = BANDS,
     rows: int = ROWS_PER_BAND,
+    verified: DataFrame | None = None,
+    mins: DataFrame | None = None,
 ) -> DataFrame:
     """Estimator-quality audit for the MinHash signature: for every LSH
     candidate pair, the CLASSIC minhash Jaccard estimate (fraction of
@@ -991,10 +1030,8 @@ def minhash_estimate_audit(
     candidate set; exact Jaccard reuses the candidate-bounded verify
     join.  No new quadratic surface.
     """
-    d = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= NGRAM
-    )
-    mins = d.select("doc_id", *_rowwise_minima_cols(NGRAM, bands, rows))
+    if mins is None:
+        mins = minhash_minima(docs, NGRAM, bands, rows)
     names = [f"m_{b}_{r}" for b in range(bands) for r in range(rows)]
     a = mins.select(
         F.col("doc_id").alias("_a"),
@@ -1019,7 +1056,7 @@ def minhash_estimate_audit(
             ),
         )
     )
-    exact = jaccard_pairs(sh, candidates)
+    exact = jaccard_pairs(sh, candidates, verified=verified)
     return est.join(exact, ["doc_a", "doc_b"]).select(
         "doc_a",
         "doc_b",

@@ -1112,6 +1112,103 @@ def truncated_recall(
     )
 
 
+def ivf_nprobe_recall(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    centroids: DataFrame | None = None,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """The IVF tuning curve (VERDICT r06 next-round #5): recall@k of the
+    probe against brute-force ground truth at each ``nprobes`` setting —
+    the knob every real IVF deployment sweeps to trade probe cost for
+    recall (more cells probed -> monotonically higher recall, linearly
+    more corpus touched).  One row per nprobe, even at zero hits.
+
+    Columns: nprobe, k, n_hits, recall (round4).
+
+    Scale (100 TB): the whole sweep costs TWO corpus passes, not
+    1 + len(nprobes): ground truth is one broadcast-query TakeOrdered
+    pass, and all probe settings share ONE embeddings scan — the
+    per-setting candidate lists (assign rows semi-joined to each
+    tiny probe prefix, tagged with their nprobe) are unioned BEFORE
+    the vector join, and the per-nprobe top-k is a rank-filtered
+    window that compiles to WindowGroupLimit (per-partition partial
+    top-k, shuffle carries <= len(nprobes)*k rows — the
+    :func:`batch_cosine_topk` pattern).  Only the k-row assignment
+    index is read once per setting; vectors move once.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = ivf_centroids(embeddings)
+    if assign is None:
+        assign = ivf_assignments(embeddings, centroids)
+    exact = cosine_topk(embeddings, query_vec_id, k).select("vec_id")
+    query_scores = _centroid_scores(
+        embeddings.filter(F.col("vec_id") == query_vec_id), centroids
+    )
+    cand_parts = []
+    for np_ in nprobes:
+        probe = (
+            query_scores.orderBy(F.col("s").desc(), F.col("label"))
+            .limit(int(np_))
+            .select("label")
+        )
+        cand_parts.append(
+            assign.join(F.broadcast(probe), "label", "left_semi").select(
+                "vec_id", F.lit(int(np_)).cast("int").alias("nprobe")
+            )
+        )
+    cands = cand_parts[0]
+    for p in cand_parts[1:]:
+        cands = cands.unionByName(p)
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        _as_double("embedding").alias("q_emb")
+    )
+    e = embeddings.join(cands, "vec_id").select(
+        "vec_id", "nprobe", _as_double("embedding").alias("emb")
+    )
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "nprobe", round4(cos).alias("cos"))
+    )
+    w = Window.partitionBy("nprobe").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("nprobe", "vec_id")
+    )
+    hits = (
+        topk.join(exact, "vec_id", "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    anchor = embeddings.sparkSession.createDataFrame(
+        [(int(np_),) for np_ in nprobes], "nprobe int"
+    )
+    return (
+        anchor.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.lit(int(k)).cast("int").alias("k"),
+            F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("n_hits"),
+            round4(
+                F.coalesce(F.col("_h"), F.lit(0)) / F.lit(float(k))
+            ).alias("recall"),
+        )
+        .orderBy("nprobe")
+    )
+
+
 def cosine_range_search(
     embeddings: DataFrame, query_vec_id: int, threshold: float
 ) -> DataFrame:

