@@ -150,3 +150,66 @@ def test_ivf_nprobe_recall_monotone_fixture(spark):
         for r in ivf_nprobe_recall(emb, 0, k=2, nprobes=(1, 2)).collect()
     }
     assert out == {1: (2, 1, 0.5), 2: (2, 2, 1.0)}
+
+
+def test_frv_codec_roundtrip_and_validation():
+    """Pure-codec checks (no Spark): encode->decode is the identity,
+    magic and length are validated, header fields survive."""
+    import numpy as np
+    import pytest
+
+    from zipkin_storage_kafka_spark.operators import multimodal as mm
+
+    frames = mm.synth_frames(7, 3, 4, 3)
+    payload = mm.encode_frv(frames, fps=4)
+    assert len(payload) == mm.FRV_HEADER_BYTES + 3 * 3 * 4 * 3
+    back, fps = mm.decode_frv(payload)
+    assert fps == 4 and (back == frames).all()
+    with pytest.raises(ValueError):
+        mm.decode_frv(b"XXXX" + payload[4:])
+    with pytest.raises(ValueError):
+        mm.decode_frv(payload[:-1])
+    # frame-offset pin: frame f's top-left red is (doc*31 + f*17) % 256
+    assert [int(back[f, 0, 0, 0]) for f in range(3)] == [
+        (7 * 31 + f * 17) % 256 for f in range(3)
+    ]
+
+
+def test_frv_operators_fixture(spark):
+    """One tiny clip through all three operators: per-frame stats, the
+    wrap-aware scene-cut energy, and the every-2nd-frame sample."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, n_chars=13)], "doc_id bigint, n_chars int"
+    )
+    media = mm.frv_media_from_documents(docs)
+    # n=13%6+2=3 frames, w=13%8+4=9, h=13%5+3=6
+    stats = {
+        r["frame_index"]: (r["px000"], r["px_sum"])
+        for r in mm.frv_frame_stats(media).collect()
+    }
+    assert set(stats) == {0, 1, 2}
+    assert stats[0][0] == (1 * 31) % 256
+    assert stats[1][0] == (1 * 31 + 17) % 256
+    # closed-form sum check for frame 0
+    want = sum(
+        (1 * 31 + y * 7 + x * 3 + c * 11) % 256
+        for y in range(6)
+        for x in range(9)
+        for c in range(3)
+    )
+    assert stats[0][1] == want
+    cuts = mm.frv_scene_cuts(media, threshold=60.0).collect()
+    assert {r["frame_index"] for r in cuts} == {1, 2}
+    for r in cuts:
+        assert 17.0 <= r["diff_energy"] <= 239.0
+        assert r["is_cut"] == (r["diff_energy"] >= 60.0)
+    sample = {
+        r["frame_index"]: r["px_sum"]
+        for r in mm.frv_frame_sample(media, every_n=2).collect()
+    }
+    assert set(sample) == {0, 2}
+    assert sample[0] == stats[0][1] and sample[2] == stats[2][1]

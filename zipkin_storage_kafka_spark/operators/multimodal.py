@@ -817,3 +817,228 @@ def wav_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(run, WAV_FEATURES_SCHEMA)
+
+
+# -- real video codec: FRV1 packed-frame container, pure numpy/struct --------
+#
+# The video member of the real-codec family (BMP image, PCM WAV audio):
+# uncompressed video needs no media library either, so "video as opaque
+# binary" gets a REAL container — a 12-byte header (magic, frame count,
+# dims, fps) followed by tightly packed top-down RGB frames.  Unlike BMP
+# there is NO row padding and no bottom-up flip (documented contrast: a
+# decoder that conflates the two containers breaks the oracle hash).
+# Frame pixels are integer arithmetic in (doc_id, frame, y, x, channel),
+# so every per-frame statistic, inter-frame difference, and sampled-frame
+# checksum is closed-form recomputable by the DuckDB oracle.
+
+FRV_MAGIC = b"FRV1"
+FRV_HEADER_BYTES = 12  # magic(4) + <HHHH> n_frames, width, height, fps
+
+
+def encode_frv(frames: np.ndarray, fps: int) -> bytes:
+    """Encode an (n_frames, h, w, 3) uint8 array as an FRV1 container:
+    magic + little-endian counts header + packed top-down RGB bytes."""
+    n, h, w, c = frames.shape
+    assert c == 3
+    header = FRV_MAGIC + struct.pack("<HHHH", n, w, h, fps)
+    return header + frames.astype(np.uint8).tobytes()
+
+
+def decode_frv(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an FRV1 container back to ((n_frames, h, w, 3) uint8, fps).
+    Validates magic and exact payload length — a truncated or padded
+    container raises rather than yielding shifted frames."""
+    if payload[:4] != FRV_MAGIC:
+        raise ValueError("not an FRV1 container")
+    n, w, h, fps = struct.unpack("<HHHH", payload[4:FRV_HEADER_BYTES])
+    body = payload[FRV_HEADER_BYTES:]
+    if len(body) != n * h * w * 3:
+        raise ValueError("FRV1 length mismatch")
+    arr = np.frombuffer(body, dtype=np.uint8).reshape(n, h, w, 3)
+    return arr, fps
+
+
+def synth_frames(
+    doc_id: int, n_frames: int, width: int, height: int
+) -> np.ndarray:
+    """Deterministic fixture frames:
+    (doc_id*31 + f*17 + y*7 + x*3 + c*11) % 256 — the BMP pixel formula
+    extended with a frame term, so DuckDB reproduces any decoded
+    statistic including inter-frame differences."""
+    f = np.arange(n_frames, dtype=np.int64).reshape(-1, 1, 1, 1)
+    y = np.arange(height, dtype=np.int64).reshape(1, -1, 1, 1)
+    x = np.arange(width, dtype=np.int64).reshape(1, 1, -1, 1)
+    c = np.arange(3, dtype=np.int64).reshape(1, 1, 1, -1)
+    return (
+        (doc_id * 31 + f * 17 + y * 7 + x * 3 + c * 11) % 256
+    ).astype(np.uint8)
+
+
+FRV_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("fps", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+FRV_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("px000", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+FRV_CUTS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("diff_energy", T.DoubleType()),
+        T.StructField("is_cut", T.BooleanType()),
+    ]
+)
+
+FRV_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
+def frv_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Render a REAL FRV1 clip per document: n_frames = n_chars%6+2,
+    w = n_chars%8+4, h = n_chars%5+3, fps 4; frames from
+    :func:`synth_frames`.  Arrow-batched; payloads never on the driver."""
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 6 + 2).cast("int").alias("n_frames"),
+        (F.col("n_chars") % 8 + 4).cast("int").alias("width"),
+        (F.col("n_chars") % 5 + 3).cast("int").alias("height"),
+        F.lit(4).cast("int").alias("fps"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = pd.Series(
+                [
+                    encode_frv(synth_frames(mid, n, w, h), fps)
+                    for mid, n, w, h, fps in zip(
+                        pdf["media_id"],
+                        pdf["n_frames"],
+                        pdf["width"],
+                        pdf["height"],
+                        pdf["fps"],
+                    )
+                ],
+                index=pdf.index,
+                dtype=object,
+            )
+            yield out
+
+    return base.mapInPandas(run, FRV_MEDIA_SCHEMA)
+
+
+def frv_frame_stats(media: DataFrame) -> DataFrame:
+    """Decode every FRV1 payload and emit one row PER FRAME: the frame's
+    top-left red value (px000 pins the frame-offset arithmetic — an
+    off-by-one-frame slice reads (f±1)'s formula value), the exact int64
+    pixel sum, and the mean.  The per-frame fan-out is the production
+    frame-extraction shape; rows stay Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k.name: [] for k in FRV_FRAME_STATS_SCHEMA.fields
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr, _fps = decode_frv(payload)
+                n, h, w, _ = arr.shape
+                sums = arr.reshape(n, -1).sum(axis=1, dtype=np.int64)
+                for fi in range(n):
+                    cols["media_id"].append(int(mid))
+                    cols["frame_index"].append(fi)
+                    cols["px000"].append(int(arr[fi, 0, 0, 0]))
+                    cols["px_sum"].append(int(sums[fi]))
+                    cols["mean_px"].append(int(sums[fi]) / (h * w * 3))
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(run, FRV_FRAME_STATS_SCHEMA)
+
+
+def frv_scene_cuts(media: DataFrame, threshold: float = 60.0) -> DataFrame:
+    """Inter-frame difference energy (mean |pixel delta| between frame
+    f-1 and f, exact int64 sum / double divide) with a fixed-threshold
+    cut flag — the shot-boundary primitive a video curation pipeline
+    runs before frame sampling (one row per frame transition).
+
+    The synthetic formula advances 17 per frame, so deltas are the
+    wrap-aware constant |17 - 256·[wrap]| pattern — the oracle
+    recomputes them exactly; is_cut cannot flip on a ulp because
+    diff_energy is a ratio of exact integers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k.name: [] for k in FRV_CUTS_SCHEMA.fields
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr, _fps = decode_frv(payload)
+                n, h, w, _ = arr.shape
+                if n < 2:
+                    continue
+                d = np.abs(
+                    arr[1:].astype(np.int64) - arr[:-1].astype(np.int64)
+                )
+                sums = d.reshape(n - 1, -1).sum(axis=1, dtype=np.int64)
+                denom = h * w * 3
+                for fi in range(1, n):
+                    energy = int(sums[fi - 1]) / denom
+                    cols["media_id"].append(int(mid))
+                    cols["frame_index"].append(fi)
+                    cols["diff_energy"].append(energy)
+                    cols["is_cut"].append(energy >= threshold)
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(run, FRV_CUTS_SCHEMA)
+
+
+def frv_frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: slice every ``every_n``-th frame out of the
+    container bytes (stride over the packed frame layout) and emit its
+    byte length + exact pixel checksum — the real-codec successor of the
+    generic :func:`sample_frames` stub.  An off-by-one in the stride or
+    the frame byte-offset arithmetic shifts px_sum to a different
+    frame's closed-form value."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k.name: [] for k in FRV_SAMPLE_SCHEMA.fields
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n, w, h, _fps = struct.unpack(
+                    "<HHHH", payload[4:FRV_HEADER_BYTES]
+                )
+                frame_len = h * w * 3
+                for fi in range(0, n, every_n):
+                    start = FRV_HEADER_BYTES + fi * frame_len
+                    frame = np.frombuffer(
+                        payload[start : start + frame_len], dtype=np.uint8
+                    )
+                    cols["media_id"].append(int(mid))
+                    cols["frame_index"].append(fi)
+                    cols["frame_bytes"].append(frame_len)
+                    cols["px_sum"].append(int(frame.sum(dtype=np.int64)))
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(run, FRV_SAMPLE_SCHEMA)

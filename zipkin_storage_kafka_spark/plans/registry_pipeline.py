@@ -564,6 +564,39 @@ def q_mm_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VIDEO_CUT_THRESHOLD = 60.0
+VIDEO_SAMPLE_EVERY = 2
+
+
+def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec end-to-end (operators/multimodal.py:FRV1): render
+    a packed-frame container per document (frame-extended integer pixel
+    formula), then DECODE the actual bytes (magic, header, frame offset
+    arithmetic) and emit one row per frame (top-left value, exact pixel
+    sum, mean).  The oracle recomputes every statistic closed-form — a
+    frame-offset or header bug breaks the value hash."""
+    media = mm.frv_media_from_documents(_docs(spark, sf_dir))
+    return mm.frv_frame_stats(media)
+
+
+def q_mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection on real container bytes
+    (operators/multimodal.py:frv_scene_cuts): inter-frame |delta| energy
+    + fixed-threshold cut flag; exact-integer ratio so the flag is
+    engine-portable."""
+    media = mm.frv_media_from_documents(_docs(spark, sf_dir))
+    return mm.frv_scene_cuts(media, threshold=VIDEO_CUT_THRESHOLD)
+
+
+def q_mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling (operators/multimodal.py:frv_frame_sample):
+    every-Nth-frame byte-slice out of the packed layout with an exact
+    pixel checksum per sampled frame — the real-codec successor of the
+    generic frame-sample stub."""
+    media = mm.frv_media_from_documents(_docs(spark, sf_dir))
+    return mm.frv_frame_sample(media, every_n=VIDEO_SAMPLE_EVERY)
+
+
 def q_mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec end-to-end: render a 16-bit PCM WAV per document
     (synthetic integer samples), then DECODE the actual bytes (RIFF chunk
@@ -1242,6 +1275,9 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_ngram_novelty": q_text_ngram_novelty,
         "mm_phash_neardup": q_mm_phash_neardup,
         "mm_wav_features": q_mm_wav_features,
+        "mm_video_frames": q_mm_video_frames,
+        "mm_video_scene_cuts": q_mm_video_scene_cuts,
+        "mm_video_frame_sample": q_mm_video_frame_sample,
         "text_dsir_weights": q_text_dsir_weights,
         "ann_truncated_recall": q_ann_truncated_recall,
         "pipe_dedup_agreement": q_pipe_dedup_agreement,
@@ -2534,6 +2570,126 @@ def _pipeline_oracles_base() -> dict[str, str]:
                    CAST(max(abs(v)) AS INTEGER) AS peak
             FROM smp
             GROUP BY doc_id, ch, out_n
+        """,
+        "mm_video_frames": """
+            WITH d AS (
+              SELECT doc_id,
+                     n_chars % 6 + 2 AS n,
+                     n_chars % 8 + 4 AS w,
+                     n_chars % 5 + 3 AS h
+              FROM documents
+            ),
+            fr AS (
+              SELECT doc_id, w, h,
+                     unnest(generate_series(0, n - 1)) AS f
+              FROM d
+            ),
+            ys AS (
+              SELECT doc_id, w, h, f,
+                     unnest(generate_series(0, h - 1)) AS y
+              FROM fr
+            ),
+            cell AS (
+              SELECT doc_id, w, h, f, y,
+                     unnest(generate_series(0, w - 1)) AS x
+              FROM ys
+            ),
+            px AS (
+              SELECT doc_id, w, h, f,
+                     (doc_id*31 + f*17 + y*7 + x*3) % 256      AS p0,
+                     (doc_id*31 + f*17 + y*7 + x*3 + 11) % 256 AS p1,
+                     (doc_id*31 + f*17 + y*7 + x*3 + 22) % 256 AS p2
+              FROM cell
+            )
+            SELECT doc_id AS media_id,
+                   CAST(f AS INTEGER) AS frame_index,
+                   CAST((doc_id*31 + f*17) % 256 AS INTEGER) AS px000,
+                   CAST(sum(p0 + p1 + p2) AS BIGINT) AS px_sum,
+                   CAST(sum(p0 + p1 + p2) AS DOUBLE) / (w*h*3) AS mean_px
+            FROM px
+            GROUP BY doc_id, f, w, h
+        """,
+        "mm_video_scene_cuts": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     n_chars % 6 + 2 AS n,
+                     n_chars % 8 + 4 AS w,
+                     n_chars % 5 + 3 AS h
+              FROM documents
+            ),
+            fr AS (
+              SELECT doc_id, w, h,
+                     unnest(generate_series(1, n - 1)) AS f
+              FROM d
+              WHERE n >= 2
+            ),
+            ys AS (
+              SELECT doc_id, w, h, f,
+                     unnest(generate_series(0, h - 1)) AS y
+              FROM fr
+            ),
+            cell AS (
+              SELECT doc_id, w, h, f, y,
+                     unnest(generate_series(0, w - 1)) AS x
+              FROM ys
+            ),
+            ch AS (
+              SELECT doc_id, w, h, f, y, x,
+                     unnest([0, 11, 22]) AS cc
+              FROM cell
+            ),
+            dpx AS (
+              SELECT doc_id, w, h, f,
+                     abs(((doc_id*31 + f*17 + y*7 + x*3 + cc) % 256)
+                       - ((doc_id*31 + (f-1)*17 + y*7 + x*3 + cc) % 256))
+                       AS dv
+              FROM ch
+            )
+            SELECT doc_id AS media_id,
+                   CAST(f AS INTEGER) AS frame_index,
+                   CAST(sum(dv) AS DOUBLE) / (w*h*3) AS diff_energy,
+                   (CAST(sum(dv) AS DOUBLE) / (w*h*3))
+                     >= {VIDEO_CUT_THRESHOLD} AS is_cut
+            FROM dpx
+            GROUP BY doc_id, f, w, h
+        """,
+        "mm_video_frame_sample": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     n_chars % 6 + 2 AS n,
+                     n_chars % 8 + 4 AS w,
+                     n_chars % 5 + 3 AS h
+              FROM documents
+            ),
+            fr AS (
+              SELECT doc_id, w, h,
+                     unnest(generate_series(0, n - 1,
+                                            {VIDEO_SAMPLE_EVERY})) AS f
+              FROM d
+            ),
+            ys AS (
+              SELECT doc_id, w, h, f,
+                     unnest(generate_series(0, h - 1)) AS y
+              FROM fr
+            ),
+            cell AS (
+              SELECT doc_id, w, h, f, y,
+                     unnest(generate_series(0, w - 1)) AS x
+              FROM ys
+            ),
+            px AS (
+              SELECT doc_id, w, h, f,
+                     (doc_id*31 + f*17 + y*7 + x*3) % 256      AS p0,
+                     (doc_id*31 + f*17 + y*7 + x*3 + 11) % 256 AS p1,
+                     (doc_id*31 + f*17 + y*7 + x*3 + 22) % 256 AS p2
+              FROM cell
+            )
+            SELECT doc_id AS media_id,
+                   CAST(f AS INTEGER) AS frame_index,
+                   CAST(w*h*3 AS BIGINT) AS frame_bytes,
+                   CAST(sum(p0 + p1 + p2) AS BIGINT) AS px_sum
+            FROM px
+            GROUP BY doc_id, f, w, h
         """,
         "mm_bmp_roundtrip": """
             WITH d AS (
