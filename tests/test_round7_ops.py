@@ -213,3 +213,37 @@ def test_frv_operators_fixture(spark):
     }
     assert set(sample) == {0, 2}
     assert sample[0] == stats[0][1] and sample[2] == stats[2][1]
+
+
+def test_stream_incremental_dedup_equals_batch(spark, sf_dir):
+    """Micro-batch boundaries must not change classification: the W10
+    streamed sink equals the batch operator over the same snapshot and
+    the same persisted index (per-doc probes against static state)."""
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        derived_new_snapshot,
+        incremental_dedup,
+    )
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import (
+        _dedup_index,
+        _docs,
+    )
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        incremental_dedup_via_stream,
+    )
+
+    index = _dedup_index(spark, sf_dir)
+    streamed = sorted(
+        map(
+            tuple,
+            incremental_dedup_via_stream(spark, sf_dir, index).collect(),
+        )
+    )
+    batch = sorted(
+        map(
+            tuple,
+            incremental_dedup(
+                index, derived_new_snapshot(_docs(spark, sf_dir))
+            ).collect(),
+        )
+    )
+    assert streamed == batch and len(streamed) > 0

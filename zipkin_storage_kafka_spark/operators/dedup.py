@@ -833,6 +833,23 @@ def incremental_dedup(index: DataFrame, new_docs: DataFrame,
     )
 
 
+def derived_new_snapshot(docs: DataFrame) -> DataFrame:
+    """The deterministic derived NEW snapshot both incremental-dedup
+    driver rows classify (batch ``pipe_incremental_dedup``, streaming
+    ``w10_stream_incremental_dedup`` — one snapshot, one oracle):
+    doc_id%5==0 re-ingested verbatim under a new id (exact_dup), %5==1
+    lightly edited (near_dup when LSH band minima survive), %5==2
+    replaced by fresh md5-derived text (new)."""
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") % 5 < 3)
+    return base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .when(F.col("doc_id") % 5 == 1, F.concat("text", F.lit(" extra")))
+        .otherwise(F.concat(F.lit("fresh doc "), F.md5("text")))
+        .alias("text"),
+    )
+
+
 BLOOM_BITS = 65536
 BLOOM_HASHES = 4
 

@@ -895,18 +895,23 @@ def q_pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact_dup), %5==1 lightly edited (near_dup when LSH band minima
     survive the edit — both engines compute the identical band math),
     %5==2 replaced by fresh md5-derived text (new)."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    base = docs.filter(F.col("doc_id") % 5 < 3)
-    new = base.select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
-        .when(
-            F.col("doc_id") % 5 == 1, F.concat("text", F.lit(" extra"))
-        )
-        .otherwise(F.concat(F.lit("fresh doc "), F.md5("text")))
-        .alias("text"),
-    )
+    new = dd.derived_new_snapshot(_docs(spark, sf_dir))
     return dd.incremental_dedup(_dedup_index(spark, sf_dir), new)
+
+
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 driver row: streaming ingest classification against the
+    PERSISTED dedup index (streaming/jobs.py:incremental_dedup_via_stream)
+    — foreachBatch probe joins over a two-micro-batch document stream;
+    the final sink equals the batch operator's output, so this row and
+    pipe_incremental_dedup share one oracle."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        incremental_dedup_via_stream,
+    )
+
+    return incremental_dedup_via_stream(
+        spark, sf_dir, _dedup_index(spark, sf_dir)
+    )
 
 
 def q_pipe_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1284,6 +1289,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_zipf_fit": q_text_zipf_fit,
         "dedup_semantic_fold": q_dedup_semantic_fold,
         "pipe_incremental_dedup": q_pipe_incremental_dedup,
+        "w10_stream_incremental_dedup": q_stream_incremental_dedup,
         "pipe_bloom_prefilter": q_pipe_bloom_prefilter,
         "dedup_containment": q_dedup_containment,
         "w8_stream_lsh_registry": q_stream_lsh_registry,
@@ -1347,6 +1353,12 @@ def pipeline_oracles() -> dict[str, str]:
                     ELSE a.nearid END AS matched_old_id
         FROM new_docs d LEFT JOIN agg a USING (doc_id)
     """
+    # W10 streams the SAME derived snapshot against the SAME persisted
+    # index; classification is per-document against static state, so the
+    # streamed sink must equal the batch operator's output exactly.
+    oracles["w10_stream_incremental_dedup"] = oracles[
+        "pipe_incremental_dedup"
+    ]
     oracles["pipe_bloom_prefilter"] = f"""
         WITH new_docs AS (
           SELECT doc_id + 3000000 AS doc_id,

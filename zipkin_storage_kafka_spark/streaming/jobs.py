@@ -1313,3 +1313,88 @@ def lsh_registry_via_stream(
 
     _STREAM_SINK_MEMO[memo_key] = out_dir
     return spark.read.parquet(out_dir)
+
+
+def incremental_dedup_via_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    index: DataFrame,
+) -> DataFrame:
+    """W10 driver row: the streaming INGEST half of incremental-corpus
+    dedup — new-snapshot documents arrive as a stream and every
+    micro-batch is classified against the PERSISTED index of the
+    existing corpus (operators/dedup.py:incremental_dedup) inside
+    ``foreachBatch``, appending (doc_id, status, matched_old_id) to the
+    classification sink.  This is the deployment shape the batch row
+    (``pipe_incremental_dedup``) promises: the index is built once per
+    snapshot; each arriving batch pays ONE (kind, key) probe join; old
+    corpus bodies are never rescanned.
+
+    Classification is per-document against a STATIC index, so the
+    result is independent of micro-batch boundaries — the final sink
+    equals the batch operator's output over the same snapshot, and both
+    rows share one oracle.  foreachBatch (not a stateful agg) is the
+    honest tool: there is no cross-batch state to keep; exactly-once
+    comes from the availableNow checkpointed run + per-run sink dir
+    (the epoch-keyed idempotent-sink pattern of the other w-rows).
+
+    The snapshot is staged as TWO micro-batch files split by doc-id
+    parity, so the run genuinely exercises multiple foreachBatch
+    invocations appending to one sink.
+    """
+    import os
+    import tempfile
+
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        derived_new_snapshot,
+        incremental_dedup,
+    )
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(docs_path)
+    memo_key = ("w10_incr", sf_dir, st.st_size, st.st_mtime_ns)
+    cached = _STREAM_SINK_MEMO.get(memo_key)
+    if cached is not None and os.path.isdir(cached):
+        return spark.read.parquet(cached)
+
+    new = derived_new_snapshot(spark.read.parquet(docs_path))
+
+    work = tempfile.mkdtemp(prefix="w10_incr_dedup_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "classified")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+    new.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    new.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def classify(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_dedup(index, batch_df).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(classify)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    _STREAM_SINK_MEMO[memo_key] = out_dir
+    return spark.read.parquet(out_dir)
