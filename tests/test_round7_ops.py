@@ -247,3 +247,41 @@ def test_stream_incremental_dedup_equals_batch(spark, sf_dir):
         )
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_canonical_docs_keeps_best_quality(spark):
+    """Survivorship fixture: a 3-member cluster keeps the highest-quality
+    member (not the min id), ties break to the smaller doc_id, and a
+    separate 2-member cluster is independent."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.dedup import canonical_docs
+
+    pairs = spark.createDataFrame(
+        [
+            Row(doc_a=1, doc_b=2),
+            Row(doc_a=2, doc_b=3),
+            Row(doc_a=10, doc_b=11),
+        ],
+        "doc_a bigint, doc_b bigint",
+    )
+    quality = spark.createDataFrame(
+        [
+            Row(doc_id=1, quality=0.5),
+            Row(doc_id=2, quality=0.9),
+            Row(doc_id=3, quality=0.9),
+            Row(doc_id=10, quality=0.2),
+            Row(doc_id=11, quality=0.8),
+        ],
+        "doc_id bigint, quality double",
+    )
+    out = {
+        r["component_id"]: (
+            r["kept_doc_id"],
+            r["kept_quality"],
+            r["n_members"],
+            r["n_dropped"],
+        )
+        for r in canonical_docs(pairs, quality).collect()
+    }
+    assert out == {1: (2, 0.9, 3, 2), 10: (11, 0.8, 2, 1)}

@@ -577,6 +577,55 @@ def dedup_clusters(pairs: DataFrame, flavor: str = "propagation") -> DataFrame:
     )
 
 
+def canonical_docs(
+    pairs: DataFrame, quality: DataFrame
+) -> DataFrame:
+    """Quality-aware survivorship: resolve near-dup pairs into clusters
+    and keep each cluster's HIGHEST-quality member (doc_id tiebreak) —
+    the dedup policy a pretraining pipeline actually wants (min-id
+    keeps whatever crawled first; this keeps the best copy).  The
+    min-id flavor stays available as :func:`dedup_clusters`.
+
+    ``quality`` is any (doc_id, quality) relation — the registry feeds
+    text_analysis.quality_score.
+
+    Columns: component_id, kept_doc_id, kept_quality, n_members,
+    n_dropped.
+
+    Scale (100 TB): the cluster fixpoint is the audited CC operator;
+    the keeper choice is ONE component-keyed window whose partitions
+    are cluster-sized (never a global sort), and the rollup rides the
+    window's hash partitioning — one exchange beyond CC.
+    """
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs)
+    members = cc.join(quality, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("component_id")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "kept_doc_id"
+            ),
+            F.min(F.when(F.col("rk") == 1, F.col("quality"))).alias(
+                "kept_quality"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "component_id",
+            "kept_doc_id",
+            "kept_quality",
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+    )
+
+
 def fuzzy_decontaminate(docs: DataFrame, candidates: DataFrame) -> DataFrame:
     """Near-dup train/eval contamination: exact-shingle decontamination
     (text_analysis.decontaminate) misses lightly-edited benchmark leaks, so

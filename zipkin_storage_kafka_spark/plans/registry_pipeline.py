@@ -826,6 +826,23 @@ def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(pairs, flavor="star")
 
 
+def q_pipe_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivorship (operators/dedup.py:canonical_docs):
+    near-dup clusters resolved, then each cluster keeps its HIGHEST
+    quality_score member (doc_id tiebreak) — the keep-the-best-copy
+    dedup policy, vs dedup_cluster_resolve's min-id convention."""
+    pairs = dd.jaccard_pairs(
+        _shingles(spark, sf_dir),
+        _lsh_candidates(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        verified=_verified_pairs(spark, sf_dir),
+    )
+    quality = ta.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "quality"
+    )
+    return dd.canonical_docs(pairs, quality)
+
+
 def q_pipe_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc <-> embedding id alignment audit (operators/corpus.py): one
     full-outer equi-join, rowwise status, partial-agged counts — the
@@ -1243,6 +1260,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_train_split": q_text_train_split,
         "text_encode_ids": q_text_encode_ids,
         "dedup_cluster_resolve": q_dedup_cluster_resolve,
+        "pipe_canonical_docs": q_pipe_canonical_docs,
         "dedup_cluster_star": q_dedup_cluster_star,
         "dedup_semantic": q_dedup_semantic,
         "dedup_semantic_diverse": q_dedup_semantic_diverse,
@@ -1974,6 +1992,71 @@ def _pipeline_oracles_base() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
                      AS member_ids
             FROM lab GROUP BY component_id
+        """,
+        "pipe_canonical_docs": f"""
+            WITH RECURSIVE {_MINHASH_CTE},
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b
+              FROM inter
+              JOIN cnt ca ON ca.doc_id = doc_a
+              JOIN cnt cb ON cb.doc_id = doc_b
+              WHERE (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 + 0.0)
+                    >= {JACCARD_THRESHOLD}
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            lab AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS component_id
+              FROM reach GROUP BY src
+            ),
+            tw AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+            ts AS (
+              SELECT doc_id,
+                     len(w) AS n_tokens,
+                     len(list_filter(w, x -> x IN {_STOP_SQL})) AS stop_cnt,
+                     (round((len(list_distinct(w)) * 1.0 / len(w)) * 10000)
+                       / 10000 + 0.0) AS ttr
+              FROM tw
+            ),
+            qual AS (
+              SELECT doc_id,
+                     (round((0.4 * (CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
+                                    END)
+                           + 0.3 * least(1.0, 5.0 * (stop_cnt * 1.0
+                                                     / n_tokens))
+                           + 0.3 * ttr) * 10000) / 10000 + 0.0) AS quality
+              FROM ts
+            ),
+            ranked AS (
+              SELECT component_id, l.doc_id, quality,
+                     row_number() OVER (PARTITION BY component_id
+                                        ORDER BY quality DESC, l.doc_id)
+                       AS rk
+              FROM lab l JOIN qual q ON q.doc_id = l.doc_id
+            )
+            SELECT component_id,
+                   min(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+                   min(CASE WHEN rk = 1 THEN quality END) AS kept_quality,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(count(*) - 1 AS BIGINT) AS n_dropped
+            FROM ranked GROUP BY component_id
         """,
         # Streaming dedup survivors == corpus-wide distinct texts: the
         # echo rows injected by the runner are verbatim copies, so the
