@@ -285,3 +285,56 @@ def test_canonical_docs_keeps_best_quality(spark):
         for r in canonical_docs(pairs, quality).collect()
     }
     assert out == {1: (2, 0.9, 3, 2), 10: (11, 0.8, 2, 1)}
+
+
+def test_orphan_span_stats_fixture(spark):
+    """Dropping ids ending in '0' orphans exactly the children of the
+    dropped span; roots and intact chains are untouched."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        orphan_span_stats,
+    )
+
+    rows = [
+        # parent id ends in '0' -> dropped; child orphaned
+        Row(trace_id="t", id="00000000000000a0", parent_id=None,
+            local_service="a"),
+        Row(trace_id="t", id="00000000000000a1",
+            parent_id="00000000000000a0", local_service="b"),
+        # intact chain
+        Row(trace_id="u", id="00000000000000b1", parent_id=None,
+            local_service="a"),
+        Row(trace_id="u", id="00000000000000b2",
+            parent_id="00000000000000b1", local_service="b"),
+    ]
+    df = spark.createDataFrame(rows, _SPAN_SCHEMA)
+    out = {
+        r["local_service"]: (r["n_spans"], r["n_orphans"], r["orphan_rate"])
+        for r in orphan_span_stats(df).collect()
+    }
+    assert out == {"a": (1, 0, 0.0), "b": (2, 1, 0.5)}
+
+
+def test_link_latency_gaps_fixture(spark):
+    """Gap stats: exact micros sums, ms conversion after aggregation."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        link_latency_gaps,
+    )
+
+    schema = (
+        "trace_id string, id string, parent_id string, "
+        "local_service string, timestamp long"
+    )
+    rows = [
+        Row(trace_id="t", id="p1", parent_id=None, local_service="a",
+            timestamp=1_000_000),
+        Row(trace_id="t", id="c1", parent_id="p1", local_service="b",
+            timestamp=1_002_000),
+        Row(trace_id="t", id="c2", parent_id="p1", local_service="b",
+            timestamp=1_005_000),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = link_latency_gaps(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["parent"], r["child"], r["n_calls"]) == ("a", "b", 2)
+    assert r["avg_gap_ms"] == 3.5 and r["max_gap_ms"] == 5.0

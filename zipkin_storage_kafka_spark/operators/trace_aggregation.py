@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from zipkin_storage_kafka_spark.functions.portable import round4
+
 
 def aggregate_traces(spans: DataFrame) -> DataFrame:
     """spans (scalar layout from sources.spans) -> one row per trace.
@@ -424,6 +426,52 @@ def trace_path_signatures(spans: DataFrame) -> DataFrame:
     )
     return sig.groupBy("path_signature", "n_services").agg(
         F.count(F.lit(1)).alias("n_traces")
+    )
+
+
+def orphan_span_stats(spans: DataFrame, drop_hex: str = "0") -> DataFrame:
+    """Broken-linkage audit under simulated span loss: drop every span
+    whose id ends in ``drop_hex`` (a deterministic ~1/16 "lossy ingest"
+    sample — the dedup family's derived-snapshot pattern applied to
+    trace quality), then count per service how many SURVIVING spans
+    reference a parent that no longer exists.  This is the
+    data-quality panel behind the root-path sweep's orphan-drop
+    semantics (:func:`span_root_paths`): it quantifies how much of each
+    service's tree would silently fall out.
+
+    Columns: local_service, n_spans, n_orphans, orphan_rate (round4).
+
+    Scale (100 TB): one trace-keyed left-anti self-join (co-partitions
+    with every other per-trace stage) + a service-keyed partial agg;
+    the perturbation is a rowwise filter, no extra pass.
+    """
+    surv = spans.filter(F.substring("id", 16, 1) != drop_hex)
+    parents = surv.select(
+        F.col("trace_id").alias("_t"), F.col("id").alias("_p")
+    )
+    orphans = (
+        surv.filter(F.col("parent_id").isNotNull())
+        .join(
+            parents,
+            (F.col("trace_id") == F.col("_t"))
+            & (F.col("parent_id") == F.col("_p")),
+            "left_anti",
+        )
+        .groupBy("local_service")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    totals = surv.groupBy("local_service").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    return totals.join(orphans, "local_service", "left").select(
+        "local_service",
+        "n_spans",
+        F.coalesce(F.col("n_orphans"), F.lit(0))
+        .cast("long")
+        .alias("n_orphans"),
+        round4(
+            F.coalesce(F.col("n_orphans"), F.lit(0)) / F.col("n_spans")
+        ).alias("orphan_rate"),
     )
 
 

@@ -969,6 +969,30 @@ def q_latency_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latency_shift(spans_table(spark, sf_dir), DEPLOY_SPLIT_US)
 
 
+def q_orphan_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broken-linkage audit under simulated ~1/16 span loss
+    (operators/trace_aggregation.py:orphan_span_stats): per-service
+    orphan counts after deterministically dropping ids ending in '0' —
+    quantifies the tree fallout the root-path sweep's orphan-drop
+    semantics would silently absorb."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        orphan_span_stats,
+    )
+
+    return orphan_span_stats(_spans(spark, sf_dir))
+
+
+def q_link_latency_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent->child handoff gap per dependency edge
+    (operators/dependency_links.py:link_latency_gaps) — the time-on-edge
+    panel next to J1's call/error counters."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        link_latency_gaps,
+    )
+
+    return link_latency_gaps(_spans(spark, sf_dir))
+
+
 def q_error_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Root-to-error service paths, counted — where failures concentrate
     BY ROUTE (operators/trace_aggregation.py:error_paths): served from
@@ -1144,6 +1168,8 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_latency_shift": q_latency_shift,
         "z_error_paths": q_error_paths,
         "p5_disabled_flags": q_p5_disabled_flags,
+        "z_orphan_spans": q_orphan_spans,
+        "z_link_latency_gaps": q_link_latency_gaps,
     }
 
 
@@ -1328,6 +1354,46 @@ def zipkin_oracles() -> dict[str, str]:
             GROUP BY trace_id, local_service
           ) GROUP BY trace_id
         ) GROUP BY path_signature, n_services
+        """
+    )
+    oracles["z_orphan_spans"] = with_spans_cte(
+        """
+        SELECT t.local_service,
+               CAST(t.n AS BIGINT) AS n_spans,
+               CAST(coalesce(o.n_o, 0) AS BIGINT) AS n_orphans,
+               ((round((coalesce(o.n_o, 0) * 1.0 / t.n) * 10000) / 10000)
+                 + 0.0) AS orphan_rate
+        FROM (
+          SELECT local_service, count(*) AS n FROM surv GROUP BY 1
+        ) t
+        LEFT JOIN (
+          SELECT s.local_service, count(*) AS n_o
+          FROM surv s
+          LEFT JOIN surv p
+            ON p.trace_id = s.trace_id AND p.id = s.parent_id
+          WHERE s.parent_id IS NOT NULL AND p.id IS NULL
+          GROUP BY 1
+        ) o ON o.local_service = t.local_service
+        """,
+        extra_ctes="""
+        surv AS (
+          SELECT * FROM spans WHERE substr(id, 16, 1) <> '0'
+        )
+        """,
+    )
+    oracles["z_link_latency_gaps"] = with_spans_cte(
+        """
+        SELECT p.local_service AS parent,
+               c.local_service AS child,
+               CAST(count(*) AS BIGINT) AS n_calls,
+               ((round((sum(c.timestamp - p.timestamp) * 1.0 / count(*)
+                        / 1000) * 10000) / 10000) + 0.0) AS avg_gap_ms,
+               (max(c.timestamp - p.timestamp) / 1000.0) AS max_gap_ms
+        FROM spans c
+        JOIN spans p
+          ON p.trace_id = c.trace_id AND p.id = c.parent_id
+        WHERE c.parent_id IS NOT NULL
+        GROUP BY 1, 2
         """
     )
     # P5: the disabled side is the asserted zero; the enabled side is
