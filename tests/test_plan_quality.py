@@ -783,3 +783,37 @@ def test_ivf_nprobe_recall_cell_pruned(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("LeftSemi") >= 4, plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_orphan_spans_anti_join_trace_keyed(spark, sf_dir):
+    """The orphan audit is a trace-keyed LEFT ANTI self-join + service
+    rollup — no cartesian, no window."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["z_orphan_spans"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_link_latency_gaps_partial_agged(spark, sf_dir):
+    """Gap rollup must partial-aggregate map-side (two-phase
+    HashAggregate): the service-pair shuffle carries pair rows, not
+    span rows."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["z_link_latency_gaps"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_canonical_docs_window_is_partitioned(spark, sf_dir):
+    """The keeper-selection window must partition by component_id —
+    never a single-partition global window."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["pipe_canonical_docs"](spark, sf_dir))
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win, plan
+    for l in win:
+        assert "component_id" in l, l
