@@ -338,3 +338,43 @@ def test_link_latency_gaps_fixture(spark):
     r = out[0]
     assert (r["parent"], r["child"], r["n_calls"]) == ("a", "b", 2)
     assert r["avg_gap_ms"] == 3.5 and r["max_gap_ms"] == 5.0
+
+
+def test_hybrid_rrf_fixture(spark):
+    """RRF fuses rank-only: a doc ranked #1 lexically and #2 densely
+    beats a doc that is #1 in one arm only; docs absent from an arm get
+    NULL there and only the present arm's reciprocal."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        hybrid_rrf_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: two query terms -> lex #1; doc 2: one term -> lex #2
+            Row(doc_id=1, text="spark join engine overview"),
+            Row(doc_id=2, text="spark only mention here today"),
+            Row(doc_id=3, text="nothing relevant whatsoever indeed"),
+        ],
+        "doc_id bigint, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),   # query
+            Row(vec_id=1, embedding=[0.8, 0.6]),   # sem #2
+            Row(vec_id=2, embedding=[-1.0, 0.0]),  # sem #3
+            Row(vec_id=3, embedding=[1.0, 0.1]),   # sem #1
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r["doc_id"]: (r["lex_rank"], r["sem_rank"], r["rrf_score"])
+        for r in hybrid_rrf_topk(docs, emb, 0, k=3).collect()
+    }
+    assert out[1][0] == 1 and out[1][1] == 2
+    assert out[2][0] == 2 and out[2][1] == 3
+    assert out[3][0] is None and out[3][1] == 1
+    # both-arm presence dominates: doc 1 (1/61+1/62) > doc 2 (1/62+1/63)
+    # > doc 3 (1/61 alone) — rank fusion rewards agreement across arms
+    assert out[1][2] > out[2][2] > out[3][2]

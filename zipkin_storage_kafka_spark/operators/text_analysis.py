@@ -1004,8 +1004,13 @@ def bm25_topk(
     # k-row driver merge); rank the k survivors by triangular self-join
     # (rank = 1 + #rows strictly before me) — k^2 over k=20 rows, no
     # single-partition WindowExec anywhere in the plan.
-    top = scored.orderBy(F.col("score_micro").desc(), F.col("doc_id")).limit(
-        k
+    # k-row relation referenced twice below (triangular rank join):
+    # truncate lineage so the second reference reads the checkpoint, not
+    # a second run of the explode+join scoring DAG.
+    top = (
+        scored.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(k)
+        .localCheckpoint(eager=False)
     )
     t1 = top.select(
         F.col("doc_id").alias("_d"), F.col("score_micro").alias("_s")
@@ -1018,6 +1023,77 @@ def bm25_topk(
         .groupBy("doc_id", "n_terms", "score_micro")
         .agg((F.count("_d") + 1).cast("int").alias("rank"))
         .select("doc_id", "n_terms", "score_micro", "rank")
+    )
+
+
+RRF_K = 60
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_vec_id: int,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = 20,
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. SIGIR
+    2009): fuse the BM25 lexical top-k and the embedding-cosine top-k
+    with score = Σ 1/(RRF_K + rank) over the systems that returned the
+    doc — the standard modern RAG retrieval stack (lexical + dense,
+    fused rank-only so the two scoring scales never need calibration).
+
+    Columns: doc_id, lex_rank, sem_rank (NULL when absent from that
+    system's list), rrf_score (round4); top-``k`` of the fused union
+    by (rrf_score desc, doc_id).
+
+    Determinism: both input ranks are exact integers (BM25 micro-point
+    sums; cosine ranked on its round4 value with doc_id tiebreaks), and
+    1/(RRF_K + rank) is one correctly-rounded IEEE division per system,
+    added in a fixed order — bit-identical across engines before the
+    final round4.
+
+    Scale (100 TB): both arms are the already-audited top-k plans
+    (TakeOrdered, no global sort); ranking the k survivors is the same
+    triangular k²-over-k-rows self-join BM25 uses (no single-partition
+    window); the fusion is a full outer join of two k-row relations.
+    """
+    from zipkin_storage_kafka_spark.operators.similarity import cosine_topk
+
+    lex = bm25_topk(docs, terms, k).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    # The k-row dense arm is referenced twice (rank self-join); without
+    # lineage truncation each reference re-runs the corpus TakeOrdered
+    # scan (the r06 checkpoint lesson).
+    sem_top = (
+        cosine_topk(embeddings, query_vec_id, k)
+        .select(F.col("vec_id").alias("doc_id"), "cos")
+        .localCheckpoint(eager=False)
+    )
+    s1 = sem_top.select(
+        F.col("doc_id").alias("_d"), F.col("cos").alias("_c")
+    )
+    before_me = (F.col("_c") > F.col("cos")) | (
+        (F.col("_c") == F.col("cos")) & (F.col("_d") < F.col("doc_id"))
+    )
+    sem = (
+        sem_top.join(s1, before_me, "left")
+        .groupBy("doc_id", "cos")
+        .agg((F.count("_d") + 1).cast("int").alias("sem_rank"))
+        .select("doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id", "lex_rank", "sem_rank", round4(rrf).alias("rrf_score")
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(k)
     )
 
 

@@ -353,6 +353,17 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bm25_topk(_docs(spark, sf_dir))
 
 
+def q_text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion
+    (operators/text_analysis.py:hybrid_rrf_topk): the BM25 lexical arm
+    fused rank-only with the embedding-cosine arm (vec_id == doc_id in
+    the corpus) — the modern RAG retrieval stack, no score calibration
+    needed across arms."""
+    return ta.hybrid_rrf_topk(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), ANN_QUERY_VEC
+    )
+
+
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bpe_train_rounds(_docs(spark, sf_dir))
 
@@ -1285,6 +1296,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_url_domains": q_text_url_domains,
         "dedup_fuzzy_decontaminate": q_dedup_fuzzy_decontaminate,
         "text_bm25_topk": q_text_bm25,
+        "text_hybrid_rrf": q_text_hybrid_rrf,
         "text_bpe_train": q_text_bpe_train,
         "emb_rp_simhash": q_emb_rp_simhash,
         "text_char_lm_score": q_text_char_lm,
@@ -1370,6 +1382,43 @@ def pipeline_oracles() -> dict[str, str]:
                CASE WHEN a.ex = 1 THEN a.exid
                     ELSE a.nearid END AS matched_old_id
         FROM new_docs d LEFT JOIN agg a USING (doc_id)
+    """
+    # RRF: lexical arm = the BM25 oracle verbatim; dense arm = the exact
+    # cosine ranking CTE; fusion adds two correctly-rounded reciprocals.
+    oracles["text_hybrid_rrf"] = f"""
+        WITH lex AS (
+          SELECT doc_id, rank AS lex_rank
+          FROM ({oracles["text_bm25_topk"]})
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {ANN_QUERY_VEC}),
+        sem_top AS (
+          SELECT e.vec_id AS doc_id,
+                 ((round((list_dot_product(v, qv)
+                    / (sqrt(list_dot_product(v, v))
+                       * sqrt(list_dot_product(qv, qv)))) * 10000)
+                   / 10000) + 0.0) AS cos
+          FROM e, q WHERE e.vec_id <> {ANN_QUERY_VEC}
+          ORDER BY cos DESC, doc_id LIMIT 20
+        ),
+        sem AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                   AS INT) AS sem_rank
+          FROM sem_top
+        ),
+        fused AS (
+          SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                 lex_rank, sem_rank
+          FROM lex l FULL JOIN sem s ON s.doc_id = l.doc_id
+        )
+        SELECT doc_id, lex_rank, sem_rank,
+               ((round((coalesce(1.0 / (60 + lex_rank), 0.0)
+                      + coalesce(1.0 / (60 + sem_rank), 0.0)) * 10000)
+                 / 10000) + 0.0) AS rrf_score
+        FROM fused
+        ORDER BY rrf_score DESC, doc_id LIMIT 20
     """
     # W10 streams the SAME derived snapshot against the SAME persisted
     # index; classification is per-document against static state, so the
