@@ -817,3 +817,14 @@ def test_canonical_docs_window_is_partitioned(spark, sf_dir):
     assert win, plan
     for l in win:
         assert "component_id" in l, l
+
+
+def test_hybrid_rrf_no_global_window(spark, sf_dir):
+    """Both fusion arms rank via the triangular k-row self-join: the
+    plan must contain NO window at all, and the arm top-ks stay
+    TakeOrdered heaps."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_hybrid_rrf"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
