@@ -378,3 +378,30 @@ def test_hybrid_rrf_fixture(spark):
     # both-arm presence dominates: doc 1 (1/61+1/62) > doc 2 (1/62+1/63)
     # > doc 3 (1/61 alone) — rank fusion rewards agreement across arms
     assert out[1][2] > out[2][2] > out[3][2]
+
+
+def test_histogram_quantile_audit_fixture(spark):
+    """10 spans of durations 1..10 ms in one service: p50 target rank 5
+    -> bucket 5 (upper bound 6 ms); p99 rank 10 -> bucket 10 (11 ms);
+    integer targets can't flip on float noise."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.sketches import (
+        histogram_quantile_audit,
+    )
+
+    spans = spark.createDataFrame(
+        [
+            Row(local_service="a", duration=i * 1000)
+            for i in range(1, 11)
+        ],
+        "local_service string, duration long",
+    )
+    out = {
+        r["p"]: (r["n_spans"], r["est_hi_us"], r["exact_us"])
+        for r in histogram_quantile_audit(spans).collect()
+    }
+    # duration i*1000 lands in bucket i (i*1000 div 1000 = i)
+    assert out[50] == (10, 6000, 5500.0)   # rank ceil(5.0)=5 -> 5th
+    assert out[95] == (10, 11000, 9550.0)  # rank ceil(9.5)=10 -> 10 ms
+    assert out[99] == (10, 11000, 9910.0)

@@ -97,3 +97,94 @@ def hll_distinct_traces(
         "exact_traces",
         (err <= F.lit(tolerance) * F.col("exact_traces")).alias("hll_ok"),
     )
+
+
+def histogram_quantile_audit(
+    spans: DataFrame,
+    bucket_us: int = 1000,
+    max_bucket: int = 1023,
+    percents: tuple[int, ...] = (50, 95, 99),
+) -> DataFrame:
+    """Fixed-bucket histogram quantiles vs exact percentiles — the audit
+    behind the 100 TB quantile path.  Exact per-group percentile sorts
+    every group; the scale flavor keeps a bounded (service x 1024)
+    counter table that partial-aggregates map-side and answers any
+    quantile from cumulative counts.  This row measures what that costs
+    in accuracy: per (service, percentile), the histogram's bucket-
+    upper-bound estimate next to the exact interpolated value.
+
+    Quantile targets are pure integer arithmetic
+    (target_rank = ceil(n*p/100) = (n*p + 99) div 100), so the chosen
+    bucket can never flip on a float ulp; the estimate is the bucket's
+    inclusive upper bound ((qb+1)*bucket_us), also an exact integer.
+
+    Columns: local_service, p, n_spans, est_hi_us, exact_us (round4),
+    err_us (round4).
+
+    Scale (100 TB): the counter table is a service-keyed partial agg to
+    <= 1024 rows per service; the cumulative window partitions per
+    service over those rows (never a global window); exact percentile
+    appears ONLY as this audit's ground truth.
+    """
+    from pyspark.sql import Window
+
+    d = spans.select("local_service", "duration")
+    counts = (
+        d.select(
+            "local_service",
+            F.least(
+                F.expr(f"duration div {bucket_us}"), F.lit(max_bucket)
+            ).alias("bucket"),
+        )
+        .groupBy("local_service", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("local_service")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    tot = d.groupBy("local_service").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    ps = spans.sparkSession.createDataFrame(
+        [(int(p),) for p in percents], "p int"
+    )
+    tgt = tot.crossJoin(F.broadcast(ps)).select(
+        "local_service",
+        "n_spans",
+        "p",
+        F.expr("(n_spans * p + 99) div 100").alias("target"),
+    )
+    est = (
+        tgt.join(
+            cum.select(
+                F.col("local_service").alias("_s"), "bucket", "cum"
+            ),
+            (F.col("local_service") == F.col("_s"))
+            & (F.col("cum") >= F.col("target")),
+        )
+        .groupBy("local_service", "p", "n_spans")
+        .agg(F.min("bucket").alias("qb"))
+    )
+    agg_cols = []
+    for p in percents:
+        agg_cols.append(
+            F.expr(f"percentile(duration, {p / 100.0})").alias(f"e{p}")
+        )
+    exw = d.groupBy("local_service").agg(*agg_cols)
+    stack_args = ", ".join(f"{int(p)}, e{p}" for p in percents)
+    ex = exw.selectExpr(
+        "local_service",
+        f"stack({len(percents)}, {stack_args}) AS (p, exact_raw)",
+    )
+    est_hi = (F.col("qb") + 1) * F.lit(int(bucket_us))
+    return est.join(ex, ["local_service", "p"]).select(
+        "local_service",
+        "p",
+        "n_spans",
+        est_hi.cast("long").alias("est_hi_us"),
+        round4(F.col("exact_raw")).alias("exact_us"),
+        round4(est_hi - F.col("exact_raw")).alias("err_us"),
+    )

@@ -969,6 +969,19 @@ def q_latency_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latency_shift(spans_table(spark, sf_dir), DEPLOY_SPLIT_US)
 
 
+def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles vs exact percentiles
+    (operators/sketches.py:histogram_quantile_audit): the bounded
+    (service x 1024)-counter quantile path a 100 TB deployment serves
+    from, with its accuracy measured against the sorted ground truth —
+    the z_sketch/z_hll pattern applied to latency quantiles."""
+    from zipkin_storage_kafka_spark.operators.sketches import (
+        histogram_quantile_audit,
+    )
+
+    return histogram_quantile_audit(_spans(spark, sf_dir))
+
+
 def q_orphan_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broken-linkage audit under simulated ~1/16 span loss
     (operators/trace_aggregation.py:orphan_span_stats): per-service
@@ -1170,6 +1183,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "p5_disabled_flags": q_p5_disabled_flags,
         "z_orphan_spans": q_orphan_spans,
         "z_link_latency_gaps": q_link_latency_gaps,
+        "z_quantile_sketch_audit": q_quantile_sketch_audit,
     }
 
 
@@ -1354,6 +1368,50 @@ def zipkin_oracles() -> dict[str, str]:
             GROUP BY trace_id, local_service
           ) GROUP BY trace_id
         ) GROUP BY path_signature, n_services
+        """
+    )
+    oracles["z_quantile_sketch_audit"] = with_spans_cte(
+        """
+        SELECT e.local_service,
+               CAST(e.p AS INTEGER) AS p,
+               e.n_spans,
+               CAST((e.qb + 1) * 1000 AS BIGINT) AS est_hi_us,
+               (round(x.exact_raw * 10000) / 10000 + 0.0) AS exact_us,
+               (round(((e.qb + 1) * 1000 - x.exact_raw) * 10000) / 10000
+                 + 0.0) AS err_us
+        FROM (
+          SELECT t.local_service, t.p, t.n_spans, min(c.bucket) AS qb
+          FROM (
+            SELECT local_service, n_spans, p,
+                   (n_spans * p + 99) // 100 AS target
+            FROM (SELECT local_service, CAST(count(*) AS BIGINT) AS n_spans
+                  FROM spans GROUP BY 1)
+            CROSS JOIN (SELECT unnest([50, 95, 99]) AS p)
+          ) t
+          JOIN (
+            SELECT local_service, bucket,
+                   sum(c) OVER (PARTITION BY local_service ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM (
+              SELECT local_service,
+                     least(duration // 1000, 1023) AS bucket,
+                     count(*) AS c
+              FROM spans GROUP BY 1, 2
+            )
+          ) c ON c.local_service = t.local_service AND c.cum >= t.target
+          GROUP BY 1, 2, 3
+        ) e
+        JOIN (
+          SELECT local_service, 50 AS p,
+                 quantile_cont(duration, 0.5) AS exact_raw FROM spans
+          GROUP BY 1
+          UNION ALL
+          SELECT local_service, 95, quantile_cont(duration, 0.95)
+          FROM spans GROUP BY 1
+          UNION ALL
+          SELECT local_service, 99, quantile_cont(duration, 0.99)
+          FROM spans GROUP BY 1
+        ) x ON x.local_service = e.local_service AND x.p = e.p
         """
     )
     oracles["z_orphan_spans"] = with_spans_cte(
