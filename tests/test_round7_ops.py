@@ -405,3 +405,39 @@ def test_histogram_quantile_audit_fixture(spark):
     assert out[50] == (10, 6000, 5500.0)   # rank ceil(5.0)=5 -> 5th
     assert out[95] == (10, 11000, 9550.0)  # rank ceil(9.5)=10 -> 10 ms
     assert out[99] == (10, 11000, 9910.0)
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    """A bucket over the cap contributes no pairs; smaller buckets are
+    untouched; stats report the exposure before capping."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        lsh_bucket_stats,
+        lsh_candidate_pairs,
+    )
+
+    buckets = spark.createDataFrame(
+        [
+            # degenerate: 3 members in one (band, bucket)
+            Row(doc_id=1, b=0, bucket="big"),
+            Row(doc_id=2, b=0, bucket="big"),
+            Row(doc_id=3, b=0, bucket="big"),
+            # normal pair
+            Row(doc_id=4, b=1, bucket="small"),
+            Row(doc_id=5, b=1, bucket="small"),
+        ],
+        "doc_id bigint, b int, bucket string",
+    )
+    stats = {
+        r["size"]: (r["n_buckets"], r["pair_mass"])
+        for r in lsh_bucket_stats(buckets).collect()
+    }
+    assert stats == {3: (1, 3), 2: (1, 1)}
+    uncapped = lsh_candidate_pairs(buckets).count()
+    assert uncapped == 4  # 3 from the big bucket + 1 small
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(buckets, bucket_cap=2).collect()
+    }
+    assert capped == {(4, 5)}

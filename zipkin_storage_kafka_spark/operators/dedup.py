@@ -120,10 +120,60 @@ def minhash_buckets(
     ).select("doc_id", F.col("bb.b").alias("b"), F.col("bb.bucket").alias("bucket"))
 
 
-def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+def lsh_bucket_stats(buckets: DataFrame) -> DataFrame:
+    """Bucket-occupancy exposure audit: how many (band, bucket) cells
+    hold ``size`` members, and the candidate-pair mass (size choose 2
+    per cell) each size class contributes.  This is the report that
+    decides a :func:`lsh_candidate_pairs` ``bucket_cap`` — at 100 TB a
+    single boilerplate-degenerate bucket with 1e6 members would emit
+    5e11 pairs; the size histogram shows that exposure BEFORE the pair
+    join runs (the "no silent caps" discipline: cap decisions are made
+    from measured mass, and dropped mass is visible here).
+
+    Columns: size, n_buckets, pair_mass.
+
+    Scale: one (band, bucket) partial agg over the index rows, then a
+    count by size — output cardinality is the distinct-size count.
+    """
+    sizes = buckets.groupBy("b", "bucket").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            "size",
+            "n_buckets",
+            F.expr("n_buckets * ((size * (size - 1)) div 2)")
+            .cast("long")
+            .alias("pair_mass"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    buckets: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing >= 1 LSH bucket, with the
     number of agreeing bands.  The join key is (band, bucket) — shuffle is
-    bounded by bucket occupancy, never all-pairs."""
+    bounded by bucket occupancy, never all-pairs.
+
+    ``bucket_cap``: when set, buckets with MORE than ``bucket_cap``
+    members contribute no pairs — the standard guard against
+    boilerplate-degenerate buckets whose size² pair mass would dominate
+    the join at corpus scale (members this common are near-duplicates
+    of a template, better handled by the exact-hash pass).  Size the
+    cap from :func:`lsh_bucket_stats`; dropped mass is visible there,
+    never silent."""
+    if bucket_cap is not None:
+        sizes = buckets.groupBy("b", "bucket").agg(
+            F.count(F.lit(1)).alias("_size")
+        )
+        buckets = (
+            buckets.join(sizes, ["b", "bucket"])
+            .filter(F.col("_size") <= int(bucket_cap))
+            .drop("_size")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -960,6 +960,16 @@ def q_pipe_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.bloom_prefilter(docs, new)
 
 
+def q_dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy exposure report
+    (operators/dedup.py:lsh_bucket_stats): pair mass per bucket-size
+    class — the measurement that sizes a lsh_candidate_pairs
+    bucket_cap before the pair join runs at corpus scale."""
+    return dd.lsh_bucket_stats(
+        dd.minhash_buckets(_shingles(spark, sf_dir))
+    )
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment over the LSH candidate set
     (operators/dedup.py:containment_pairs) — catches small-doc-inside-
@@ -1322,6 +1332,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "w10_stream_incremental_dedup": q_stream_incremental_dedup,
         "pipe_bloom_prefilter": q_pipe_bloom_prefilter,
         "dedup_containment": q_dedup_containment,
+        "dedup_lsh_bucket_audit": q_dedup_lsh_bucket_audit,
         "w8_stream_lsh_registry": q_stream_lsh_registry,
         "ann_range_search": q_ann_range_search,
         "text_source_hellinger": q_text_source_hellinger,
@@ -1382,6 +1393,18 @@ def pipeline_oracles() -> dict[str, str]:
                CASE WHEN a.ex = 1 THEN a.exid
                     ELSE a.nearid END AS matched_old_id
         FROM new_docs d LEFT JOIN agg a USING (doc_id)
+    """
+    oracles["dedup_lsh_bucket_audit"] = f"""
+        WITH {_MINHASH_CTE.strip()},
+        sizes AS (
+          SELECT b, bucket, CAST(count(*) AS BIGINT) AS size
+          FROM buck GROUP BY 1, 2
+        )
+        SELECT size,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(count(*) * ((size * (size - 1)) // 2) AS BIGINT)
+                 AS pair_mass
+        FROM sizes GROUP BY size
     """
     # RRF: lexical arm = the BM25 oracle verbatim; dense arm = the exact
     # cosine ranking CTE; fusion adds two correctly-rounded reciprocals.
