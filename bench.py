@@ -62,9 +62,20 @@ def main() -> None:
     links_table(spark, sf_dir).count()
     summaries_table(spark, sf_dir).count()
     path_costs_table(spark, sf_dir).count()
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import (
+        _dedup_index,
+        _minhash_minima,
+        _verified_pairs,
+    )
+
     _shingles(spark, sf_dir).count()
     _char_trigrams(spark, sf_dir).count()
     _lsh_candidates(spark, sf_dir).count()
+    # round-7 materialized layer: the verify relation every dedup audit
+    # projects, the incremental-dedup probe index, the estimator minima
+    _verified_pairs(spark, sf_dir).count()
+    _dedup_index(spark, sf_dir).count()
+    _minhash_minima(spark, sf_dir).count()
     centroids, assign = _ivf_index(spark, sf_dir)
     centroids.count()
     assign.count()

@@ -563,3 +563,29 @@ def test_pcm_features_match_reference_property(seed, n, ch):
         assert gc == c and gcross == cross_ref
         assert grms == rms_ref
         assert gzcr == cross_ref / (n - 1)
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 6),
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    fps=st.integers(1, 60),
+)
+def test_frv_codec_roundtrip_property(seed, n, w, h, fps):
+    """encode_frv -> decode_frv is the identity for ANY (n, h, w, 3)
+    uint8 frame stack and fps — header fields and every byte survive."""
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.multimodal import (
+        decode_frv,
+        encode_frv,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    back, back_fps = decode_frv(encode_frv(frames, fps))
+    assert back_fps == fps
+    assert back.shape == frames.shape
+    assert (back == frames).all()
