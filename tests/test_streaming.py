@@ -674,3 +674,74 @@ def test_gap_micros_derivation():
     assert _gap_micros("5 minutes") == 300_000_000
     assert _gap_micros("30 seconds") == 30_000_000
     assert _gap_micros("2 hours") == 7_200_000_000
+
+
+def test_w10_restart_classifies_only_new_files(spark, tmp_path):
+    """W10 exactly-once across a RESTART: classify run 1's snapshot
+    files, stop, add a new file, resume from the SAME checkpoint — run 2
+    must append classifications ONLY for the new file (no reprocessing
+    of run-1 docs), and classification against the static index is
+    unchanged by the restart."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    old = spark.createDataFrame(
+        [Row(doc_id=1, text="the old corpus document body text here")],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(old)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ck")
+
+    def run_once(rows, fname):
+        pq.write_table(
+            pa.Table.from_pylist([r.asDict() for r in rows]),
+            str(in_dir / fname),
+        )
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(in_dir)
+        )
+
+        def classify(batch_df, batch_id):
+            incremental_dedup(index, batch_df).write.mode("append").parquet(
+                sink
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(classify)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(
+        [
+            Row(doc_id=100, text="totally fresh unrelated writing one"),
+            Row(doc_id=101, text="another new unmatched document body"),
+        ],
+        "a.parquet",
+    )
+    first = spark.read.parquet(sink).collect()
+    assert len(first) == 2
+    assert {r["status"] for r in first} == {"new"}
+
+    run_once(
+        [
+            # exact re-ingest of the OLD corpus doc
+            Row(doc_id=102, text="the old corpus document body text here"),
+        ],
+        "b.parquet",
+    )
+    final = spark.read.parquet(sink).collect()
+    assert len(final) == 3  # run-1 docs NOT reprocessed
+    by_id = {r["doc_id"]: (r["status"], r["matched_old_id"]) for r in final}
+    assert by_id[102] == ("exact_dup", 1)
+    assert by_id[100][0] == "new" and by_id[101][0] == "new"
