@@ -441,3 +441,29 @@ def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
         for r in lsh_candidate_pairs(buckets, bucket_cap=2).collect()
     }
     assert capped == {(4, 5)}
+
+
+def test_jaccard_retention_curve_fixture(spark):
+    """Two verified pairs at J=1.0 and J~0.333: the curve is monotone
+    non-increasing and emits a row for every threshold, including ones
+    nothing clears."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        jaccard_retention_curve,
+    )
+
+    verified = spark.createDataFrame(
+        [
+            Row(doc_a=1, doc_b=2, i=4, n_a=4, n_b=4),   # J = 1.0
+            Row(doc_a=1, doc_b=3, i=2, n_a=4, n_b=4),   # J = 0.3333
+        ],
+        "doc_a bigint, doc_b bigint, i bigint, n_a bigint, n_b bigint",
+    )
+    out = {
+        r["threshold"]: (r["n_pairs"], r["n_docs_dropped"])
+        for r in jaccard_retention_curve(
+            verified, thresholds=(0.3, 0.5, 0.9)
+        ).collect()
+    }
+    assert out == {0.3: (2, 2), 0.5: (1, 1), 0.9: (1, 1)}

@@ -627,6 +627,58 @@ def dedup_clusters(pairs: DataFrame, flavor: str = "propagation") -> DataFrame:
     )
 
 
+def jaccard_retention_curve(
+    verified: DataFrame,
+    thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Near-dup threshold tuning curve: for each candidate Jaccard
+    threshold, how many verified pairs qualify and how many documents
+    the min-id drop policy would remove — answered from ONE pass over
+    the shared :func:`verified_candidate_pairs` relation (the MinHash
+    analog of the SemDeDup retention curve; with the nprobe sweep these
+    form the engine's tuning-curve trilogy).
+
+    Columns: threshold, n_pairs, n_docs_dropped — one row per
+    threshold, even when nothing qualifies.
+
+    Scale (100 TB): the verified relation is already candidate-bounded
+    and materialized; the sweep replicates each pair to the thresholds
+    it clears (<= |thresholds| x pairs rows) and partial-aggregates —
+    no re-derivation per threshold.
+    """
+    j = verified.select(
+        "doc_a",
+        "doc_b",
+        round4(
+            F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+        ).alias("jaccard"),
+    )
+    spark = verified.sparkSession
+    th = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    hits = (
+        j.crossJoin(F.broadcast(th))
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("_p"),
+            F.countDistinct("doc_b").alias("_d"),
+        )
+    )
+    return (
+        th.join(hits, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("_p"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("_d"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_dropped"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def canonical_docs(
     pairs: DataFrame, quality: DataFrame
 ) -> DataFrame:

@@ -960,6 +960,14 @@ def q_pipe_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.bloom_prefilter(docs, new)
 
 
+def q_dedup_jaccard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning curve
+    (operators/dedup.py:jaccard_retention_curve): qualifying pairs and
+    min-id-dropped docs per Jaccard threshold, one pass over the shared
+    verified-pair materialization."""
+    return dd.jaccard_retention_curve(_verified_pairs(spark, sf_dir))
+
+
 def q_dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket-occupancy exposure report
     (operators/dedup.py:lsh_bucket_stats): pair mass per bucket-size
@@ -1333,6 +1341,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "pipe_bloom_prefilter": q_pipe_bloom_prefilter,
         "dedup_containment": q_dedup_containment,
         "dedup_lsh_bucket_audit": q_dedup_lsh_bucket_audit,
+        "dedup_jaccard_curve": q_dedup_jaccard_curve,
         "w8_stream_lsh_registry": q_stream_lsh_registry,
         "ann_range_search": q_ann_range_search,
         "text_source_hellinger": q_text_source_hellinger,
@@ -1393,6 +1402,37 @@ def pipeline_oracles() -> dict[str, str]:
                CASE WHEN a.ex = 1 THEN a.exid
                     ELSE a.nearid END AS matched_old_id
         FROM new_docs d LEFT JOIN agg a USING (doc_id)
+    """
+    oracles["dedup_jaccard_curve"] = f"""
+        WITH {_MINHASH_CTE.strip()},
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        jp AS (
+          SELECT i.doc_a, i.doc_b,
+                 (round((i.i * 1.0 / (ca.n + cb.n - i.i)) * 10000)
+                   / 10000 + 0.0) AS jaccard
+          FROM (
+            SELECT c.doc_a, c.doc_b, count(*) AS i
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+            GROUP BY 1, 2
+          ) i
+          JOIN cnt ca ON ca.doc_id = i.doc_a
+          JOIN cnt cb ON cb.doc_id = i.doc_b
+        ),
+        th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+        hits AS (
+          SELECT threshold,
+                 CAST(count(*) AS BIGINT) AS p,
+                 CAST(count(DISTINCT doc_b) AS BIGINT) AS d
+          FROM jp JOIN th ON jp.jaccard >= th.threshold
+          GROUP BY threshold
+        )
+        SELECT th.threshold,
+               CAST(coalesce(hits.p, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(hits.d, 0) AS BIGINT) AS n_docs_dropped
+        FROM th LEFT JOIN hits ON hits.threshold = th.threshold
+        ORDER BY th.threshold
     """
     oracles["dedup_lsh_bucket_audit"] = f"""
         WITH {_MINHASH_CTE.strip()},
