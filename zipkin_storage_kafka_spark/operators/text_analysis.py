@@ -1004,13 +1004,8 @@ def bm25_topk(
     # k-row driver merge); rank the k survivors by triangular self-join
     # (rank = 1 + #rows strictly before me) — k^2 over k=20 rows, no
     # single-partition WindowExec anywhere in the plan.
-    # k-row relation referenced twice below (triangular rank join):
-    # truncate lineage so the second reference reads the checkpoint, not
-    # a second run of the explode+join scoring DAG.
-    top = (
-        scored.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
-        .limit(k)
-        .localCheckpoint(eager=False)
+    top = scored.orderBy(F.col("score_micro").desc(), F.col("doc_id")).limit(
+        k
     )
     t1 = top.select(
         F.col("doc_id").alias("_d"), F.col("score_micro").alias("_s")
