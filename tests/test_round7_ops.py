@@ -467,3 +467,39 @@ def test_jaccard_retention_curve_fixture(spark):
         ).collect()
     }
     assert out == {0.3: (2, 2), 0.5: (1, 1), 0.9: (1, 1)}
+
+
+def test_banding_audit_fixture(spark):
+    """One identical pair (J=1.0, all 4 bands agree) and one partial
+    pair: bins, integer-exact averages, and the b*J^r expectation."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.dedup import banding_audit
+
+    candidates = spark.createDataFrame(
+        [
+            Row(doc_a=1, doc_b=2, n_bands=4),
+            Row(doc_a=1, doc_b=3, n_bands=1),
+        ],
+        "doc_a bigint, doc_b bigint, n_bands bigint",
+    )
+    verified = spark.createDataFrame(
+        [
+            Row(doc_a=1, doc_b=2, i=4, n_a=4, n_b=4),  # J = 1.0
+            Row(doc_a=1, doc_b=3, i=2, n_a=4, n_b=4),  # J = 0.3333
+        ],
+        "doc_a bigint, doc_b bigint, i bigint, n_a bigint, n_b bigint",
+    )
+    out = {
+        r["j_bin"]: (
+            r["n_pairs"],
+            r["avg_bands_actual"],
+            r["avg_bands_expected"],
+        )
+        for r in banding_audit(candidates, verified).collect()
+    }
+    # J=1.0 -> bin 10, expected 4*1^2 = 4; J=0.3333 -> bin 3,
+    # expected 4*0.3333^2 = 0.4444
+    assert out[10] == (1, 4.0, 4.0)
+    assert out[3][0] == 1 and out[3][1] == 1.0
+    assert abs(out[3][2] - 0.4444) < 1e-9

@@ -627,6 +627,71 @@ def dedup_clusters(pairs: DataFrame, flavor: str = "propagation") -> DataFrame:
     )
 
 
+def banding_audit(
+    candidates: DataFrame,
+    verified: DataFrame,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """LSH banding-design audit: per Jaccard decile, the MEASURED mean
+    number of agreeing bands among candidate pairs next to the
+    theoretical expectation bands * J^rows (the S-curve every (b, r)
+    design is chosen from, Broder 1997 / Leskovec et al. MMDS ch.3) —
+    the companion of :func:`minhash_estimate_audit` that validates the
+    BAND layer rather than the estimator.
+
+    Columns: j_bin (floor(J*10)), n_pairs, avg_bands_actual (round4),
+    avg_bands_expected (round4).
+
+    Determinism: the per-pair expectation is rounded to integer
+    MICRO-units before summation (the BM25 micro-point pattern), so the
+    bin averages are ratios of exact integers — no order-dependent
+    float accumulation.
+
+    Scale: one join of two already-materialized candidate-bounded
+    relations, partial-agged to <= 11 rows.
+    """
+    j = verified.select(
+        "doc_a",
+        "doc_b",
+        round4(
+            F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+        ).alias("jaccard"),
+    )
+    joined = candidates.select("doc_a", "doc_b", "n_bands").join(
+        j, ["doc_a", "doc_b"]
+    )
+    jpow = F.col("jaccard")
+    for _ in range(rows - 1):
+        jpow = jpow * F.col("jaccard")
+    expected_micro = F.round(
+        jpow * F.lit(float(bands)) * F.lit(1_000_000.0), 0
+    ).cast("long")
+    return (
+        joined.select(
+            F.floor(F.col("jaccard") * 10).cast("int").alias("j_bin"),
+            "n_bands",
+            expected_micro.alias("_em"),
+        )
+        .groupBy("j_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("n_bands").alias("_sb"),
+            F.sum("_em").alias("_se"),
+        )
+        .select(
+            "j_bin",
+            "n_pairs",
+            round4(F.col("_sb") / F.col("n_pairs")).alias(
+                "avg_bands_actual"
+            ),
+            round4(
+                F.col("_se") / F.col("n_pairs") / F.lit(1_000_000.0)
+            ).alias("avg_bands_expected"),
+        )
+    )
+
+
 def jaccard_retention_curve(
     verified: DataFrame,
     thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),

@@ -960,6 +960,16 @@ def q_pipe_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.bloom_prefilter(docs, new)
 
 
+def q_dedup_banding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-design audit (operators/dedup.py:banding_audit):
+    measured mean agreeing bands per Jaccard decile vs the theoretical
+    bands*J^rows S-curve — validates the band layer the way
+    dedup_minhash_estimate validates the estimator."""
+    return dd.banding_audit(
+        _lsh_candidates(spark, sf_dir), _verified_pairs(spark, sf_dir)
+    )
+
+
 def q_dedup_jaccard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup threshold tuning curve
     (operators/dedup.py:jaccard_retention_curve): qualifying pairs and
@@ -1342,6 +1352,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "dedup_containment": q_dedup_containment,
         "dedup_lsh_bucket_audit": q_dedup_lsh_bucket_audit,
         "dedup_jaccard_curve": q_dedup_jaccard_curve,
+        "dedup_banding_audit": q_dedup_banding_audit,
         "w8_stream_lsh_registry": q_stream_lsh_registry,
         "ann_range_search": q_ann_range_search,
         "text_source_hellinger": q_text_source_hellinger,
@@ -1402,6 +1413,33 @@ def pipeline_oracles() -> dict[str, str]:
                CASE WHEN a.ex = 1 THEN a.exid
                     ELSE a.nearid END AS matched_old_id
         FROM new_docs d LEFT JOIN agg a USING (doc_id)
+    """
+    oracles["dedup_banding_audit"] = f"""
+        WITH {_MINHASH_CTE.strip()},
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        jp AS (
+          SELECT i.doc_a, i.doc_b, i.nb,
+                 (round((i.i * 1.0 / (ca.n + cb.n - i.i)) * 10000)
+                   / 10000 + 0.0) AS jaccard
+          FROM (
+            SELECT c.doc_a, c.doc_b, c.n_bands AS nb, count(*) AS i
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+            GROUP BY 1, 2, 3
+          ) i
+          JOIN cnt ca ON ca.doc_id = i.doc_a
+          JOIN cnt cb ON cb.doc_id = i.doc_b
+        )
+        SELECT CAST(floor(jaccard * 10) AS INTEGER) AS j_bin,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               (round((sum(nb) * 1.0 / count(*)) * 10000) / 10000 + 0.0)
+                 AS avg_bands_actual,
+               (round((sum(CAST(round(jaccard * jaccard * 4 * 1000000, 0)
+                                AS BIGINT)) * 1.0
+                       / count(*) / 1000000) * 10000) / 10000 + 0.0)
+                 AS avg_bands_expected
+        FROM jp GROUP BY 1
     """
     oracles["dedup_jaccard_curve"] = f"""
         WITH {_MINHASH_CTE.strip()},
