@@ -63,6 +63,7 @@ def main() -> None:
     summaries_table(spark, sf_dir).count()
     path_costs_table(spark, sf_dir).count()
     from zipkin_storage_kafka_spark.plans.registry_pipeline import (
+        _charlm_scores,
         _dedup_index,
         _minhash_minima,
         _verified_pairs,
@@ -76,6 +77,7 @@ def main() -> None:
     _verified_pairs(spark, sf_dir).count()
     _dedup_index(spark, sf_dir).count()
     _minhash_minima(spark, sf_dir).count()
+    _charlm_scores(spark, sf_dir).count()
     centroids, assign = _ivf_index(spark, sf_dir)
     centroids.count()
     assign.count()

@@ -503,3 +503,31 @@ def test_banding_audit_fixture(spark):
     assert out[10] == (1, 4.0, 4.0)
     assert out[3][0] == 1 and out[3][1] == 1.0
     assert abs(out[3][2] - 0.4444) < 1e-9
+
+
+def test_ccnet_buckets_fixture(spark):
+    """6 docs in one language split 2/2/2; fluent (common-bigram) docs
+    land in the head, gibberish in the tail."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        ccnet_buckets,
+    )
+
+    common = "the cat sat on the mat and the hat"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text=common),
+            Row(doc_id=2, lang="en", text=common + " again"),
+            Row(doc_id=3, lang="en", text="the mat and the cat sat"),
+            Row(doc_id=4, lang="en", text="zq xv jw qq zx vk wj"),
+            Row(doc_id=5, lang="en", text="qz vx wk jq xz kv"),
+            Row(doc_id=6, lang="en", text="the hat on a mat zz"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {
+        r["bucket"]: (r["label"], r["n_docs"])
+        for r in ccnet_buckets(docs).collect()
+    }
+    assert out == {1: ("head", 2), 2: ("middle", 2), 3: ("tail", 2)}

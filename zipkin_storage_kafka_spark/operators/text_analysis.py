@@ -1021,6 +1021,59 @@ def bm25_topk(
     )
 
 
+def ccnet_buckets(
+    docs: DataFrame, k: int = 3, scores: DataFrame | None = None
+) -> DataFrame:
+    """CCNet-style head/middle/tail partitioning (Wenzek et al. 2020):
+    per language, rank documents by the char-LM fluency score
+    (:func:`char_lm_score`) and split into ``k`` equal buckets — the
+    quality stratification pretraining pipelines use to up/down-sample
+    by perplexity band.  Bucket 1 (head) = most fluent.
+
+    Columns: lang, bucket, label, n_docs, avg_logprob (round4).
+
+    Determinism: ntile over a TOTAL order (score desc, doc_id), and the
+    per-bucket average is a ratio of exact integer micro-logprob /
+    bigram-count sums — no order-dependent float accumulation.
+
+    Scale (100 TB): the ntile window partitions per language (never a
+    single global partition) but does sort each language's rows; the
+    100 TB flavor replaces it with threshold assignment against
+    precomputed quantile cut points (two passes, no per-lang sort) —
+    the cut-point derivation is exactly
+    sketches.histogram_quantile_audit's counter table.
+    """
+    if scores is None:
+        scores = char_lm_score(docs)
+    j = docs.select("doc_id", "lang").join(scores, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    b = j.withColumn("bucket", F.ntile(k).over(w))
+    label = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == k, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("logprob_micro").alias("_lm"),
+            F.sum("n_bigrams").alias("_nb"),
+        )
+        .select(
+            "lang",
+            F.col("bucket").cast("int").alias("bucket"),
+            label.alias("label"),
+            "n_docs",
+            round4(
+                F.col("_lm") / F.col("_nb") / F.lit(1_000_000.0)
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 RRF_K = 60
 
 

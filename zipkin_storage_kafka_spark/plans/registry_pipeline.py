@@ -372,8 +372,41 @@ def q_emb_rp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.rp_simhash_stats(_emb(spark, sf_dir))
 
 
+# Per-doc char-LM scores are consumed by two rows (the score table
+# itself + the CCNet bucketing) — one cached derivation serves both,
+# like every other >=2-consumer relation.
+_CHARLM_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _charlm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipkin_storage_kafka_spark.sources import matcache
+
+    key = (id(spark), sf_dir)
+    if key not in _CHARLM_CACHE:
+        from zipkin_storage_kafka_spark.sources import tables
+
+        _CHARLM_CACHE[key] = matcache.materialized(
+            spark,
+            sf_dir,
+            "charlm_scores",
+            matcache.code_fingerprint((ta, tables)),
+            lambda: ta.char_lm_score(_docs(spark, sf_dir)),
+        )
+    return _CHARLM_CACHE[key]
+
+
 def q_text_char_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ta.char_lm_score(_docs(spark, sf_dir))
+    return _charlm_scores(spark, sf_dir)
+
+
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality partition
+    (operators/text_analysis.py:ccnet_buckets): per-language fluency
+    terciles from the char-LM score — the perplexity-band up/down-
+    sampling stratification (Wenzek et al. 2020)."""
+    return ta.ccnet_buckets(
+        _docs(spark, sf_dir), scores=_charlm_scores(spark, sf_dir)
+    )
 
 
 def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1328,6 +1361,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_bpe_train": q_text_bpe_train,
         "emb_rp_simhash": q_emb_rp_simhash,
         "text_char_lm_score": q_text_char_lm,
+        "text_ccnet_buckets": q_text_ccnet_buckets,
         "pipe_corpus_card": q_corpus_card,
         "pipe_alignment_audit": q_pipe_alignment_audit,
         "pipe_corpus_diff": q_pipe_corpus_diff,
@@ -1413,6 +1447,31 @@ def pipeline_oracles() -> dict[str, str]:
                CASE WHEN a.ex = 1 THEN a.exid
                     ELSE a.nearid END AS matched_old_id
         FROM new_docs d LEFT JOIN agg a USING (doc_id)
+    """
+    # CCNet buckets: doc scores = the char-LM oracle verbatim (nested
+    # WITH); ntile over the identical total order.
+    oracles["text_ccnet_buckets"] = f"""
+        WITH s AS (SELECT * FROM ({oracles["text_char_lm_score"]})),
+        j AS (
+          SELECT d.lang, s.doc_id, s.n_bigrams, s.logprob_micro,
+                 s.avg_logprob
+          FROM s JOIN documents d ON d.doc_id = s.doc_id
+        ),
+        b AS (
+          SELECT lang, doc_id, n_bigrams, logprob_micro,
+                 CAST(ntile(3) OVER (PARTITION BY lang
+                                     ORDER BY avg_logprob DESC, doc_id)
+                   AS INTEGER) AS bucket
+          FROM j
+        )
+        SELECT lang, bucket,
+               CASE WHEN bucket = 1 THEN 'head'
+                    WHEN bucket = 3 THEN 'tail'
+                    ELSE 'middle' END AS label,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               (round((sum(logprob_micro) * 1.0 / sum(n_bigrams)
+                       / 1000000) * 10000) / 10000 + 0.0) AS avg_logprob
+        FROM b GROUP BY lang, bucket
     """
     oracles["dedup_banding_audit"] = f"""
         WITH {_MINHASH_CTE.strip()},
