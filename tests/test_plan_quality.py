@@ -828,3 +828,44 @@ def test_hybrid_rrf_no_global_window(spark, sf_dir):
     plan = _plan(entrymod.queries()["text_hybrid_rrf"](spark, sf_dir))
     assert "windowspecdefinition" not in plan, plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_jaccard_curve_no_window_no_cartesian(spark, sf_dir):
+    """The threshold sweep is a broadcast join + partial agg over the
+    cached verified relation — no window, no cartesian blowup (the
+    threshold side is a 5-row broadcast)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["dedup_jaccard_curve"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_ccnet_buckets_window_partitions_by_lang(spark, sf_dir):
+    """The ntile window must partition per language — never one global
+    partition — and read the cached score table, not re-derive the
+    bigram LM (no explode/posexplode in-plan)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_ccnet_buckets"](spark, sf_dir))
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win, plan
+    for l in win:
+        assert "lang" in l, l
+    assert "charlm_scores-" in plan, "score table re-derived:\n" + plan
+
+
+def test_banding_audit_reads_cached_relations(spark, sf_dir):
+    """The band-layer audit is ONE join of the two persisted dedup
+    relations, partial-agged to <= 11 rows — it must read the
+    materialized candidates + verified pairs, never re-derive shingles
+    (no posexplode in-plan), and needs no window."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["dedup_banding_audit"](spark, sf_dir))
+    assert "lsh_candidates-" in plan, plan
+    assert "verified_pairs-" in plan, plan
+    assert "posexplode" not in plan, "shingles re-derived:\n" + plan
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
