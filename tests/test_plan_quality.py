@@ -869,3 +869,17 @@ def test_banding_audit_reads_cached_relations(spark, sf_dir):
     assert "posexplode" not in plan, "shingles re-derived:\n" + plan
     assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_serves_materialized_edges(spark, sf_dir):
+    """The kNN-graph row reads the MATERIALIZED edge relation (both the
+    forward reference and the reciprocity reversal — the gram kernel
+    runs at build time, never in the serving plan) and the stats layer
+    is windowless partial aggregation over the n x k edges."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["emb_knn_graph"](spark, sf_dir))
+    assert "knn_edges-" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan

@@ -531,3 +531,58 @@ def test_ccnet_buckets_fixture(spark):
         for r in ccnet_buckets(docs).collect()
     }
     assert out == {1: ("head", 2), 2: ("middle", 2), 3: ("tail", 2)}
+
+
+def test_knn_graph_fixture(spark):
+    """Hand-checked k-NN graph over 3 cells: tie-break on dst id for the
+    equal-cosine pair, per-cell k_eff capping, a singleton cell emitting
+    no node, and full reciprocity accounting."""
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_stats,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [2.0, 0.2], 0),
+            (2, [1.0, 0.1], 0),
+            (3, [0.0, 1.0], 1),
+            (4, [0.1, 2.0], 1),
+            (5, [1.0, 1.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    edges = knn_graph(emb, k=2)
+    got = {
+        (r["src"], r["rank"]): (r["dst"], r["sim"])
+        for r in edges.collect()
+    }
+    # v1 == 2*v2 (cosine exactly 1.0); v0 ties 0.995 to both, dst id
+    # breaks the tie; the singleton cell (v5) emits nothing.
+    assert got == {
+        (0, 1): (1, 0.995),
+        (0, 2): (2, 0.995),
+        (1, 1): (2, 1.0),
+        (1, 2): (0, 0.995),
+        (2, 1): (1, 1.0),
+        (2, 2): (0, 0.995),
+        (3, 1): (4, 0.9988),
+        (4, 1): (3, 0.9988),
+    }
+    stats = {
+        r["vec_id"]: (
+            r["cell"],
+            r["k_eff"],
+            r["mean_sim"],
+            r["n_reciprocal"],
+        )
+        for r in knn_graph_stats(edges).collect()
+    }
+    assert stats == {
+        0: (0, 2, 0.995, 2),
+        1: (0, 2, 0.9975, 2),
+        2: (0, 2, 0.9975, 2),
+        3: (1, 1, 0.9988, 1),
+        4: (1, 1, 0.9988, 1),
+    }

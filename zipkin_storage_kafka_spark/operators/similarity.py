@@ -1317,3 +1317,139 @@ def centroid_outliers(
         round4(F.col("s")).alias("centroid_cos"),
         (F.col("s") < F.lit(float(threshold))).alias("is_outlier"),
     )
+
+
+KNN_GRAPH_K = 5
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = KNN_GRAPH_K,
+    centroids: DataFrame | None = None,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """Exact k-NN edges WITHIN each IVF cell — the graph primitive under
+    SemDeDup-style clustering, graph-based label propagation, and
+    hubness audits (Jegou et al. 2011 use the same cell restriction:
+    neighbors outside the probed cell are exactly the pairs IVF already
+    agreed to miss).
+
+    Each cell's pairwise cosines are ONE numpy gram matrix inside
+    ``applyInPandas`` (the :func:`semantic_dedup_arrow` kernel shape);
+    per-node ranking is round4 cosine desc with vec_id tiebreak, so the
+    edge set is engine-portable.  Cells with a single member emit no
+    edges (a node with no candidates has no row — same as the SQL
+    oracle's inner pair join).
+
+    Columns: src, cell, rank (1-based), dst, sim (round4).
+
+    Scale (100 TB): the corpus never self-joins — the only shuffle is
+    the groupBy(cell) that co-locates each cell, and the kernel is BLAS
+    at memory bandwidth over a c x d block (cap the max cell via the
+    quantizer's k exactly as every other IVF consumer requires).  Edge
+    output is n x k rows regardless of dimension.
+    """
+    import pandas as pd
+
+    if centroids is None:
+        centroids = ivf_centroids(embeddings)
+    if assign is None:
+        assign = ivf_assignments(embeddings, centroids)
+    e = embeddings.select("vec_id", "embedding").join(
+        assign.withColumnRenamed("label", "cell"), "vec_id"
+    )
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        c = len(pdf)
+        if c < 2:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype="int64"),
+                    "cell": pd.Series([], dtype="int32"),
+                    "rank": pd.Series([], dtype="int32"),
+                    "dst": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        nrm = np.sqrt((m * m).sum(axis=1))
+        gram = _round4_np((m @ m.T) / np.outer(nrm, nrm))
+        np.fill_diagonal(gram, -np.inf)
+        ids = pdf["vec_id"].to_numpy()
+        k_eff = min(k, c - 1)
+        # lexsort: primary -sim, secondary dst id — the deterministic
+        # (sim desc, vec_id asc) rank order, vectorized per cell.
+        order = np.lexsort(
+            (np.broadcast_to(ids, (c, c)), -gram), axis=1
+        )[:, :k_eff]
+        rows = np.repeat(np.arange(c), k_eff)
+        cols = order.ravel()
+        return pd.DataFrame(
+            {
+                "src": ids[rows],
+                "cell": np.repeat(
+                    pdf["cell"].to_numpy(dtype="int32"), k_eff
+                ),
+                "rank": np.tile(
+                    np.arange(1, k_eff + 1, dtype="int32"), c
+                ),
+                "dst": ids[cols],
+                "sim": gram[rows, cols],
+            }
+        )
+
+    return e.groupBy("cell").applyInPandas(
+        cell, "src long, cell int, rank int, dst long, sim double"
+    )
+
+
+def knn_graph_stats(edges: DataFrame) -> DataFrame:
+    """Per-node summary of a :func:`knn_graph` edge set: degree, mean
+    neighbor similarity, and reciprocity (how many of my top-k count me
+    in THEIR top-k) — the hubness/isolation report that decides whether
+    a cell needs re-clustering (low reciprocity = hub-dominated cell,
+    the classic high-dim failure; Radovanovic et al. 2010).
+
+    Mean similarity sums exact round4 micro-integers (the BM25
+    micro-point pattern), so the per-node average is a ratio of exact
+    integers — no order-dependent float accumulation.
+
+    Columns: vec_id, cell, k_eff, mean_sim (round4), n_reciprocal.
+
+    Scale (100 TB): the edge relation is n x k rows; reciprocity is a
+    left-semi self-join on the (dst, src) key pair — id-keyed shuffle of
+    the SMALL edge relation, vectors untouched; output is n rows.
+    """
+    micro = F.round(F.col("sim") * 10000).cast("long")
+    rev = edges.select(
+        F.col("src").alias("dst"), F.col("dst").alias("src")
+    )
+    # (src, dst) is unique in a knn_graph edge set (one row per rank),
+    # so the reversed relation needs no dedup before the flag join.
+    with_rec = edges.join(
+        rev.withColumn("_r", F.lit(1)), ["src", "dst"], "left"
+    )
+    return (
+        with_rec.groupBy("src", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.sum(micro).alias("_sm"),
+            F.sum(
+                F.when(F.col("_r").isNotNull(), 1).otherwise(0)
+            ).alias("n_reciprocal"),
+        )
+        .select(
+            F.col("src").alias("vec_id"),
+            "cell",
+            F.col("k_eff").cast("int").alias("k_eff"),
+            round4(
+                F.col("_sm") / F.lit(10000.0) / F.col("k_eff")
+            ).alias("mean_sim"),
+            F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
+        )
+    )
