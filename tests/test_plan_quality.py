@@ -883,3 +883,17 @@ def test_knn_graph_serves_materialized_edges(spark, sf_dir):
     assert "FlatMapGroupsInPandas" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_vad_windows_partition_by_media(spark, sf_dir):
+    """Both VAD windows (islanding + segment numbering) partition per
+    media — never a global single-partition window — and the decode
+    kernels pipeline without an intermediate shuffle."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["mm_audio_vad"](spark, sf_dir))
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win, plan
+    for l in win:
+        assert "media_id" in l, l
+    assert "SinglePartition" not in plan, plan

@@ -586,3 +586,45 @@ def test_knn_graph_fixture(spark):
         3: (1, 1, 0.9988, 1),
         4: (1, 1, 0.9988, 1),
     }
+
+
+def test_wav_vad_segments_fixture(spark):
+    """Hand-checked VAD: active/quiet/active-active frames merge into
+    two islands; a stereo file counts frame x channels values and drops
+    the partial tail frame; an all-quiet file emits nothing."""
+    import numpy as np
+
+    from zipkin_storage_kafka_spark.operators.multimodal import (
+        WAV_MEDIA_SCHEMA,
+        encode_wav,
+        wav_vad_segments,
+    )
+
+    def mono(vals):
+        return np.asarray(vals, dtype=np.int16).reshape(-1, 1)
+
+    loud = (
+        [20000] * 8 + [1000] * 8 + [-17000] * 8 + [16000] * 8
+    )  # frames: active, quiet, active, active
+    stereo = np.full((9, 2), 20000, dtype=np.int16)  # 1 complete frame
+    quiet = [10] * 16
+    rows = [
+        (1, 8000, 1, bytearray(encode_wav(mono(loud), 8000))),
+        (2, 8000, 2, bytearray(encode_wav(stereo, 8000))),
+        (3, 8000, 1, bytearray(encode_wav(mono(quiet), 8000))),
+    ]
+    media = spark.createDataFrame(rows, WAV_MEDIA_SCHEMA)
+    got = {
+        (r["media_id"], r["seg"]): (
+            r["start_frame"],
+            r["end_frame"],
+            r["n_frames"],
+            r["mean_sq"],
+        )
+        for r in wav_vad_segments(media).collect()
+    }
+    assert got == {
+        (1, 1): (0, 0, 1, 4.0e8),
+        (1, 2): (2, 3, 2, (17000.0**2 + 16000.0**2) / 2),
+        (2, 1): (0, 0, 1, 4.0e8),
+    }

@@ -1042,3 +1042,110 @@ def frv_frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(run, FRV_SAMPLE_SCHEMA)
+
+
+# Energy-based voice-activity detection ---------------------------------------
+
+VAD_FRAME = 8  # samples per analysis frame (complete frames only)
+VAD_MS_THRESHOLD = 250_000_000  # mean-square activity threshold
+
+VAD_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("n_values", T.IntegerType(), False),
+    ]
+)
+
+
+def wav_frame_energies(media: DataFrame, frame: int = VAD_FRAME) -> DataFrame:
+    """Per-frame energy from REAL WAV bytes: decode, split channel-
+    interleaved PCM into complete ``frame``-sample windows, and emit the
+    exact int64 sum of squares across all channels per frame (the tail
+    partial frame is dropped, deterministically).
+
+    Columns: media_id, frame_idx (0-based), energy (sum v^2, exact),
+    n_values (frame x channels).
+
+    Scale (100 TB): Arrow-batched decode, one output row per frame —
+    the standard framewise shape speech pipelines aggregate from;
+    payloads never leave the executors.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k.name: [] for k in VAD_FRAME_SCHEMA.fields
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr, _sr = decode_wav(payload)
+                n, ch = arr.shape
+                nf = n // frame
+                if nf == 0:
+                    continue
+                sq = arr[: nf * frame].astype(np.int64) ** 2
+                e = sq.reshape(nf, frame * ch).sum(axis=1)
+                cols["media_id"].extend([int(mid)] * nf)
+                cols["frame_idx"].extend(range(nf))
+                cols["energy"].extend(int(x) for x in e)
+                cols["n_values"].extend([frame * ch] * nf)
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(run, VAD_FRAME_SCHEMA)
+
+
+def wav_vad_segments(
+    media: DataFrame,
+    frame: int = VAD_FRAME,
+    ms_threshold: int = VAD_MS_THRESHOLD,
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation — the speech-data
+    curation primitive (which parts of this recording carry signal, how
+    much active audio does the corpus hold): frames whose mean square
+    reaches ``ms_threshold`` are active, and consecutive active frames
+    merge into segments via gaps-and-islands.
+
+    The activity test compares exact integers (energy >= threshold *
+    n_values — never a float mean), so a segment boundary cannot flip
+    between engines on a rounding ulp.
+
+    Columns: media_id, seg (1-based by start), start_frame, end_frame,
+    n_frames, mean_sq (round4).
+
+    Scale (100 TB): framewise rows partial-agg per (media, island);
+    both windows partition by media_id — per-key, never global.  The
+    decode stays in the Arrow kernel; islanding and aggregation are
+    JVM-side codegen.
+    """
+    from pyspark.sql import Window
+
+    from zipkin_storage_kafka_spark.functions.portable import round4
+
+    fe = wav_frame_energies(media, frame)
+    active = fe.filter(
+        F.col("energy")
+        >= F.lit(int(ms_threshold)).cast("long") * F.col("n_values")
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    isl = active.withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    seg = isl.groupBy("media_id", "grp").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("energy").alias("_se"),
+        F.sum("n_values").alias("_sv"),
+    )
+    ws = Window.partitionBy("media_id").orderBy("start_frame")
+    return seg.select(
+        "media_id",
+        F.row_number().over(ws).cast("int").alias("seg"),
+        F.col("start_frame").cast("int").alias("start_frame"),
+        F.col("end_frame").cast("int").alias("end_frame"),
+        F.col("n_frames").cast("int").alias("n_frames"),
+        round4(F.col("_se").cast("double") / F.col("_sv")).alias(
+            "mean_sq"
+        ),
+    )

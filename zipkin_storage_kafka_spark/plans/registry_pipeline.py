@@ -1321,6 +1321,15 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_graph_stats(_knn_edges(spark, sf_dir))
 
 
+def q_mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity segments decoded from REAL WAV
+    bytes (operators/multimodal.py:wav_vad_segments): exact-integer
+    activity test, gaps-and-islands merge; the oracle recomputes every
+    frame energy closed-form from the sample formula."""
+    media = mm.wav_media_from_documents(_docs(spark, sf_dir))
+    return mm.wav_vad_segments(media)
+
+
 def q_text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.quota_sample(_docs(spark, sf_dir))
 
@@ -1430,6 +1439,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "pipe_reembed_queue": q_pipe_reembed_queue,
         "emb_centroid_outliers": q_emb_centroid_outliers,
         "emb_knn_graph": q_emb_knn_graph,
+        "mm_audio_vad": q_mm_audio_vad,
     }
 
 
@@ -1955,6 +1965,63 @@ def pipeline_oracles() -> dict[str, str]:
                CAST(sum(CASE WHEN is_rec THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_reciprocal
         FROM rec GROUP BY src, cell
+    """
+    oracles["mm_audio_vad"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 n_chars % 50 + 20 AS n,
+                 doc_id % 2 + 1 AS ch
+          FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, n, ch,
+                 unnest(generate_series(0, n - 1)) AS i
+          FROM d
+        ),
+        cell AS (
+          SELECT doc_id, n, ch, i,
+                 unnest(generate_series(0, ch - 1)) AS c
+          FROM idx
+        ),
+        smp AS (
+          SELECT doc_id, n, i,
+                 ((doc_id*37 + i*13 + c*17) % 65536) - 32768 AS v
+          FROM cell
+        ),
+        fr AS (
+          SELECT doc_id, i // {mm.VAD_FRAME} AS frame_idx,
+                 sum(v*v) AS energy, count(*) AS n_values
+          FROM smp
+          WHERE i < (n // {mm.VAD_FRAME}) * {mm.VAD_FRAME}
+          GROUP BY doc_id, i // {mm.VAD_FRAME}
+        ),
+        act AS (
+          SELECT * FROM fr
+          WHERE energy >= {mm.VAD_MS_THRESHOLD} * n_values
+        ),
+        isl AS (
+          SELECT doc_id, frame_idx, energy, n_values,
+                 frame_idx - row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY frame_idx) AS grp
+          FROM act
+        ),
+        seg AS (
+          SELECT doc_id, grp,
+                 min(frame_idx) AS start_frame,
+                 max(frame_idx) AS end_frame,
+                 count(*) AS n_frames,
+                 sum(energy) AS se, sum(n_values) AS sv
+          FROM isl GROUP BY doc_id, grp
+        )
+        SELECT doc_id AS media_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY start_frame) AS INTEGER)
+                 AS seg,
+               CAST(start_frame AS INTEGER) AS start_frame,
+               CAST(end_frame AS INTEGER) AS end_frame,
+               CAST(n_frames AS INTEGER) AS n_frames,
+               (round(se * 1.0 / sv * 10000) / 10000 + 0.0) AS mean_sq
+        FROM seg
     """
     return oracles
 
