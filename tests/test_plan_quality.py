@@ -897,3 +897,15 @@ def test_vad_windows_partition_by_media(spark, sf_dir):
     for l in win:
         assert "media_id" in l, l
     assert "SinglePartition" not in plan, plan
+
+
+def test_cm_heavy_hitters_broadcast_grid_takeordered(spark, sf_dir):
+    """The d x w counter grid is broadcast back to the probe side (the
+    corpus never shuffles for it) and the top-k compiles to
+    TakeOrderedAndProject, not a global sort."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["z_cm_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "windowspecdefinition" not in plan

@@ -628,3 +628,25 @@ def test_wav_vad_segments_fixture(spark):
         (1, 2): (2, 3, 2, (17000.0**2 + 16000.0**2) / 2),
         (2, 1): (0, 0, 1, 4.0e8),
     }
+
+
+def test_cm_heavy_hitters_fixture(spark):
+    """Top-k selection and exact counts are hand-checked; the sketch
+    estimate obeys CM's one-sided guarantee (never undercounts) and the
+    grid's conservation law (each row's counters sum to total spans)."""
+    from zipkin_storage_kafka_spark.operators.sketches import (
+        cm_heavy_hitter_traces,
+    )
+
+    spans = spark.createDataFrame(
+        [("t1",)] * 3 + [("t2",)] * 2 + [("t3",)],
+        "trace_id string",
+    )
+    out = cm_heavy_hitter_traces(spans, top=2).collect()
+    assert [(r["trace_id"], r["exact_n"]) for r in out] == [
+        ("t1", 3),
+        ("t2", 2),
+    ]
+    for r in out:
+        assert r["cm_est"] >= r["exact_n"]
+        assert r["overcount"] == r["cm_est"] - r["exact_n"]

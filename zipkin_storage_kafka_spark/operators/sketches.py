@@ -188,3 +188,92 @@ def histogram_quantile_audit(
         round4(F.col("exact_raw")).alias("exact_us"),
         round4(est_hi - F.col("exact_raw")).alias("err_us"),
     )
+
+
+CM_DEPTH = 4
+CM_WIDTH = 512
+CM_TOP = 20
+
+
+def _cm_bucket(col: Column, row: int, width: int) -> Column:
+    """Row-``row`` count-min bucket of a string key: md5-derived 32-bit
+    prefix mod ``width`` — deterministic and identical in DuckDB as
+    ('0x' || substr(md5(r || ':' || key), 1, 8))::BIGINT % width."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row}:"), col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cm_heavy_hitter_traces(
+    spans: DataFrame,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    top: int = CM_TOP,
+) -> DataFrame:
+    """Count-min sketch audit (Cormode & Muthukrishnan 2005) for
+    heavy-hitter traces: the top-``top`` traces by span count with the
+    exact count beside the sketch's estimate — the trust report behind
+    serving "which traces are abnormally large" (the reason the
+    reference caps trace_many fetches) from a fixed d x w counter grid
+    instead of a full per-trace rollup.
+
+    The estimate is min over ``depth`` rows of the row's bucket counter;
+    counters are plain integer sums, so the sketch is merge-order
+    independent and engine-portable (never a float in the grid).
+    CM never undercounts, so ``overcount = cm_est - exact_n >= 0`` by
+    construction — a negative value in this column is a sketch bug.
+
+    Columns: trace_id, exact_n, cm_est, overcount.
+
+    Scale (100 TB): the grid partial-aggregates map-side to d*w
+    integer cells regardless of corpus size and broadcasts back; the
+    exact rollup exists only as this audit's ground truth (the serving
+    path reads the grid).  Top-k is a TakeOrdered, never a global sort.
+    """
+    keyed = spans.select(F.col("trace_id").cast("string").alias("k"))
+    # ONE scan: each span emits its depth (row, bucket) cells rowwise.
+    hashed = keyed.select(
+        F.posexplode(
+            F.array(
+                *[_cm_bucket(F.col("k"), r, width) for r in range(depth)]
+            )
+        ).alias("r", "b")
+    )
+    grid = hashed.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+    exact = keyed.groupBy(F.col("k").alias("trace_id")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    probes = exact.select(
+        "trace_id",
+        F.posexplode(
+            F.array(
+                *[
+                    _cm_bucket(F.col("trace_id"), r, width)
+                    for r in range(depth)
+                ]
+            )
+        ).alias("r", "b"),
+    )
+    est = (
+        probes.join(F.broadcast(grid), ["r", "b"])
+        .groupBy("trace_id")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return (
+        exact.join(est, "trace_id")
+        .select(
+            "trace_id",
+            "exact_n",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "trace_id")
+        .limit(top)
+    )

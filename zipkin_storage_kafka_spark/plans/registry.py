@@ -982,6 +982,19 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantile_audit(_spans(spark, sf_dir))
 
 
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter audit
+    (operators/sketches.py:cm_heavy_hitter_traces): top traces by span
+    count with exact vs sketch-grid estimate — the bounded d x w counter
+    path behind the reference's trace_many cap, accuracy-measured (the
+    z_sketch/z_hll/z_quantile trust-report pattern)."""
+    from zipkin_storage_kafka_spark.operators.sketches import (
+        cm_heavy_hitter_traces,
+    )
+
+    return cm_heavy_hitter_traces(_spans(spark, sf_dir))
+
+
 def q_orphan_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broken-linkage audit under simulated ~1/16 span loss
     (operators/trace_aggregation.py:orphan_span_stats): per-service
@@ -1184,6 +1197,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_orphan_spans": q_orphan_spans,
         "z_link_latency_gaps": q_link_latency_gaps,
         "z_quantile_sketch_audit": q_quantile_sketch_audit,
+        "z_cm_heavy_hitters": q_cm_heavy_hitters,
     }
 
 
@@ -1412,6 +1426,43 @@ def zipkin_oracles() -> dict[str, str]:
           SELECT local_service, 99, quantile_cont(duration, 0.99)
           FROM spans GROUP BY 1
         ) x ON x.local_service = e.local_service AND x.p = e.p
+        """
+    )
+    from zipkin_storage_kafka_spark.operators import sketches as _sk
+
+    oracles["z_cm_heavy_hitters"] = with_spans_cte(
+        f"""
+        SELECT t.trace_id, t.exact_n, e.cm_est,
+               e.cm_est - t.exact_n AS overcount
+        FROM (
+          SELECT trace_id, CAST(count(*) AS BIGINT) AS exact_n
+          FROM spans GROUP BY 1
+        ) t
+        JOIN (
+          SELECT p.trace_id, min(g.c) AS cm_est
+          FROM (
+            SELECT trace_id, r,
+                   ('0x' || substr(md5(r || ':' || trace_id), 1, 8))
+                     ::BIGINT % {_sk.CM_WIDTH} AS b
+            FROM (SELECT DISTINCT trace_id FROM spans)
+            CROSS JOIN (
+              SELECT unnest(generate_series(0, {_sk.CM_DEPTH - 1})) AS r
+            )
+          ) p
+          JOIN (
+            SELECT r,
+                   ('0x' || substr(md5(r || ':' || trace_id), 1, 8))
+                     ::BIGINT % {_sk.CM_WIDTH} AS b,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM spans
+            CROSS JOIN (
+              SELECT unnest(generate_series(0, {_sk.CM_DEPTH - 1})) AS r
+            )
+            GROUP BY 1, 2
+          ) g ON g.r = p.r AND g.b = p.b
+          GROUP BY 1
+        ) e ON e.trace_id = t.trace_id
+        ORDER BY t.exact_n DESC, t.trace_id LIMIT {_sk.CM_TOP}
         """
     )
     oracles["z_orphan_spans"] = with_spans_cte(
