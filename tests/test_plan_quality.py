@@ -909,3 +909,48 @@ def test_cm_heavy_hitters_broadcast_grid_takeordered(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "windowspecdefinition" not in plan
+
+
+def test_dedup_remap_serves_materialized_map(spark, sf_dir):
+    """The remap row reads the MATERIALIZED survivorship map (the CC
+    fixpoint + keeper window run once per snapshot at build time) and
+    is one left equi-join on the id — no window, no cartesian in the
+    serving plan."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["pipe_dedup_remap"](spark, sf_dir))
+    assert "canonical_map-" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_canonical_map_keeper_window_per_component(spark, sf_dir):
+    """The map BUILD's keeper window partitions per component
+    (cluster-sized, never global) and needs no join back onto the
+    ranked members (one unordered-window pass over the CC output)."""
+    from zipkin_storage_kafka_spark.operators import dedup as dd
+    from zipkin_storage_kafka_spark.operators import text_analysis as ta
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import (
+        JACCARD_THRESHOLD,
+        _docs,
+        _lsh_candidates,
+        _shingles,
+        _verified_pairs,
+    )
+
+    pairs = dd.jaccard_pairs(
+        _shingles(spark, sf_dir),
+        _lsh_candidates(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        verified=_verified_pairs(spark, sf_dir),
+    )
+    quality = ta.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "quality"
+    )
+    plan = _plan(dd.canonical_map(pairs, quality))
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win, plan
+    for l in win:
+        assert "component_id" in l, l
+    assert "SinglePartition" not in plan, plan

@@ -650,3 +650,38 @@ def test_cm_heavy_hitters_fixture(spark):
     for r in out:
         assert r["cm_est"] >= r["exact_n"]
         assert r["overcount"] == r["cm_est"] - r["exact_n"]
+
+
+def test_canonical_map_and_remap_fixture(spark):
+    """Hand-checked survivorship map: the 3-doc cluster keeps its
+    highest-quality member (quality tie broken by min id), and the
+    downstream remap redirects dropped members, keeps the keeper, and
+    identity-maps unclustered ids."""
+    from zipkin_storage_kafka_spark.operators.corpus import dedup_remap
+    from zipkin_storage_kafka_spark.operators.dedup import canonical_map
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1)],
+        "doc_id long, quality double",
+    )
+    cmap = canonical_map(pairs, quality)
+    assert {
+        (r["doc_id"], r["kept_doc_id"]) for r in cmap.collect()
+    } == {(1, 2), (2, 2), (3, 2)}
+
+    emb = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "vec_id long"
+    )
+    got = {
+        r["vec_id"]: (r["canonical_doc_id"], r["redirected"])
+        for r in dedup_remap(emb, cmap).collect()
+    }
+    assert got == {
+        1: (2, True),
+        2: (2, False),
+        3: (2, True),
+        4: (4, False),
+    }

@@ -113,3 +113,32 @@ def reembed_queue(diff: DataFrame, embeddings: DataFrame) -> DataFrame:
         )
         .filter(F.col("reason").isNotNull())
     )
+
+
+def dedup_remap(embeddings: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Propagate dedup survivorship into a downstream id-keyed table:
+    each embedding row is pointed at its cluster's canonical doc (or
+    itself when unclustered / already the keeper) — the rewrite step
+    that keeps serving indexes and training manifests consistent with
+    the dedup decision instead of referencing dropped documents.
+
+    Columns: vec_id, canonical_doc_id, redirected.
+
+    Scale (100 TB): one left equi-join on the id; the map side is the
+    cluster-members-only relation (tiny next to the corpus — dup rate x
+    corpus), so it broadcasts where stats allow and co-partitions with
+    every other id-keyed stage otherwise.  Vectors never move.
+    """
+    m = cmap.select(
+        F.col("doc_id").alias("vec_id"), F.col("kept_doc_id")
+    )
+    canonical = F.coalesce(F.col("kept_doc_id"), F.col("vec_id"))
+    return (
+        embeddings.select("vec_id")
+        .join(m, "vec_id", "left")
+        .select(
+            "vec_id",
+            canonical.alias("canonical_doc_id"),
+            (canonical != F.col("vec_id")).alias("redirected"),
+        )
+    )

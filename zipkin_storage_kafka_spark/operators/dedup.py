@@ -1299,3 +1299,37 @@ def minhash_estimate_audit(
             "abs_err"
         ),
     )
+
+
+def canonical_map(pairs: DataFrame, quality: DataFrame) -> DataFrame:
+    """Member -> keeper mapping for quality-aware survivorship: every
+    clustered doc with its cluster's highest-quality member (doc_id
+    tiebreak) — the join-able form of :func:`canonical_docs` that
+    downstream tables remap through (see corpus.dedup_remap).
+
+    The keeper is ONE unordered full-partition window max over
+    struct(quality, -doc_id) — max quality, then min id — so the map
+    needs no second join back onto the ranked members (one pass over
+    the CC output).
+
+    Columns: doc_id, kept_doc_id (cluster members only; unclustered
+    docs are absent and map to themselves at the remap site).
+
+    Scale (100 TB): the cluster fixpoint is the audited CC operator;
+    the window partitions per component (cluster-sized, never global).
+    """
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs)
+    members = cc.join(quality, "doc_id")
+    w = Window.partitionBy("component_id")
+    kd = F.max(
+        F.struct(
+            F.col("quality").alias("q"),
+            (-F.col("doc_id")).alias("nid"),
+        )
+    ).over(w)
+    return members.select(
+        "doc_id",
+        (-kd.getField("nid")).cast("long").alias("kept_doc_id"),
+    )

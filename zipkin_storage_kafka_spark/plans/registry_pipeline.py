@@ -887,6 +887,55 @@ def q_pipe_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.canonical_docs(pairs, quality)
 
 
+_CMAP_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized member -> keeper survivorship map — like the dedup
+    index, it is built once per snapshot (the CC fixpoint + quality
+    window run at dedup time); every downstream remap reads the
+    parquet."""
+    from zipkin_storage_kafka_spark.sources import matcache
+
+    key = (id(spark), sf_dir)
+    if key not in _CMAP_CACHE:
+
+        def build() -> DataFrame:
+            pairs = dd.jaccard_pairs(
+                _shingles(spark, sf_dir),
+                _lsh_candidates(spark, sf_dir),
+                threshold=JACCARD_THRESHOLD,
+                verified=_verified_pairs(spark, sf_dir),
+            )
+            quality = ta.quality_score(_docs(spark, sf_dir)).select(
+                "doc_id", "quality"
+            )
+            return dd.canonical_map(pairs, quality)
+
+        from zipkin_storage_kafka_spark.sources import tables
+
+        # quality_score lives in ta — fold it into the fingerprint so a
+        # scoring change invalidates the persisted map.
+        fp = matcache.code_fingerprint((dd, ta, tables))
+        _CMAP_CACHE[key] = matcache.materialized(
+            spark, sf_dir, "canonical_map", fp, build
+        ).persist()
+    return _CMAP_CACHE[key]
+
+
+def q_pipe_dedup_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship propagated downstream
+    (operators/corpus.py:dedup_remap over dedup.py:canonical_map): the
+    embeddings table re-pointed at each cluster's highest-quality doc —
+    serving indexes stop referencing dropped documents.  Served from
+    the materialized once-per-snapshot survivorship map."""
+    from zipkin_storage_kafka_spark.operators import corpus
+
+    return corpus.dedup_remap(
+        _emb(spark, sf_dir), _canonical_map(spark, sf_dir)
+    )
+
+
 def q_pipe_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc <-> embedding id alignment audit (operators/corpus.py): one
     full-outer equi-join, rowwise status, partial-agged counts — the
@@ -1440,6 +1489,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "emb_centroid_outliers": q_emb_centroid_outliers,
         "emb_knn_graph": q_emb_knn_graph,
         "mm_audio_vad": q_mm_audio_vad,
+        "pipe_dedup_remap": q_pipe_dedup_remap,
     }
 
 
@@ -2022,6 +2072,77 @@ def pipeline_oracles() -> dict[str, str]:
                CAST(n_frames AS INTEGER) AS n_frames,
                (round(se * 1.0 / sv * 10000) / 10000 + 0.0) AS mean_sq
         FROM seg
+    """
+    oracles["pipe_dedup_remap"] = f"""
+        WITH RECURSIVE {_MINHASH_CTE},
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM inter
+          JOIN cnt ca ON ca.doc_id = doc_a
+          JOIN cnt cb ON cb.doc_id = doc_b
+          WHERE (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 + 0.0)
+                >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        lab AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS component_id
+          FROM reach GROUP BY src
+        ),
+        tw AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+        ts AS (
+          SELECT doc_id,
+                 len(w) AS n_tokens,
+                 len(list_filter(w, x -> x IN {_STOP_SQL})) AS stop_cnt,
+                 (round((len(list_distinct(w)) * 1.0 / len(w)) * 10000)
+                   / 10000 + 0.0) AS ttr
+          FROM tw
+        ),
+        qual AS (
+          SELECT doc_id,
+                 (round((0.4 * (CASE WHEN n_tokens >= 20 THEN 1 ELSE 0
+                                END)
+                       + 0.3 * least(1.0, 5.0 * (stop_cnt * 1.0
+                                                 / n_tokens))
+                       + 0.3 * ttr) * 10000) / 10000 + 0.0) AS quality
+          FROM ts
+        ),
+        ranked AS (
+          SELECT component_id, l.doc_id, quality,
+                 row_number() OVER (PARTITION BY component_id
+                                    ORDER BY quality DESC, l.doc_id)
+                   AS rk
+          FROM lab l JOIN qual q ON q.doc_id = l.doc_id
+        ),
+        cmap AS (
+          SELECT r.doc_id, k.doc_id AS kept_doc_id
+          FROM ranked r
+          JOIN (SELECT component_id, doc_id FROM ranked WHERE rk = 1) k
+            ON k.component_id = r.component_id
+        )
+        SELECT v.vec_id,
+               coalesce(m.kept_doc_id, v.vec_id) AS canonical_doc_id,
+               (coalesce(m.kept_doc_id, v.vec_id) <> v.vec_id)
+                 AS redirected
+        FROM (SELECT vec_id FROM embeddings) v
+        LEFT JOIN cmap m ON m.doc_id = v.vec_id
     """
     return oracles
 
