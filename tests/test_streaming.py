@@ -745,3 +745,46 @@ def test_w10_restart_classifies_only_new_files(spark, tmp_path):
     by_id = {r["doc_id"]: (r["status"], r["matched_old_id"]) for r in final}
     assert by_id[102] == ("exact_dup", 1)
     assert by_id[100][0] == "new" and by_id[101][0] == "new"
+
+
+def test_cm_grid_stream_equals_batch_grid(spark, sf_dir):
+    """The streamed count-min grid must equal the batch grid EXACTLY —
+    integer counter sums are commutative, so micro-batch boundaries
+    cannot change the final state (the invariance the W11 row's oracle
+    relies on), and every row's counters conserve the span total."""
+    from pyspark.sql import functions as F
+
+    from zipkin_storage_kafka_spark.operators.sketches import (
+        CM_DEPTH,
+        CM_WIDTH,
+        _cm_bucket,
+    )
+    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+    from zipkin_storage_kafka_spark.streaming.jobs import cm_grid_via_stream
+
+    streamed = cm_grid_via_stream(spark, sf_dir)
+    spans = spans_from_events(spark, sf_dir)
+    batch = (
+        spans.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        _cm_bucket(
+                            F.col("trace_id").cast("string"), r, CM_WIDTH
+                        )
+                        for r in range(CM_DEPTH)
+                    ]
+                )
+            ).alias("r", "b")
+        )
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = {(r["r"], r["b"]): r["c"] for r in streamed.collect()}
+    want = {(r["r"], r["b"]): r["c"] for r in batch.collect()}
+    assert got == want
+    n_spans = spans.count()
+    per_row = {}
+    for (r, _b), c in got.items():
+        per_row[r] = per_row.get(r, 0) + c
+    assert per_row == {r: n_spans for r in range(CM_DEPTH)}

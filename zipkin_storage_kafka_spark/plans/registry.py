@@ -982,6 +982,18 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantile_audit(_spans(spark, sf_dir))
 
 
+def q_stream_cm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: count-min counter grid maintained as a stream
+    (streaming/jobs.py:cm_grid_via_stream) — commutative integer sums
+    make the final streamed state equal the batch grid EXACTLY, so the
+    batch derivation is the oracle with no tolerance."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        cm_grid_via_stream,
+    )
+
+    return cm_grid_via_stream(spark, sf_dir)
+
+
 def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy-hitter audit
     (operators/sketches.py:cm_heavy_hitter_traces): top traces by span
@@ -1198,6 +1210,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_link_latency_gaps": q_link_latency_gaps,
         "z_quantile_sketch_audit": q_quantile_sketch_audit,
         "z_cm_heavy_hitters": q_cm_heavy_hitters,
+        "w11_stream_cm_grid": q_stream_cm_grid,
     }
 
 
@@ -1430,6 +1443,22 @@ def zipkin_oracles() -> dict[str, str]:
     )
     from zipkin_storage_kafka_spark.operators import sketches as _sk
 
+    oracles["w11_stream_cm_grid"] = with_spans_cte(
+        f"""
+        SELECT CAST(r AS INTEGER) AS r, CAST(b AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM (
+          SELECT r,
+                 ('0x' || substr(md5(r || ':' || trace_id), 1, 8))
+                   ::BIGINT % {_sk.CM_WIDTH} AS b
+          FROM spans
+          CROSS JOIN (
+            SELECT unnest(generate_series(0, {_sk.CM_DEPTH - 1})) AS r
+          )
+        )
+        GROUP BY 1, 2
+        """
+    )
     oracles["z_cm_heavy_hitters"] = with_spans_cte(
         f"""
         SELECT t.trace_id, t.exact_n, e.cm_est,

@@ -1398,3 +1398,71 @@ def incremental_dedup_via_stream(
 
     _STREAM_SINK_MEMO[memo_key] = out_dir
     return spark.read.parquet(out_dir)
+
+
+def cm_grid_via_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = DEFAULT_TRACE_TIMEOUT,
+) -> DataFrame:
+    """W11: the count-min counter grid maintained AS A STREAM — the
+    sketch side of the storage topology (the z_cm_heavy_hitters grid,
+    kept continuously current instead of rebuilt per batch scan).
+
+    Sketch counters are the canonical streaming store: plain integer
+    sums are commutative and mergeable, so the final streamed state
+    EQUALS the batch grid exactly (batch-boundary invariance — the
+    oracle is the batch derivation, no tolerance needed).  Complete
+    output mode + foreachBatch overwrite of the d x w sink is the same
+    idempotent pairing as the A4-A6 index stores (a replayed epoch
+    rewrites identical counters).
+
+    Columns: r, b, c.
+
+    Scale (100 TB/day ingest): the streaming state is the bounded d x w
+    grid regardless of corpus size — this is WHY a sketch is the right
+    serving store for heavy-hitter queries under continuous ingest;
+    sentinels are choreography and are filtered before aggregation.
+    """
+    import os
+
+    from zipkin_storage_kafka_spark.operators.sketches import (
+        CM_DEPTH,
+        CM_WIDTH,
+        _cm_bucket,
+    )
+
+    def run(stream: DataFrame, work: str, ckpt: str) -> str:
+        grid_out = os.path.join(work, "grid")
+        cells = stream.filter(
+            ~F.col("trace_id").startswith(SENTINEL_TRACE_PREFIX)
+        ).select(
+            F.posexplode(
+                F.array(
+                    *[
+                        _cm_bucket(
+                            F.col("trace_id").cast("string"), r, CM_WIDTH
+                        )
+                        for r in range(CM_DEPTH)
+                    ]
+                )
+            ).alias("r", "b")
+        )
+        grid = cells.groupBy("r", "b").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+        def emit(batch: DataFrame, epoch_id: int) -> None:
+            batch.write.mode("overwrite").parquet(grid_out)
+
+        q = (
+            grid.writeStream.outputMode("complete")
+            .foreachBatch(emit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return grid_out
+
+    return _staged_stream_run(spark, sf_dir, gap, "w11_cm_grid", run)
