@@ -954,3 +954,18 @@ def test_canonical_map_keeper_window_per_component(spark, sf_dir):
     for l in win:
         assert "component_id" in l, l
     assert "SinglePartition" not in plan, plan
+
+
+def test_markov_windows_never_global(spark, sf_dir):
+    """The transition lag partitions per user; the normalizing window
+    partitions the |types|^2 counts per src — no global window, and the
+    lag + count pipeline partial-aggregates before its exchange."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ev_markov_transitions"](spark, sf_dir))
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win, plan
+    for l in win:
+        assert ("user_id" in l) or ("src" in l), l
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

@@ -685,3 +685,49 @@ def test_canonical_map_and_remap_fixture(spark):
         3: (2, True),
         4: (4, False),
     }
+
+
+def test_markov_transitions_fixture(spark):
+    """Hand-checked transition matrix: per-user lag chains (no
+    cross-user edge), counts over both users, and row-normalized
+    probabilities that sum to 1 per source state."""
+    import datetime
+
+    from zipkin_storage_kafka_spark.operators.analytics import (
+        markov_transitions,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: b -> a ; user 3: a -> c
+        # (no cross-user edge; src=a splits 1/2 b, 1/2 c)
+        (0, ts(0), 1, "a", 0.0, "{}"),
+        (1, ts(1), 1, "b", 0.0, "{}"),
+        (2, ts(2), 1, "a", 0.0, "{}"),
+        (3, ts(0), 2, "b", 0.0, "{}"),
+        (4, ts(1), 2, "a", 0.0, "{}"),
+        (5, ts(0), 3, "a", 0.0, "{}"),
+        (6, ts(1), 3, "c", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["p"])
+        for r in markov_transitions(spark, d).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "c"): (1, 0.5),
+        ("b", "a"): (2, 1.0),
+    }

@@ -1488,3 +1488,44 @@ def excess_stock_suppliers(
         .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "n_parts_over")
     )
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model of the event stream: per-user
+    event-type transition counts and row-normalized probabilities —
+    the Markov matrix funnels, churn models, and anomaly detectors
+    start from (a purchase following an error at 3x the base rate is a
+    product bug, not a conversion).
+
+    Ordering ties break on event_id (the sessionization convention), so
+    the lag chain — and therefore every count — is engine-portable.
+
+    Columns: src, dst, n, p (round4, rows sum to 1 per src).
+
+    Scale (100 TB): one user-keyed window (the same (partition, order)
+    spec user_sessions shuffles on — co-partitioned in a shared
+    pipeline), partial-agged to |types|^2 rows; the normalizing window
+    partitions those k rows per src, never globally.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("dst"),
+            to_epoch_micros(ev, "ts").alias("ts_us"),
+        )
+        .withColumn("src", F.lag("dst").over(w))
+        .filter(F.col("src").isNotNull())
+    )
+    counts = trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        round4(F.col("n") / F.sum("n").over(tot)).alias("p"),
+    )

@@ -89,6 +89,13 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.user_sessions(spark, sf_dir)
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix
+    (operators/analytics.py:markov_transitions): per-user lag chain,
+    partial-agged to |types|^2 rows with row-normalized probabilities."""
+    return an.markov_transitions(spark, sf_dir)
+
+
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.top_supplier(spark, sf_dir, lo_micros=Q6_LO_US, hi_micros=Q6_HI_US)
 
@@ -202,6 +209,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "h18_large_volume_customers": q_large_volume_customers,
         "hr_pricing_rollup": q_pricing_rollup,
         "ev_user_sessions": q_user_sessions,
+        "ev_markov_transitions": q_markov_transitions,
         "h15_top_supplier": q_top_supplier,
         "h16_part_supplier_variety": q_part_supplier_variety,
         "h22_sales_opportunity": q_sales_opportunity,
@@ -509,6 +517,24 @@ def analytics_oracles() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM sessions
             GROUP BY user_id, session_idx
+        """,
+        "ev_markov_transitions": """
+            WITH t AS (
+              SELECT event_type AS dst,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                     ) AS src
+              FROM events
+            ),
+            c AS (
+              SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+              FROM t WHERE src IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT src, dst, n,
+                   (round((n * 1.0 / sum(n) OVER (PARTITION BY src))
+                          * 10000) / 10000 + 0.0) AS p
+            FROM c
         """,
         "h8_national_market_share": f"""
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
