@@ -249,3 +249,41 @@ def test_autocomplete_keys_are_config(spark, sf_dir, tmp_path):
         r["tag_key"]
         for r in SpanStore(spans).get_autocomplete_keys().collect()
     ] == ["environment", "k"]
+
+
+def test_matcache_prune_respects_grace_window(spark, tmp_path, monkeypatch):
+    """A stale-fingerprint dir younger than the grace window survives a new
+    build (a concurrent process running older code may still be scanning
+    it); once past the window, the next build prunes it."""
+    from zipkin_storage_kafka_spark.sources import matcache
+
+    monkeypatch.setattr(matcache, "CACHE_ROOT", str(tmp_path / "cache"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def build():
+        return spark.range(3).withColumnRenamed("id", "v")
+
+    matcache.materialized(spark, src, "t", "oldfp0000000", build)
+    tag_dir = os.path.dirname(
+        [
+            os.path.join(r, d)
+            for r, ds, _ in os.walk(str(tmp_path / "cache"))
+            for d in ds
+            if d.startswith("t-oldfp")
+        ][0]
+    )
+    old_path = os.path.join(tag_dir, "t-oldfp0000000")
+
+    # fresh stale dir: grace window protects it
+    assert matcache.materialized(spark, src, "t", "newfp0000000", build).count() == 3
+    assert os.path.isdir(old_path)
+
+    # backdate past the grace window: the next build prunes it
+    past = matcache._now() - matcache._PRUNE_GRACE_SECONDS - 60
+    os.utime(old_path, (past, past))
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(tag_dir, "t-newfp0000000"))
+    assert matcache.materialized(spark, src, "t", "newfp0000000", build).count() == 3
+    assert not os.path.isdir(old_path)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Callable, Iterable
 from types import ModuleType
@@ -32,6 +33,14 @@ CACHE_ROOT = os.environ.get(
 )
 
 _FP_CACHE: dict[tuple[str, ...], str] = {}
+
+_now = time.time
+
+# Stale-fingerprint dirs younger than this are left in place: a concurrent
+# process running the PREVIOUS code version may still hold a DataFrame over
+# them (parquet scans list files at plan time), and deleting underneath it
+# fails that process's read with FILE_NOT_EXIST.
+_PRUNE_GRACE_SECONDS = 30 * 60
 
 
 def code_fingerprint(mods: Iterable[ModuleType]) -> str:
@@ -83,7 +92,13 @@ def materialized(
         if os.path.isdir(tag_dir):
             for entry in os.listdir(tag_dir):
                 if entry.startswith(f"{table}-") and entry != f"{table}-{fingerprint}":
-                    shutil.rmtree(os.path.join(tag_dir, entry), ignore_errors=True)
+                    stale = os.path.join(tag_dir, entry)
+                    try:
+                        age = _now() - os.stat(stale).st_mtime
+                    except OSError:
+                        age = _PRUNE_GRACE_SECONDS
+                    if age >= _PRUNE_GRACE_SECONDS:
+                        shutil.rmtree(stale, ignore_errors=True)
         tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
         build().write.mode("overwrite").parquet(tmp)
         try:
