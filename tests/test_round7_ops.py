@@ -731,3 +731,33 @@ def test_markov_transitions_fixture(spark):
         ("a", "c"): (1, 0.5),
         ("b", "a"): (2, 1.0),
     }
+
+
+def test_hll_merge_rollup_fixture(spark):
+    """Day bucketing is integer epoch-day arithmetic; merged day-partial
+    sketches reproduce the exact distinct count on a small fixture (HLL is
+    exact far below 2^lg_k), including a trace whose spans straddle the
+    day boundary (its id must count once, not once per day)."""
+    from zipkin_storage_kafka_spark.operators.sketches import (
+        MICROS_PER_DAY,
+        hll_merged_rollup,
+    )
+
+    d = MICROS_PER_DAY
+    spans = spark.createDataFrame(
+        [
+            ("ta", "svc", d - 10),   # day 0
+            ("ta", "svc", d + 10),   # same trace, day 1
+            ("tb", "svc", d + 20),   # day 1
+            ("tc", "other", 5),      # day 0
+        ],
+        "trace_id string, local_service string, timestamp long",
+    )
+    out = {
+        r["local_service"]: r for r in hll_merged_rollup(spans).collect()
+    }
+    assert out["svc"]["days"] == 2
+    assert out["svc"]["exact_traces"] == 2
+    assert out["other"]["days"] == 1
+    assert out["other"]["exact_traces"] == 1
+    assert all(r["merged_ok"] for r in out.values())

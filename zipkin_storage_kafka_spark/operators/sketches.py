@@ -277,3 +277,50 @@ def cm_heavy_hitter_traces(
         .orderBy(F.col("exact_n").desc(), "trace_id")
         .limit(top)
     )
+
+
+MICROS_PER_DAY = 86_400_000_000
+
+
+def hll_merged_rollup(
+    spans: DataFrame, lg_k: int = HLL_LG_K, tolerance: float = HLL_TOLERANCE
+) -> DataFrame:
+    """Day-partial HLL sketches unioned to a per-service estimate — the
+    MERGE path of the counters store, under the accuracy gate.
+
+    :func:`hll_distinct_traces` proves the one-pass sketch; this row
+    proves the deployment shape the reference's aggregated stores imply
+    (spans-to-dependencies style rollups re-served from pre-aggregated
+    windows, TraceStorageTopology.java:87-91): ingest writes one sketch
+    per (service, day) partition, query time unions the day partials with
+    ``hll_union_agg`` and never touches raw trace ids.  At 100 TB the
+    union input is |services| x |days| rows of 2^lg_k-byte binaries —
+    constant in corpus size — while the exact rescan the audit column
+    performs here is exactly what production avoids.
+
+    Day buckets are integer epoch-day arithmetic (``timestamp`` micros //
+    day), not calendar dates, so the grouping is timezone-free and
+    engine-identical.  The driver-visible contract is the ann_ivf_recall
+    gate pattern: exact count + within-``tolerance`` boolean (DuckDB's
+    HLL build can never hash-match DataSketches estimates).
+
+    Output: local_service, days, exact_traces, merged_ok (bool).
+    """
+    day = F.floor(F.col("timestamp") / F.lit(MICROS_PER_DAY))
+    daily = spans.groupBy(
+        "local_service", day.alias("day_bucket")
+    ).agg(F.hll_sketch_agg("trace_id", F.lit(lg_k)).alias("sk"))
+    merged = daily.groupBy("local_service").agg(
+        F.count("*").alias("days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = spans.groupBy("local_service").agg(
+        F.count_distinct("trace_id").alias("exact_traces")
+    )
+    err = F.abs(F.col("est") - F.col("exact_traces"))
+    return merged.join(exact, "local_service").select(
+        "local_service",
+        "days",
+        "exact_traces",
+        (err <= F.lit(tolerance) * F.col("exact_traces")).alias("merged_ok"),
+    )

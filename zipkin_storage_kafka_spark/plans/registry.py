@@ -531,6 +531,20 @@ def q_hll_service_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_traces(_spans(spark, sf_dir))
 
 
+def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-partial HLL sketches unioned to the per-service estimate
+    (operators/sketches.py:hll_merged_rollup) — the counters-store MERGE
+    path under the same accuracy gate as z_hll_service_traces.  Proves
+    that pre-aggregated (service, day) sketch partials re-union to a
+    within-tolerance whole-range answer, which is how a 100 TB window
+    store serves cardinality without re-shuffling raw trace ids."""
+    from zipkin_storage_kafka_spark.operators.sketches import (
+        hll_merged_rollup,
+    )
+
+    return hll_merged_rollup(_spans(spark, sf_dir))
+
+
 def q_latency_percentiles(
     spark: SparkSession, sf_dir: str, mode: str = "exact"
 ) -> DataFrame:
@@ -1179,6 +1193,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_salted_service_counts": q_salted_service_counts,
         "z_sketch_service_traces": q_sketch_service_traces,
         "z_hll_service_traces": q_hll_service_traces,
+        "z_hll_merge_rollup": q_hll_merge_rollup,
         "z_trace_depth": q_trace_depth,
         "z_trace_concurrency": q_trace_concurrency,
         "z_window_active_spans": q_window_active_spans,
@@ -2128,6 +2143,17 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
             SELECT local_service,
                    CAST(count(DISTINCT trace_id) AS BIGINT) AS exact_traces,
                    true AS hll_ok
+            FROM spans GROUP BY local_service
+            """
+        ),
+        "z_hll_merge_rollup": with_spans_cte(
+            """
+            SELECT local_service,
+                   CAST(count(DISTINCT CAST(floor(
+                       timestamp / 86400000000.0) AS BIGINT)) AS BIGINT
+                   ) AS days,
+                   CAST(count(DISTINCT trace_id) AS BIGINT) AS exact_traces,
+                   true AS merged_ok
             FROM spans GROUP BY local_service
             """
         ),
