@@ -293,3 +293,50 @@ def test_window_active_spans_hand_fixture(spark):
         for r in window_active_spans(spans).collect()
     }
     assert out == {("svc", 0): 2, ("svc", 60_000): 1, ("svc", 120_000): 1}
+
+
+def test_service_triangles_fixture(spark):
+    """Hand-checked service graph: one triangle {a,b,c} (reached through
+    mixed edge directions and a duplicate link), a pendant d, a square
+    w-x-y-z with no diagonal (zero triangles), and a self-loop-only
+    service e that must still get its zero row."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        service_triangles,
+    )
+
+    links = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # duplicate + reversed
+            ("b", "c"), ("c", "a"),          # closes the triangle
+            ("c", "d"),                      # pendant
+            ("w", "x"), ("x", "y"), ("y", "z"), ("z", "w"),  # square
+            ("e", "e"),                      # self loop only
+        ],
+        "parent string, child string",
+    )
+    got = {
+        r["service"]: r["triangles"]
+        for r in service_triangles(links).collect()
+    }
+    assert got == {
+        "a": 1, "b": 1, "c": 1, "d": 0,
+        "w": 0, "x": 0, "y": 0, "z": 0, "e": 0,
+    }
+
+
+def test_service_triangles_k4(spark):
+    """K4 has 4 triangles; every corner sits in exactly 3."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        service_triangles,
+    )
+
+    nodes = ["p", "q", "r", "s"]
+    links = spark.createDataFrame(
+        [(u, v) for u in nodes for v in nodes if u < v],
+        "parent string, child string",
+    )
+    got = {
+        r["service"]: r["triangles"]
+        for r in service_triangles(links).collect()
+    }
+    assert got == {n: 3 for n in nodes}

@@ -409,3 +409,60 @@ def link_window_diff(links: DataFrame, split_us: int) -> DataFrame:
         .otherwise("steady")
         .alias("status"),
     )
+
+
+def service_triangles(links: DataFrame) -> DataFrame:
+    """Per-service triangle participation over the undirected service
+    graph — the classic distributed graph-mining kernel (Suri & Vassilvitskii
+    2011) beside :func:`service_pagerank`, answering "which services sit in
+    tightly-coupled cliques" for architecture review panels.
+
+    Direction and multiplicity are dropped first: edges become DISTINCT
+    canonical (a < b) pairs, so the triangle join runs on the SERVICE
+    GRAPH (|services|-bounded, thousands of rows at 100 TB), never on the
+    span- or link-level relation.  The only corpus-sized work is the
+    distinct partial-agg over the materialized links table.  Each triangle
+    x < y < z materializes exactly once (both join keys preserve the
+    ordering), then explodes to credit its three corners.  Services with
+    no triangle keep a zero row so the panel is total.
+
+    Output: service, triangles (bigint).
+    """
+    e = (
+        links.select(
+            F.least("parent", "child").alias("a"),
+            F.greatest("parent", "child").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    per = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("service"))
+        .groupBy("service")
+        .agg(F.count("*").alias("triangles"))
+    )
+    nodes = (
+        links.select(F.col("parent").alias("service"))
+        .union(links.select(F.col("child").alias("service")))
+        .distinct()
+    )
+    return nodes.join(per, "service", "left").select(
+        "service",
+        F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias(
+            "triangles"
+        ),
+    )

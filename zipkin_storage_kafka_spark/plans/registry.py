@@ -830,6 +830,18 @@ def q_service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return service_pagerank(merge_links(links_table(spark, sf_dir)))
 
 
+def q_service_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service triangle participation over the undirected service
+    graph (operators/dependency_links.py:service_triangles) — the
+    clique-coupling panel beside PageRank.  The triangle join runs on the
+    distinct |services|-bounded edge relation, never on span-sized data."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        service_triangles,
+    )
+
+    return service_triangles(links_table(spark, sf_dir))
+
+
 def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-trace critical path (max root-to-span duration sum) over the
     MATERIALIZED per-span path costs (the pointer-doubling sweep runs once
@@ -1200,6 +1212,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_critical_path": q_critical_path,
         "z_self_time": q_self_time,
         "z_service_pagerank": q_service_pagerank,
+        "z_service_triangles": q_service_triangles,
         "a9_setops_service_names": q_setops_service_names,
         "w25_slowest_per_service": q_slowest_per_service,
         "z_anomalous_spans": q_anomalous_spans,
@@ -2185,6 +2198,40 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
             FROM rec GROUP BY trace_id
         """,
         "z_service_pagerank": _pagerank_oracle(),
+        "z_service_triangles": with_spans_cte(
+            """
+            SELECT n.service,
+                   CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles
+            FROM nodes n LEFT JOIN per p USING (service)
+            """,
+            extra_ctes=_LINKS_CTE.strip().rstrip()
+            + """,
+            edges AS (
+              SELECT DISTINCT least(parent, child) AS a,
+                              greatest(parent, child) AS b
+              FROM links WHERE parent <> child
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM edges e1
+              JOIN edges e2 ON e2.a = e1.b
+              JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            nodes AS (
+              SELECT DISTINCT parent AS service FROM links
+              UNION
+              SELECT DISTINCT child AS service FROM links
+            ),
+            per AS (
+              SELECT service, CAST(count(*) AS BIGINT) AS triangles
+              FROM (
+                SELECT x AS service FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+              ) corners GROUP BY service
+            )
+            """,
+        ),
         "z_self_time": with_spans_cte(
             """
             SELECT s.local_service,
