@@ -969,3 +969,21 @@ def test_markov_windows_never_global(spark, sf_dir):
         assert ("user_id" in l) or ("src" in l), l
     assert "SinglePartition" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_interval_overlap_join_is_equi_join(spark, sf_dir):
+    """The interval-overlap kernel must plan the (service, bucket)
+    equi-join — never a nested-loop/cartesian theta join — even with
+    broadcast disabled (both sides large at 100 TB)."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        slow_span_concurrency,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = slow_span_concurrency(spans_from_events(spark, sf_dir))
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

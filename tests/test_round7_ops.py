@@ -761,3 +761,38 @@ def test_hll_merge_rollup_fixture(spark):
     assert out["other"]["days"] == 1
     assert out["other"]["exact_traces"] == 1
     assert all(r["merged_ok"] for r in out.values())
+
+
+def test_slow_span_concurrency_fixture(spark):
+    """Hand-checked interval-overlap join: touching endpoints do not
+    overlap, other-service spans never count, a pair meeting in two
+    buckets counts once, and overlap-free slow spans keep a zero row."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        slow_span_concurrency,
+    )
+
+    rows = [
+        ("t1", "s1", "A", 0, 300_000),          # slow: overlaps o1, o2
+        ("t1", "o1", "A", 100, 100),
+        ("t2", "o2", "A", 299_999, 101),        # 1 us of overlap
+        ("t2", "o3", "A", 300_000, 10),         # touches endpoint: no
+        ("t3", "o4", "B", 50, 500_000),         # slow, lone service: 0
+        ("t4", "o5", "A", 2_500_000, 250_000),  # slow
+        ("t4", "o6", "A", 1_999_000, 600_000),  # slow; pair (o5,o6) spans
+                                                # two buckets: counted once
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trace_id string, id string, local_service string,"
+        " timestamp long, duration long",
+    )
+    out = {
+        (r["trace_id"], r["id"]): r["concurrent_spans"]
+        for r in slow_span_concurrency(df).collect()
+    }
+    assert out == {
+        ("t1", "s1"): 2,
+        ("t3", "o4"): 0,
+        ("t4", "o5"): 1,
+        ("t4", "o6"): 1,
+    }

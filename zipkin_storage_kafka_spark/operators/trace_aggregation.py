@@ -619,3 +619,107 @@ def error_paths(
         .groupBy("error_path")
         .agg(F.count(F.lit(1)).alias("n_errors"))
     )
+
+
+SLOW_SPAN_US = 200_000
+OVERLAP_BUCKET_US = 1_000_000
+
+
+def slow_span_concurrency(
+    spans: DataFrame,
+    slow_us: int = SLOW_SPAN_US,
+    bucket_us: int = OVERLAP_BUCKET_US,
+) -> DataFrame:
+    """For every slow span (duration >= ``slow_us``), the number of OTHER
+    same-service spans whose execution interval overlaps it — the "was the
+    service busy while this was slow" triage panel, and the engine's
+    general bucketed INTERVAL-OVERLAP JOIN kernel.
+
+    Spark has no native interval join; the naive formulation is a theta
+    join (BroadcastNestedLoop — quadratic per service, dead at scale).
+    This kernel makes it an EQUI-join: both sides explode to the
+    ``bucket_us`` time buckets their [ts, ts + max(duration,1)) interval
+    covers (fanout ceil(duration/bucket)+1, bounded by span length, never
+    by data volume), join on (service, bucket), then refine with the
+    exact overlap predicate.  A pair can meet in several buckets; it is
+    counted exactly once at bucket == max(start_a, start_b) div bucket —
+    an overlap guarantees max(start) < min(end), so that bucket is common
+    to both intervals and no DISTINCT shuffle is needed.  The interval
+    model matches :func:`trace_concurrency` (closed-open, min width 1 us,
+    touching endpoints do not overlap).
+
+    At 100 TB: one shuffle on (service, bucket) whose partitions hold
+    only spans ACTIVE in the same second per service; skewed hot seconds
+    split under AQE.  Bucket width tunes fanout vs candidate mass exactly
+    like LSH band width in the dedup family.
+
+    Output: trace_id, id, local_service, duration, concurrent_spans.
+    """
+    # integer div on both bounds (see the window_active_spans note on
+    # double-rounded quotients at exact boundaries)
+    upper = F.expr(
+        f"(timestamp + greatest(coalesce(duration, 0), 1) - 1)"
+        f" div {bucket_us}"
+    )
+    covered = F.explode(
+        F.sequence(F.expr(f"timestamp div {bucket_us}"), upper)
+    )
+
+    base = spans.filter(F.col("local_service").isNotNull()).select(
+        "trace_id", "id", "local_service", "timestamp", "duration"
+    )
+    slow = base.filter(F.col("duration") >= F.lit(int(slow_us)))
+
+    s = slow.select(
+        F.col("trace_id").alias("s_tid"),
+        F.col("id").alias("s_id"),
+        F.col("local_service").alias("svc"),
+        F.col("timestamp").alias("s_ts"),
+        F.col("duration").alias("s_dur"),
+        covered.alias("bucket"),
+    )
+    o = base.select(
+        F.col("trace_id").alias("o_tid"),
+        F.col("id").alias("o_id"),
+        F.col("local_service").alias("svc"),
+        F.col("timestamp").alias("o_ts"),
+        F.col("duration").alias("o_dur"),
+        covered.alias("bucket"),
+    )
+    s_end = F.col("s_ts") + F.greatest(
+        F.coalesce(F.col("s_dur"), F.lit(0)), F.lit(1)
+    )
+    o_end = F.col("o_ts") + F.greatest(
+        F.coalesce(F.col("o_dur"), F.lit(0)), F.lit(1)
+    )
+    meet_once = F.col("bucket") == F.expr(
+        f"greatest(s_ts, o_ts) div {bucket_us}"
+    )
+    counts = (
+        s.join(o, ["svc", "bucket"])
+        .where(
+            ~((F.col("o_tid") == F.col("s_tid")) & (F.col("o_id") == F.col("s_id")))
+            & (F.col("o_ts") < s_end)
+            & (o_end > F.col("s_ts"))
+            & meet_once
+        )
+        .groupBy("s_tid", "s_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        slow.join(
+            counts,
+            (slow["trace_id"] == counts["s_tid"])
+            & (slow["id"] == counts["s_id"]),
+            "left",
+        )
+        .select(
+            "trace_id",
+            "id",
+            "local_service",
+            "duration",
+            F.coalesce(F.col("c"), F.lit(0).cast("long")).alias(
+                "concurrent_spans"
+            ),
+        )
+    )

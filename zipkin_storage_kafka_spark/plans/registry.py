@@ -41,6 +41,9 @@ from zipkin_storage_kafka_spark.operators.indexes import (
     BURN_LONG_WINDOWS as _BURN_LONG_WINDOWS,
     SLO_ERROR_BUDGET as _SLO_ERROR_BUDGET,
 )
+from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+    SLOW_SPAN_US as _SLOW_SPAN_US,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -670,6 +673,21 @@ def q_trace_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trace_concurrency(_spans(spark, sf_dir))
 
 
+def q_slow_span_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slow-span same-service overlap count — the engine's bucketed
+    INTERVAL-OVERLAP JOIN kernel (operators/trace_aggregation.py:
+    slow_span_concurrency): both sides explode to covered time buckets,
+    equi-join on (service, bucket), refine with the exact overlap
+    predicate, dedupe pairs at the max-of-starts bucket.  The oracle is
+    the naive theta join — fine at sf0.01, exactly what the kernel
+    replaces at scale."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        slow_span_concurrency,
+    )
+
+    return slow_span_concurrency(_spans(spark, sf_dir))
+
+
 def q_trace_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-count per tree depth (engine extension): read from the same
     materialized pointer-doubling sweep as q_critical_path (the `depth`
@@ -1208,6 +1226,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_hll_merge_rollup": q_hll_merge_rollup,
         "z_trace_depth": q_trace_depth,
         "z_trace_concurrency": q_trace_concurrency,
+        "z_slow_span_concurrency": q_slow_span_concurrency,
         "z_window_active_spans": q_window_active_spans,
         "z_critical_path": q_critical_path,
         "z_self_time": q_self_time,
@@ -1862,6 +1881,33 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
                          ORDER BY ts, delta
                          ROWS UNBOUNDED PRECEDING) AS running
               FROM ev
+            )
+            """,
+        ),
+        "z_slow_span_concurrency": with_spans_cte(
+            f"""
+            SELECT s.trace_id, s.id, s.local_service, s.duration,
+                   CAST(coalesce(c.c, 0) AS BIGINT) AS concurrent_spans
+            FROM slow s
+            LEFT JOIN cnt c ON c.trace_id = s.trace_id AND c.id = s.id
+            """,
+            extra_ctes=f"""
+            slow AS (
+              SELECT trace_id, id, local_service, timestamp, duration
+              FROM spans
+              WHERE duration >= {_SLOW_SPAN_US}
+                AND local_service IS NOT NULL
+            ),
+            cnt AS (
+              SELECT s.trace_id, s.id, CAST(count(*) AS BIGINT) AS c
+              FROM slow s JOIN spans o
+                ON o.local_service = s.local_service
+               AND NOT (o.trace_id = s.trace_id AND o.id = s.id)
+               AND o.timestamp
+                     < s.timestamp + greatest(coalesce(s.duration, 0), 1)
+               AND o.timestamp + greatest(coalesce(o.duration, 0), 1)
+                     > s.timestamp
+              GROUP BY s.trace_id, s.id
             )
             """,
         ),
