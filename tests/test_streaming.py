@@ -788,3 +788,67 @@ def test_cm_grid_stream_equals_batch_grid(spark, sf_dir):
     for (r, _b), c in got.items():
         per_row[r] = per_row.get(r, 0) + c
     assert per_row == {r: n_spans for r in range(CM_DEPTH)}
+
+
+def test_stream_stream_join_across_batches(spark, dirs):
+    """W12 stream-stream join: a match whose two sides arrive in
+    DIFFERENT micro-batches (error span first, its root a batch later)
+    must still emit — the buffered-state mechanism of the join — while
+    an error outside the event-time range must not."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        spans_stream_from_dir,
+    )
+
+    # batch 1: error span at t=10s (root not yet seen) + an error far in
+    # the future of t1's root (outside the 10-minute range)
+    _write_batch(
+        spark,
+        dirs["in"],
+        [
+            _span("t1", "e1", 10, parent="r1", error=True),
+            _span("t1", "e2", 10 + 11 * 60, parent="r1", error=True),
+        ],
+        "batch1",
+    )
+    # batch 2: the root at t=9s
+    _write_batch(
+        spark, dirs["in"], [_span("t1", "r1", 9, name="entry")], "batch2"
+    )
+
+    stream = spans_stream_from_dir(spark, dirs["in"], max_files_per_trigger=1)
+    roots = (
+        stream.filter(F.col("parent_id").isNull())
+        .select(
+            F.col("trace_id").alias("r_tid"),
+            F.col("id").alias("root_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", "2 minutes")
+    )
+    errs = (
+        stream.filter(F.col("is_error"))
+        .select(
+            F.col("trace_id").alias("e_tid"),
+            F.col("id").alias("err_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "2 minutes")
+    )
+    joined = roots.join(
+        errs,
+        (F.col("e_tid") == F.col("r_tid"))
+        & (F.col("e_ts") >= F.col("r_ts"))
+        & (F.col("e_ts") <= F.col("r_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("root_id", "err_id")
+    out = os.path.join(dirs["traces"], "joined")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r["root_id"], r["err_id"]) for r in spark.read.parquet(out).collect()}
+    assert rows == {("r1", "e1")}

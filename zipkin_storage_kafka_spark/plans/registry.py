@@ -44,6 +44,9 @@ from zipkin_storage_kafka_spark.operators.indexes import (
 from zipkin_storage_kafka_spark.operators.trace_aggregation import (
     SLOW_SPAN_US as _SLOW_SPAN_US,
 )
+from zipkin_storage_kafka_spark.streaming.jobs import (
+    ROOT_ERROR_JOIN_RANGE_MINUTES as _ROOT_ERROR_RANGE_MIN,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -903,6 +906,21 @@ def q_stream_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized_summaries_via_stream(spark, sf_dir)
 
 
+def q_stream_stream_root_errors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """W12: watermarked stream-STREAM inner self-join — root spans
+    against same-trace error spans within an event-time range
+    (streaming.jobs.root_error_join_via_stream).  Run-to-completion
+    choreography makes the emitted matches equal the batch join, which
+    is the oracle."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        root_error_join_via_stream,
+    )
+
+    return root_error_join_via_stream(spark, sf_dir)
+
+
 def q_stream_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/J1 driver-visible row: the full aggregation topology run to
     completion — session-window closed traces fanned out through
@@ -1258,6 +1276,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_quantile_sketch_audit": q_quantile_sketch_audit,
         "z_cm_heavy_hitters": q_cm_heavy_hitters,
         "w11_stream_cm_grid": q_stream_cm_grid,
+        "w12_stream_stream_join": q_stream_stream_root_errors,
     }
 
 
@@ -1504,6 +1523,18 @@ def zipkin_oracles() -> dict[str, str]:
           )
         )
         GROUP BY 1, 2
+        """
+    )
+    oracles["w12_stream_stream_join"] = with_spans_cte(
+        f"""
+        SELECT r.trace_id, r.id AS root_id, r.name AS root_name,
+               e.id AS err_id, e.local_service AS err_service,
+               CAST(e.timestamp - r.timestamp AS BIGINT) AS lag_us
+        FROM spans r JOIN spans e
+          ON e.trace_id = r.trace_id
+         AND e.timestamp >= r.timestamp
+         AND e.timestamp <= r.timestamp + {_ROOT_ERROR_RANGE_MIN * 60_000_000}
+        WHERE r.parent_id IS NULL AND e.is_error
         """
     )
     oracles["z_cm_heavy_hitters"] = with_spans_cte(

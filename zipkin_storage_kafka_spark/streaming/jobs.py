@@ -1466,3 +1466,94 @@ def cm_grid_via_stream(
         return grid_out
 
     return _staged_stream_run(spark, sf_dir, gap, "w11_cm_grid", run)
+
+
+ROOT_ERROR_JOIN_RANGE_MINUTES = 10
+
+
+def root_error_join_via_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    range_minutes: int = ROOT_ERROR_JOIN_RANGE_MINUTES,
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """W12 driver-visible row: a watermarked STREAM-STREAM inner join —
+    the one Structured Streaming operator family the w1–w11 rows don't
+    exercise (they cover windowed aggs, dedup, arbitrary state, and
+    foreachBatch sinks; none joins two unbounded sides).
+
+    Shape: the spans stream self-joins — root spans (parent_id IS NULL)
+    against error spans of the SAME trace whose event time falls in
+    [root_ts, root_ts + ``range_minutes``] — the streaming face of the
+    "which errors happened under this entry-point request" panel.  Both
+    sides carry a watermark and the join condition carries the event-time
+    range, so Spark bounds each side's buffered state to the range +
+    delay instead of holding every span forever: exactly the mechanism a
+    100 TB/day dual-topic join needs.  Matches emit as soon as both rows
+    have arrived (inner-join append semantics), including partners that
+    arrive in DIFFERENT micro-batches (pinned by
+    tests/test_streaming.py::test_stream_stream_join_across_batches).
+
+    With the run-to-completion choreography (ordered files + sentinel
+    watermark advance) no real pair is ever evicted early, so the result
+    equals the batch join — the oracle is that plain join.
+
+    Columns: trace_id, root_id, root_name, err_id, err_service, lag_us.
+    """
+    import os
+
+    def run(stream: DataFrame, work: str, ckpt: str) -> str:
+        out = os.path.join(work, "joined")
+        roots = (
+            stream.filter(F.col("parent_id").isNull())
+            .select(
+                F.col("trace_id").alias("r_tid"),
+                F.col("id").alias("root_id"),
+                F.col("name").alias("root_name"),
+                F.col("timestamp").alias("root_ts_us"),
+                F.col("ts").alias("r_ts"),
+            )
+            .withWatermark("r_ts", watermark_delay)
+        )
+        errs = (
+            stream.filter(F.col("is_error"))
+            .select(
+                F.col("trace_id").alias("e_tid"),
+                F.col("id").alias("err_id"),
+                F.col("local_service").alias("err_service"),
+                F.col("timestamp").alias("err_ts_us"),
+                F.col("ts").alias("e_ts"),
+            )
+            .withWatermark("e_ts", watermark_delay)
+        )
+        joined = roots.join(
+            errs,
+            (F.col("e_tid") == F.col("r_tid"))
+            & (F.col("e_ts") >= F.col("r_ts"))
+            & (
+                F.col("e_ts")
+                <= F.col("r_ts")
+                + F.expr(f"INTERVAL {int(range_minutes)} MINUTES")
+            ),
+        ).select(
+            F.col("r_tid").alias("trace_id"),
+            "root_id",
+            "root_name",
+            "err_id",
+            "err_service",
+            (F.col("err_ts_us") - F.col("root_ts_us")).alias("lag_us"),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    return _staged_stream_run(
+        spark, sf_dir, DEFAULT_TRACE_TIMEOUT, "w12_join", run
+    )
