@@ -921,6 +921,17 @@ def q_stream_stream_root_errors(
     return root_error_join_via_stream(spark, sf_dir)
 
 
+def q_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13: per-service sliding-window (2 min / 1 min slide) counters as
+    a stream (streaming.jobs.sliding_windows_via_stream); the oracle
+    explodes each span to its two candidate window starts."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        sliding_windows_via_stream,
+    )
+
+    return sliding_windows_via_stream(spark, sf_dir)
+
+
 def q_stream_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/J1 driver-visible row: the full aggregation topology run to
     completion — session-window closed traces fanned out through
@@ -1277,6 +1288,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_cm_heavy_hitters": q_cm_heavy_hitters,
         "w11_stream_cm_grid": q_stream_cm_grid,
         "w12_stream_stream_join": q_stream_stream_root_errors,
+        "w13_stream_sliding_windows": q_stream_sliding_windows,
     }
 
 
@@ -1522,6 +1534,20 @@ def zipkin_oracles() -> dict[str, str]:
             SELECT unnest(generate_series(0, {_sk.CM_DEPTH - 1})) AS r
           )
         )
+        GROUP BY 1, 2
+        """
+    )
+    oracles["w13_stream_sliding_windows"] = with_spans_cte(
+        """
+        SELECT local_service,
+               CAST(((timestamp // 60000000) - k) * 60000 AS BIGINT)
+                 AS window_start_ms,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_errors
+        FROM spans
+        CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k)
+        WHERE local_service IS NOT NULL
         GROUP BY 1, 2
         """
     )

@@ -1557,3 +1557,65 @@ def root_error_join_via_stream(
     return _staged_stream_run(
         spark, sf_dir, DEFAULT_TRACE_TIMEOUT, "w12_join", run
     )
+
+
+def sliding_windows_via_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = DEFAULT_TRACE_TIMEOUT,
+) -> DataFrame:
+    """W13 driver row: per-service SLIDING-window counters as a stream —
+    ``window(ts, '2 minutes', '1 minute')`` — the overlapping-window
+    member of the streaming window family (w3/w5/w6 are tumbling, w1/w2
+    session).  Each span lands in exactly duration/slide = 2 windows;
+    append mode + watermark emits a window once when the watermark passes
+    its end, and the sentinel choreography closes the tail windows
+    (sentinels flow THROUGH the aggregation and are dropped at
+    read-back — see error_windows_via_stream on why filtering them
+    in-stream would stall the watermark).
+
+    The batch oracle is the explode-both-candidate-starts aggregation
+    (a span at t belongs to the windows starting at the two slide
+    boundaries in (t - 2 min, t]), which is also how the batch engine
+    would compute the same panel — so the row pins streaming sliding
+    semantics against first-principles SQL.
+
+    Output: local_service, window_start_ms, n_spans, n_errors.
+    """
+    import os
+
+    def run(stream: DataFrame, work: str, ckpt: str) -> str:
+        out_dir = os.path.join(work, "slidewin")
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(
+                F.window("ts", "2 minutes", "1 minute").alias("w"),
+                "local_service",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.sum(F.col("is_error").cast("long")).alias("n_errors"),
+            )
+            .select(
+                "local_service",
+                F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                "n_spans",
+                "n_errors",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out_dir
+
+    raw = _staged_stream_run(spark, sf_dir, gap, "w13_slide", run)
+    return raw.filter(
+        F.col("local_service").isNotNull()
+        & (F.col("local_service") != SENTINEL_SERVICE)
+    ).select("local_service", "window_start_ms", "n_spans", "n_errors")
