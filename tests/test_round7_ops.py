@@ -796,3 +796,37 @@ def test_slow_span_concurrency_fixture(spark):
         ("t4", "o5"): 1,
         ("t4", "o6"): 1,
     }
+
+
+def test_limit_before_sort_quirk_diverges(spark):
+    """The O2 quirk order (store window DESC, trace_id DESC, cut, THEN
+    sort) must select a different SET than the corrected top-k when a
+    window holds more traces than the limit and ids anti-correlate with
+    timestamps — the scenario the reference's scan-order cut mishandles
+    (KafkaStorageHttpService.java:222-234)."""
+    from pyspark.sql import functions as F
+
+    base = 1_000_000_000_000  # one shared minute window
+    rows = [  # trace "a" is the NEWEST, "l" the oldest
+        (chr(ord("a") + i), base + (11 - i) * 1000) for i in range(12)
+    ]
+    s = spark.createDataFrame(rows, "trace_id string, trace_timestamp long")
+    top_k = {
+        r["trace_id"]
+        for r in s.orderBy(
+            F.col("trace_timestamp").desc(), F.col("trace_id")
+        ).limit(10).collect()
+    }
+    quirk_cut = s.orderBy(
+        F.expr("trace_timestamp div 60000000").desc(),
+        F.col("trace_id").desc(),
+    ).limit(10)
+    quirk = {
+        r["trace_id"]
+        for r in quirk_cut.orderBy(
+            F.col("trace_timestamp").desc(), F.col("trace_id")
+        ).collect()
+    }
+    assert top_k == set("abcdefghij")   # newest ten by timestamp
+    assert quirk == set("cdefghijkl")   # id-descending within the window
+    assert top_k != quirk

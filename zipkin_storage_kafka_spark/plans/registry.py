@@ -277,6 +277,28 @@ def q_latest_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_limit_before_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: the reference's limit-BEFORE-sort scan quirk, replicated
+    deterministically (KafkaStorageHttpService.java:222-234: the
+    backwardFetchAll window-store iterator is cut at ``limit`` matches
+    BEFORE the final sort, so the selected SET follows store-scan order,
+    not the display order).  Scan order is modeled as (store window =
+    trace_timestamp div 1 minute) DESC then trace_id DESC — newest
+    window segment first, key-descending within it — making the quirk a
+    total order both engines express exactly; the final sort is the
+    reference's traces.sort(timestamp desc).  o1_latest_traces is the
+    corrected top-k flavor; this row pins the fidelity flavor, closing
+    SURVEY section-7 risk 5's 'replicate only if hash-matching' branch.
+    Plan: TakeOrderedAndProject for the scan-order cut, then a 10-row
+    sort — no global sort at any point."""
+    s = summaries_table(spark, sf_dir)
+    first = s.orderBy(
+        F.expr("trace_timestamp div 60000000").desc(),
+        F.col("trace_id").desc(),
+    ).limit(10)
+    return first.orderBy(F.col("trace_timestamp").desc(), F.col("trace_id"))
+
+
 def q_get_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _store(spark, sf_dir).get_dependencies(
         DEPENDENCIES_END_TS, DEPENDENCIES_LOOKBACK
@@ -1240,6 +1262,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "p4_find_traces_duration": q_find_traces_duration,
         "f2_normalize_ids": q_normalize_ids,
         "o5_trace_many": q_trace_many,
+        "o2_limit_before_sort": q_limit_before_sort,
         "w25_latest_span_per_service": q_latest_span_per_service,
         "s9_remote_service_lookup": q_remote_service_lookup,
         "a9_union_service_names": q_union_service_names,
@@ -1760,6 +1783,17 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
             """
             SELECT * FROM trace_summaries
             ORDER BY trace_timestamp DESC, trace_id LIMIT 10
+            """,
+            _SUMMARIES_CTE,
+        ),
+        "o2_limit_before_sort": with_spans_cte(
+            """
+            SELECT * FROM (
+              SELECT * FROM trace_summaries
+              ORDER BY trace_timestamp // 60000000 DESC, trace_id DESC
+              LIMIT 10
+            ) cut
+            ORDER BY trace_timestamp DESC, trace_id
             """,
             _SUMMARIES_CTE,
         ),
