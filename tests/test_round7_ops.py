@@ -830,3 +830,41 @@ def test_limit_before_sort_quirk_diverges(spark):
     assert top_k == set("abcdefghij")   # newest ten by timestamp
     assert quirk == set("cdefghijkl")   # id-descending within the window
     assert top_k != quirk
+
+
+def test_exemplar_spans_fixture(spark):
+    """Magnitude bucketing and the min-md5 pick are hand-checked; the
+    pick is stable under row order (re-run on a shuffled frame)."""
+    from zipkin_storage_kafka_spark.operators.indexes import exemplar_spans
+
+    rows = [
+        ("t1", "a", "svc", 95),      # 2 digits
+        ("t2", "b", "svc", 42),      # 2 digits
+        ("t3", "c", "svc", 1500),    # 4 digits
+        ("t4", "d", None, 10),       # null service: dropped
+        ("t5", "e", "svc", None),    # null duration: dropped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trace_id string, id string, local_service string, duration long",
+    )
+    out = {
+        (r["local_service"], r["dur_digits"]): r
+        for r in exemplar_spans(df).collect()
+    }
+    assert set(out) == {("svc", 2), ("svc", 4)}
+    assert out[("svc", 4)]["exemplar_trace"] == "t3"
+    assert out[("svc", 2)]["n_spans"] == 2
+    import hashlib
+
+    expect = min(
+        ("t1:a", "t2:b"), key=lambda s: hashlib.md5(s.encode()).hexdigest()
+    ).split(":")[0]
+    assert out[("svc", 2)]["exemplar_trace"] == expect
+
+    shuffled = df.orderBy(F.rand(7))
+    again = {
+        (r["local_service"], r["dur_digits"]): r["exemplar_trace"]
+        for r in exemplar_spans(shuffled).collect()
+    }
+    assert again[("svc", 2)] == expect

@@ -414,3 +414,47 @@ def latency_shift(spans: DataFrame, split_us: int) -> DataFrame:
         "p95_after",
         round4(F.col("p95_after") - F.col("p95_before")).alias("p95_shift"),
     )
+
+
+def exemplar_spans(spans: DataFrame) -> DataFrame:
+    """Deterministic exemplar per (service, latency magnitude bucket) —
+    the "give me one representative trace for this histogram bar"
+    feature tracing UIs attach to latency histograms (OpenMetrics
+    exemplars, public spec).  A real deployment wants a *stable* pick so
+    dashboards don't flicker between refreshes: the exemplar is the span
+    with the MINIMUM md5 of (trace_id:span_id) in its bucket — uniform
+    over the bucket, reproducible in any engine, no RNG.
+
+    Buckets are decimal-magnitude (digit count of the micros duration):
+    pure integer/string arithmetic, engine-identical, and the panel
+    shape users read ("~100 us", "~1 ms", "~10 ms"...).
+
+    Scale: ONE partial-aggregated pass — min_by folds map-side like any
+    min, so the shuffle carries |services| x ~7 rows.  No window, no
+    sort, no per-group collect.
+
+    Output: local_service, dur_digits, n_spans, exemplar_trace,
+    exemplar_span.
+    """
+    pick = F.md5(F.concat_ws(":", F.col("trace_id"), F.col("id")))
+    return (
+        spans.filter(
+            F.col("local_service").isNotNull()
+            & F.col("duration").isNotNull()
+        )
+        .select(
+            "local_service",
+            F.length(F.col("duration").cast("string"))
+            .cast("long")
+            .alias("dur_digits"),
+            "trace_id",
+            "id",
+            pick.alias("pick"),
+        )
+        .groupBy("local_service", "dur_digits")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.min_by("trace_id", "pick").alias("exemplar_trace"),
+            F.min_by("id", "pick").alias("exemplar_span"),
+        )
+    )

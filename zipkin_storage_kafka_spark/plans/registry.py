@@ -573,6 +573,15 @@ def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_merged_rollup(_spans(spark, sf_dir))
 
 
+def q_exemplar_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exemplar per (service, latency-magnitude bucket)
+    (operators/indexes.py:exemplar_spans) — min-md5 pick, one
+    partial-aggregated min_by pass, no window/sort."""
+    from zipkin_storage_kafka_spark.operators.indexes import exemplar_spans
+
+    return exemplar_spans(_spans(spark, sf_dir))
+
+
 def q_latency_percentiles(
     spark: SparkSession, sf_dir: str, mode: str = "exact"
 ) -> DataFrame:
@@ -1276,6 +1285,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_sketch_service_traces": q_sketch_service_traces,
         "z_hll_service_traces": q_hll_service_traces,
         "z_hll_merge_rollup": q_hll_merge_rollup,
+        "z_exemplar_spans": q_exemplar_spans,
         "z_trace_depth": q_trace_depth,
         "z_trace_concurrency": q_trace_concurrency,
         "z_slow_span_concurrency": q_slow_span_concurrency,
@@ -2294,6 +2304,21 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
                    CAST(count(DISTINCT trace_id) AS BIGINT) AS exact_traces,
                    true AS hll_ok
             FROM spans GROUP BY local_service
+            """
+        ),
+        "z_exemplar_spans": with_spans_cte(
+            """
+            SELECT local_service,
+                   CAST(length(CAST(duration AS VARCHAR)) AS BIGINT)
+                     AS dur_digits,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   arg_min(trace_id, md5(trace_id || ':' || id))
+                     AS exemplar_trace,
+                   arg_min(id, md5(trace_id || ':' || id))
+                     AS exemplar_span
+            FROM spans
+            WHERE local_service IS NOT NULL AND duration IS NOT NULL
+            GROUP BY 1, 2
             """
         ),
         "z_hll_merge_rollup": with_spans_cte(
