@@ -868,3 +868,42 @@ def test_exemplar_spans_fixture(spark):
         for r in exemplar_spans(shuffled).collect()
     }
     assert again[("svc", 2)] == expect
+
+
+def test_filtered_cosine_topk_prefilters(spark):
+    """A higher-cosine vector OUTSIDE the predicate must be excluded and
+    the top-k still fills from the allowed set — pre-filter semantics,
+    not post-filtering an unfiltered top-k."""
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        filtered_cosine_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),    # query
+            (1, [1.0, 0.01]),   # best overall — but lang 'fr'
+            (2, [1.0, 0.2]),    # allowed
+            (3, [0.0, 1.0]),    # allowed, orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [(0, "en"), (1, "fr"), (2, "en"), (3, "en")],
+        "doc_id long, lang string",
+    )
+    out = [
+        r["vec_id"]
+        for r in filtered_cosine_topk(emb, docs, 0, k=2).collect()
+    ]
+    assert out == [2, 3]
+
+
+def test_filtered_topk_plan_is_takeordered(spark, sf_dir):
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import (
+        q_ann_filtered_topk,
+    )
+
+    df = q_ann_filtered_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+    assert "Cartesian" not in plan

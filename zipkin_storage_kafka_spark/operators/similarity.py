@@ -1453,3 +1453,52 @@ def knn_graph_stats(edges: DataFrame) -> DataFrame:
             F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
         )
     )
+
+
+def filtered_cosine_topk(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    lang: str = "en",
+) -> DataFrame:
+    """FILTERED vector search: exact top-k cosine neighbors restricted to
+    vectors whose document satisfies a metadata predicate (here
+    ``documents.lang``) — the retrieval shape every RAG/search deployment
+    actually runs (predicate + vector score), and the one naive ANN
+    indexes handle badly (post-filtering a top-k can return < k rows;
+    pre-filtering preserves exactness).
+
+    This is the PRE-filter plan: the predicate semi-join prunes the
+    corpus BEFORE any distance math, so the scored set is
+    |matching docs|, not |corpus| — with a selective predicate the
+    filtered search is CHEAPER than unfiltered brute force, and the
+    result is exact (recall 1.0) rather than a post-filtered subset.
+    The id semi-join is a plain equi-join (bloom-pushable at scale); the
+    1-row query side broadcasts; top-k compiles to
+    TakeOrderedAndProject.
+
+    Output: vec_id, cos (round4) — the ann_cosine_topk contract over the
+    filtered corpus.
+    """
+    allowed = documents.filter(F.col("lang") == lang).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        _as_double("embedding").alias("q_emb")
+    )
+    e = (
+        embeddings.join(allowed, "vec_id", "left_semi")
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", _as_double("embedding").alias("emb"))
+    )
+    joined = e.crossJoin(F.broadcast(q))
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+    )
+    return (
+        joined.select("vec_id", round4(cos).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )

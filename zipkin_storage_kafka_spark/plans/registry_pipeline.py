@@ -1096,6 +1096,24 @@ def q_stream_lsh_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_registry_via_stream(spark, sf_dir)
 
 
+ANN_FILTER_LANG = "en"
+
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact top-k cosine restricted to
+    lang-matching documents via a PRE-filter id semi-join
+    (operators/similarity.py:filtered_cosine_topk) — predicate + vector
+    score, the RAG retrieval shape; pre-filtering keeps recall exact
+    where post-filtering an ANN top-k would come up short."""
+    return sim.filtered_cosine_topk(
+        _emb(spark, sf_dir),
+        _docs(spark, sf_dir),
+        ANN_QUERY_VEC,
+        ANN_K,
+        lang=ANN_FILTER_LANG,
+    )
+
+
 def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine range query (radius, not top-k): every vector with cosine
     >= {t} to the query — the "all near things" retrieval shape dedup
@@ -1481,6 +1499,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "dedup_banding_audit": q_dedup_banding_audit,
         "w8_stream_lsh_registry": q_stream_lsh_registry,
         "ann_range_search": q_ann_range_search,
+        "ann_filtered_topk": q_ann_filtered_topk,
         "text_source_hellinger": q_text_source_hellinger,
         "emb_ivf_balance": q_emb_ivf_balance,
         "pipe_shard_plan": q_pipe_shard_plan,
@@ -1745,6 +1764,21 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["w8_stream_lsh_registry"] = f"""
         WITH {_bucket_cte_sql("documents", "o")}
         SELECT DISTINCT b, bucket FROM obuck
+    """
+    oracles["ann_filtered_topk"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        allowed AS (SELECT DISTINCT doc_id FROM documents
+                    WHERE lang = '{ANN_FILTER_LANG}'),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {ANN_QUERY_VEC})
+        SELECT vec_id,
+               (round((list_dot_product(v, qv)
+                     / (sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product(qv, qv)))) * 10000)
+                  / 10000 + 0.0) AS cos
+        FROM e JOIN allowed ON allowed.doc_id = e.vec_id, q
+        WHERE vec_id <> {ANN_QUERY_VEC}
+        ORDER BY cos DESC, vec_id LIMIT {ANN_K}
     """
     oracles["ann_range_search"] = f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
