@@ -1149,3 +1149,61 @@ def wav_vad_segments(
             "mean_sq"
         ),
     )
+
+
+def media_payload_sizes(docs: DataFrame) -> DataFrame:
+    """Per-document encoded payload sizes measured with ``octet_length``
+    on the REAL BMP/WAV bytes — the once-per-snapshot ingest derivation
+    behind :func:`multimodal_record_sizes` (a deployment records sizes
+    when it encodes, not by re-encoding per query; the registry
+    materializes this table via matcache like shingles/charlm scores).
+
+    Output: doc_id, bmp_b, wav_b.
+    """
+    bmp_len = bmp_media_from_documents(docs).select(
+        F.col("media_id").alias("doc_id"),
+        F.octet_length("payload").cast("long").alias("bmp_b"),
+    )
+    wav_len = wav_media_from_documents(docs).select(
+        F.col("media_id").alias("doc_id"),
+        F.octet_length("payload").cast("long").alias("wav_b"),
+    )
+    return bmp_len.join(wav_len, "doc_id")
+
+
+def multimodal_record_sizes(
+    docs: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
+    """Per-language byte budget of the assembled multimodal training
+    record (text + image + audio per document) — the input a shard
+    planner needs before packing interleaved multimodal batches
+    (pipe_shard_plan's byte-budget logic, extended across modalities).
+
+    The sizes are measured with ``octet_length`` on the REAL encoded
+    payloads (the BMP/WAV bytes produced by the codecs, Arrow-batched,
+    never on the driver), so the row proves the container framing at
+    corpus scale: the oracle computes the same totals CLOSED-FORM from
+    the header + row-stride / sample-count arithmetic, and any framing
+    drift (padding, header size, channel count) breaks the hash.
+
+    Scale: one id-keyed join of the (materialized) per-doc size table
+    down to |langs| rows — nothing wide moves at query time.
+
+    Output: lang, n_docs, text_chars, bmp_bytes, wav_bytes, total_bytes.
+    """
+    if sizes is None:
+        sizes = media_payload_sizes(docs)
+    base = docs.select("doc_id", "lang", F.col("n_chars").cast("long"))
+    return (
+        base.join(sizes, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("text_chars"),
+            F.sum("bmp_b").alias("bmp_bytes"),
+            F.sum("wav_b").alias("wav_bytes"),
+            (F.sum("n_chars") + F.sum("bmp_b") + F.sum("wav_b")).alias(
+                "total_bytes"
+            ),
+        )
+    )

@@ -1308,6 +1308,39 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.phash_class_neardup(mm.bmp_ahash(media))
 
 
+_MEDIA_SIZES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _media_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-doc encoded payload sizes (the ingest-time
+    derivation: a deployment records sizes when it encodes, not by
+    re-encoding per query)."""
+    from zipkin_storage_kafka_spark.sources import matcache, tables
+
+    key = (id(spark), sf_dir)
+    if key not in _MEDIA_SIZES_CACHE:
+        _MEDIA_SIZES_CACHE[key] = matcache.materialized(
+            spark,
+            sf_dir,
+            "media_sizes",
+            matcache.code_fingerprint((mm, tables)),
+            lambda: mm.media_payload_sizes(_docs(spark, sf_dir)),
+        ).persist()
+    return _MEDIA_SIZES_CACHE[key]
+
+
+def q_mm_record_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language multimodal record byte budget measured on the REAL
+    encoded BMP/WAV payloads (operators/multimodal.py:
+    multimodal_record_sizes), served from the materialized per-doc size
+    table; the oracle recomputes the totals closed-form from the
+    container framing arithmetic, so any header/stride/channel drift
+    breaks the hash."""
+    return mm.multimodal_record_sizes(
+        _docs(spark, sf_dir), sizes=_media_sizes(spark, sf_dir)
+    )
+
+
 def q_mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-channel RMS + zero-crossing rate decoded from REAL WAV bytes;
     the oracle recomputes both closed-form from the sample formula —
@@ -1500,6 +1533,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "w8_stream_lsh_registry": q_stream_lsh_registry,
         "ann_range_search": q_ann_range_search,
         "ann_filtered_topk": q_ann_filtered_topk,
+        "mm_record_sizes": q_mm_record_sizes,
         "text_source_hellinger": q_text_source_hellinger,
         "emb_ivf_balance": q_emb_ivf_balance,
         "pipe_shard_plan": q_pipe_shard_plan,
@@ -1764,6 +1798,21 @@ def pipeline_oracles() -> dict[str, str]:
     oracles["w8_stream_lsh_registry"] = f"""
         WITH {_bucket_cte_sql("documents", "o")}
         SELECT DISTINCT b, bucket FROM obuck
+    """
+    oracles["mm_record_sizes"] = """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS text_chars,
+               CAST(sum(54 + ((((n_chars % 24 + 8) * 3 + 3) // 4) * 4)
+                             * (n_chars % 16 + 8)) AS BIGINT) AS bmp_bytes,
+               CAST(sum(44 + (n_chars % 50 + 20) * (doc_id % 2 + 1) * 2)
+                    AS BIGINT) AS wav_bytes,
+               CAST(sum(n_chars)
+                    + sum(54 + ((((n_chars % 24 + 8) * 3 + 3) // 4) * 4)
+                              * (n_chars % 16 + 8))
+                    + sum(44 + (n_chars % 50 + 20) * (doc_id % 2 + 1) * 2)
+                    AS BIGINT) AS total_bytes
+        FROM documents GROUP BY lang
     """
     oracles["ann_filtered_topk"] = f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
