@@ -987,3 +987,24 @@ def test_interval_overlap_join_is_equi_join(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_cooccurrence_pair_join_is_trace_keyed(spark, sf_dir):
+    """The basket pair join must stay a trace-keyed equi-join (never
+    all-pairs over services x corpus), and both marginals plus the 1-row
+    total must come back as broadcast joins."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        service_cooccurrence,
+    )
+
+    df = service_cooccurrence(spans_from_events(spark, sf_dir))
+    plan = _plan(df)
+    assert "Cartesian" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "windowspecdefinition" not in plan, plan
+    # The (trace, service) membership distinct feeds the pair join, both
+    # marginals, and the total: AQE must REUSE that exchange, not rescan
+    # the corpus once per consumer.
+    df.collect()
+    final = _plan(df)
+    assert "ReusedExchange" in final, final

@@ -907,3 +907,32 @@ def test_filtered_topk_plan_is_takeordered(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan
     assert "Cartesian" not in plan
+
+
+def test_service_cooccurrence_fixture(spark):
+    """Hand-computed lift: traces {a,b}, {a,b}, {a}, {b,c} over N=4.
+    pair(a,b)=2, a=3, b=3 -> lift = 2*4/(3*3) = 0.888888 -> 888888 micro.
+    pair(b,c)=1, b=3, c=1 -> lift = 1*4/(3*1) = 1.333333 -> 1333333."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        service_cooccurrence,
+    )
+
+    rows = [
+        ("t1", "1", "a"), ("t1", "2", "b"), ("t1", "3", "a"),
+        ("t2", "1", "a"), ("t2", "2", "b"),
+        ("t3", "1", "a"),
+        ("t4", "1", "b"), ("t4", "2", "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "trace_id string, id string, local_service string"
+    )
+    out = {
+        (r["svc_a"], r["svc_b"]): (
+            r["pair_traces"], r["a_traces"], r["b_traces"], r["lift_micro"]
+        )
+        for r in service_cooccurrence(df).collect()
+    }
+    assert out == {
+        ("a", "b"): (2, 3, 3, 888888),
+        ("b", "c"): (1, 3, 1, 1333333),
+    }

@@ -723,3 +723,68 @@ def slow_span_concurrency(
             ),
         )
     )
+
+
+def service_cooccurrence(spans: DataFrame) -> DataFrame:
+    """Market-basket association mining over traces: for every pair of
+    services that appear in the same trace, the co-occurrence support and
+    LIFT — "when svc_a is in a trace, how much more likely than chance is
+    svc_b" — the coupling panel behind blast-radius and canary-scope
+    decisions (the itemset kernel of Agrawal & Srikant 1994, with traces
+    as baskets and services as items).
+
+    Plan shape: ONE distinct partial-agg collapses the corpus to
+    (trace, service) membership rows; the pair join is trace-keyed
+    (co-partitioned with the distinct's shuffle, per-trace fanout bounded
+    by |services-per-trace| choose 2, never corpus x corpus); both
+    marginals are k-row relations broadcast back onto the pair counts.
+    Lift is exact integer micro-units: pair * N * 1e6 div (a * b) — no
+    float accumulation, engine-portable (at 100 TB cardinalities the same
+    expression upgrades to DECIMAL(38,0); int64 holds to ~9e18 products).
+
+    Output: svc_a, svc_b, pair_traces, a_traces, b_traces, lift_micro.
+    """
+    member = (
+        spans.filter(F.col("local_service").isNotNull())
+        .select("trace_id", F.col("local_service").alias("svc"))
+        .distinct()
+    )
+    pairs = (
+        member.alias("l")
+        .join(
+            member.alias("r"),
+            (F.col("l.trace_id") == F.col("r.trace_id"))
+            & (F.col("l.svc") < F.col("r.svc")),
+        )
+        .groupBy(
+            F.col("l.svc").alias("svc_a"), F.col("r.svc").alias("svc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_traces"))
+    )
+    marg = member.groupBy("svc").agg(F.count(F.lit(1)).alias("n_traces"))
+    total = member.select(
+        F.count_distinct("trace_id").alias("n_total")
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("svc").alias("svc_a"),
+                                    F.col("n_traces").alias("a_traces"))),
+            "svc_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("svc").alias("svc_b"),
+                                    F.col("n_traces").alias("b_traces"))),
+            "svc_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "svc_a",
+            "svc_b",
+            "pair_traces",
+            "a_traces",
+            "b_traces",
+            F.expr(
+                "(pair_traces * n_total * 1000000) div (a_traces * b_traces)"
+            ).alias("lift_micro"),
+        )
+    )

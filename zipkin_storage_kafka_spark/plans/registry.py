@@ -894,6 +894,18 @@ def q_service_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return service_triangles(links_table(spark, sf_dir))
 
 
+def q_service_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service co-occurrence support + lift over traces-as-baskets
+    (operators/trace_aggregation.py:service_cooccurrence): one distinct
+    partial-agg to membership rows, a trace-keyed pair join, broadcast
+    k-row marginals; lift in exact integer micro-units."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        service_cooccurrence,
+    )
+
+    return service_cooccurrence(_spans(spark, sf_dir))
+
+
 def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-trace critical path (max root-to-span duration sum) over the
     MATERIALIZED per-span path costs (the pointer-doubling sweep runs once
@@ -1294,6 +1306,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_self_time": q_self_time,
         "z_service_pagerank": q_service_pagerank,
         "z_service_triangles": q_service_triangles,
+        "z_service_cooccurrence": q_service_cooccurrence,
         "a9_setops_service_names": q_setops_service_names,
         "w25_slowest_per_service": q_slowest_per_service,
         "z_anomalous_spans": q_anomalous_spans,
@@ -2391,6 +2404,42 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
                 UNION ALL SELECT y FROM tri
                 UNION ALL SELECT z FROM tri
               ) corners GROUP BY service
+            )
+            """,
+        ),
+        "z_service_cooccurrence": with_spans_cte(
+            """
+            SELECT p.svc_a, p.svc_b, p.pair_traces,
+                   ma.n_traces AS a_traces,
+                   mb.n_traces AS b_traces,
+                   CAST((p.pair_traces * t.n_total * 1000000)
+                        // (ma.n_traces * mb.n_traces) AS BIGINT)
+                     AS lift_micro
+            FROM pairs p
+            JOIN marg ma ON ma.svc = p.svc_a
+            JOIN marg mb ON mb.svc = p.svc_b
+            CROSS JOIN total t
+            """,
+            extra_ctes="""
+            member AS (
+              SELECT DISTINCT trace_id, local_service AS svc
+              FROM spans WHERE local_service IS NOT NULL
+            ),
+            pairs AS (
+              SELECT l.svc AS svc_a, r.svc AS svc_b,
+                     CAST(count(*) AS BIGINT) AS pair_traces
+              FROM member l
+              JOIN member r
+                ON l.trace_id = r.trace_id AND l.svc < r.svc
+              GROUP BY 1, 2
+            ),
+            marg AS (
+              SELECT svc, CAST(count(*) AS BIGINT) AS n_traces
+              FROM member GROUP BY svc
+            ),
+            total AS (
+              SELECT CAST(count(DISTINCT trace_id) AS BIGINT) AS n_total
+              FROM member
             )
             """,
         ),
