@@ -1008,3 +1008,16 @@ def test_cooccurrence_pair_join_is_trace_keyed(spark, sf_dir):
     df.collect()
     final = _plan(df)
     assert "ReusedExchange" in final, final
+
+
+def test_scd2_windows_are_user_keyed(spark, sf_dir):
+    """Run flagging, run numbering, and the closing lead() must all
+    partition on user_id — one shuffled spec, no global window."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ev_scd2_intervals"](spark, sf_dir))
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win, plan
+    for l in win:
+        assert "user_id" in l, l
+    assert "SinglePartition" not in plan, plan

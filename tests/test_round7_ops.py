@@ -936,3 +936,42 @@ def test_service_cooccurrence_fixture(spark):
         ("a", "b"): (2, 3, 3, 888888),
         ("b", "c"): (1, 3, 1, 1333333),
     }
+
+
+def test_scd2_intervals_fixture(spark):
+    """Hand-built change stream: u1 A A B A, u2 C. Runs: u1 (A x2, B, A),
+    u2 (C).  Intervals are half-open on the next run's start; the last run
+    per user stays open (NULL valid_to)."""
+    from datetime import datetime, timezone
+
+    def _t(s):
+        return datetime.fromisoformat(s)
+
+    rows = [
+        (1, _t("2024-01-01 00:00:00"), 10, "A"),
+        (2, _t("2024-01-01 00:01:00"), 10, "A"),
+        (3, _t("2024-01-01 00:02:00"), 10, "B"),
+        (4, _t("2024-01-01 00:03:00"), 10, "A"),
+        (5, _t("2024-01-01 00:00:30"), 20, "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from unittest import mock
+
+    with mock.patch.object(an, "load_table", lambda s, d, n: df):
+        out = {
+            (r["user_id"], r["run_idx"]): (
+                r["state"], r["valid_from_us"], r["valid_to_us"], r["n_events"]
+            )
+            for r in an.scd2_intervals(spark, "ignored").collect()
+        }
+    base = 1704067200 * 1_000_000
+    assert out == {
+        (10, 1): ("A", base, base + 120_000_000, 2),
+        (10, 2): ("B", base + 120_000_000, base + 180_000_000, 1),
+        (10, 3): ("A", base + 180_000_000, None, 1),
+        (20, 1): ("C", base + 30_000_000, None, 1),
+    }

@@ -1529,3 +1529,66 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         round4(F.col("n") / F.sum("n").over(tot)).alias("p"),
     )
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) reconstruction from the event
+    log: per user, consecutive runs of the same event_type compress to one
+    VALIDITY INTERVAL [valid_from_us, valid_to_us) — the "rebuild the
+    dimension's history from its change stream" kernel of every warehouse
+    (Kimball's SCD2), and the inverse of LOCF gap-fill (``ev_locf_fill``
+    reads such intervals; this WRITES them).
+
+    The run compression is gaps-and-islands: a run starts where the state
+    differs from the lag state; a running sum of starts numbers the runs;
+    one grouped agg collapses each run.  ``valid_to_us`` is the next run's
+    start (NULL = current row, the open interval).  All three analytic
+    steps share ONE (user_id)-partitioned spec, so the plan is a single
+    shuffle + sort per user — no per-state or global window.
+
+    Ties in ts break on event_id (the sessionization convention), making
+    the run numbering — and every interval — engine-portable.
+
+    Output: user_id, state, run_idx, valid_from_us, valid_to_us (nullable),
+    n_events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    runs = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("state"),
+            to_epoch_micros(ev, "ts").alias("ts_us"),
+        )
+        .withColumn("_prev", F.lag("state").over(w))
+        .withColumn(
+            "_is_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("state") != F.col("_prev")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "run_idx",
+            F.sum("_is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "run_idx")
+        .agg(
+            F.min("state").alias("state"),  # constant within a run
+            F.min("ts_us").alias("valid_from_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    nxt = Window.partitionBy("user_id").orderBy("run_idx")
+    return runs.select(
+        "user_id",
+        "state",
+        "run_idx",
+        "valid_from_us",
+        F.lead("valid_from_us").over(nxt).alias("valid_to_us"),
+        "n_events",
+    )

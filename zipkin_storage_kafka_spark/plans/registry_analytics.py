@@ -89,6 +89,14 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.user_sessions(spark, sf_dir)
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity-interval reconstruction from the event log
+    (operators/analytics.py:scd2_intervals): gaps-and-islands run
+    compression under ONE user-keyed window spec, then a lead() over the
+    per-run rows for the closing bound."""
+    return an.scd2_intervals(spark, sf_dir)
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix
     (operators/analytics.py:markov_transitions): per-user lag chain,
@@ -210,6 +218,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "hr_pricing_rollup": q_pricing_rollup,
         "ev_user_sessions": q_user_sessions,
         "ev_markov_transitions": q_markov_transitions,
+        "ev_scd2_intervals": q_scd2_intervals,
         "h15_top_supplier": q_top_supplier,
         "h16_part_supplier_variety": q_part_supplier_variety,
         "h22_sales_opportunity": q_sales_opportunity,
@@ -517,6 +526,35 @@ def analytics_oracles() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM sessions
             GROUP BY user_id, session_idx
+        """,
+        "ev_scd2_intervals": """
+            WITH flagged AS (
+              SELECT user_id, event_id, event_type AS state,
+                     epoch_us(ts) AS ts_us,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                            OR event_type <> lag(event_type) OVER w
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ), numbered AS (
+              SELECT user_id, state, ts_us,
+                     CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS BIGINT) AS run_idx
+              FROM flagged
+            ), runs AS (
+              SELECT user_id, run_idx, min(state) AS state,
+                     min(ts_us) AS valid_from_us,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM numbered GROUP BY user_id, run_idx
+            )
+            SELECT user_id, state, run_idx, valid_from_us,
+                   lead(valid_from_us) OVER (
+                     PARTITION BY user_id ORDER BY run_idx
+                   ) AS valid_to_us,
+                   n_events
+            FROM runs
         """,
         "ev_markov_transitions": """
             WITH t AS (
