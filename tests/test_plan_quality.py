@@ -1021,3 +1021,16 @@ def test_scd2_windows_are_user_keyed(spark, sf_dir):
     for l in win:
         assert "user_id" in l, l
     assert "SinglePartition" not in plan, plan
+
+
+def test_outage_islands_spine_is_range_bound(spark, sf_dir):
+    """The spine must explode off the k-row per-type bounds (no cross join
+    against the fact table) and the island window must partition on
+    event_type — never a single-partition sort."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ev_outage_islands"](spark, sf_dir))
+    assert "Cartesian" not in plan
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win and all("event_type" in l for l in win), plan
+    assert "SinglePartition" not in plan, plan

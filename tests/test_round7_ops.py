@@ -975,3 +975,39 @@ def test_scd2_intervals_fixture(spark):
         (10, 3): ("A", base + 180_000_000, None, 1),
         (20, 1): ("C", base + 30_000_000, None, 1),
     }
+
+
+def test_outage_islands_fixture(spark):
+    """Type A observed at minutes 0,1,4,5,9 -> outages [2,3] and [6,8];
+    type B observed at 0,2 -> outage [1,1].  Ranges are per type."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+
+    def _t(minute):
+        return datetime.fromtimestamp(minute * 60, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    rows = []
+    eid = 0
+    for m in (0, 1, 4, 5, 9):
+        rows.append((eid, _t(m), 1, "A")); eid += 1
+    for m in (0, 2):
+        rows.append((eid, _t(m), 2, "B")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    from zipkin_storage_kafka_spark.sources import tables
+
+    with mock.patch.object(tables, "load_table", lambda s, d, n: df):
+        out = {
+            (r["event_type"], r["outage_start_ms"]): r["outage_minutes"]
+            for r in an.outage_islands(spark, "ignored").collect()
+        }
+    assert out == {
+        ("A", 2 * 60000): 2,
+        ("A", 6 * 60000): 3,
+        ("B", 1 * 60000): 1,
+    }

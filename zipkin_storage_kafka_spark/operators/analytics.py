@@ -1592,3 +1592,44 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_us").over(nxt).alias("valid_to_us"),
         "n_events",
     )
+
+
+def outage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-activity outage windows per event type: maximal runs of
+    minutes with NO event of that type inside the type's own observed
+    [first, last] range — the monitor panel behind "did ingestion stop"
+    alerts, and the complement of :func:`minute_resample`'s zero-fill
+    (this MERGES the zeros into islands instead of listing them).
+
+    Shape: per-type (min, max) bounds partial-agg to k rows; the minute
+    spine explodes off those k rows (data-RANGE bound, never
+    volume-bound); observed minutes anti-join away; the island merge is
+    the gaps-and-islands trick — consecutive missing minutes share
+    ``m - row_number()`` — under ONE type-partitioned window.  At 100 TB
+    the spine is |types| x observed minutes and the anti-join probes the
+    (type, minute) distinct, both tiny beside the corpus scan that feeds
+    them.
+
+    Output: event_type, outage_start_ms, outage_minutes.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    marked = _with_event_minute(ev).select("event_type", "m").distinct()
+    bounds = marked.groupBy("event_type").agg(
+        F.min("m").alias("lo"), F.max("m").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("m")
+    )
+    missing = spine.join(marked, ["event_type", "m"], "left_anti")
+    w = Window.partitionBy("event_type").orderBy("m")
+    return (
+        missing.withColumn("_grp", F.col("m") - F.row_number().over(w))
+        .groupBy("event_type", "_grp")
+        .agg(
+            (F.min("m") * 60_000).alias("outage_start_ms"),
+            F.count(F.lit(1)).alias("outage_minutes"),
+        )
+        .select("event_type", "outage_start_ms", "outage_minutes")
+    )

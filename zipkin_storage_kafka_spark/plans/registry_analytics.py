@@ -97,6 +97,14 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.scd2_intervals(spark, sf_dir)
 
 
+def q_outage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-activity outage windows per event type
+    (operators/analytics.py:outage_islands): k-row per-type bounds ->
+    range-bound minute spine -> anti-join observed -> gaps-and-islands
+    merge under one type-partitioned window."""
+    return an.outage_islands(spark, sf_dir)
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix
     (operators/analytics.py:markov_transitions): per-user lag chain,
@@ -219,6 +227,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_user_sessions": q_user_sessions,
         "ev_markov_transitions": q_markov_transitions,
         "ev_scd2_intervals": q_scd2_intervals,
+        "ev_outage_islands": q_outage_islands,
         "h15_top_supplier": q_top_supplier,
         "h16_part_supplier_variety": q_part_supplier_variety,
         "h22_sales_opportunity": q_sales_opportunity,
@@ -526,6 +535,34 @@ def analytics_oracles() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM sessions
             GROUP BY user_id, session_idx
+        """,
+        "ev_outage_islands": """
+            WITH marked AS (
+              SELECT DISTINCT event_type, epoch_us(ts) // 60000000 AS m
+              FROM events
+            ), bounds AS (
+              SELECT event_type, min(m) AS lo, max(m) AS hi
+              FROM marked GROUP BY event_type
+            ), spine AS (
+              SELECT event_type, unnest(generate_series(lo, hi)) AS m
+              FROM bounds
+            ), missing AS (
+              SELECT s.event_type, s.m
+              FROM spine s
+              LEFT JOIN marked ob
+                ON ob.event_type = s.event_type AND ob.m = s.m
+              WHERE ob.m IS NULL
+            ), grp AS (
+              SELECT event_type, m,
+                     m - row_number() OVER (
+                       PARTITION BY event_type ORDER BY m
+                     ) AS g
+              FROM missing
+            )
+            SELECT event_type,
+                   CAST(min(m) * 60000 AS BIGINT) AS outage_start_ms,
+                   CAST(count(*) AS BIGINT) AS outage_minutes
+            FROM grp GROUP BY event_type, g
         """,
         "ev_scd2_intervals": """
             WITH flagged AS (
