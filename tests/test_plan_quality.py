@@ -1034,3 +1034,15 @@ def test_outage_islands_spine_is_range_bound(spark, sf_dir):
     win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert win and all("event_type" in l for l in win), plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_priority_sample_is_take_ordered(spark, sf_dir):
+    """Top-(k+1) must compile to TakeOrderedAndProject (partial top-k
+    map-side, no global sort, no window); the 1-row threshold comes back
+    as a broadcast."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_priority_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan

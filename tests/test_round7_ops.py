@@ -1011,3 +1011,42 @@ def test_outage_islands_fixture(spark):
         ("A", 6 * 60000): 3,
         ("B", 1 * 60000): 1,
     }
+
+
+def test_priority_sample_fixture(spark):
+    """Priority-sampling invariants on a tiny corpus (k=3): exactly k
+    rows, every priority >= tau (= max(weight, tau) >= weight), the
+    estimator's expected-total property holds structurally (est_weight =
+    max(weight, tau) with tau the (k+1)-th priority), and selection is
+    reproducible (pure function of doc_id md5)."""
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        priority_sample,
+    )
+
+    rows = [(i, "x" * (10 * (i + 1)), "en", "s", 10 * (i + 1))
+            for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    out = priority_sample(df, k=3).collect()
+    assert len(out) == 3
+    again = priority_sample(df, k=3).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in again
+    )
+    # recompute priorities in python and check selection + tau exactly
+    import hashlib
+
+    def pri(doc_id, w):
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 1
+        return (w * 4294967296) // u
+
+    scored = sorted(
+        ((pri(i, 10 * (i + 1)), -i) for i in range(10)), reverse=True
+    )
+    want = sorted(-nid for _, nid in scored[:3])
+    tau = scored[3][0]
+    assert sorted(r["doc_id"] for r in out) == want
+    for r in out:
+        assert r["est_weight"] == max(r["weight"], tau)

@@ -1912,3 +1912,59 @@ def shard_plan(docs: DataFrame, target_bytes: int = SHARD_TARGET_BYTES) -> DataF
             F.sum("nb").alias("shard_bytes"),
         )
     )
+
+
+def priority_sample(docs: DataFrame, k: int = 64) -> DataFrame:
+    """Weighted sample of k documents by PRIORITY SAMPLING (Duffield,
+    Lund & Thorup, JACM 2007): each doc gets priority q_i = w_i / u_i
+    for a uniform u_i, the top-k by priority are kept, and each kept doc
+    carries the unbiased subset-sum estimator weight max(w_i, tau) where
+    tau is the (k+1)-th priority — so any downstream sum over the sample
+    estimates the corpus total without bias.  The length-weighted variant
+    of the uniform reservoir every corpus-stats pipeline needs ("sample
+    big docs proportionally, but keep the estimate honest").
+
+    Engine-exact determinism: u_i derives from md5(doc_id) (first 8 hex
+    -> integer in [1, 2^32]), and the priority is the EXACT integer
+    w_i * 2^32 div u_i — no float pow/log, so selection and tau are
+    bit-identical in any engine (w*2^32 <= ~9e13 for document weights,
+    far inside int64).  Ties break on doc_id through a struct threshold
+    compare, never a global row_number.
+
+    Plan shape: top-(k+1) is TakeOrderedAndProject (per-partition
+    partial top-k, no global sort, no single-partition window); the
+    1-row threshold broadcast-joins back onto those k+1 rows.
+
+    Output: doc_id, weight, priority, est_weight — k rows.
+    """
+    scored = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        F.expr(
+            "(n_chars * 4294967296) div "
+            "(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+            " + 1)"
+        ).alias("priority"),
+    )
+    top = scored.orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    ).limit(k + 1)
+    thresh = top.agg(
+        F.min(F.struct(F.col("priority"), (-F.col("doc_id")).alias("nid")))
+        .alias("t")
+    ).select(
+        F.col("t.priority").alias("tau"), (-F.col("t.nid")).alias("t_id")
+    )
+    return (
+        top.crossJoin(F.broadcast(thresh))
+        .where(
+            (F.col("priority") > F.col("tau"))
+            | ((F.col("priority") == F.col("tau")) & (F.col("doc_id") < F.col("t_id")))
+        )
+        .select(
+            "doc_id",
+            "weight",
+            "priority",
+            F.greatest("weight", "tau").alias("est_weight"),
+        )
+    )

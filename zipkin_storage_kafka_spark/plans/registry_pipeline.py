@@ -417,6 +417,14 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_budget_sample(_docs(spark, sf_dir))
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted priority sample with unbiased subset-sum
+    estimator weights (operators/text_analysis.py:priority_sample,
+    Duffield-Lund-Thorup 2007) — exact-integer priorities, TakeOrdered
+    top-(k+1), broadcast 1-row threshold."""
+    return ta.priority_sample(_docs(spark, sf_dir))
+
+
 def _rp_simhash_oracle() -> str:
     """SQL twin of similarity.rp_simhash_stats, baking the same md5-seeded
     +-1 weights (1-based array indexing in DuckDB matches element_at)."""
@@ -1509,6 +1517,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "pipe_alignment_audit": q_pipe_alignment_audit,
         "pipe_corpus_diff": q_pipe_corpus_diff,
         "text_token_budget_sample": q_token_budget_sample,
+        "text_priority_sample": q_priority_sample,
         "dedup_semantic_curve": q_dedup_semantic_curve,
         "ann_pq_adc": q_ann_pq_adc,
         "text_gopher_rules": q_text_gopher_rules,
@@ -3929,6 +3938,27 @@ def _pipeline_oracles_base() -> dict[str, str]:
               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
                 AS n_exact_dups
             FROM documents
+        """,
+        "text_priority_sample": """
+            WITH scored AS (
+              SELECT doc_id, n_chars AS weight,
+                     (n_chars * 4294967296) //
+                     (CAST('0x' ||
+                           substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) + 1) AS priority
+              FROM documents
+            ), top AS (
+              SELECT * FROM scored
+              ORDER BY priority DESC, doc_id LIMIT 65
+            ), thresh AS (
+              SELECT priority AS tau, doc_id AS t_id FROM top
+              ORDER BY priority ASC, doc_id DESC LIMIT 1
+            )
+            SELECT doc_id, weight, priority,
+                   greatest(weight, tau) AS est_weight
+            FROM top, thresh
+            WHERE priority > tau
+               OR (priority = tau AND doc_id < t_id)
         """,
         "text_token_budget_sample": """
             WITH d AS (
