@@ -1046,3 +1046,16 @@ def test_priority_sample_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_kcore_peel_runs_on_k_row_relation(spark, sf_dir):
+    """Every peel round must run on the |services|-bounded pair relation:
+    the final plan reads checkpointed RDDs (lineage truncated per round),
+    never re-deriving span-sized data, and the backbone membership join
+    comes back as a broadcast."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["z_service_kcore"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "windowspecdefinition" not in plan, plan

@@ -1050,3 +1050,24 @@ def test_priority_sample_fixture(spark):
     assert sorted(r["doc_id"] for r in out) == want
     for r in out:
         assert r["est_weight"] == max(r["weight"], tau)
+
+
+def test_service_kcore_fixture(spark):
+    """Backbone = pairs above mean volume (3-call pairs beat the mean,
+    the 1-call pair doesn't): triangle a-b-c plus pendant c-d, light
+    edge d-e dropped.  2-core = {a,b,c}; d is backbone-but-peeled (1);
+    e has no backbone edge (0)."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        service_kcore,
+    )
+
+    rows = []
+    for pair in (("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")):
+        rows += [pair] * 3
+    rows += [("d", "e")]
+    links = spark.createDataFrame(rows, "parent string, child string")
+    out = {
+        r["service"]: r["core_level"]
+        for r in service_kcore(links).collect()
+    }
+    assert out == {"a": 2, "b": 2, "c": 2, "d": 1, "e": 0}

@@ -871,6 +871,98 @@ def _pagerank_oracle(iterations: int = 3) -> str:
     )
 
 
+def _kcore_oracle(ks: tuple[int, ...] = (2, 3), rounds: int = 8) -> str:
+    """Unrolled peel-CTE chain mirroring
+    operators.dependency_links.service_kcore: ``rounds`` sweeps per k of
+    drop-degree-below-k on the induced subgraph.  The Spark side asserts
+    fixpoint within the same sweep count, so the fixed unroll is exact."""
+    ctes = []
+    surv_selects = []
+    for k in ks:
+        prev = "edges"
+        for r in range(1, rounds + 1):
+            ctes.append(
+                f"""d_{k}_{r} AS MATERIALIZED (
+              SELECT node FROM (
+                SELECT a AS node FROM {prev}
+                UNION ALL SELECT b FROM {prev}
+              ) GROUP BY node HAVING count(*) >= {k}
+            )"""
+            )
+            ctes.append(
+                f"""e_{k}_{r} AS MATERIALIZED (
+              SELECT e.a, e.b FROM {prev} e
+              JOIN d_{k}_{r} da ON da.node = e.a
+              JOIN d_{k}_{r} db ON db.node = e.b
+            )"""
+            )
+            prev = f"e_{k}_{r}"
+        ctes.append(
+            f"""surv_{k} AS MATERIALIZED (
+              SELECT DISTINCT node AS service FROM (
+                SELECT a AS node FROM {prev}
+                UNION ALL SELECT b FROM {prev}
+              )
+            )"""
+        )
+        surv_selects.append(
+            f"CASE WHEN n.service IN (SELECT service FROM surv_{k}) "
+            f"THEN {k} ELSE 0 END"
+        )
+    extra = (
+        _LINKS_CTE.strip().rstrip(",")
+        + """,
+            ue AS MATERIALIZED (
+              SELECT least(parent, child) AS a,
+                     greatest(parent, child) AS b,
+                     CAST(count(*) AS BIGINT) AS calls
+              FROM links WHERE parent <> child GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT CAST(sum(calls) AS BIGINT) AS t,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM ue
+            ),
+            edges AS MATERIALIZED (
+              SELECT a, b FROM ue CROSS JOIN tot
+              WHERE calls * n > t
+            ),
+            nodes AS (
+              SELECT DISTINCT parent AS service FROM links
+              UNION
+              SELECT DISTINCT child AS service FROM links
+            ),
+            bb AS (
+              SELECT DISTINCT node AS service FROM (
+                SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+              )
+            ),
+            """
+        + ",\n            ".join(ctes)
+    )
+    level = "greatest(" + ", ".join(
+        ["CASE WHEN n.service IN (SELECT service FROM bb) THEN 1 ELSE 0 END"]
+        + surv_selects
+    ) + ")"
+    return with_spans_cte(
+        f"SELECT n.service, CAST({level} AS INTEGER) AS core_level "
+        "FROM nodes n",
+        extra_ctes=extra,
+    )
+
+
+def q_service_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the service graph
+    (operators/dependency_links.py:service_kcore): iterative
+    drop-degree-below-k peel on the distinct |services|-bounded edge
+    relation, convergence-asserted within the oracle's unroll count."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        service_kcore,
+    )
+
+    return service_kcore(links_table(spark, sf_dir))
+
+
 def q_service_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Call-count-weighted PageRank over merged dependency links (3
     integer-exact power rounds); see
@@ -1307,6 +1399,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_service_pagerank": q_service_pagerank,
         "z_service_triangles": q_service_triangles,
         "z_service_cooccurrence": q_service_cooccurrence,
+        "z_service_kcore": q_service_kcore,
         "a9_setops_service_names": q_setops_service_names,
         "w25_slowest_per_service": q_slowest_per_service,
         "z_anomalous_spans": q_anomalous_spans,
@@ -2373,6 +2466,7 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
             FROM rec GROUP BY trace_id
         """,
         "z_service_pagerank": _pagerank_oracle(),
+        "z_service_kcore": _kcore_oracle(),
         "z_service_triangles": with_spans_cte(
             """
             SELECT n.service,
