@@ -852,3 +852,26 @@ def test_stream_stream_join_across_batches(spark, dirs):
     q.awaitTermination()
     rows = {(r["root_id"], r["err_id"]) for r in spark.read.parquet(out).collect()}
     assert rows == {("r1", "e1")}
+
+
+def test_stream_static_enrich_tiers_and_sentinels(spark, sf_dir):
+    """W14 stream-static join: every emitted tier is a real bucket (the
+    sentinel tier is dropped at read-back), all three tiers appear, and
+    totals equal the batch corpus size (no span lost or duplicated by
+    the join)."""
+    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        static_enriched_windows_via_stream,
+    )
+
+    out = static_enriched_windows_via_stream(spark, sf_dir)
+    rows = out.collect()
+    tiers = {r["tier"] for r in rows}
+    assert tiers == {"tier_0", "tier_1", "tier_2"}
+    n_stream = sum(r["n_spans"] for r in rows)
+    n_batch = (
+        spans_from_events(spark, sf_dir)
+        .where(F.col("local_service").isNotNull())
+        .count()
+    )
+    assert n_stream == n_batch

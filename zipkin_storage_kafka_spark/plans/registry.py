@@ -1067,6 +1067,17 @@ def q_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_windows_via_stream(spark, sf_dir)
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14: stream-static join — span stream enriched against the batch
+    service->tier dim, then 1-min tumbling counters per tier
+    (streaming.jobs.static_enriched_windows_via_stream)."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        static_enriched_windows_via_stream,
+    )
+
+    return static_enriched_windows_via_stream(spark, sf_dir)
+
+
 def q_stream_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/J1 driver-visible row: the full aggregation topology run to
     completion — session-window closed traces fanned out through
@@ -1428,6 +1439,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "w11_stream_cm_grid": q_stream_cm_grid,
         "w12_stream_stream_join": q_stream_stream_root_errors,
         "w13_stream_sliding_windows": q_stream_sliding_windows,
+        "w14_stream_static_enrich": q_stream_static_enrich,
     }
 
 
@@ -1686,6 +1698,20 @@ def zipkin_oracles() -> dict[str, str]:
                  AS n_errors
         FROM spans
         CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k)
+        WHERE local_service IS NOT NULL
+        GROUP BY 1, 2
+        """
+    )
+    oracles["w14_stream_static_enrich"] = with_spans_cte(
+        """
+        SELECT concat('tier_', CAST(substring(local_service, 5)
+                 AS INTEGER) % 3) AS tier,
+               CAST((timestamp // 60000000) * 60000 AS BIGINT)
+                 AS window_start_ms,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_errors
+        FROM spans
         WHERE local_service IS NOT NULL
         GROUP BY 1, 2
         """

@@ -1619,3 +1619,80 @@ def sliding_windows_via_stream(
         F.col("local_service").isNotNull()
         & (F.col("local_service") != SENTINEL_SERVICE)
     ).select("local_service", "window_start_ms", "n_spans", "n_errors")
+
+
+def static_enriched_windows_via_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = DEFAULT_TRACE_TIMEOUT,
+) -> DataFrame:
+    """W14 driver row: STREAM-STATIC JOIN — the span stream enriched
+    against a batch dimension (service -> tier) before a tumbling
+    1-minute windowed aggregate per tier.  The remaining Structured
+    Streaming join flavor after w12's stream-stream join: stateless on
+    the static side (each micro-batch hash-joins against the broadcast
+    dim; no join state, no dim watermark), the shape every deployment
+    uses to attach ownership/tier/SLO metadata to live telemetry.
+
+    The static dim derives from the BATCH corpus (distinct services +
+    an integer-arithmetic tier bucket) and deliberately INCLUDES the
+    watermark sentinel service mapped to its own tier: an inner join
+    that dropped sentinel rows before the aggregation would still
+    advance the watermark (EventTimeWatermark sits upstream), but
+    keeping them end-to-end follows the engine's
+    sentinels-flow-through-and-drop-at-read-back convention, immune to
+    operator reordering.
+
+    Output: tier, window_start_ms, n_spans, n_errors.
+    """
+    import os
+
+    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+
+    tier_expr = "concat('tier_', cast(substring(local_service, 5) as int) % 3)"
+    dim = (
+        spans_from_events(spark, sf_dir)
+        .select("local_service")
+        .where(F.col("local_service").isNotNull())
+        .distinct()
+        .select("local_service", F.expr(tier_expr).alias("tier"))
+        .unionAll(
+            spark.createDataFrame(
+                [(SENTINEL_SERVICE, "tier_sentinel")],
+                "local_service string, tier string",
+            )
+        )
+    )
+
+    def run(stream: DataFrame, work: str, ckpt: str) -> str:
+        out_dir = os.path.join(work, "enriched")
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .join(F.broadcast(dim), "local_service")
+            .groupBy(F.window("ts", "1 minute").alias("w"), "tier")
+            .agg(
+                F.count(F.lit(1)).alias("n_spans"),
+                F.sum(F.col("is_error").cast("long")).alias("n_errors"),
+            )
+            .select(
+                "tier",
+                F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                "n_spans",
+                "n_errors",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out_dir
+
+    raw = _staged_stream_run(spark, sf_dir, gap, "w14_enrich", run)
+    return raw.filter(F.col("tier") != "tier_sentinel").select(
+        "tier", "window_start_ms", "n_spans", "n_errors"
+    )
