@@ -1059,3 +1059,15 @@ def test_kcore_peel_runs_on_k_row_relation(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_query_probe_broadcasts_query_side(spark, sf_dir):
+    """The probe keys and the query shingle set are the broadcast sides;
+    the index/corpus-sized relations never land in a nested-loop or
+    cartesian product."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["dedup_query_probe"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "windowspecdefinition" not in plan, plan

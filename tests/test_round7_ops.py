@@ -1071,3 +1071,33 @@ def test_service_kcore_fixture(spark):
         for r in service_kcore(links).collect()
     }
     assert out == {"a": 2, "b": 2, "c": 2, "d": 1, "e": 0}
+
+
+def test_query_probe_fixture(spark):
+    """Tiny corpus: doc 1 = exact copy of the query, doc 2 = the query
+    with one word changed (band collision expected, jaccard < 1), doc 3
+    unrelated (no candidate row at all)."""
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        build_dedup_index,
+        query_probe,
+        shingles_native,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    near = body.replace("lazy", "sleepy")
+    corpus = spark.createDataFrame(
+        [(1, body), (2, near), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    query = spark.createDataFrame([(-1, body)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["exact_hit"], r["n_band_hits"], r["jaccard"])
+        for r in query_probe(
+            build_dedup_index(corpus), shingles_native(corpus), query
+        ).collect()
+    }
+    assert set(out) <= {1, 2}
+    assert 1 in out
+    assert out[1][0] == 1 and out[1][2] == 1.0
+    if 2 in out:  # survives only if >=1 band's minima avoid the edit
+        assert out[2][0] == 0 and 0 < out[2][2] < 1.0

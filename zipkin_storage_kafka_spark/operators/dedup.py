@@ -1333,3 +1333,70 @@ def canonical_map(pairs: DataFrame, quality: DataFrame) -> DataFrame:
         "doc_id",
         (-kd.getField("nid")).cast("long").alias("kept_doc_id"),
     )
+
+
+def query_probe(
+    index: DataFrame,
+    corpus_shingles: DataFrame,
+    query: DataFrame,
+    n: int = NGRAM,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Query-by-document serving path: probe ONE document against the
+    PERSISTED dedup index (:func:`build_dedup_index`) and exact-verify
+    only the candidates — "find this doc's duplicates in the corpus"
+    as an online lookup, the point-query twin of the batch
+    :func:`incremental_dedup` classifier.
+
+    Plan: the query's probe keys build rowwise (<= 1 + bands rows) and
+    BROADCAST against the index — the corpus-sized side never shuffles;
+    the Jaccard verify touches only the candidates' shingle rows (a
+    doc_id semi-join against the materialized shingle table) against
+    the broadcast query shingle set.  At 100 TB this is an index seek
+    plus a handful of candidate reads, never a corpus scan.
+
+    Output per candidate: doc_id, exact_hit (int), n_band_hits,
+    jaccard (round4).
+    """
+    qkeys = build_dedup_index(query, n, bands, rows)
+    hits = (
+        index.join(
+            F.broadcast(qkeys.select("kind", "key").distinct()),
+            ["kind", "key"],
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max((F.col("kind") == "h").cast("int")).alias("exact_hit"),
+            F.sum((F.col("kind") != "h").cast("long")).alias("n_band_hits"),
+        )
+    )
+    q_sh = shingles_native(query, n).select("sh").distinct()
+    cand_sh = corpus_shingles.join(
+        F.broadcast(hits.select("doc_id")), "doc_id", "semi"
+    )
+    sizes = cand_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    inter = (
+        cand_sh.join(F.broadcast(q_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    nq = q_sh.agg(F.count(F.lit(1)).alias("nq"))
+    return (
+        hits.join(sizes, "doc_id", "left")
+        .join(inter, "doc_id", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "doc_id",
+            "exact_hit",
+            "n_band_hits",
+            round4(
+                F.coalesce(F.col("i"), F.lit(0))
+                / (
+                    F.coalesce(F.col("na"), F.lit(0))
+                    + F.col("nq")
+                    - F.coalesce(F.col("i"), F.lit(0))
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -1017,6 +1017,24 @@ def q_pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_dedup(_dedup_index(spark, sf_dir), new)
 
 
+def q_dedup_query_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-document lookup (operators/dedup.py:query_probe): a
+    lightly-edited copy of doc 7 probed against the PERSISTED dedup
+    index; exact Jaccard verify touches only the candidates' rows of
+    the MATERIALIZED shingle table — index seek, never corpus scan."""
+    q = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") == 45)
+        .select(
+            F.lit(-1).cast("long").alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    return dd.query_probe(
+        _dedup_index(spark, sf_dir), _shingles(spark, sf_dir), q
+    )
+
+
 def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W10 driver row: streaming ingest classification against the
     PERSISTED dedup index (streaming/jobs.py:incremental_dedup_via_stream)
@@ -1534,6 +1552,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "dedup_semantic_fold": q_dedup_semantic_fold,
         "pipe_incremental_dedup": q_pipe_incremental_dedup,
         "w10_stream_incremental_dedup": q_stream_incremental_dedup,
+        "dedup_query_probe": q_dedup_query_probe,
         "pipe_bloom_prefilter": q_pipe_bloom_prefilter,
         "dedup_containment": q_dedup_containment,
         "dedup_lsh_bucket_audit": q_dedup_lsh_bucket_audit,
@@ -1740,6 +1759,54 @@ def pipeline_oracles() -> dict[str, str]:
     # W10 streams the SAME derived snapshot against the SAME persisted
     # index; classification is per-document against static state, so the
     # streamed sink must equal the batch operator's output exactly.
+    oracles["dedup_query_probe"] = f"""
+        WITH qdoc AS (
+          SELECT CAST(-1 AS BIGINT) AS doc_id, text || ' extra' AS text
+          FROM documents WHERE doc_id = 45
+        ),
+        {_bucket_cte_sql("documents", "o")},
+        {_bucket_cte_sql("qdoc", "q")},
+        oidx AS (
+          SELECT doc_id, 'h' AS kind, md5(text) AS key FROM documents
+          UNION ALL
+          SELECT doc_id, 'b' || CAST(b AS VARCHAR), bucket FROM obuck
+        ),
+        qidx AS (
+          SELECT 'h' AS kind, md5(text) AS key FROM qdoc
+          UNION ALL
+          SELECT 'b' || CAST(b AS VARCHAR), bucket FROM qbuck
+        ),
+        hits AS (
+          SELECT o.doc_id,
+                 CAST(max(CASE WHEN o.kind = 'h' THEN 1 ELSE 0 END)
+                   AS INTEGER) AS exact_hit,
+                 CAST(sum(CASE WHEN o.kind != 'h' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_band_hits
+          FROM oidx o JOIN qidx q ON o.kind = q.kind AND o.key = q.key
+          WHERE o.key IS NOT NULL
+          GROUP BY o.doc_id
+        ),
+        sizes AS (
+          SELECT doc_id, count(*) AS na FROM osh
+          WHERE doc_id IN (SELECT doc_id FROM hits) GROUP BY doc_id
+        ),
+        inter AS (
+          SELECT o.doc_id, count(*) AS i
+          FROM (SELECT DISTINCT doc_id, sh FROM osh) o
+          JOIN (SELECT DISTINCT sh FROM qsh) q ON o.sh = q.sh
+          WHERE o.doc_id IN (SELECT doc_id FROM hits)
+          GROUP BY o.doc_id
+        ),
+        nq AS (SELECT count(*) AS nq FROM (SELECT DISTINCT sh FROM qsh))
+        SELECT h.doc_id, h.exact_hit, h.n_band_hits,
+               (round((coalesce(i.i, 0) * 1.0 /
+                       (coalesce(s.na, 0) + nq.nq - coalesce(i.i, 0)))
+                      * 10000) / 10000 + 0.0) AS jaccard
+        FROM hits h
+        LEFT JOIN sizes s ON s.doc_id = h.doc_id
+        LEFT JOIN inter i ON i.doc_id = h.doc_id
+        CROSS JOIN nq
+    """
     oracles["w10_stream_incremental_dedup"] = oracles[
         "pipe_incremental_dedup"
     ]
