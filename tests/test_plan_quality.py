@@ -1071,3 +1071,19 @@ def test_query_probe_broadcasts_query_side(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_rfm_windows_never_single_partition(spark, sf_dir):
+    """The three quintile passes run through distributed_ntile: every
+    window partitions on the range-partition id, none on a single
+    global partition."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ev_rfm_scores"](spark, sf_dir))
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win, plan
+    # every ntile window ranks within a range-partition id (the scalar
+    # 1-row total inside distributed_ntile is the only SinglePartition
+    # exchange and is not a window)
+    for l in win:
+        assert "_pid" in l, l

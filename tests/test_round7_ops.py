@@ -1101,3 +1101,59 @@ def test_query_probe_fixture(spark):
     assert out[1][0] == 1 and out[1][2] == 1.0
     if 2 in out:  # survives only if >=1 band's minima avoid the edit
         assert out[2][0] == 0 and 0 < out[2][2] < 1.0
+
+
+def test_rfm_scores_fixture(spark):
+    """10 users with strictly increasing recency/frequency/spend: each
+    quintile gets exactly 2 users and the orderings all agree (user i's
+    scores are all ceil((i+1)/2))."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    rows = []
+    eid = 0
+    for u in range(10):
+        for j in range(u + 1):  # frequency = u+1
+            rows.append(
+                (
+                    eid,
+                    datetime.fromtimestamp(
+                        86400 * u + j, tz=timezone.utc
+                    ).replace(tzinfo=None),
+                    u,
+                    "purchase",
+                    float(u + 1),  # monetary = (u+1)^2 * 1000 milli
+                    "{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with mock.patch.object(tables, "load_table", lambda s, d, n: df):
+        out = {
+            r["user_id"]: (
+                r["frequency"],
+                r["monetary_milli"],
+                r["r_score"],
+                r["f_score"],
+                r["m_score"],
+                r["rfm_code"],
+            )
+            for r in an.rfm_scores(spark, "ignored").collect()
+        }
+    for u in range(10):
+        q = u // 2 + 1
+        assert out[u] == (
+            u + 1,
+            (u + 1) * (u + 1) * 1000,
+            q,
+            q,
+            q,
+            q * 111,
+        )

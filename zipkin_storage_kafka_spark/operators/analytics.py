@@ -1633,3 +1633,73 @@ def outage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "outage_start_ms", "outage_minutes")
     )
+
+
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of the event stream (Hughes 1994, the classic
+    direct-marketing kernel): per user, quintile scores for Recency
+    (last activity time), Frequency (event count), and Monetary
+    (purchase value), plus the combined RFM code — the "who are my
+    champions / at-risk / hibernating users" panel.
+
+    Exactness discipline: monetary sums per-event ``round(value*1000)``
+    BIGINT millis (order-independent integer sum); each quintile is
+    EXACT SQL ntile(5) computed scale-safe by
+    ``operators.ntile.distributed_ntile`` (range partition + two-level
+    offsets — no single-partition window), tie-broken on user_id so the
+    global order, and therefore every score, is engine-portable.  Score
+    5 = most recent / most frequent / highest spend (ntile ascending,
+    so bucket 5 holds the top of each order).
+
+    Plan: ONE user-keyed partial agg collapses the corpus to |users|
+    rows; the three ntile passes run on that k-row relation.
+
+    Output: user_id, last_us, frequency, monetary_milli, r_score,
+    f_score, m_score, rfm_code.
+    """
+    from zipkin_storage_kafka_spark.operators.ntile import distributed_ntile
+    from zipkin_storage_kafka_spark.sources.tables import (
+        load_table,
+        to_epoch_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.select(
+            "user_id",
+            to_epoch_micros(ev, "ts").alias("ts_us"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("cast(round(value * 1000) as bigint)"),
+            )
+            .otherwise(F.lit(0))
+            .alias("val_milli"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("ts_us").alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("val_milli").alias("monetary_milli"),
+        )
+    )
+    scored = distributed_ntile(
+        users, 5, ["last_us", "user_id"], bucket_col="r_score"
+    )
+    scored = distributed_ntile(
+        scored, 5, ["frequency", "user_id"], bucket_col="f_score"
+    )
+    scored = distributed_ntile(
+        scored, 5, ["monetary_milli", "user_id"], bucket_col="m_score"
+    )
+    return scored.select(
+        "user_id",
+        "last_us",
+        "frequency",
+        "monetary_milli",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int").alias("rfm_code"),
+    )

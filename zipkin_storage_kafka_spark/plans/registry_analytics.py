@@ -97,6 +97,13 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.scd2_intervals(spark, sf_dir)
 
 
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation (operators/analytics.py:rfm_scores):
+    one user-keyed partial agg, three exact distributed_ntile passes on
+    the |users|-row relation, integer-milli monetary sums."""
+    return an.rfm_scores(spark, sf_dir)
+
+
 def q_outage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-activity outage windows per event type
     (operators/analytics.py:outage_islands): k-row per-type bounds ->
@@ -228,6 +235,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_markov_transitions": q_markov_transitions,
         "ev_scd2_intervals": q_scd2_intervals,
         "ev_outage_islands": q_outage_islands,
+        "ev_rfm_scores": q_rfm_scores,
         "h15_top_supplier": q_top_supplier,
         "h16_part_supplier_variety": q_part_supplier_variety,
         "h22_sales_opportunity": q_sales_opportunity,
@@ -535,6 +543,31 @@ def analytics_oracles() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM sessions
             GROUP BY user_id, session_idx
+        """,
+        "ev_rfm_scores": """
+            WITH users AS (
+              SELECT user_id,
+                     max(epoch_us(ts)) AS last_us,
+                     CAST(count(*) AS BIGINT) AS frequency,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(round(value * 1000) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS monetary_milli
+              FROM events GROUP BY user_id
+            ), scored AS (
+              SELECT user_id, last_us, frequency, monetary_milli,
+                     CAST(ntile(5) OVER (ORDER BY last_us, user_id)
+                       AS INTEGER) AS r_score,
+                     CAST(ntile(5) OVER (ORDER BY frequency, user_id)
+                       AS INTEGER) AS f_score,
+                     CAST(ntile(5) OVER (ORDER BY monetary_milli, user_id)
+                       AS INTEGER) AS m_score
+              FROM users
+            )
+            SELECT user_id, last_us, frequency, monetary_milli,
+                   r_score, f_score, m_score,
+                   CAST(r_score * 100 + f_score * 10 + m_score
+                     AS INTEGER) AS rfm_code
+            FROM scored
         """,
         "ev_outage_islands": """
             WITH marked AS (
