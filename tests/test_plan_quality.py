@@ -1087,3 +1087,14 @@ def test_rfm_windows_never_single_partition(spark, sf_dir):
     # exchange and is not a window)
     for l in win:
         assert "_pid" in l, l
+
+
+def test_pmi_bigram_explode_is_rowwise(spark, sf_dir):
+    """The bigram generation must be a rowwise array transform (no
+    window, no per-doc sort); unigram joins stay equi-joins."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_pmi_bigrams"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan

@@ -1157,3 +1157,27 @@ def test_rfm_scores_fixture(spark):
             q,
             q * 111,
         )
+
+
+def test_pmi_bigrams_fixture(spark):
+    """Hand corpus: 'a b' occurs 5x (every 'a' precedes 'b'), 'c d' 5x
+    but c and d each appear 10x (half the pairings) -> 'a b' carries
+    the higher ratio.  N=30 tokens, Nb=25 bigram slots (5 docs x 5)."""
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        pmi_bigrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d c d") for i in range(5)], "doc_id long, text string"
+    )
+    out = {
+        (r["x"], r["y"]): (
+            r["n_xy"], r["n_x"], r["n_y"], r["pmi_ratio"]
+        )
+        for r in pmi_bigrams(docs).collect()
+    }
+    # counts: a=5, b=5, c=10, d=10; bigrams: ab=5, bc=5, cd=10, dc=5; Nb=25
+    n, nb = 30, 25
+    assert out[("a", "b")] == (5, 5, 5, round(5 * n * n / (nb * 25), 4))
+    assert out[("c", "d")] == (10, 10, 10, round(10 * n * n / (nb * 100), 4))
+    assert out[("a", "b")][3] > out[("c", "d")][3]

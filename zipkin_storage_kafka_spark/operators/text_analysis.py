@@ -1968,3 +1968,68 @@ def priority_sample(docs: DataFrame, k: int = 64) -> DataFrame:
             F.greatest("weight", "tau").alias("est_weight"),
         )
     )
+
+
+def pmi_bigrams(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """Collocation mining: pointwise-mutual-information strength for
+    every bigram seen at least ``min_count`` times (Church & Hanks 1990,
+    the classic collocation statistic) — the "which word pairs are
+    units" signal tokenizer curricula and phrase-mining pipelines start
+    from.
+
+    Engine portability: PMI is reported as its MONOTONE ratio
+    p(xy)/(p(x)p(y)) = c(xy)*N*N / (Nb*c(x)*c(y)) rather than its log
+    (no libm; the ranking is identical) — computed as one double
+    expression over exact integer counts with the same operand order in
+    both engines, then round4.
+
+    Plan: one token explode feeds the unigram partial-agg; one rowwise
+    bigram explode (array transform, no window) feeds the bigram
+    partial-agg; both totals are 1-row broadcasts, and the two unigram
+    joins are vocabulary-keyed (|vocab|-row relation, never corpus-sized
+    after the partial aggs).
+
+    Output: x, y, n_xy, n_x, n_y, pmi_ratio (round4).
+    """
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    uni = (
+        d.select(F.explode("w").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.lit(1)),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("x"),
+                    F.element_at("w", i + F.lit(1)).alias("y"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y").filter((F.col("x") != "") & (F.col("y") != ""))
+    bi = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    n_tok = uni.agg(F.sum("n").alias("n_tok"))
+    n_bi = pairs.agg(F.count(F.lit(1)).alias("n_bi"))
+    return (
+        bi.join(uni.select(F.col("tok").alias("x"), F.col("n").alias("n_x")), "x")
+        .join(uni.select(F.col("tok").alias("y"), F.col("n").alias("n_y")), "y")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            "n_x",
+            "n_y",
+            round4(
+                (F.col("n_xy") * 1.0 * F.col("n_tok") * F.col("n_tok"))
+                / (F.col("n_bi") * 1.0 * F.col("n_x") * F.col("n_y"))
+            ).alias("pmi_ratio"),
+        )
+    )

@@ -417,6 +417,13 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_budget_sample(_docs(spark, sf_dir))
 
 
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation strength (operators/text_analysis.py:pmi_bigrams):
+    PMI's monotone ratio over exact integer counts — two partial-agg
+    explodes, vocabulary-keyed joins, 1-row broadcast totals."""
+    return ta.pmi_bigrams(_docs(spark, sf_dir))
+
+
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted priority sample with unbiased subset-sum
     estimator weights (operators/text_analysis.py:priority_sample,
@@ -1536,6 +1543,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "pipe_corpus_diff": q_pipe_corpus_diff,
         "text_token_budget_sample": q_token_budget_sample,
         "text_priority_sample": q_priority_sample,
+        "text_pmi_bigrams": q_pmi_bigrams,
         "dedup_semantic_curve": q_dedup_semantic_curve,
         "ann_pq_adc": q_ann_pq_adc,
         "text_gopher_rules": q_text_gopher_rules,
@@ -4005,6 +4013,36 @@ def _pipeline_oracles_base() -> dict[str, str]:
               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
                 AS n_exact_dups
             FROM documents
+        """,
+        "text_pmi_bigrams": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), toks AS (
+              SELECT unnest(w) AS tok FROM d
+            ), uni AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks
+              WHERE tok != '' GROUP BY tok
+            ), pairs AS (
+              SELECT w[i] AS x, w[i+1] AS y
+              FROM d, unnest(generate_series(1, len(w) - 1)) t(i)
+              WHERE w[i] != '' AND w[i+1] != ''
+            ), bi AS (
+              SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+              FROM pairs GROUP BY x, y HAVING count(*) >= 5
+            ), tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS n_tok FROM uni
+            ), bt AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_bi FROM pairs
+            )
+            SELECT b.x, b.y, b.n_xy,
+                   ux.n AS n_x, uy.n AS n_y,
+                   (round(((b.n_xy * 1.0 * t.n_tok * t.n_tok)
+                           / (bt.n_bi * 1.0 * ux.n * uy.n)) * 10000)
+                    / 10000 + 0.0) AS pmi_ratio
+            FROM bi b
+            JOIN uni ux ON ux.tok = b.x
+            JOIN uni uy ON uy.tok = b.y
+            CROSS JOIN tot t CROSS JOIN bt
         """,
         "text_priority_sample": """
             WITH scored AS (
