@@ -1098,3 +1098,18 @@ def test_pmi_bigram_explode_is_rowwise(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_ewma_single_type_keyed_window(spark, sf_dir):
+    """All 16 lag terms must share ONE event_type-partitioned window
+    spec (one sort per type series), and the spine must not cross-join
+    the fact table."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ev_ewma_smooth"](spark, sf_dir))
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win and all("event_type" in l for l in win), plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # one Window node, not sixteen
+    assert plan.count("(Window") + plan.count(" Window ") <= 2, plan

@@ -1181,3 +1181,41 @@ def test_pmi_bigrams_fixture(spark):
     assert out[("a", "b")] == (5, 5, 5, round(5 * n * n / (nb * 25), 4))
     assert out[("c", "d")] == (10, 10, 10, round(10 * n * n / (nb * 100), 4))
     assert out[("a", "b")][3] > out[("c", "d")][3]
+
+
+def test_ewma_smooth_fixture(spark):
+    """Minute counts [1, 0, 2] for one type: numerators are the exact
+    power-of-two sums 1*2^15, 1*2^14, 2*2^15 + 1*2^13; micro values
+    divide by the weight mass 2^16 - 1."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    def _t(minute, s):
+        return datetime.fromtimestamp(minute * 60 + s, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    rows = [
+        (0, _t(0, 0), 1, "A", 1.0, "{}"),
+        (1, _t(2, 0), 1, "A", 1.0, "{}"),
+        (2, _t(2, 30), 1, "A", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with mock.patch.object(tables, "load_table", lambda s, d, n: df):
+        out = {
+            r["minute_ms"] // 60000: (r["n_events"], r["ewma_micro"])
+            for r in an.ewma_smooth(spark, "ignored").collect()
+        }
+    mass = 2**16 - 1
+    assert out == {
+        0: (1, (1 * 2**15 * 1_000_000) // mass),
+        1: (0, (1 * 2**14 * 1_000_000) // mass),
+        2: (2, ((2 * 2**15 + 2**13) * 1_000_000) // mass),
+    }

@@ -1703,3 +1703,67 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("int").alias("rfm_code"),
     )
+
+
+EWMA_DEPTH = 16
+
+
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA trend smoothing of the per-type minute series (Roberts 1959,
+    the control-chart smoother): alpha = 1/2, truncated at
+    ``EWMA_DEPTH`` = 16 lags — the dashboard "smoothed rate" line next
+    to the raw counts.
+
+    Exactness discipline: with alpha = 1/2 every weight is a power of
+    two, so the smoothed numerator is the EXACT integer
+    ``sum_{k=0..15} x_{t-k} * 2^(15-k)`` built from 16 ``lag()`` terms
+    under ONE type-partitioned window over the ZERO-FILLED minute spine
+    (missing minutes contribute 0, exactly as the recursion demands);
+    the reported value divides by the weight mass 2^16 - 1 in integer
+    micro-units.  No float accumulation anywhere, so any engine agrees
+    bit-for-bit.
+
+    Scale: the spine is range-bound (|types| x observed minutes); the
+    16-lag window sorts each type's few-thousand-row series once.
+
+    Output: event_type, minute_ms, n_events, ewma_micro.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    marked = _with_event_minute(ev).select("event_type", "m")
+    counts = marked.groupBy("event_type", "m").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = marked.groupBy("event_type").agg(
+        F.min("m").alias("lo"), F.max("m").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("m")
+    )
+    filled = spine.join(counts, ["event_type", "m"], "left").select(
+        "event_type",
+        "m",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy("m")
+    num = sum(
+        (
+            F.coalesce(F.lag("n_events", k).over(w), F.lit(0))
+            * F.lit(2 ** (EWMA_DEPTH - 1 - k))
+        )
+        for k in range(EWMA_DEPTH)
+    )
+    return filled.select(
+        "event_type",
+        (F.col("m") * 60_000).alias("minute_ms"),
+        "n_events",
+        num.alias("_num"),
+    ).select(
+        "event_type",
+        "minute_ms",
+        "n_events",
+        F.expr(f"(_num * 1000000) div {2 ** EWMA_DEPTH - 1}").alias(
+            "ewma_micro"
+        ),
+    )

@@ -97,6 +97,14 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.scd2_intervals(spark, sf_dir)
 
 
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA(alpha=1/2) minute-rate smoothing
+    (operators/analytics.py:ewma_smooth): power-of-two weights make the
+    16-lag numerator exact integer math; one type-keyed window over the
+    zero-filled range-bound spine."""
+    return an.ewma_smooth(spark, sf_dir)
+
+
 def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quintile segmentation (operators/analytics.py:rfm_scores):
     one user-keyed partial agg, three exact distributed_ntile passes on
@@ -236,6 +244,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_scd2_intervals": q_scd2_intervals,
         "ev_outage_islands": q_outage_islands,
         "ev_rfm_scores": q_rfm_scores,
+        "ev_ewma_smooth": q_ewma_smooth,
         "h15_top_supplier": q_top_supplier,
         "h16_part_supplier_variety": q_part_supplier_variety,
         "h22_sales_opportunity": q_sales_opportunity,
@@ -543,6 +552,42 @@ def analytics_oracles() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM sessions
             GROUP BY user_id, session_idx
+        """,
+        "ev_ewma_smooth": """
+            WITH marked AS (
+              SELECT event_type, epoch_us(ts) // 60000000 AS m FROM events
+            ), counts AS (
+              SELECT event_type, m, CAST(count(*) AS BIGINT) AS n_events
+              FROM marked GROUP BY 1, 2
+            ), bounds AS (
+              SELECT event_type, min(m) AS lo, max(m) AS hi
+              FROM marked GROUP BY event_type
+            ), spine AS (
+              SELECT event_type, unnest(generate_series(lo, hi)) AS m
+              FROM bounds
+            ), filled AS (
+              SELECT s.event_type, s.m,
+                     coalesce(c.n_events, 0) AS n_events
+              FROM spine s
+              LEFT JOIN counts c
+                ON c.event_type = s.event_type AND c.m = s.m
+            ), lagged AS (
+              SELECT event_type, m, n_events,
+                     """
+        + "\n                     + ".join(
+            f"coalesce(lag(n_events, {k}) OVER w, 0) * {2 ** (15 - k)}"
+            for k in range(16)
+        )
+        + """
+                       AS num
+              FROM filled
+              WINDOW w AS (PARTITION BY event_type ORDER BY m)
+            )
+            SELECT event_type,
+                   CAST(m * 60000 AS BIGINT) AS minute_ms,
+                   n_events,
+                   CAST((num * 1000000) // 65535 AS BIGINT) AS ewma_micro
+            FROM lagged
         """,
         "ev_rfm_scores": """
             WITH users AS (
