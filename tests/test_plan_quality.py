@@ -1113,3 +1113,17 @@ def test_ewma_single_type_keyed_window(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     # one Window node, not sixteen
     assert plan.count("(Window") + plan.count(" Window ") <= 2, plan
+
+
+def test_langid_agreement_is_doc_keyed(spark, sf_dir):
+    """The audit joins the two prediction relations on doc_id (equi, no
+    cartesian) and cubes with a partial agg; the only windows are the
+    ngram detector's own per-doc argmax."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_langid_agreement"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    # per-doc argmax and the per-lang profile top-k — both keyed, never
+    # a single global partition
+    assert all(("doc_id" in l) or ("lang" in l) for l in win), plan

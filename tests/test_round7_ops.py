@@ -1219,3 +1219,39 @@ def test_ewma_smooth_fixture(spark):
         1: (0, (1 * 2**14 * 1_000_000) // mass),
         2: (2, ((2 * 2**15 + 2**13) * 1_000_000) // mass),
     }
+
+
+def test_langid_agreement_fixture(spark):
+    """Two hand prediction relations: doc 1 both correct, doc 2 methods
+    agree but wrong, doc 3 split decision."""
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        langid_agreement,
+    )
+
+    s = spark.createDataFrame(
+        [
+            (1, "en", "en", True),
+            (2, "fr", "en", False),
+            (3, "en", "en", True),
+        ],
+        "doc_id long, predicted_lang string, lang string, is_correct boolean",
+    ).selectExpr("doc_id", "predicted_lang", "lang")
+    g = spark.createDataFrame(
+        [
+            (1, "en"),
+            (2, "fr"),
+            (3, "de"),
+        ],
+        "doc_id long, predicted_lang string",
+    )
+    out = {
+        (r["lang"], r["pred_stopword"], r["pred_ngram"]): (
+            r["n_docs"], r["both_correct"], r["methods_agree"]
+        )
+        for r in langid_agreement(s, g).collect()
+    }
+    assert out == {
+        ("en", "en", "en"): (1, 1, 1),
+        ("en", "fr", "fr"): (1, 0, 1),
+        ("en", "en", "de"): (1, 0, 0),
+    }

@@ -2033,3 +2033,44 @@ def pmi_bigrams(docs: DataFrame, min_count: int = 5) -> DataFrame:
             ).alias("pmi_ratio"),
         )
     )
+
+
+def langid_agreement(
+    stopword_pred: DataFrame, ngram_pred: DataFrame
+) -> DataFrame:
+    """Cross-method language-ID audit: the confusion matrix between the
+    stopword heuristic (:func:`language_id`), the n-gram profile model
+    (:func:`language_id_ngram`), and the labeled truth — the
+    "do my classifiers disagree, and where" panel that decides which
+    detector a cleaning pipeline can trust per language (the langid twin
+    of ``pipe_dedup_agreement``'s cross-method dedup audit).
+
+    Plan: one doc_id equi-join of the two prediction relations, then a
+    partial agg to the (label, pred, pred) cube — at most
+    |langs+1|^3 output rows regardless of corpus size.
+
+    Output: lang, pred_stopword, pred_ngram, n_docs, both_correct
+    (int: both predicted the label), methods_agree (int).
+    """
+    s = stopword_pred.select(
+        "doc_id", "lang", F.col("predicted_lang").alias("pred_stopword")
+    )
+    g = ngram_pred.select(
+        "doc_id", F.col("predicted_lang").alias("pred_ngram")
+    )
+    return (
+        s.join(g, "doc_id")
+        .groupBy("lang", "pred_stopword", "pred_ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (
+                    (F.col("pred_stopword") == F.col("lang"))
+                    & (F.col("pred_ngram") == F.col("lang"))
+                ).cast("long")
+            ).alias("both_correct"),
+            F.sum(
+                (F.col("pred_stopword") == F.col("pred_ngram")).cast("long")
+            ).alias("methods_agree"),
+        )
+    )

@@ -417,6 +417,18 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_budget_sample(_docs(spark, sf_dir))
 
 
+def q_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method language-ID confusion cube
+    (operators/text_analysis.py:langid_agreement): one doc_id join of
+    the two detectors' outputs, partial-agged to <= |langs+1|^3 rows."""
+    return ta.langid_agreement(
+        ta.language_id(_docs(spark, sf_dir)),
+        ta.language_id_ngram(
+            _docs(spark, sf_dir), tg=_char_trigrams(spark, sf_dir)
+        ),
+    )
+
+
 def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation strength (operators/text_analysis.py:pmi_bigrams):
     PMI's monotone ratio over exact integer counts — two partial-agg
@@ -1544,6 +1556,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_token_budget_sample": q_token_budget_sample,
         "text_priority_sample": q_priority_sample,
         "text_pmi_bigrams": q_pmi_bigrams,
+        "text_langid_agreement": q_langid_agreement,
         "dedup_semantic_curve": q_dedup_semantic_curve,
         "ann_pq_adc": q_ann_pq_adc,
         "text_gopher_rules": q_text_gopher_rules,
@@ -1767,6 +1780,22 @@ def pipeline_oracles() -> dict[str, str]:
     # W10 streams the SAME derived snapshot against the SAME persisted
     # index; classification is per-document against static state, so the
     # streamed sink must equal the batch operator's output exactly.
+    # Cross-method langid audit: both detector oracles verbatim (nested
+    # WITH), joined per doc and cubed.
+    oracles["text_langid_agreement"] = f"""
+        WITH s AS (SELECT * FROM ({oracles["text_langid"]})),
+        g AS (SELECT * FROM ({oracles["text_langid_ngram"]}))
+        SELECT s.lang, s.predicted_lang AS pred_stopword,
+               g.predicted_lang AS pred_ngram,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN s.predicted_lang = s.lang
+                              AND g.predicted_lang = s.lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS both_correct,
+               CAST(sum(CASE WHEN s.predicted_lang = g.predicted_lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS methods_agree
+        FROM s JOIN g ON s.doc_id = g.doc_id
+        GROUP BY 1, 2, 3
+    """
     oracles["dedup_query_probe"] = f"""
         WITH qdoc AS (
           SELECT CAST(-1 AS BIGINT) AS doc_id, text || ' extra' AS text
