@@ -1127,3 +1127,14 @@ def test_langid_agreement_is_doc_keyed(spark, sf_dir):
     # per-doc argmax and the per-lang profile top-k — both keyed, never
     # a single global partition
     assert all(("doc_id" in l) or ("lang" in l) for l in win), plan
+
+
+def test_heaps_law_avoids_count_distinct_expand(spark, sf_dir):
+    """The 16 nested vocabulary counts must come from ONE min-bucket
+    partial agg (no 16x Expand of the token relation, no window)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_heaps_law"](spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

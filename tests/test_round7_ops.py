@@ -1255,3 +1255,40 @@ def test_langid_agreement_fixture(spark):
         ("en", "fr", "fr"): (1, 0, 1),
         ("en", "en", "de"): (1, 0, 0),
     }
+
+
+def test_heaps_law_fixture(spark):
+    """Monotone nested-sample invariants + exact check: docs bucketed by
+    md5(doc_id) first hex digit; vocab/doc/token counts at fraction f
+    must equal a python recomputation and be monotone non-decreasing."""
+    import hashlib
+
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        heaps_law_curve,
+    )
+
+    texts = {
+        0: "a b c",
+        1: "a b d d",
+        2: "e f",
+        3: "a g",
+        4: "h h h",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {
+        r["sixteenth"]: (r["n_docs"], r["n_tokens"], r["vocab"])
+        for r in heaps_law_curve(docs).collect()
+    }
+    bucket = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[0], 16)
+        for i in texts
+    }
+    for f in range(1, 17):
+        included = [i for i in texts if bucket[i] < f]
+        n_docs = len(included)
+        n_tokens = sum(len(texts[i].split(" ")) for i in included)
+        vocab = len({t for i in included for t in texts[i].split(" ")})
+        assert out[f] == (n_docs, n_tokens, vocab), (f, out[f])
+    assert all(out[f][2] <= out[f + 1][2] for f in range(1, 16))

@@ -2074,3 +2074,65 @@ def langid_agreement(
             ).alias("methods_agree"),
         )
     )
+
+
+def heaps_law_curve(docs: DataFrame) -> DataFrame:
+    """Vocabulary-growth curve (Heaps/Herdan law, V(n) ~ K·n^beta): the
+    distinct-token count at 16 nested corpus fractions — the companion
+    diagnostic to :func:`zipf_fit` (Zipf fixes the frequency slope,
+    Heaps the vocabulary scaling; both decide tokenizer budget and
+    dedup-aggressiveness for a growing corpus).
+
+    Nested samples come from the first md5 hex digit of doc_id
+    (fraction f/16 = docs with digit < f), so every fraction is a
+    superset of the previous — the growth curve of a single corpus in
+    one pass, not 16 resamples.
+
+    Plan: the naive formulation (16 count-distincts) would EXPAND the
+    token relation 16x; instead each token partial-aggs to its MINIMUM
+    bucket (first fraction where it appears) — vocabulary at f is then
+    the cumulative count over a 16-row histogram, cumulated with the
+    triangular join (no global window).  One token shuffle total.
+
+    Output: sixteenth (1-16), n_docs, n_tokens, vocab.
+    """
+    d = docs.select(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        .alias("b"),
+        F.split("text", " ").alias("w"),
+    )
+    toks = d.select(
+        "b", F.explode("w").alias("tok")
+    ).filter(F.col("tok") != "")
+    tok_hist = (
+        toks.groupBy("tok")
+        .agg(F.min("b").alias("mb"))
+        .groupBy("mb")
+        .agg(F.count(F.lit(1)).alias("vtok"))
+    )
+    doc_hist = d.groupBy("b").agg(
+        F.count(F.lit(1)).alias("dc"),
+        F.sum(F.size("w")).alias("tc"),
+    )
+    fr = docs.sparkSession.range(1, 17).select(
+        F.col("id").cast("int").alias("sixteenth")
+    )
+    return (
+        fr.join(F.broadcast(doc_hist), F.col("b") < F.col("sixteenth"), "left")
+        .groupBy("sixteenth")
+        .agg(
+            F.coalesce(F.sum("dc"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("tc"), F.lit(0)).alias("n_tokens"),
+        )
+        .join(
+            fr.join(
+                F.broadcast(tok_hist),
+                F.col("mb") < F.col("sixteenth"),
+                "left",
+            )
+            .groupBy("sixteenth")
+            .agg(F.coalesce(F.sum("vtok"), F.lit(0)).alias("vocab")),
+            "sixteenth",
+        )
+    )

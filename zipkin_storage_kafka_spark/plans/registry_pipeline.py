@@ -417,6 +417,14 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_budget_sample(_docs(spark, sf_dir))
 
 
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth over 16 nested md5 samples
+    (operators/text_analysis.py:heaps_law_curve): per-token min-bucket
+    partial agg + triangular cumulation — one token shuffle, no 16x
+    count-distinct expand."""
+    return ta.heaps_law_curve(_docs(spark, sf_dir))
+
+
 def q_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-method language-ID confusion cube
     (operators/text_analysis.py:langid_agreement): one doc_id join of
@@ -1557,6 +1565,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_priority_sample": q_priority_sample,
         "text_pmi_bigrams": q_pmi_bigrams,
         "text_langid_agreement": q_langid_agreement,
+        "text_heaps_law": q_heaps_law,
         "dedup_semantic_curve": q_dedup_semantic_curve,
         "ann_pq_adc": q_ann_pq_adc,
         "text_gopher_rules": q_text_gopher_rules,
@@ -4042,6 +4051,42 @@ def _pipeline_oracles_base() -> dict[str, str]:
               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
                 AS n_exact_dups
             FROM documents
+        """,
+        "text_heaps_law": """
+            WITH d AS (
+              SELECT CAST(('0x' ||
+                       substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                       AS BIGINT) AS b,
+                     string_split(text, ' ') AS w
+              FROM documents
+            ), toks AS (
+              SELECT b, unnest(w) AS tok FROM d
+            ), tok_hist AS (
+              SELECT mb, CAST(count(*) AS BIGINT) AS vtok FROM (
+                SELECT tok, min(b) AS mb FROM toks
+                WHERE tok != '' GROUP BY tok
+              ) GROUP BY mb
+            ), doc_hist AS (
+              SELECT b, CAST(count(*) AS BIGINT) AS dc,
+                     CAST(sum(len(w)) AS BIGINT) AS tc
+              FROM d GROUP BY b
+            ), fr AS (
+              SELECT unnest(generate_series(1, 16)) AS sixteenth
+            ), dcum AS (
+              SELECT f.sixteenth,
+                     CAST(coalesce(sum(h.dc), 0) AS BIGINT) AS n_docs,
+                     CAST(coalesce(sum(h.tc), 0) AS BIGINT) AS n_tokens
+              FROM fr f LEFT JOIN doc_hist h ON h.b < f.sixteenth
+              GROUP BY f.sixteenth
+            ), vcum AS (
+              SELECT f.sixteenth,
+                     CAST(coalesce(sum(h.vtok), 0) AS BIGINT) AS vocab
+              FROM fr f LEFT JOIN tok_hist h ON h.mb < f.sixteenth
+              GROUP BY f.sixteenth
+            )
+            SELECT CAST(d.sixteenth AS INTEGER) AS sixteenth,
+                   d.n_docs, d.n_tokens, v.vocab
+            FROM dcum d JOIN vcum v USING (sixteenth)
         """,
         "text_pmi_bigrams": """
             WITH d AS (
