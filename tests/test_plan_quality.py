@@ -1138,3 +1138,15 @@ def test_heaps_law_avoids_count_distinct_expand(spark, sf_dir):
     assert "Expand" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_idle_gaps_single_trace_window(spark, sf_dir):
+    """The union sweep is ONE trace-keyed window + one grouped agg —
+    no self-join, no global window."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["z_trace_idle_gaps"](spark, sf_dir))
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win and all("trace_id" in l for l in win), plan
+    assert "SinglePartition" not in plan, plan
+    assert "Join" not in plan or "SortMergeJoin" not in plan, plan

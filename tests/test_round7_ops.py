@@ -1292,3 +1292,30 @@ def test_heaps_law_fixture(spark):
         vocab = len({t for i in included for t in texts[i].split(" ")})
         assert out[f] == (n_docs, n_tokens, vocab), (f, out[f])
     assert all(out[f][2] <= out[f + 1][2] for f in range(1, 16))
+
+
+def test_trace_idle_gaps_fixture(spark):
+    """Hand trace: [0,10], [5,15] (overlap), [20,25] (gap 5), [22,23]
+    (contained) -> wall 25, idle 5, busy 20, 1 gap.  Second trace has
+    one span -> 0 idle, 0 gaps."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        trace_idle_gaps,
+    )
+
+    rows = [
+        ("t", "a", 0, 10),
+        ("t", "b", 5, 10),
+        ("t", "c", 20, 5),
+        ("t", "d", 22, 1),
+        ("u", "x", 100, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "trace_id string, id string, timestamp long, duration long"
+    )
+    out = {
+        r["trace_id"]: (
+            r["n_spans"], r["wall_us"], r["busy_us"], r["idle_us"], r["n_gaps"]
+        )
+        for r in trace_idle_gaps(df).collect()
+    }
+    assert out == {"t": (4, 25, 20, 5, 1), "u": (1, 7, 7, 0, 0)}

@@ -788,3 +788,48 @@ def service_cooccurrence(spans: DataFrame) -> DataFrame:
             ).alias("lift_micro"),
         )
     )
+
+
+def trace_idle_gaps(spans: DataFrame) -> DataFrame:
+    """Per-trace INTERVAL-UNION sweep: wall-clock duration vs the union
+    of span execution intervals — idle time (nothing executing) and gap
+    count per trace, the "where does the latency hide between spans"
+    triage panel (queueing, network, lock waits), and the complement of
+    :func:`critical_paths`' longest-chain view.
+
+    The classic sweep re-expressed relationally: order spans by start
+    within the trace, carry the running MAX end over earlier spans, and
+    a span opens a gap iff its start exceeds that carry — so
+    idle = sum(positive carries), union = wall - idle, with exact
+    integer micros throughout.  ONE trace-keyed window (the same
+    (partition, order) spec every trace operator shuffles on) + one
+    grouped agg; no self-join, no per-trace collect.
+
+    Output: trace_id, n_spans, wall_us, busy_us, idle_us, n_gaps.
+    """
+    end = F.col("timestamp") + F.coalesce(F.col("duration"), F.lit(0))
+    w = (
+        Window.partitionBy("trace_id")
+        .orderBy("timestamp", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = (
+        spans.filter(F.col("timestamp").isNotNull())
+        .select("trace_id", "id", "timestamp", end.alias("e"))
+        .withColumn("_prev_end", F.max("e").over(w))
+        .withColumn(
+            "_gap",
+            F.when(
+                F.col("_prev_end").isNotNull()
+                & (F.col("timestamp") > F.col("_prev_end")),
+                F.col("timestamp") - F.col("_prev_end"),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return g.groupBy("trace_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        (F.max("e") - F.min("timestamp")).alias("wall_us"),
+        (F.max("e") - F.min("timestamp") - F.sum("_gap")).alias("busy_us"),
+        F.sum("_gap").alias("idle_us"),
+        F.sum((F.col("_gap") > 0).cast("long")).alias("n_gaps"),
+    )

@@ -998,6 +998,18 @@ def q_service_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return service_cooccurrence(_spans(spark, sf_dir))
 
 
+def q_trace_idle_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trace interval-union sweep
+    (operators/trace_aggregation.py:trace_idle_gaps): running-max-end
+    carry under ONE trace-keyed window -> wall/busy/idle micros + gap
+    count, exact integers."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        trace_idle_gaps,
+    )
+
+    return trace_idle_gaps(_spans(spark, sf_dir))
+
+
 def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-trace critical path (max root-to-span duration sum) over the
     MATERIALIZED per-span path costs (the pointer-doubling sweep runs once
@@ -1411,6 +1423,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_service_triangles": q_service_triangles,
         "z_service_cooccurrence": q_service_cooccurrence,
         "z_service_kcore": q_service_kcore,
+        "z_trace_idle_gaps": q_trace_idle_gaps,
         "a9_setops_service_names": q_setops_service_names,
         "w25_slowest_per_service": q_slowest_per_service,
         "z_anomalous_spans": q_anomalous_spans,
@@ -2524,6 +2537,36 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
                 UNION ALL SELECT y FROM tri
                 UNION ALL SELECT z FROM tri
               ) corners GROUP BY service
+            )
+            """,
+        ),
+        "z_trace_idle_gaps": with_spans_cte(
+            """
+            SELECT trace_id,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(max(e) - min(timestamp) AS BIGINT) AS wall_us,
+                   CAST(max(e) - min(timestamp) - sum(gap) AS BIGINT)
+                     AS busy_us,
+                   CAST(sum(gap) AS BIGINT) AS idle_us,
+                   CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_gaps
+            FROM g GROUP BY trace_id
+            """,
+            extra_ctes="""
+            g AS (
+              SELECT trace_id, timestamp, e,
+                     CASE WHEN pe IS NOT NULL AND timestamp > pe
+                          THEN timestamp - pe ELSE 0 END AS gap
+              FROM (
+                SELECT trace_id, timestamp,
+                       timestamp + coalesce(duration, 0) AS e,
+                       max(timestamp + coalesce(duration, 0)) OVER (
+                         PARTITION BY trace_id
+                         ORDER BY timestamp, id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS pe
+                FROM spans WHERE timestamp IS NOT NULL
+              )
             )
             """,
         ),
