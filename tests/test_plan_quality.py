@@ -1150,3 +1150,14 @@ def test_idle_gaps_single_trace_window(spark, sf_dir):
     assert win and all("trace_id" in l for l in win), plan
     assert "SinglePartition" not in plan, plan
     assert "Join" not in plan or "SortMergeJoin" not in plan, plan
+
+
+def test_hazard_curve_no_window_no_cartesian(spark, sf_dir):
+    """At-risk cumulation is the triangular join over the day histogram
+    — no window at all; the only nested-loop joins are 1-row broadcast
+    horizon/total sides."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ev_hazard_curve"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1319,3 +1319,47 @@ def test_trace_idle_gaps_fixture(spark):
         for r in trace_idle_gaps(df).collect()
     }
     assert out == {"t": (4, 25, 20, 5, 1), "u": (1, 7, 7, 0, 0)}
+
+
+def test_hazard_curve_fixture(spark):
+    """3 users sign up at day 0; u1 converts day 0, u2 day 2, u3 never
+    (censored at the horizon = day 4, set by u-other's last event).
+    Hazards: day 0 -> 1/3, day 2 -> 1/2, day 4 censor row -> 0/1."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    day = 86400
+
+    def _t(d, s=0):
+        return datetime.fromtimestamp(d * day + s, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    rows = [
+        (0, _t(0), 1, "signup", 0.0, "{}"),
+        (1, _t(0, 30), 1, "purchase", 1.0, "{}"),
+        (2, _t(0), 2, "signup", 0.0, "{}"),
+        (3, _t(2), 2, "purchase", 1.0, "{}"),
+        (4, _t(0), 3, "signup", 0.0, "{}"),
+        (5, _t(4), 9, "view", 0.0, "{}"),  # horizon setter, no signup
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with mock.patch.object(tables, "load_table", lambda s, d, n: df):
+        out = {
+            r["day"]: (
+                r["n_risk"], r["n_events"], r["n_censored"], r["hazard_micro"]
+            )
+            for r in an.hazard_curve(spark, "ignored").collect()
+        }
+    assert out == {
+        0: (3, 1, 0, 333333),
+        2: (2, 1, 0, 500000),
+        4: (1, 0, 1, 0),
+    }

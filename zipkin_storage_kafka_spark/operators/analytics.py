@@ -1767,3 +1767,93 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma_micro"
         ),
     )
+
+
+DAY_US = 86_400_000_000
+
+
+def hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete time-to-event hazard curve (the Kaplan-Meier estimator's
+    ingredients, Kaplan & Meier 1958): days from each user's first
+    'signup' to their first subsequent 'purchase', with users who never
+    convert right-censored at the corpus horizon — the
+    conversion/survival panel every growth dashboard wants.
+
+    Per day d: n_risk (users still unconverted and uncensored entering
+    d), n_events (conversions at d), n_censored (horizons at d), and the
+    exact integer hazard n_events*1e6 div n_risk.  The survival curve is
+    the running product of (1 - hazard) — left to the reader/BI layer
+    because a float cumprod is the one step that is not exactly
+    engine-portable; every ingredient here is exact integer math.
+
+    Plan: two user-keyed partial aggs (first signup, first conversion)
+    + a 1-row broadcast horizon collapse the corpus to |users| rows;
+    the at-risk cumulation is the triangular join over the day
+    histogram (observed-range-bounded, no window).
+
+    Output: day, n_risk, n_events, n_censored, hazard_micro.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import (
+        load_table,
+        to_epoch_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        "event_type",
+        to_epoch_micros(ev, "ts").alias("ts_us"),
+    )
+    signup = (
+        t.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t0"))
+    )
+    conv = (
+        t.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts_us") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("te"))
+    )
+    horizon = t.agg(F.max("ts_us").alias("hz"))
+    per_user = (
+        signup.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr(
+                f"(coalesce(te, hz) - t0) div {DAY_US}"
+            ).alias("day"),
+            F.col("te").isNotNull().cast("long").alias("is_event"),
+        )
+    )
+    hist = per_user.groupBy("day").agg(
+        F.sum("is_event").alias("n_events"),
+        F.sum(F.lit(1) - F.col("is_event")).alias("n_censored"),
+    )
+    a, b = hist.alias("a"), hist.alias("b")
+    risk = (
+        a.join(b, F.col("b.day") < F.col("a.day"), "left")
+        .groupBy(
+            F.col("a.day").alias("day"),
+            F.col("a.n_events").alias("n_events"),
+            F.col("a.n_censored").alias("n_censored"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("b.n_events") + F.col("b.n_censored")), F.lit(0)
+            ).alias("_exited")
+        )
+    )
+    total = hist.agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).alias("_n")
+    )
+    return risk.crossJoin(F.broadcast(total)).select(
+        "day",
+        (F.col("_n") - F.col("_exited")).alias("n_risk"),
+        "n_events",
+        "n_censored",
+        F.expr("(n_events * 1000000) div (_n - _exited)").alias(
+            "hazard_micro"
+        ),
+    )

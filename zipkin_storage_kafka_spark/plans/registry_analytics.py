@@ -97,6 +97,14 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.scd2_intervals(spark, sf_dir)
 
 
+def q_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete signup->purchase hazard curve
+    (operators/analytics.py:hazard_curve): two user-keyed partial aggs,
+    1-row horizon broadcast, triangular at-risk cumulation — exact
+    integer hazard micro-units."""
+    return an.hazard_curve(spark, sf_dir)
+
+
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA(alpha=1/2) minute-rate smoothing
     (operators/analytics.py:ewma_smooth): power-of-two weights make the
@@ -245,6 +253,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_outage_islands": q_outage_islands,
         "ev_rfm_scores": q_rfm_scores,
         "ev_ewma_smooth": q_ewma_smooth,
+        "ev_hazard_curve": q_hazard_curve,
         "h15_top_supplier": q_top_supplier,
         "h16_part_supplier_variety": q_part_supplier_variety,
         "h22_sales_opportunity": q_sales_opportunity,
@@ -552,6 +561,44 @@ def analytics_oracles() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM sessions
             GROUP BY user_id, session_idx
+        """,
+        "ev_hazard_curve": """
+            WITH t AS (
+              SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+            ), signup AS (
+              SELECT user_id, min(ts_us) AS t0 FROM t
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), conv AS (
+              SELECT t.user_id, min(t.ts_us) AS te
+              FROM t JOIN signup s ON s.user_id = t.user_id
+              WHERE t.event_type = 'purchase' AND t.ts_us >= s.t0
+              GROUP BY t.user_id
+            ), horizon AS (SELECT max(ts_us) AS hz FROM t),
+            per_user AS (
+              SELECT (coalesce(c.te, h.hz) - s.t0) // 86400000000 AS day,
+                     CASE WHEN c.te IS NOT NULL THEN 1 ELSE 0 END AS is_event
+              FROM signup s LEFT JOIN conv c ON c.user_id = s.user_id
+              CROSS JOIN horizon h
+            ), hist AS (
+              SELECT day, CAST(sum(is_event) AS BIGINT) AS n_events,
+                     CAST(sum(1 - is_event) AS BIGINT) AS n_censored
+              FROM per_user GROUP BY day
+            ), risk AS (
+              SELECT a.day, a.n_events, a.n_censored,
+                     CAST(coalesce(sum(b.n_events + b.n_censored), 0)
+                       AS BIGINT) AS exited
+              FROM hist a LEFT JOIN hist b ON b.day < a.day
+              GROUP BY a.day, a.n_events, a.n_censored
+            ), tot AS (
+              SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n
+              FROM hist
+            )
+            SELECT r.day,
+                   CAST(t.n - r.exited AS BIGINT) AS n_risk,
+                   r.n_events, r.n_censored,
+                   CAST((r.n_events * 1000000) // (t.n - r.exited)
+                     AS BIGINT) AS hazard_micro
+            FROM risk r CROSS JOIN tot t
         """,
         "ev_ewma_smooth": """
             WITH marked AS (
