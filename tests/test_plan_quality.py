@@ -1161,3 +1161,14 @@ def test_hazard_curve_no_window_no_cartesian(spark, sf_dir):
     plan = _plan(entrymod.queries()["ev_hazard_curve"](spark, sf_dir))
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_basket_brand_pairs_order_keyed(spark, sf_dir):
+    """The generic basket kernel on lineitem: brand dim broadcast into
+    the membership build, order-keyed pair join, no cartesian."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["w_basket_brand_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "windowspecdefinition" not in plan, plan

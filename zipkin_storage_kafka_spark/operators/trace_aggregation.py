@@ -749,42 +749,66 @@ def service_cooccurrence(spans: DataFrame) -> DataFrame:
         .select("trace_id", F.col("local_service").alias("svc"))
         .distinct()
     )
+    out = basket_lift(member, "trace_id", "svc")
+    return out.select(
+        F.col("item_a").alias("svc_a"),
+        F.col("item_b").alias("svc_b"),
+        F.col("pair_baskets").alias("pair_traces"),
+        F.col("a_baskets").alias("a_traces"),
+        F.col("b_baskets").alias("b_traces"),
+        "lift_micro",
+    )
+
+
+def basket_lift(member: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """The generic market-basket support+lift kernel behind
+    :func:`service_cooccurrence` (traces x services) and the
+    order-basket registry row (orders x part brands): ``member`` must be
+    the DISTINCT (basket, item) membership relation.
+
+    Output: item_a, item_b, pair_baskets, a_baskets, b_baskets,
+    lift_micro.
+    """
+    member = member.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    )
     pairs = (
         member.alias("l")
         .join(
             member.alias("r"),
-            (F.col("l.trace_id") == F.col("r.trace_id"))
-            & (F.col("l.svc") < F.col("r.svc")),
+            (F.col("l._bk") == F.col("r._bk"))
+            & (F.col("l._it") < F.col("r._it")),
         )
         .groupBy(
-            F.col("l.svc").alias("svc_a"), F.col("r.svc").alias("svc_b")
+            F.col("l._it").alias("item_a"), F.col("r._it").alias("item_b")
         )
-        .agg(F.count(F.lit(1)).alias("pair_traces"))
+        .agg(F.count(F.lit(1)).alias("pair_baskets"))
     )
-    marg = member.groupBy("svc").agg(F.count(F.lit(1)).alias("n_traces"))
+    marg = member.groupBy("_it").agg(F.count(F.lit(1)).alias("n_baskets"))
     total = member.select(
-        F.count_distinct("trace_id").alias("n_total")
+        F.count_distinct("_bk").alias("n_total")
     )
     return (
         pairs.join(
-            F.broadcast(marg.select(F.col("svc").alias("svc_a"),
-                                    F.col("n_traces").alias("a_traces"))),
-            "svc_a",
+            F.broadcast(marg.select(F.col("_it").alias("item_a"),
+                                    F.col("n_baskets").alias("a_baskets"))),
+            "item_a",
         )
         .join(
-            F.broadcast(marg.select(F.col("svc").alias("svc_b"),
-                                    F.col("n_traces").alias("b_traces"))),
-            "svc_b",
+            F.broadcast(marg.select(F.col("_it").alias("item_b"),
+                                    F.col("n_baskets").alias("b_baskets"))),
+            "item_b",
         )
         .crossJoin(F.broadcast(total))
         .select(
-            "svc_a",
-            "svc_b",
-            "pair_traces",
-            "a_traces",
-            "b_traces",
+            "item_a",
+            "item_b",
+            "pair_baskets",
+            "a_baskets",
+            "b_baskets",
             F.expr(
-                "(pair_traces * n_total * 1000000) div (a_traces * b_traces)"
+                "(pair_baskets * n_total * 1000000)"
+                " div (a_baskets * b_baskets)"
             ).alias("lift_micro"),
         )
     )

@@ -9,6 +9,7 @@ output boundary.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from zipkin_storage_kafka_spark.operators import analytics as an
 from zipkin_storage_kafka_spark.plans.registry import QueryFn
@@ -95,6 +96,30 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression under ONE user-keyed window spec, then a lead() over the
     per-run rows for the closing bound."""
     return an.scd2_intervals(spark, sf_dir)
+
+
+def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over orders x part brands — the generic
+    basket kernel (operators/trace_aggregation.py:basket_lift, shared
+    with z_service_cooccurrence) on the engine's LARGEST fact table:
+    the (order, brand) membership distinct is the only corpus-sized
+    work; the pair join is order-keyed with per-basket fanout bounded
+    by brands-per-order."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        basket_lift,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    member = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem["l_partkey"] == part["p_partkey"],
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    return basket_lift(member, "l_orderkey", "p_brand")
 
 
 def q_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +279,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_rfm_scores": q_rfm_scores,
         "ev_ewma_smooth": q_ewma_smooth,
         "ev_hazard_curve": q_hazard_curve,
+        "w_basket_brand_pairs": q_basket_brand_pairs,
         "h15_top_supplier": q_top_supplier,
         "h16_part_supplier_variety": q_part_supplier_variety,
         "h22_sales_opportunity": q_sales_opportunity,
@@ -561,6 +587,32 @@ def analytics_oracles() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM sessions
             GROUP BY user_id, session_idx
+        """,
+        "w_basket_brand_pairs": """
+            WITH member AS (
+              SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), pairs AS (
+              SELECT l.it AS item_a, r.it AS item_b,
+                     CAST(count(*) AS BIGINT) AS pair_baskets
+              FROM member l JOIN member r
+                ON l.bk = r.bk AND l.it < r.it
+              GROUP BY 1, 2
+            ), marg AS (
+              SELECT it, CAST(count(*) AS BIGINT) AS n FROM member
+              GROUP BY it
+            ), total AS (
+              SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_total
+              FROM member
+            )
+            SELECT p.item_a, p.item_b, p.pair_baskets,
+                   ma.n AS a_baskets, mb.n AS b_baskets,
+                   CAST((p.pair_baskets * t.n_total * 1000000)
+                        // (ma.n * mb.n) AS BIGINT) AS lift_micro
+            FROM pairs p
+            JOIN marg ma ON ma.it = p.item_a
+            JOIN marg mb ON mb.it = p.item_b
+            CROSS JOIN total t
         """,
         "ev_hazard_curve": """
             WITH t AS (
