@@ -1172,3 +1172,14 @@ def test_basket_brand_pairs_order_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_source_overlap_reads_cached_pairs(spark, sf_dir):
+    """The overlap panel must read the materialized verified-pair
+    relation (no in-plan shingle derivation) and stay window-free."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["pipe_source_overlap"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "posexplode" not in plan and "explode" not in plan.lower(), plan

@@ -1363,3 +1363,35 @@ def test_hazard_curve_fixture(spark):
         2: (2, 1, 0, 500000),
         4: (1, 0, 1, 0),
     }
+
+
+def test_source_overlap_fixture(spark):
+    """Hand verified-pair relation: (1,2) same-source exact dup (J=1),
+    (1,3) cross-source at J=0.8 (qualifies), (2,4) cross-source at
+    J=0.5 (below threshold, dropped)."""
+    from zipkin_storage_kafka_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web"), (2, "web"), (3, "wiki"), (4, "books"),
+        ],
+        "doc_id long, source string",
+    )
+    verified = spark.createDataFrame(
+        [
+            (1, 2, 10, 10, 10),   # J = 10/10 = 1.0
+            (1, 3, 8, 10, 8),     # J = 8/10 = 0.8
+            (2, 4, 5, 10, 5),     # J = 5/10 = 0.5
+        ],
+        "doc_a long, doc_b long, i long, n_a long, n_b long",
+    )
+    out = {
+        (r["source_a"], r["source_b"], r["same_source"]): (
+            r["n_pairs"], r["avg_jaccard_micro"]
+        )
+        for r in source_overlap(docs, verified).collect()
+    }
+    assert out == {
+        ("web", "web", True): (1, 1_000_000),
+        ("web", "wiki", False): (1, 800_000),
+    }

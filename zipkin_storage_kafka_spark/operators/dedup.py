@@ -1400,3 +1400,60 @@ def query_probe(
             ).alias("jaccard"),
         )
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    verified: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-source duplication panel: near-dup pairs (verified Jaccard
+    >= ``threshold``) rolled up by canonical SOURCE pair — the
+    corpus-card answer to "which feeds re-publish each other", which
+    decides scraping priorities and per-source dedup budgets.
+
+    One pass over the cached verified-pair relation
+    (:func:`verified_candidate_pairs`, already materialized for the
+    audit family), two doc_id-keyed source lookups, partial-agg to
+    <= |sources|² rows.  ``same_source`` splits internal duplication
+    from true cross-feed copying.
+
+    Output: source_a, source_b (canonical order), same_source,
+    n_pairs, avg_jaccard_micro (exact integer: per-pair Jaccard in
+    micro-units, summed then integer-divided — no order-dependent
+    float accumulation).
+    """
+    thr_micro = int(threshold * 1_000_000)
+    j = verified.select(
+        "doc_a",
+        "doc_b",
+        F.expr("(i * 1000000) div (n_a + n_b - i)").alias("j_micro"),
+    ).filter(F.col("j_micro") >= thr_micro)
+    src = docs.select("doc_id", "source")
+    labeled = (
+        j.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            (F.col("sa") == F.col("sb")).alias("same_source"),
+            "j_micro",
+        )
+        .groupBy("source_a", "source_b", "same_source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("sum(j_micro) div count(1)").alias("avg_jaccard_micro"),
+        )
+    )

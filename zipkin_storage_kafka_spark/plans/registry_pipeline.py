@@ -1044,6 +1044,16 @@ def q_pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_dedup(_dedup_index(spark, sf_dir), new)
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication panel
+    (operators/dedup.py:source_overlap): one pass over the CACHED
+    verified-pair relation + two doc_id source lookups, partial-agged
+    to <= |sources|^2 rows; exact integer micro Jaccard averages."""
+    return dd.source_overlap(
+        _docs(spark, sf_dir), _verified_pairs(spark, sf_dir)
+    )
+
+
 def q_dedup_query_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-by-document lookup (operators/dedup.py:query_probe): a
     lightly-edited copy of doc 7 probed against the PERSISTED dedup
@@ -1583,6 +1593,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "pipe_incremental_dedup": q_pipe_incremental_dedup,
         "w10_stream_incremental_dedup": q_stream_incremental_dedup,
         "dedup_query_probe": q_dedup_query_probe,
+        "pipe_source_overlap": q_source_overlap,
         "pipe_bloom_prefilter": q_pipe_bloom_prefilter,
         "dedup_containment": q_dedup_containment,
         "dedup_lsh_bucket_audit": q_dedup_lsh_bucket_audit,
@@ -1804,6 +1815,39 @@ def pipeline_oracles() -> dict[str, str]:
                          THEN 1 ELSE 0 END) AS BIGINT) AS methods_agree
         FROM s JOIN g ON s.doc_id = g.doc_id
         GROUP BY 1, 2, 3
+    """
+    oracles["pipe_source_overlap"] = f"""
+        WITH {_MINHASH_CTE},
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          GROUP BY 1, 2
+        ),
+        jm AS (
+          SELECT doc_a, doc_b,
+                 (i * 1000000) // (ca.n + cb.n - i) AS j_micro
+          FROM inter
+          JOIN cnt ca ON ca.doc_id = doc_a
+          JOIN cnt cb ON cb.doc_id = doc_b
+        ),
+        labeled AS (
+          SELECT least(da.source, db.source) AS source_a,
+                 greatest(da.source, db.source) AS source_b,
+                 da.source = db.source AS same_source,
+                 j.j_micro
+          FROM jm j
+          JOIN documents da ON da.doc_id = j.doc_a
+          JOIN documents db ON db.doc_id = j.doc_b
+          WHERE j.j_micro >= 800000
+        )
+        SELECT source_a, source_b, same_source,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(j_micro) // count(*) AS BIGINT)
+                 AS avg_jaccard_micro
+        FROM labeled GROUP BY 1, 2, 3
     """
     oracles["dedup_query_probe"] = f"""
         WITH qdoc AS (
