@@ -1183,3 +1183,17 @@ def test_source_overlap_reads_cached_pairs(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "posexplode" not in plan and "explode" not in plan.lower(), plan
+
+
+def test_fanout_join_is_trace_cokeyed(spark, sf_dir):
+    """The children-count attribution join must be the (trace_id, id)
+    equi-join — co-partitioned with the trace shuffle family — with no
+    window and no cartesian."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["z_fanout_hotspots"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    ), plan

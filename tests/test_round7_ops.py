@@ -1395,3 +1395,36 @@ def test_source_overlap_fixture(spark):
         ("web", "web", True): (1, 1_000_000),
         ("web", "wiki", False): (1, 800_000),
     }
+
+
+def test_fanout_hotspots_fixture(spark):
+    """Hand tree: root (svcA) has 3 children, one child (svcB) has 1,
+    the rest leaves.  svcA: 1 span, avg 3.0, max 3, 1 branching;
+    svcB: 2 spans (one branching with 1 child, one leaf), avg 0.5."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        fanout_hotspots,
+    )
+
+    rows = [
+        ("t", "r", None, "svcA"),
+        ("t", "c1", "r", "svcB"),
+        ("t", "c2", "r", "svcB"),
+        ("t", "c3", "r", "svcC"),
+        ("t", "g1", "c1", "svcC"),
+    ]
+    df = spark.createDataFrame(
+        rows, "trace_id string, id string, parent_id string,"
+        " local_service string"
+    )
+    out = {
+        r["local_service"]: (
+            r["n_spans"], r["fanout_avg_micro"], r["fanout_max"],
+            r["n_branching"],
+        )
+        for r in fanout_hotspots(df).collect()
+    }
+    assert out == {
+        "svcA": (1, 3_000_000, 3, 1),
+        "svcB": (2, 500_000, 1, 1),
+        "svcC": (2, 0, 0, 0),
+    }

@@ -857,3 +857,45 @@ def trace_idle_gaps(spans: DataFrame) -> DataFrame:
         F.sum("_gap").alias("idle_us"),
         F.sum((F.col("_gap") > 0).cast("long")).alias("n_gaps"),
     )
+
+
+def fanout_hotspots(spans: DataFrame) -> DataFrame:
+    """Per-service fan-out profile: how many DIRECT children a span of
+    this service has (avg in exact micro-units, max, and the count of
+    spans that fan out at all) — the "which tier multiplies requests"
+    panel beside depth (:func:`span_depths`) and idle
+    (:func:`trace_idle_gaps`) in the tree-shape family.
+
+    One (trace, parent) partial agg counts children; a trace-co-keyed
+    join attributes them to the parent span's service; a final
+    |services|-row agg.  Parents with zero children count toward the
+    average (left join, coalesce 0) so the ratio is per-span, not
+    per-parent.
+
+    Output: local_service, n_spans, fanout_avg_micro, fanout_max,
+    n_branching.
+    """
+    kids = (
+        spans.filter(F.col("parent_id").isNotNull())
+        .groupBy(
+            F.col("trace_id").alias("k_tid"),
+            F.col("parent_id").alias("k_pid"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_children"))
+    )
+    joined = spans.join(
+        kids,
+        (F.col("trace_id") == F.col("k_tid")) & (F.col("id") == F.col("k_pid")),
+        "left",
+    ).select(
+        "local_service",
+        F.coalesce("n_children", F.lit(0)).alias("nc"),
+    )
+    return joined.groupBy("local_service").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.expr("(sum(nc) * 1000000) div count(1)").alias(
+            "fanout_avg_micro"
+        ),
+        F.max("nc").alias("fanout_max"),
+        F.sum((F.col("nc") > 0).cast("long")).alias("n_branching"),
+    )

@@ -998,6 +998,18 @@ def q_service_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return service_cooccurrence(_spans(spark, sf_dir))
 
 
+def q_fanout_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-service direct-children fan-out profile
+    (operators/trace_aggregation.py:fanout_hotspots): one (trace,
+    parent) partial agg + trace-co-keyed attribution join, exact
+    integer micro averages."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        fanout_hotspots,
+    )
+
+    return fanout_hotspots(_spans(spark, sf_dir))
+
+
 def q_trace_idle_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-trace interval-union sweep
     (operators/trace_aggregation.py:trace_idle_gaps): running-max-end
@@ -1424,6 +1436,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_service_cooccurrence": q_service_cooccurrence,
         "z_service_kcore": q_service_kcore,
         "z_trace_idle_gaps": q_trace_idle_gaps,
+        "z_fanout_hotspots": q_fanout_hotspots,
         "a9_setops_service_names": q_setops_service_names,
         "w25_slowest_per_service": q_slowest_per_service,
         "z_anomalous_spans": q_anomalous_spans,
@@ -2537,6 +2550,30 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
                 UNION ALL SELECT y FROM tri
                 UNION ALL SELECT z FROM tri
               ) corners GROUP BY service
+            )
+            """,
+        ),
+        "z_fanout_hotspots": with_spans_cte(
+            """
+            SELECT s.local_service,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST((sum(coalesce(k.n_children, 0)) * 1000000)
+                        // count(*) AS BIGINT) AS fanout_avg_micro,
+                   CAST(max(coalesce(k.n_children, 0)) AS BIGINT)
+                     AS fanout_max,
+                   CAST(sum(CASE WHEN coalesce(k.n_children, 0) > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_branching
+            FROM spans s
+            LEFT JOIN kids k
+              ON k.k_tid = s.trace_id AND k.k_pid = s.id
+            GROUP BY s.local_service
+            """,
+            extra_ctes="""
+            kids AS (
+              SELECT trace_id AS k_tid, parent_id AS k_pid,
+                     CAST(count(*) AS BIGINT) AS n_children
+              FROM spans WHERE parent_id IS NOT NULL
+              GROUP BY 1, 2
             )
             """,
         ),
