@@ -1197,3 +1197,13 @@ def test_fanout_join_is_trace_cokeyed(spark, sf_dir):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
         "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_feature_hashing_one_partial_agg(spark, sf_dir):
+    """The dim conditional sums assemble in ONE doc-keyed aggregate —
+    no pivot pass, no per-bucket shuffle, no window."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_feature_hashing"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # one hash exchange (+AQE read)

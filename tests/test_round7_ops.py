@@ -1428,3 +1428,25 @@ def test_fanout_hotspots_fixture(spark):
         "svcB": (2, 500_000, 1, 1),
         "svcC": (2, 0, 0, 0),
     }
+
+
+def test_feature_hashing_fixture(spark):
+    """Exact recompute of the hashed counts for one tiny doc; repeated
+    tokens add to the same bucket, vector length is always 16 and the
+    bucket sums equal the token count."""
+    import hashlib
+
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        feature_hashing,
+    )
+
+    text = "a b a c d a"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = feature_hashing(docs).collect()[0]
+    want = [0] * 16
+    for tok in text.split(" "):
+        want[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 16] += 1
+    got = [int(x) for x in row["vec"].split(",")]
+    assert row["n_tokens"] == 6
+    assert got == want
+    assert sum(got) == 6

@@ -2136,3 +2136,42 @@ def heaps_law_curve(docs: DataFrame) -> DataFrame:
             "sixteenth",
         )
     )
+
+
+HASH_DIM = 16
+
+
+def feature_hashing(docs: DataFrame, dim: int = HASH_DIM) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML 2009): fixed-width
+    integer count vectors per document with features = md5(token) mod
+    ``dim`` — the vocabulary-free doc representation fast classifiers
+    and dedup pre-filters train on (no dictionary to build, ship, or
+    keep in sync across a 100 TB corpus; collisions are the documented
+    trade).
+
+    Exact and engine-portable: md5-derived buckets, integer counts, the
+    vector assembled as ``dim`` conditional sums in ONE doc-keyed
+    partial agg (no per-bucket shuffle, no pivot pass).
+
+    Output: doc_id, n_tokens, vec (the ``dim`` counts comma-joined —
+    a string so the value survives any engine's result canon; split on
+    ',' to get the vector back).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("long") % dim
+    )
+    t = toks.select("doc_id", h.alias("h"))
+    return t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.concat_ws(
+            ",",
+            *[
+                F.sum((F.col("h") == i).cast("long")).cast("string")
+                for i in range(dim)
+            ],
+        ).alias("vec"),
+    )

@@ -417,6 +417,14 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.token_budget_sample(_docs(spark, sf_dir))
 
 
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick doc vectors
+    (operators/text_analysis.py:feature_hashing): md5-bucketed integer
+    counts assembled as dim conditional sums in one doc-keyed partial
+    agg."""
+    return ta.feature_hashing(_docs(spark, sf_dir))
+
+
 def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth over 16 nested md5 samples
     (operators/text_analysis.py:heaps_law_curve): per-token min-bucket
@@ -1576,6 +1584,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_pmi_bigrams": q_pmi_bigrams,
         "text_langid_agreement": q_langid_agreement,
         "text_heaps_law": q_heaps_law,
+        "text_feature_hashing": q_feature_hashing,
         "dedup_semantic_curve": q_dedup_semantic_curve,
         "ann_pq_adc": q_ann_pq_adc,
         "text_gopher_rules": q_text_gopher_rules,
@@ -4095,6 +4104,26 @@ def _pipeline_oracles_base() -> dict[str, str]:
               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
                 AS n_exact_dups
             FROM documents
+        """,
+        "text_feature_hashing": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                       % 16 AS h
+              FROM toks WHERE tok != ''
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   concat_ws(',', """
+        + ", ".join(
+            f"CAST(sum(CASE WHEN h = {i} THEN 1 ELSE 0 END) AS VARCHAR)"
+            for i in range(16)
+        )
+        + """) AS vec
+            FROM h GROUP BY doc_id
         """,
         "text_heaps_law": """
             WITH d AS (
