@@ -589,3 +589,78 @@ def test_frv_codec_roundtrip_property(seed, n, w, h, fps):
     assert back_fps == fps
     assert back.shape == frames.shape
     assert (back == frames).all()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(1, 5000), min_size=5, max_size=40),
+    k=st.integers(1, 6),
+)
+def test_priority_sample_matches_python_recompute(spark, weights, k):
+    """For any weight vector, priority sampling selects exactly the
+    python-recomputed top-k (by w*2^32 div u, doc_id tiebreak) when
+    n > k, and every est_weight = max(w, tau) with tau the (k+1)-th
+    priority."""
+    import hashlib
+
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        priority_sample,
+    )
+
+    if len(weights) <= k:
+        return
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "s", w) for i, w in enumerate(weights)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in priority_sample(docs, k=k).collect()}
+
+    def pri(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 1
+        return (w * 4294967296) // u
+
+    ranked = sorted(
+        ((pri(i, w), -i) for i, w in enumerate(weights)), reverse=True
+    )
+    want = {-nid for _, nid in ranked[:k]}
+    tau = ranked[k][0]
+    assert set(out) == want
+    for i in want:
+        assert out[i]["est_weight"] == max(weights[i], tau)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    baskets=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from("abcde")),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_basket_lift_conserves_support(spark, baskets):
+    """For any membership multiset: pair support never exceeds either
+    marginal, marginals never exceed the basket total, and
+    lift_micro == floor(pair*N*1e6/(a*b)) exactly."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        basket_lift,
+    )
+
+    member = spark.createDataFrame(
+        sorted(set(baskets)), "bk int, it string"
+    )
+    n_total = len({b for b, _ in set(baskets)})
+    out = basket_lift(member, "bk", "it").collect()
+    for r in out:
+        assert r["pair_baskets"] <= min(r["a_baskets"], r["b_baskets"])
+        assert max(r["a_baskets"], r["b_baskets"]) <= n_total
+        assert r["lift_micro"] == (
+            r["pair_baskets"] * n_total * 1_000_000
+        ) // (r["a_baskets"] * r["b_baskets"])
