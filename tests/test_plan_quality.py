@@ -1207,3 +1207,15 @@ def test_feature_hashing_one_partial_agg(spark, sf_dir):
     plan = _plan(entrymod.queries()["text_feature_hashing"](spark, sf_dir))
     assert "windowspecdefinition" not in plan, plan
     assert plan.count("Exchange") <= 2, plan  # one hash exchange (+AQE read)
+
+
+def test_reachability_runs_on_k_row_closure(spark, sf_dir):
+    """Every BFS sweep must run on checkpointed k-row relations (lineage
+    truncated), never re-deriving span-sized data; the final attribution
+    join is broadcast."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["z_service_reachability"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "windowspecdefinition" not in plan, plan

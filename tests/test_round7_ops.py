@@ -1450,3 +1450,31 @@ def test_feature_hashing_fixture(spark):
     assert row["n_tokens"] == 6
     assert got == want
     assert sum(got) == 6
+
+
+def test_service_reachability_fixture(spark):
+    """Chain a->b->c plus a cycle d<->e and a sink f fed by c: closure
+    must terminate on the cycle and count downstream sets exactly."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        service_reachability,
+    )
+
+    links = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "f"),
+            ("d", "e"), ("e", "d"),
+        ],
+        "parent string, child string",
+    )
+    out = {
+        r["service"]: r["n_reachable"]
+        for r in service_reachability(links).collect()
+    }
+    assert out == {
+        "a": 3,  # b, c, f
+        "b": 2,  # c, f
+        "c": 1,  # f
+        "f": 0,
+        "d": 2,  # e and itself via the cycle
+        "e": 2,
+    }

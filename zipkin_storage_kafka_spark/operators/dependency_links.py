@@ -574,3 +574,65 @@ def service_kcore(
             )
         )
     return out
+
+
+def service_reachability(links: DataFrame, rounds: int = 12) -> DataFrame:
+    """Transitive closure of the DIRECTED service graph: for every
+    service, how many downstream services its calls can reach — the
+    blast-radius panel ("if this degrades, what is in the cone") that
+    PageRank's influence score and k-core's density score both assume
+    but neither answers.
+
+    Distributed BFS by frontier join: the closure accumulates (src,
+    dst) pairs; each sweep extends every pair one hop and set-unions
+    (distinct) into the closure, with per-round lineage truncation and
+    a fixpoint check on the exact pair count — cycles terminate
+    naturally because the union is a set.  Everything runs on the
+    DISTINCT |services|-bounded edge relation (closure size is at most
+    |services|², thousands-squared at 100 TB — still k-row); the only
+    corpus-sized work is the distinct partial-agg feeding it.
+    Convergence within ``rounds`` sweeps is ASSERTED (diameter bound;
+    raising beats silently serving a partial closure — the DuckDB
+    oracle's recursive CTE always runs to fixpoint).
+
+    Output: service, n_reachable (bigint; 0 for pure sinks).
+    """
+    e = (
+        links.select(F.col("parent").alias("src"), F.col("child").alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    closure = e
+    prev = closure.count()
+    for _ in range(rounds):
+        step = (
+            closure.alias("r")
+            .join(
+                e.alias("x"), F.col("r.dst") == F.col("x.src")
+            )
+            .select(F.col("r.src").alias("src"), F.col("x.dst").alias("dst"))
+        )
+        closure = (
+            closure.unionByName(step).distinct().localCheckpoint(eager=False)
+        )
+        cnt = closure.count()
+        if cnt == prev:
+            break
+        prev = cnt
+    else:
+        raise RuntimeError(
+            f"reachability closure did not converge in {rounds} sweeps"
+        )
+    nodes = (
+        links.select(F.col("parent").alias("service"))
+        .union(links.select(F.col("child").alias("service")))
+        .distinct()
+    )
+    per = closure.groupBy(F.col("src").alias("service")).agg(
+        F.count(F.lit(1)).alias("n_reachable")
+    )
+    return nodes.join(F.broadcast(per), "service", "left").select(
+        "service",
+        F.coalesce("n_reachable", F.lit(0).cast("long")).alias("n_reachable"),
+    )

@@ -951,6 +951,18 @@ def _kcore_oracle(ks: tuple[int, ...] = (2, 3), rounds: int = 8) -> str:
     )
 
 
+def q_service_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure blast radius per service
+    (operators/dependency_links.py:service_reachability): frontier-join
+    BFS on the distinct |services|-bounded edge relation, set-union
+    fixpoint, convergence-asserted; recursive-CTE oracle."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        service_reachability,
+    )
+
+    return service_reachability(links_table(spark, sf_dir))
+
+
 def q_service_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition of the service graph
     (operators/dependency_links.py:service_kcore): iterative
@@ -1435,6 +1447,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_service_triangles": q_service_triangles,
         "z_service_cooccurrence": q_service_cooccurrence,
         "z_service_kcore": q_service_kcore,
+        "z_service_reachability": q_service_reachability,
         "z_trace_idle_gaps": q_trace_idle_gaps,
         "z_fanout_hotspots": q_fanout_hotspots,
         "a9_setops_service_names": q_setops_service_names,
@@ -2519,6 +2532,40 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
         """,
         "z_service_pagerank": _pagerank_oracle(),
         "z_service_kcore": _kcore_oracle(),
+        "z_service_reachability": with_spans_cte(
+            """
+            SELECT n.service,
+                   CAST(coalesce(p.n_reachable, 0) AS BIGINT)
+                     AS n_reachable
+            FROM nodes n LEFT JOIN per p USING (service)
+            """,
+            extra_ctes=_LINKS_CTE.strip().rstrip()
+            + """,
+            de AS MATERIALIZED (
+              SELECT DISTINCT parent AS src, child AS dst FROM links
+              WHERE parent IS NOT NULL AND child IS NOT NULL
+            ),
+            rch AS (
+              WITH RECURSIVE walk(src, dst) AS (
+                SELECT src, dst FROM de
+                UNION
+                SELECT w.src, e.dst FROM walk w JOIN de e
+                  ON e.src = w.dst
+              )
+              SELECT src, dst FROM walk
+            ),
+            nodes AS (
+              SELECT DISTINCT parent AS service FROM links
+              UNION
+              SELECT DISTINCT child AS service FROM links
+            ),
+            per AS (
+              SELECT src AS service, CAST(count(*) AS BIGINT)
+                       AS n_reachable
+              FROM rch GROUP BY src
+            )
+            """,
+        ),
         "z_service_triangles": with_spans_cte(
             """
             SELECT n.service,
