@@ -1219,3 +1219,18 @@ def test_reachability_runs_on_k_row_closure(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_fulfillment_latency_prunes_columns(spark, sf_dir):
+    """The lineitem scan must read only (l_orderkey, l_shipdate); no
+    window, no cartesian — one order-keyed agg then a priority agg."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["h_fulfillment_latency"](spark, sf_dir))
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    li = [l for l in reads if "l_orderkey" in l]
+    assert li and all(
+        "l_extendedprice" not in l and "l_quantity" not in l for l in li
+    ), plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

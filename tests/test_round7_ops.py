@@ -1478,3 +1478,42 @@ def test_service_reachability_fixture(spark):
         "d": 2,  # e and itself via the cycle
         "e": 2,
     }
+
+
+def test_fulfillment_latency_fixture(spark):
+    """Two orders in one priority: completion = LAST line's ship day.
+    Order 1 placed day 0 ships lines on days 2 and 5 -> 5; order 2
+    placed day 1 ships day 2 -> 1.  p50 = 3.0 (interpolated), max 5."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    day = 86400
+
+    def _t(d):
+        return datetime.fromtimestamp(d * day, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    orders = spark.createDataFrame(
+        [(1, _t(0), "1-URGENT"), (2, _t(1), "1-URGENT")],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, _t(2)), (1, _t(5)), (2, _t(2))],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+
+    def fake_load(s, d, name):
+        return {"orders": orders, "lineitem": lineitem}[name]
+
+    with mock.patch.object(tables, "load_table", fake_load):
+        out = {
+            r["o_orderpriority"]: (
+                r["n_orders"], r["p50_days"], r["p95_days"], r["max_days"]
+            )
+            for r in an.fulfillment_latency(spark, "ignored").collect()
+        }
+    assert out == {"1-URGENT": (2, 3.0, 4.8, 5)}

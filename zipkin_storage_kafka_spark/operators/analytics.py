@@ -1857,3 +1857,48 @@ def hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hazard_micro"
         ),
     )
+
+
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment latency distribution by priority: days from
+    order placement to the LAST line shipment (the order is complete
+    only when its slowest line ships) — the operations panel behind
+    shipping-SLA review, and the orders/lineitem twin of the tracing
+    side's per-service latency percentiles.
+
+    Shape: one order-keyed partial agg collapses lineitem to per-order
+    completion days (exact integer: epoch-micros div DAY on both
+    bounds), then per-priority p50/p95 (linear-interpolation percentile,
+    the z_latency_percentiles convention: exact here, approx_percentile
+    is the same-schema 100 TB flavor) and an exact max/count.
+
+    Output: o_orderpriority, n_orders, p50_days, p95_days, max_days.
+    """
+    from zipkin_storage_kafka_spark.functions.portable import round4
+    from zipkin_storage_kafka_spark.sources.tables import (
+        load_table,
+        to_epoch_micros,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    last_ship = lineitem.select(
+        "l_orderkey",
+        to_epoch_micros(lineitem, "l_shipdate").alias("ship_us"),
+    ).groupBy("l_orderkey").agg(F.max("ship_us").alias("last_us"))
+    per_order = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        to_epoch_micros(orders, "o_orderdate").alias("ord_us"),
+    ).join(last_ship, orders["o_orderkey"] == last_ship["l_orderkey"]).select(
+        "o_orderpriority",
+        F.expr(f"(last_us div {DAY_US}) - (ord_us div {DAY_US})").alias(
+            "days"
+        ),
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round4(F.expr("percentile(days, 0.5)")).alias("p50_days"),
+        round4(F.expr("percentile(days, 0.95)")).alias("p95_days"),
+        F.max("days").alias("max_days"),
+    )

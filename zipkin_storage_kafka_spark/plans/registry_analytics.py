@@ -98,6 +98,13 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.scd2_intervals(spark, sf_dir)
 
 
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment latency percentiles by priority
+    (operators/analytics.py:fulfillment_latency): order-keyed partial
+    agg to per-order completion days, per-priority p50/p95."""
+    return an.fulfillment_latency(spark, sf_dir)
+
+
 def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket lift over orders x part brands — the generic
     basket kernel (operators/trace_aggregation.py:basket_lift, shared
@@ -280,6 +287,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_ewma_smooth": q_ewma_smooth,
         "ev_hazard_curve": q_hazard_curve,
         "w_basket_brand_pairs": q_basket_brand_pairs,
+        "h_fulfillment_latency": q_fulfillment_latency,
         "h15_top_supplier": q_top_supplier,
         "h16_part_supplier_variety": q_part_supplier_variety,
         "h22_sales_opportunity": q_sales_opportunity,
@@ -587,6 +595,26 @@ def analytics_oracles() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM sessions
             GROUP BY user_id, session_idx
+        """,
+        "h_fulfillment_latency": """
+            WITH last_ship AS (
+              SELECT l_orderkey, max(epoch_us(l_shipdate)) AS last_us
+              FROM lineitem GROUP BY l_orderkey
+            ), per_order AS (
+              SELECT o.o_orderpriority,
+                     (s.last_us // 86400000000)
+                       - (epoch_us(o.o_orderdate) // 86400000000) AS days
+              FROM orders o JOIN last_ship s
+                ON s.l_orderkey = o.o_orderkey
+            )
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   (round(quantile_cont(days, 0.5) * 10000) / 10000 + 0.0)
+                     AS p50_days,
+                   (round(quantile_cont(days, 0.95) * 10000) / 10000 + 0.0)
+                     AS p95_days,
+                   CAST(max(days) AS BIGINT) AS max_days
+            FROM per_order GROUP BY o_orderpriority
         """,
         "w_basket_brand_pairs": """
             WITH member AS (
