@@ -1234,3 +1234,18 @@ def test_fulfillment_latency_prunes_columns(spark, sf_dir):
     ), plan
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mmr_pool_retrieval_is_take_ordered(spark, sf_dir):
+    """The only corpus pass is the TakeOrdered pool retrieval; the
+    greedy rounds run on checkpointed pool-row relations."""
+    from zipkin_storage_kafka_spark.operators.similarity import cosine_topk
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import (
+        ANN_QUERY_VEC,
+    )
+
+    pool_df = cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_VEC, 20
+    )
+    plan = _plan(pool_df)
+    assert "TakeOrderedAndProject" in plan, plan

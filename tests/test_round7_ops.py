@@ -1517,3 +1517,56 @@ def test_fulfillment_latency_fixture(spark):
             for r in an.fulfillment_latency(spark, "ignored").collect()
         }
     assert out == {"1-URGENT": (2, 3.0, 4.8, 5)}
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    """Exact python recompute of the greedy on a tiny pool: round4
+    cosines, score = cos - max-sim-to-picked, vec_id tie break.  The
+    vector set makes pure-relevance order differ from MMR order (the
+    near-duplicate of the top hit must be displaced by the diverse
+    candidate)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.similarity import mmr_rerank
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],    # query
+        1: [0.9, 0.3, 0.0],    # top hit
+        2: [0.89, 0.31, 0.0],  # near-dup of 1 (sim ~1 -> heavy penalty)
+        3: [0.85, 0.0, 0.3],   # nearly as relevant, spread on the other axis
+        4: [0.2, 0.5, 0.5],    # filler
+    }
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<double>",
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))),
+            4,
+        )
+
+    rel = {i: cos(vecs[i], vecs[0]) for i in vecs if i != 0}
+    picked = [max(rel, key=lambda i: (rel[i], -i))]
+    while len(picked) < 3:
+        rest = [i for i in rel if i not in picked]
+        scores = {
+            i: rel[i] - max(cos(vecs[i], vecs[j]) for j in picked)
+            for i in rest
+        }
+        picked.append(max(rest, key=lambda i: (scores[i], -i)))
+    out = [
+        r["vec_id"]
+        for r in sorted(
+            mmr_rerank(emb, 0, k=3, pool=4).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert out == picked
+    # and MMR must actually diverge from pure relevance here
+    by_rel = sorted(rel, key=lambda i: (-rel[i], i))[:3]
+    assert out != by_rel

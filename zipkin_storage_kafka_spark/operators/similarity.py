@@ -1502,3 +1502,74 @@ def filtered_cosine_topk(
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 5,
+    pool: int = 20,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedy top-k from a relevance-retrieved candidate pool,
+    each pick maximizing ``relevance - max-similarity-to-already-picked``
+    (lambda = 1/2, scaled x2 so the score is a plain difference) — the
+    retrieval-diversity layer RAG stacks put between ANN top-k and the
+    prompt, so k near-identical passages don't crowd out coverage.
+
+    Engine-exact: relevance and pairwise similarities are the engine's
+    round4 cosines (identical doubles in any engine), the greedy score
+    is their difference (same two doubles -> same difference), ties
+    break on vec_id; the oracle unrolls the same greedy rounds.
+
+    Plan: ONE corpus pass (the TakeOrdered pool retrieval, broadcast
+    1-row query); everything after runs on the ``pool``-row relation —
+    the pool-squared similarity join is a broadcast nested loop over
+    ``pool`` rows by construction, and each greedy round reads one
+    scalar argmax (the fixpoint-read convention), so the driver never
+    loops over data rows.
+
+    Output: rank (1..k), vec_id, cos — selection order.
+    """
+    rel = cosine_topk(embeddings, query_vec_id, pool).localCheckpoint(
+        eager=False
+    )
+    pe = (
+        embeddings.join(F.broadcast(rel.select("vec_id")), "vec_id", "semi")
+        .select("vec_id", _as_double("embedding").alias("emb"))
+        .localCheckpoint(eager=False)
+    )
+    a = pe.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
+    b = pe.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("va") != F.col("vb"))
+        .select("va", "vb", round4(sim).alias("sim"))
+        .localCheckpoint(eager=False)
+    )
+    first = rel.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(1).collect()[0]
+    picked = [(1, first["vec_id"], first["cos"])]
+    for r in range(2, k + 1):
+        sel_ids = [p[1] for p in picked]
+        ms = (
+            sims.filter(F.col("vb").isin(sel_ids))
+            .groupBy(F.col("va").alias("vec_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        nxt = (
+            rel.filter(~F.col("vec_id").isin(sel_ids))
+            .join(ms, "vec_id")
+            .select(
+                "vec_id", "cos", (F.col("cos") - F.col("maxsim")).alias("score")
+            )
+            .orderBy(F.col("score").desc(), F.col("vec_id"))
+            .limit(1)
+            .collect()
+        )[0]
+        picked.append((r, nxt["vec_id"], nxt["cos"]))
+    return embeddings.sparkSession.createDataFrame(
+        picked, "rank int, vec_id bigint, cos double"
+    )

@@ -1052,6 +1052,80 @@ def q_pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_dedup(_dedup_index(spark, sf_dir), new)
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank over the ANN candidate pool
+    (operators/similarity.py:mmr_rerank): one TakeOrdered corpus pass,
+    then pool-row greedy rounds with scalar argmax reads."""
+    return sim.mmr_rerank(_emb(spark, sf_dir), ANN_QUERY_VEC)
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20) -> str:
+    """Unrolled greedy-MMR CTE chain mirroring similarity.mmr_rerank:
+    identical round4 cosines, identical score = cos - maxsim, identical
+    (score desc, vec_id) argmax per round."""
+    cos_q = (
+        "(round((list_dot_product(e.v, q.qv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * "
+        "sqrt(list_dot_product(q.qv, q.qv)))) * 10000) / 10000 + 0.0)"
+    )
+    cos_ab = (
+        "(round((list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v)))) * 10000) / 10000 + 0.0)"
+    )
+    rounds = []
+    prev = "sel1"
+    for r in range(2, k + 1):
+        rounds.append(
+            f"""c{r} AS (
+          SELECT r.vec_id, r.cos,
+                 r.cos - (SELECT max(s.sim) FROM sims s
+                          WHERE s.va = r.vec_id
+                            AND s.vb IN (SELECT vec_id FROM {prev}))
+                   AS score
+          FROM rel r
+          WHERE r.vec_id NOT IN (SELECT vec_id FROM {prev})
+        ),
+        s{r} AS MATERIALIZED (
+          SELECT vec_id, cos FROM c{r} ORDER BY score DESC, vec_id LIMIT 1
+        ),
+        sel{r} AS MATERIALIZED (
+          SELECT vec_id FROM {prev}
+          UNION ALL SELECT vec_id FROM s{r}
+        )"""
+        )
+        prev = f"sel{r}"
+    final = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, vec_id, cos FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    rounds_sql = ",\n        ".join(rounds)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {ANN_QUERY_VEC}),
+        rel AS MATERIALIZED (
+          SELECT vec_id, {cos_q} AS cos
+          FROM e, q WHERE vec_id <> {ANN_QUERY_VEC}
+          ORDER BY cos DESC, vec_id LIMIT {pool}
+        ),
+        pe AS MATERIALIZED (
+          SELECT e.vec_id, e.v FROM e
+          WHERE e.vec_id IN (SELECT vec_id FROM rel)
+        ),
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS va, b.vec_id AS vb, {cos_ab} AS sim
+          FROM pe a JOIN pe b ON a.vec_id <> b.vec_id
+        ),
+        s1 AS MATERIALIZED (
+          SELECT vec_id, cos FROM rel ORDER BY cos DESC, vec_id LIMIT 1
+        ),
+        sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+        {rounds_sql}
+        {final}
+    """
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication panel
     (operators/dedup.py:source_overlap): one pass over the CACHED
@@ -1603,6 +1677,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "w10_stream_incremental_dedup": q_stream_incremental_dedup,
         "dedup_query_probe": q_dedup_query_probe,
         "pipe_source_overlap": q_source_overlap,
+        "ann_mmr_rerank": q_mmr_rerank,
         "pipe_bloom_prefilter": q_pipe_bloom_prefilter,
         "dedup_containment": q_dedup_containment,
         "dedup_lsh_bucket_audit": q_dedup_lsh_bucket_audit,
@@ -1825,6 +1900,7 @@ def pipeline_oracles() -> dict[str, str]:
         FROM s JOIN g ON s.doc_id = g.doc_id
         GROUP BY 1, 2, 3
     """
+    oracles["ann_mmr_rerank"] = _mmr_oracle()
     oracles["pipe_source_overlap"] = f"""
         WITH {_MINHASH_CTE},
         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
