@@ -1570,3 +1570,32 @@ def test_mmr_rerank_matches_python_greedy(spark):
     # and MMR must actually diverge from pure relevance here
     by_rel = sorted(rel, key=lambda i: (-rel[i], i))[:3]
     assert out != by_rel
+
+
+def test_error_cooccurrence_excludes_clean_spans(spark):
+    """Only ERROR spans form baskets: A and B err in minute 0 (pair),
+    C is busy but never errs (absent), B errs alone in minute 1."""
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.plans.registry as reg
+
+    rows = [
+        ("a1", 0, "A", True),
+        ("b1", 30_000_000, "B", True),
+        ("c1", 10_000_000, "C", False),
+        ("b2", 60_000_000, "B", True),
+    ]
+    spans = spark.createDataFrame(
+        rows, "id string, timestamp long, local_service string,"
+        " is_error boolean"
+    )
+    with mock.patch.object(reg, "_spans", lambda s, d: spans):
+        out = {
+            (r["item_a"], r["item_b"]): (
+                r["pair_baskets"], r["a_baskets"], r["b_baskets"],
+                r["lift_micro"],
+            )
+            for r in reg.q_error_cooccurrence(spark, "ignored").collect()
+        }
+    # N=2 error minutes; A in 1, B in 2, pair in 1 -> lift = 1*2/(1*2)=1
+    assert out == {("A", "B"): (1, 1, 2, 1_000_000)}

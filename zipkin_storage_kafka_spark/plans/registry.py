@@ -951,6 +951,30 @@ def _kcore_oracle(ks: tuple[int, ...] = (2, 3), rounds: int = 8) -> str:
     )
 
 
+def q_error_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident-correlation panel: which services' ERRORS co-occur in
+    the same 1-minute window, with lift — the third instantiation of
+    the generic basket kernel (trace baskets, order baskets, now
+    error-window baskets): baskets = minutes, items = services with at
+    least one error span in that minute.  High-lift pairs are the
+    "these two fail together" edges an on-call uses to find the shared
+    dependency; the membership distinct is the only corpus-sized work."""
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        basket_lift,
+    )
+
+    member = (
+        _spans(spark, sf_dir)
+        .filter(F.col("is_error") & F.col("local_service").isNotNull())
+        .select(
+            F.expr("timestamp div 60000000").alias("minute"),
+            "local_service",
+        )
+        .distinct()
+    )
+    return basket_lift(member, "minute", "local_service")
+
+
 def q_service_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive-closure blast radius per service
     (operators/dependency_links.py:service_reachability): frontier-join
@@ -1448,6 +1472,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_service_cooccurrence": q_service_cooccurrence,
         "z_service_kcore": q_service_kcore,
         "z_service_reachability": q_service_reachability,
+        "z_error_cooccurrence": q_error_cooccurrence,
         "z_trace_idle_gaps": q_trace_idle_gaps,
         "z_fanout_hotspots": q_fanout_hotspots,
         "a9_setops_service_names": q_setops_service_names,
@@ -2532,6 +2557,41 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
         """,
         "z_service_pagerank": _pagerank_oracle(),
         "z_service_kcore": _kcore_oracle(),
+        "z_error_cooccurrence": with_spans_cte(
+            """
+            SELECT p.item_a, p.item_b, p.pair_baskets,
+                   ma.n AS a_baskets, mb.n AS b_baskets,
+                   CAST((p.pair_baskets * t.n_total * 1000000)
+                        // (ma.n * mb.n) AS BIGINT) AS lift_micro
+            FROM pairs p
+            JOIN marg ma ON ma.it = p.item_a
+            JOIN marg mb ON mb.it = p.item_b
+            CROSS JOIN total t
+            """,
+            extra_ctes="""
+            member AS (
+              SELECT DISTINCT timestamp // 60000000 AS bk,
+                              local_service AS it
+              FROM spans
+              WHERE is_error AND local_service IS NOT NULL
+            ),
+            pairs AS (
+              SELECT l.it AS item_a, r.it AS item_b,
+                     CAST(count(*) AS BIGINT) AS pair_baskets
+              FROM member l JOIN member r
+                ON l.bk = r.bk AND l.it < r.it
+              GROUP BY 1, 2
+            ),
+            marg AS (
+              SELECT it, CAST(count(*) AS BIGINT) AS n FROM member
+              GROUP BY it
+            ),
+            total AS (
+              SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_total
+              FROM member
+            )
+            """,
+        ),
         "z_service_reachability": with_spans_cte(
             """
             SELECT n.service,
