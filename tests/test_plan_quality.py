@@ -1249,3 +1249,21 @@ def test_mmr_pool_retrieval_is_take_ordered(spark, sf_dir):
     )
     plan = _plan(pool_df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ab_conversion_pruned_scans_broadcast_control(spark, sf_dir):
+    """Both event scans are event-type-pruned at the source
+    (PushedFilters on event_type) and read only (user_id, ts,
+    event_type); the 1-row control side is broadcast, never a
+    CartesianProduct."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ev_ab_conversion"](spark, sf_dir))
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    ev = [l for l in reads if "event_type" in l]
+    assert ev and all("props" not in l and "value" not in l for l in ev), plan
+    assert "PushedFilters" in plan and "event_type" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan
+    )

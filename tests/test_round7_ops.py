@@ -1599,3 +1599,46 @@ def test_error_cooccurrence_excludes_clean_spans(spark):
         }
     # N=2 error minutes; A in 1, B in 2, pair in 1 -> lift = 1*2/(1*2)=1
     assert out == {("A", "B"): (1, 1, 2, 1_000_000)}
+
+
+def test_ab_conversion_window_and_cohort(spark):
+    """md5-parity assignment (1,3,6 -> variant 0; 2,4 -> variant 1),
+    72h conversion window inclusive at the boundary, purchase-before-
+    signup not a conversion, purchase-only users excluded from the
+    cohort.  Expected: v0 = 1/3 converted (333333 micro), v1 = 1/2
+    (500000 micro), lift = 500000e6 // 333333 = 1500001."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    def _t(days):
+        return datetime.fromtimestamp(
+            (10 + days) * 86400, tz=timezone.utc
+        ).replace(tzinfo=None)
+
+    rows = [
+        (1, _t(0), "signup"), (1, _t(1), "purchase"), (1, _t(0), "click"),
+        (3, _t(0), "signup"), (3, _t(4), "purchase"),
+        (6, _t(0), "signup"),
+        (2, _t(0), "signup"), (2, _t(-1), "purchase"),
+        (4, _t(0), "signup"), (4, _t(3), "purchase"),
+        (5, _t(0), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+    with mock.patch.object(tables, "load_table", lambda s, d, n: ev):
+        out = {
+            r["variant"]: (
+                r["n_users"], r["n_converted"], r["conv_micro"],
+                r["lift_micro"],
+            )
+            for r in an.ab_conversion(spark, "ignored").collect()
+        }
+    assert out == {
+        0: (3, 1, 333333, None),
+        1: (2, 1, 500000, 1500001),
+    }

@@ -1902,3 +1902,76 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.expr("percentile(days, 0.95)")).alias("p95_days"),
         F.max("days").alias("max_days"),
     )
+
+
+def ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-analysis panel: the signup cohort deterministically
+    assigned to two variants (md5(user_id) parity — the hash-bucket
+    assignment every experimentation platform uses), compared on
+    signup -> purchase-within-3-days conversion — counts, exact
+    integer-micro conversion rates, and the variant-vs-control lift.
+
+    Conversion is windowed (first purchase at/after the first signup,
+    within 72h) so the metric discriminates: lifetime "ever purchased"
+    saturates at ~100% on any corpus with long-lived users.
+
+    Everything is exact integer math over two event-type-pruned
+    user-keyed partial aggs (corpus collapses to |signup users| rows,
+    then to 2); no normal approximation is baked in — the z-score
+    belongs to the BI layer, the engine's job is the exact counts.
+
+    Output: variant, n_users, n_converted, conv_micro, lift_micro
+    (conversion relative to variant 0's, 1e6 = parity; NULL for the
+    control row).
+    """
+    from zipkin_storage_kafka_spark.sources.tables import load_table, to_epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = to_epoch_micros(ev, "ts")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ts_us).alias("signup_us"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(ts_us).alias("purchase_us"))
+    )
+    window_us = 3 * 86400 * 1000000  # 72h, exact integer micros
+    users = signup.join(purchase, "user_id", "left").select(
+        F.expr(
+            "conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10)"
+            " % 2"
+        )
+        .cast("int")
+        .alias("variant"),
+        F.when(
+            F.col("purchase_us").isNotNull()
+            & (F.col("purchase_us") >= F.col("signup_us"))
+            & (F.col("purchase_us") - F.col("signup_us") <= F.lit(window_us)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("converted"),
+    )
+    per = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    ).withColumn(
+        "conv_micro",
+        F.expr("(n_converted * 1000000) div n_users"),
+    )
+    control = per.filter(F.col("variant") == 0).select(
+        F.col("conv_micro").alias("c0")
+    )
+    return per.crossJoin(F.broadcast(control)).select(
+        "variant",
+        "n_users",
+        "n_converted",
+        "conv_micro",
+        F.when(
+            F.col("variant") != 0,
+            F.expr("(conv_micro * 1000000) div c0"),
+        ).alias("lift_micro"),
+    )

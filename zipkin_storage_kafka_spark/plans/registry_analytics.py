@@ -98,6 +98,14 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.scd2_intervals(spark, sf_dir)
 
 
+def q_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion panel (operators/analytics.py:ab_conversion):
+    md5-parity variant assignment, signup->purchase-within-72h
+    conversion, exact integer-micro rates and lift over two
+    event-type-pruned user-keyed partial aggs."""
+    return an.ab_conversion(spark, sf_dir)
+
+
 def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-fulfillment latency percentiles by priority
     (operators/analytics.py:fulfillment_latency): order-keyed partial
@@ -288,6 +296,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_hazard_curve": q_hazard_curve,
         "w_basket_brand_pairs": q_basket_brand_pairs,
         "h_fulfillment_latency": q_fulfillment_latency,
+        "ev_ab_conversion": q_ab_conversion,
         "h15_top_supplier": q_top_supplier,
         "h16_part_supplier_variety": q_part_supplier_variety,
         "h22_sales_opportunity": q_sales_opportunity,
@@ -595,6 +604,47 @@ def analytics_oracles() -> dict[str, str]:
                    min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM sessions
             GROUP BY user_id, session_idx
+        """,
+        "ev_ab_conversion": """
+            WITH su AS (
+              SELECT user_id, min(epoch_us(ts)) AS signup_us
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), pu AS (
+              SELECT user_id, min(epoch_us(ts)) AS purchase_us
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id
+            ), users AS (
+              SELECT s.user_id,
+                     CASE WHEN p.purchase_us IS NOT NULL
+                          AND p.purchase_us >= s.signup_us
+                          AND p.purchase_us - s.signup_us
+                              <= CAST(259200 AS BIGINT) * 1000000
+                          THEN 1 ELSE 0 END AS converted
+              FROM su s LEFT JOIN pu p USING (user_id)
+            ), assigned AS (
+              SELECT CAST(CAST(('0x' ||
+                       substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 2 AS INTEGER) AS variant,
+                     converted
+              FROM users
+            ), per AS (
+              SELECT variant,
+                     CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(converted) AS BIGINT) AS n_converted
+              FROM assigned GROUP BY variant
+            ), per2 AS (
+              SELECT variant, n_users, n_converted,
+                     CAST((n_converted * 1000000) // n_users AS BIGINT)
+                       AS conv_micro
+              FROM per
+            ), control AS (
+              SELECT conv_micro AS c0 FROM per2 WHERE variant = 0
+            )
+            SELECT p.variant, p.n_users, p.n_converted, p.conv_micro,
+                   CASE WHEN p.variant != 0
+                        THEN CAST((p.conv_micro * 1000000) // c.c0
+                               AS BIGINT)
+                   END AS lift_micro
+            FROM per2 p CROSS JOIN control c
         """,
         "h_fulfillment_latency": """
             WITH last_ship AS (
