@@ -1267,3 +1267,64 @@ def test_ab_conversion_pruned_scans_broadcast_control(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
         plan
     )
+
+
+def test_partition_skew_aggregates_counts_not_corpus(spark, sf_dir):
+    """Each key branch partial-aggs the corpus once to the |keys|-row
+    count relation; the stats/hot combinators run on that relation via
+    broadcast 1-row joins — no window, no cartesian, no corpus-sized
+    shuffle after the first groupBy."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["z_partition_skew"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan
+    )
+
+
+def test_changepoint_window_is_type_keyed(spark, sf_dir):
+    """The prefix-sum window partitions by event_type (range-bound
+    series, never a global single partition), and the spine generates
+    from the aggregated bounds — no cross join against the fact
+    table."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ev_changepoint"](spark, sf_dir))
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win and all("event_type" in l for l in win), plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan  # sequence+explode spine
+
+
+def test_epoch_plan_prunes_documents(spark, sf_dir):
+    """The documents scan reads only (source, text); the 1-row totals
+    attach by broadcast."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["pipe_epoch_plan"](spark, sf_dir))
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all(
+        "n_chars" not in l and "doc_id" not in l for l in reads
+    ), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan
+    )
+
+
+def test_item_neighbors_basket_keyed_pair_join(spark, sf_dir):
+    """The pair join is an l_orderkey equi-join (never item x item),
+    the lineitem scan reads only (l_orderkey, l_partkey), and the
+    top-k window partitions by part_key."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["w_item_neighbors"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    li = [l for l in reads if "l_orderkey" in l]
+    assert li and all("l_quantity" not in l for l in li), plan
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win and all("part_key" in l for l in win), plan
+    assert "SinglePartition" not in plan, plan

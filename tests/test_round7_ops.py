@@ -1642,3 +1642,144 @@ def test_ab_conversion_window_and_cohort(spark):
         0: (3, 1, 333333, None),
         1: (2, 1, 500000, 1500001),
     }
+
+
+def test_partition_skew_fixture(spark):
+    """Keyed on 'k': key A has 8 of 10 rows (top1 800000 micro, 2.4x
+    the 3-key mean -> skew 2400000), no key over 10x mean; NULL keys
+    excluded from the key universe."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.skew import shuffle_key_skew
+
+    rows = [Row(k="A")] * 8 + [Row(k="B"), Row(k="C"), Row(k=None)]
+    df = spark.createDataFrame(rows, "k string")
+    out = shuffle_key_skew(df, ["k"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (
+        r["key_name"], r["n_keys"], r["total_rows"], r["max_rows"],
+        r["top1_share_micro"], r["skew_vs_mean_micro"], r["hot_keys_10x"],
+    ) == ("k", 3, 10, 8, 800000, 2400000, 0)
+
+
+def test_partition_skew_hot_key_census(spark):
+    """22 keys: one with 100 rows, 21 with 1 — the hot key is 100x
+    the count-weighted mean of ~5.5 rows -> hot_keys_10x = 1."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.skew import shuffle_key_skew
+
+    rows = [Row(k="hot")] * 100 + [Row(k=f"c{i}") for i in range(21)]
+    out = shuffle_key_skew(
+        spark.createDataFrame(rows, "k string"), ["k"]
+    ).collect()[0]
+    # mean = 121/22 = 5.5; hot needs cnt * 22 > 10 * 121 -> cnt > 55
+    assert out["hot_keys_10x"] == 1
+    assert out["skew_vs_mean_micro"] == (100 * 22 * 1_000_000) // 121
+
+
+def test_cusum_changepoint_fixture(spark):
+    """One type, 6 minutes of counts [0,0,0,4,4,4] (T=12, n=6):
+    s_scaled_t = 6*prefix - 12t peaks in |.| at t=3 (|S|=36), the
+    minute BEFORE the level shift; before rate 0, after 4e6 micro.
+    A constant series ('flat', [2,2]) has s=0 everywhere and picks
+    the earliest minute."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    def _t(minute):
+        return datetime.fromtimestamp(
+            minute * 60, tz=timezone.utc
+        ).replace(tzinfo=None)
+
+    rows = []
+    for m, c in enumerate([0, 0, 0, 4, 4, 4]):
+        rows += [("step", _t(1000 + m))] * c
+    # pin the observed range: single rows at the ends for 'step' would
+    # change T; instead 'step' range is min..max of its own events
+    # (minutes 1003..1005 only) — so ALSO place 1 event at minute 1000
+    # to anchor lo.  Recompute expectation for [1,0,0,4,4,4]: T=13, n=6,
+    # S_t = 6*prefix - 13t -> t=1..5: |6-13|=7, |6-26|=20, |6-39|=33,
+    # |30-52|=22, |54-65|=11 -> max at t=3 (minute 1002).
+    rows += [("step", _t(1000))]
+    rows += [("flat", _t(2000)), ("flat", _t(2001))]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    with mock.patch.object(tables, "load_table", lambda s, d, n: ev):
+        out = {
+            r["event_type"]: (
+                r["n_minutes"], r["total_events"], r["change_minute_ms"],
+                r["s_abs_max"], r["before_rate_micro"],
+                r["after_rate_micro"],
+            )
+            for r in an.cusum_changepoint(spark, "ignored").collect()
+        }
+    assert out["step"] == (6, 13, 1002 * 60_000, 33, 333333, 4_000_000)
+    # flat series: every split has |S| = |2t - 2t| = 0 -> earliest t=1
+    assert out["flat"] == (2, 2, 2000 * 60_000, 0, 1_000_000, 1_000_000)
+
+
+def test_epoch_plan_fixture(spark):
+    """Two sources, 30+10=40 tokens, budget 2x=80, target 40 each:
+    big gets epochs 40/30 = 1.333333 (planned 39 after truncation),
+    small gets 4.0 exact (planned 40)."""
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    import zipkin_storage_kafka_spark.operators.text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [
+            Row(source="big", text=" ".join(["w"] * 30)),
+            Row(source="small", text=" ".join(["w"] * 10)),
+        ]
+    )
+    out = {
+        r["source"]: (
+            r["n_tokens"], r["target_tokens"], r["epochs_micro"],
+            r["full_epochs"], r["planned_tokens"],
+        )
+        for r in ta.epoch_plan(docs).collect()
+    }
+    assert out == {
+        "big": (30, 40, 1_333_333, 1, 39),
+        "small": (10, 40, 4_000_000, 4, 40),
+    }
+
+
+def test_item_neighbors_fixture(spark):
+    """Baskets {1:(10,20), 2:(10,20), 3:(10,30)}: J(10,20)=2/3
+    (666666), J(10,30)=1/3 (333333), J(20,30)=0 absent; part 10's
+    rank-1 neighbor is 20, duplicate lineitems collapse first."""
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    li = spark.createDataFrame(
+        [
+            (1, 10), (1, 20), (1, 10),  # dup (1,10) must collapse
+            (2, 10), (2, 20),
+            (3, 10), (3, 30),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    with mock.patch.object(tables, "load_table", lambda s, d, n: li):
+        out = {
+            (r["part_key"], r["rank"]): (
+                r["neighbor_key"], r["pair_baskets"], r["item_baskets"],
+                r["neighbor_baskets"], r["jaccard_micro"],
+            )
+            for r in an.item_neighbors(spark, "ignored").collect()
+        }
+    assert out == {
+        (10, 1): (20, 2, 3, 2, 666666),
+        (10, 2): (30, 1, 3, 1, 333333),
+        (20, 1): (10, 2, 2, 3, 666666),
+        (30, 1): (10, 1, 1, 3, 333333),
+    }

@@ -1975,3 +1975,178 @@ def ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(conv_micro * 1000000) div c0"),
         ).alias("lift_micro"),
     )
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM change-point detection (Page 1954) on each event
+    type's per-minute rate: the split point t that maximizes the
+    cumulative deviation from the series mean — the "when did the rate
+    shift" panel behind every deploy/incident timeline.
+
+    Exactness discipline: for counts x_1..x_n with total T, the CUSUM
+    statistic S_t = sum_{i<=t} x_i - t*T/n is kept EXACT by scaling by
+    n: s_scaled_t = n*prefix_t - t*T (all BIGINT, no float mean).  The
+    change point is the earliest minute attaining max |s_scaled| over
+    1 <= t < n, picked by a struct max (|s|, -minute) — integer fields,
+    so any engine agrees bit-for-bit.  Before/after rates are integer
+    micro events-per-minute.
+
+    Scale: the zero-filled spine is range-bound (|types| x observed
+    minutes — calendar-bounded, NOT corpus-bounded: a year is 525k
+    minutes regardless of data volume); the per-type prefix window
+    sorts each type's series once, partitioned by event_type.  The
+    corpus-sized work is one (type, minute) partial agg.
+
+    Output: event_type, n_minutes, total_events, change_minute_ms,
+    s_abs_max (n-scaled), before_rate_micro, after_rate_micro.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    marked = _with_event_minute(ev).select("event_type", "m")
+    counts = marked.groupBy("event_type", "m").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = marked.groupBy("event_type").agg(
+        F.min("m").alias("lo"),
+        F.max("m").alias("hi"),
+        F.count(F.lit(1)).alias("total_events"),
+    )
+    spine = bounds.select(
+        "event_type", "lo", "total_events",
+        (F.col("hi") - F.col("lo") + 1).alias("n_minutes"),
+        F.explode(F.sequence("lo", "hi")).alias("m"),
+    )
+    filled = spine.join(counts, ["event_type", "m"], "left").select(
+        "event_type", "lo", "total_events", "n_minutes", "m",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy("m")
+    scored = (
+        filled.select(
+            "event_type", "total_events", "n_minutes", "m",
+            F.sum("n_events").over(w).alias("prefix"),
+            (F.col("m") - F.col("lo") + 1).alias("t"),
+        )
+        .filter(F.col("t") < F.col("n_minutes"))
+        .select(
+            "event_type", "total_events", "n_minutes", "m", "prefix", "t",
+            F.abs(
+                F.col("n_minutes") * F.col("prefix")
+                - F.col("t") * F.col("total_events")
+            ).alias("s_abs"),
+        )
+    )
+    best = scored.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("s_abs").alias("s"),
+                (-F.col("m")).alias("negm"),
+                F.col("prefix").alias("prefix"),
+                F.col("t").alias("t"),
+                F.col("n_minutes").alias("n"),
+                F.col("total_events").alias("tot"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.n").alias("n_minutes"),
+        F.col("b.tot").alias("total_events"),
+        (-F.col("b.negm") * 60_000).alias("change_minute_ms"),
+        F.col("b.s").alias("s_abs_max"),
+        F.expr("(b.prefix * 1000000) div b.t").alias("before_rate_micro"),
+        F.expr(
+            "((b.tot - b.prefix) * 1000000) div (b.n - b.t)"
+        ).alias("after_rate_micro"),
+    )
+
+
+def item_neighbors(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Item-item collaborative-filtering neighbors (Sarwar et al. 2001)
+    over order baskets: for every part, the top-``k`` parts most often
+    bought in the same order, scored by exact Jaccard over basket sets
+    — the similarity twin of the basket-lift panel (lift measures
+    surprise, Jaccard measures overlap; recommenders rank by the
+    latter).
+
+    Scale discipline: the pair join is basket-keyed with fanout bounded
+    by parts-per-order (never item x item), and the per-item basket
+    counts attach via plain keyed joins — NOT a broadcast — because the
+    item dimension here is corpus-sized (millions of parts; the
+    basket_lift kernel broadcasts its margins, which is right for
+    brands/services and wrong here).  The top-k window partitions by
+    item with rows-per-item bounded by the item's co-purchase breadth.
+
+    Determinism: integer jaccard_micro, ties broken by (pair_baskets
+    desc, neighbor asc) — all integers, so rank is engine-stable.
+
+    Output: part_key, neighbor_key, pair_baskets, item_baskets,
+    neighbor_baskets, jaccard_micro, rank.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    member = li.select("l_orderkey", "l_partkey").distinct()
+    marg = member.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    # Attach the margin to the (basket, item) relation BEFORE pairing:
+    # one item-keyed join on |member| rows instead of two joins on the
+    # much larger pair relation (per-item counts are constant within a
+    # pair group, so min() recovers them through the groupBy for free).
+    member2 = member.join(marg, "l_partkey").select(
+        "l_orderkey", "l_partkey", "n_baskets"
+    )
+    pairs = (
+        member2.alias("l")
+        .join(
+            member2.alias("r"),
+            (F.col("l.l_orderkey") == F.col("r.l_orderkey"))
+            & (F.col("l.l_partkey") < F.col("r.l_partkey")),
+        )
+        .groupBy(
+            F.col("l.l_partkey").alias("item_a"),
+            F.col("r.l_partkey").alias("item_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pair_baskets"),
+            F.min("l.n_baskets").alias("a_baskets"),
+            F.min("r.n_baskets").alias("b_baskets"),
+        )
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("part_key"),
+        F.col("item_b").alias("neighbor_key"),
+        "pair_baskets",
+        F.col("a_baskets").alias("item_baskets"),
+        F.col("b_baskets").alias("neighbor_baskets"),
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("part_key"),
+            F.col("item_a").alias("neighbor_key"),
+            "pair_baskets",
+            F.col("b_baskets").alias("item_baskets"),
+            F.col("a_baskets").alias("neighbor_baskets"),
+        )
+    )
+    scored = sym.withColumn(
+        "jaccard_micro",
+        F.expr(
+            "(pair_baskets * 1000000)"
+            " div (item_baskets + neighbor_baskets - pair_baskets)"
+        ),
+    )
+    w = Window.partitionBy("part_key").orderBy(
+        F.col("jaccard_micro").desc(),
+        F.col("pair_baskets").desc(),
+        F.col("neighbor_key").asc(),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "part_key", "neighbor_key", "pair_baskets", "item_baskets",
+            "neighbor_baskets", "jaccard_micro", "rank",
+        )
+    )

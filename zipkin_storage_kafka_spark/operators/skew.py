@@ -96,3 +96,57 @@ def salted_join(
     )
     joined = left2.join(right2, [on, "_salt"])
     return joined.drop("_salt")
+
+
+def shuffle_key_skew(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Shuffle-key skew audit: for each candidate partitioning key,
+    the distribution shape of rows-per-key — the panel that decides
+    WHEN to reach for :func:`salted_counts` / :func:`salted_join` or
+    AQE's skew thresholds.  The diagnosis half of this module's cure.
+
+    Per key column (one output row each): distinct key count, total
+    rows, the hottest key's row count, its share of the table
+    (``top1_share_micro``), its ratio to the mean key size
+    (``skew_vs_mean_micro``, 1e6 = perfectly uniform), and how many
+    keys exceed 10x the mean (``hot_keys_10x`` — the keys AQE's
+    skew-join splitter or a salt map would target).
+
+    All exact integer math (counts and ``div`` ratios).  Scale: one
+    hash-shuffle groupBy per key column produces the |keys|-row count
+    relation; the stats row is a partial agg of THAT (never the
+    corpus), and the hot-key recount joins the broadcast 1-row stats
+    back to the count relation.  NULL keys are excluded (they are the
+    null-bucket problem, audited separately by the join-salting path).
+    """
+    out = None
+    for key in key_cols:
+        counts = (
+            df.filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        stats = counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("max_rows"),
+        )
+        hot = (
+            counts.crossJoin(F.broadcast(stats))
+            .filter(F.col("cnt") * F.col("n_keys") > F.lit(10) * F.col("total_rows"))
+            .agg(F.count(F.lit(1)).alias("hot_keys_10x"))
+        )
+        row = stats.crossJoin(F.broadcast(hot)).select(
+            F.lit(key).alias("key_name"),
+            "n_keys",
+            "total_rows",
+            "max_rows",
+            F.expr("(max_rows * 1000000) div total_rows").alias(
+                "top1_share_micro"
+            ),
+            F.expr("(max_rows * n_keys * 1000000) div total_rows").alias(
+                "skew_vs_mean_micro"
+            ),
+            "hot_keys_10x",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

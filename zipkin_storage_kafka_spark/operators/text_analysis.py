@@ -2175,3 +2175,65 @@ def feature_hashing(docs: DataFrame, dim: int = HASH_DIM) -> DataFrame:
             ],
         ).alias("vec"),
     )
+
+
+def epoch_plan(docs: DataFrame, budget_factor: int = 2) -> DataFrame:
+    """Per-source epoch schedule for a token budget: given a training
+    budget of ``budget_factor`` x the corpus token total split UNIFORMLY
+    across sources (the rebalancing counterpart of
+    :func:`mixture_weights`' per-language shares), how many passes
+    (epochs) over each source the sampler must plan — the repeat-factor
+    table behind every "small high-quality source gets 4 epochs, the
+    web crawl gets 0.3" pretraining data recipe.
+
+    Exact integer math throughout: target_tokens = (T * factor) div
+    n_sources; epochs_micro = target * 1e6 div source_tokens (1e6 = one
+    full pass); planned_tokens = source_tokens * epochs_micro div 1e6
+    (what the sampler will actually emit after integer truncation —
+    reported so the budget shortfall is visible, not hidden).
+
+    Scale: one (source) partial agg over the corpus + a broadcast 1-row
+    total; output is |sources| rows.
+
+    Output: source, n_docs, n_tokens, target_tokens, epochs_micro,
+    full_epochs, planned_tokens.
+    """
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("t_total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                f"(t_total * {budget_factor}) div n_sources"
+            ).alias("target_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "target_tokens",
+            F.expr("(target_tokens * 1000000) div n_tokens").alias(
+                "epochs_micro"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "target_tokens",
+            "epochs_micro",
+            F.expr("epochs_micro div 1000000").alias("full_epochs"),
+            F.expr("(n_tokens * epochs_micro) div 1000000").alias(
+                "planned_tokens"
+            ),
+        )
+    )

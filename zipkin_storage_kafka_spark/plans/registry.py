@@ -532,6 +532,20 @@ def q_salted_service_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit (operators/skew.py:shuffle_key_skew) over
+    the two keys every trace query shuffles on — trace_id (the re-key
+    at ingest) and local_service (the rollup key): per-key count
+    distribution shape, hottest-key share, and the >10x-mean hot-key
+    census that decides when salting / AQE skew splitting is worth it.
+    The diagnosis panel beside z_salted_service_counts' cure."""
+    from zipkin_storage_kafka_spark.operators.skew import shuffle_key_skew
+
+    return shuffle_key_skew(
+        _spans(spark, sf_dir), ["trace_id", "local_service"]
+    )
+
+
 def q_sketch_service_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-service distinct-trace cardinality by linear-counting sketch
     (operators/sketches.py) beside the exact count — the engine-portable
@@ -1457,6 +1471,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "f7_link_json_roundtrip": q_link_json_roundtrip,
         "z_latency_percentiles": q_latency_percentiles,
         "z_salted_service_counts": q_salted_service_counts,
+        "z_partition_skew": q_partition_skew,
         "z_sketch_service_traces": q_sketch_service_traces,
         "z_hll_service_traces": q_hll_service_traces,
         "z_hll_merge_rollup": q_hll_merge_rollup,
@@ -2468,6 +2483,55 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
             SELECT local_service,
                    CAST(count(*) AS BIGINT) AS n_spans
             FROM spans GROUP BY local_service
+            """
+        ),
+        "z_partition_skew": with_spans_cte(
+            """
+            SELECT * FROM (
+              WITH ck AS (
+                SELECT trace_id AS k, CAST(count(*) AS BIGINT) AS cnt
+                FROM spans WHERE trace_id IS NOT NULL GROUP BY trace_id
+              ), st AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(sum(cnt) AS BIGINT) AS total_rows,
+                       CAST(max(cnt) AS BIGINT) AS max_rows
+                FROM ck
+              ), hot AS (
+                SELECT CAST(count(*) AS BIGINT) AS hot_keys_10x
+                FROM ck, st WHERE cnt * n_keys > 10 * total_rows
+              )
+              SELECT 'trace_id' AS key_name, n_keys, total_rows, max_rows,
+                     CAST((max_rows * 1000000) // total_rows AS BIGINT)
+                       AS top1_share_micro,
+                     CAST((max_rows * n_keys * 1000000) // total_rows
+                       AS BIGINT) AS skew_vs_mean_micro,
+                     hot_keys_10x
+              FROM st, hot
+            )
+            UNION ALL
+            SELECT * FROM (
+              WITH ck AS (
+                SELECT local_service AS k, CAST(count(*) AS BIGINT) AS cnt
+                FROM spans WHERE local_service IS NOT NULL
+                GROUP BY local_service
+              ), st AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(sum(cnt) AS BIGINT) AS total_rows,
+                       CAST(max(cnt) AS BIGINT) AS max_rows
+                FROM ck
+              ), hot AS (
+                SELECT CAST(count(*) AS BIGINT) AS hot_keys_10x
+                FROM ck, st WHERE cnt * n_keys > 10 * total_rows
+              )
+              SELECT 'local_service' AS key_name, n_keys, total_rows,
+                     max_rows,
+                     CAST((max_rows * 1000000) // total_rows AS BIGINT)
+                       AS top1_share_micro,
+                     CAST((max_rows * n_keys * 1000000) // total_rows
+                       AS BIGINT) AS skew_vs_mean_micro,
+                     hot_keys_10x
+              FROM st, hot
+            )
             """
         ),
         "z_sketch_service_traces": with_spans_cte(

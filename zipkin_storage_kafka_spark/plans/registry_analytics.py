@@ -137,6 +137,14 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_lift(member, "l_orderkey", "p_brand")
 
 
+def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item Jaccard top-3 neighbors over order baskets
+    (operators/analytics.py:item_neighbors): basket-keyed pair join,
+    keyed (non-broadcast) margin joins because the item dimension is
+    corpus-sized, integer-deterministic ranking."""
+    return an.item_neighbors(spark, sf_dir)
+
+
 def q_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete signup->purchase hazard curve
     (operators/analytics.py:hazard_curve): two user-keyed partial aggs,
@@ -151,6 +159,14 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-lag numerator exact integer math; one type-keyed window over the
     zero-filled range-bound spine."""
     return an.ewma_smooth(spark, sf_dir)
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type
+    (operators/analytics.py:cusum_changepoint): n-scaled integer CUSUM
+    over the zero-filled per-type minute spine, earliest-argmax struct
+    pick — the "when did the rate shift" panel."""
+    return an.cusum_changepoint(spark, sf_dir)
 
 
 def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,8 +311,10 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_ewma_smooth": q_ewma_smooth,
         "ev_hazard_curve": q_hazard_curve,
         "w_basket_brand_pairs": q_basket_brand_pairs,
+        "w_item_neighbors": q_item_neighbors,
         "h_fulfillment_latency": q_fulfillment_latency,
         "ev_ab_conversion": q_ab_conversion,
+        "ev_changepoint": q_changepoint,
         "h15_top_supplier": q_top_supplier,
         "h16_part_supplier_variety": q_part_supplier_variety,
         "h22_sales_opportunity": q_sales_opportunity,
@@ -729,6 +747,92 @@ def analytics_oracles() -> dict[str, str]:
                    CAST((r.n_events * 1000000) // (t.n - r.exited)
                      AS BIGINT) AS hazard_micro
             FROM risk r CROSS JOIN tot t
+        """,
+        "w_item_neighbors": """
+            WITH member AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), marg AS (
+              SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_baskets
+              FROM member GROUP BY l_partkey
+            ), pairs AS (
+              SELECT l.l_partkey AS item_a, r.l_partkey AS item_b,
+                     CAST(count(*) AS BIGINT) AS pair_baskets
+              FROM member l JOIN member r
+                ON l.l_orderkey = r.l_orderkey
+               AND l.l_partkey < r.l_partkey
+              GROUP BY 1, 2
+            ), sym AS (
+              SELECT item_a AS part_key, item_b AS neighbor_key,
+                     pair_baskets
+              FROM pairs
+              UNION ALL
+              SELECT item_b, item_a, pair_baskets FROM pairs
+            ), scored AS (
+              SELECT s.part_key, s.neighbor_key, s.pair_baskets,
+                     a.n_baskets AS item_baskets,
+                     b.n_baskets AS neighbor_baskets,
+                     CAST((s.pair_baskets * 1000000)
+                          // (a.n_baskets + b.n_baskets - s.pair_baskets)
+                       AS BIGINT) AS jaccard_micro
+              FROM sym s
+              JOIN marg a ON s.part_key = a.l_partkey
+              JOIN marg b ON s.neighbor_key = b.l_partkey
+            )
+            SELECT part_key, neighbor_key, pair_baskets, item_baskets,
+                   neighbor_baskets, jaccard_micro,
+                   CAST(row_number() OVER (
+                     PARTITION BY part_key
+                     ORDER BY jaccard_micro DESC, pair_baskets DESC,
+                              neighbor_key ASC
+                   ) AS INTEGER) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+        """,
+        "ev_changepoint": """
+            WITH marked AS (
+              SELECT event_type, epoch_us(ts) // 60000000 AS m FROM events
+            ), counts AS (
+              SELECT event_type, m, CAST(count(*) AS BIGINT) AS n_events
+              FROM marked GROUP BY 1, 2
+            ), b AS (
+              SELECT event_type, min(m) AS lo, max(m) AS hi,
+                     CAST(count(*) AS BIGINT) AS total_events
+              FROM marked GROUP BY event_type
+            ), spine AS (
+              SELECT event_type, lo, total_events,
+                     hi - lo + 1 AS n_minutes,
+                     unnest(generate_series(lo, hi)) AS m
+              FROM b
+            ), filled AS (
+              SELECT s.event_type, s.lo, s.total_events, s.n_minutes, s.m,
+                     coalesce(c.n_events, 0) AS n_events
+              FROM spine s LEFT JOIN counts c
+                ON s.event_type = c.event_type AND s.m = c.m
+            ), scored AS (
+              SELECT event_type, total_events, n_minutes, m,
+                     sum(n_events) OVER (
+                       PARTITION BY event_type ORDER BY m
+                     ) AS prefix,
+                     m - lo + 1 AS t
+              FROM filled
+            ), sc2 AS (
+              SELECT *,
+                     abs(n_minutes * prefix - t * total_events) AS s_abs
+              FROM scored WHERE t < n_minutes
+            )
+            SELECT event_type,
+                   CAST(n_minutes AS BIGINT) AS n_minutes,
+                   total_events,
+                   CAST(m * 60000 AS BIGINT) AS change_minute_ms,
+                   CAST(s_abs AS BIGINT) AS s_abs_max,
+                   CAST((prefix * 1000000) // t AS BIGINT)
+                     AS before_rate_micro,
+                   CAST(((total_events - prefix) * 1000000)
+                        // (n_minutes - t) AS BIGINT) AS after_rate_micro
+            FROM sc2
+            QUALIFY row_number() OVER (
+              PARTITION BY event_type ORDER BY s_abs DESC, m ASC
+            ) = 1
         """,
         "ev_ewma_smooth": """
             WITH marked AS (

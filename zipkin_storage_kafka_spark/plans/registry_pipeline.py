@@ -1324,6 +1324,14 @@ def q_pipe_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.shard_plan(_docs(spark, sf_dir))
 
 
+def q_pipe_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch schedule for a 2x-corpus token budget
+    (operators/text_analysis.py:epoch_plan): uniform per-source
+    targets, exact integer-micro repeat factors and planned token
+    output — one source-keyed partial agg + broadcast 1-row total."""
+    return ta.epoch_plan(_docs(spark, sf_dir))
+
+
 def q_pipe_reembed_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding work queue from the snapshot diff
     (operators/corpus.py:reembed_queue): added/changed docs plus
@@ -1690,6 +1698,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_source_hellinger": q_text_source_hellinger,
         "emb_ivf_balance": q_emb_ivf_balance,
         "pipe_shard_plan": q_pipe_shard_plan,
+        "pipe_epoch_plan": q_pipe_epoch_plan,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "pipe_reembed_queue": q_pipe_reembed_queue,
         "emb_centroid_outliers": q_emb_centroid_outliers,
@@ -2589,6 +2598,33 @@ def _pipeline_oracles_base() -> dict[str, str]:
             SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
             FROM pairs GROUP BY pair
             ORDER BY n DESC, pair LIMIT 20
+        """,
+        "pipe_epoch_plan": """
+            WITH per_src AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+              FROM documents GROUP BY source
+            ),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
+                           CAST(count(*) AS BIGINT) AS n_sources
+                    FROM per_src),
+            tgt AS (
+              SELECT source, n_docs, n_tokens,
+                     CAST((t_total * 2) // n_sources AS BIGINT)
+                       AS target_tokens
+              FROM per_src, tot
+            ),
+            em AS (
+              SELECT *, CAST((target_tokens * 1000000) // n_tokens
+                             AS BIGINT) AS epochs_micro
+              FROM tgt
+            )
+            SELECT source, n_docs, n_tokens, target_tokens, epochs_micro,
+                   CAST(epochs_micro // 1000000 AS BIGINT) AS full_epochs,
+                   CAST((n_tokens * epochs_micro) // 1000000 AS BIGINT)
+                     AS planned_tokens
+            FROM em
         """,
         "text_mixture_weights": """
             WITH per_lang AS (
