@@ -1328,3 +1328,47 @@ def test_item_neighbors_basket_keyed_pair_join(spark, sf_dir):
     win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert win and all("part_key" in l for l in win), plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_pq_recall_sides_are_topk_heaps(spark, sf_dir):
+    """Both recall sides reach the agg as k-row relations: the exact-L2
+    side compiles to TakeOrderedAndProject (per-partition heap, no full
+    sort) and the query/LUT sides broadcast — no cartesian on corpus
+    relations."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ann_pq_recall"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, (
+        plan
+    )
+
+
+def test_customer_order_gaps_custkey_window(spark, sf_dir):
+    """The lag window partitions by o_custkey (never a global sort) and
+    the orders scan reads only (o_custkey, o_orderkey, o_orderdate)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["h_customer_order_gaps"](spark, sf_dir))
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win and all("o_custkey" in l for l in win), plan
+    assert "SinglePartition" not in plan, plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    o = [l for l in reads if "o_orderdate" in l]
+    assert o and all("o_totalprice" not in l for l in o), plan
+
+
+def test_silhouette_window_is_vec_keyed(spark, sf_dir):
+    """The top-2 window partitions by vec_id, centroids broadcast, and
+    vectors are never paired (no vec x vec join)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["emb_silhouette"](spark, sf_dir))
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win and all("vec_id" in l for l in win), plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan
+    )

@@ -1783,3 +1783,144 @@ def test_item_neighbors_fixture(spark):
         (20, 1): (10, 2, 2, 3, 666666),
         (30, 1): (10, 1, 1, 3, 333333),
     }
+
+
+def test_l2_topk_ordering(spark):
+    """Exact squared-L2 ranking with vec_id tie break; the query row
+    is excluded."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.similarity import l2_topk
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[0.0, 0.0]),
+            Row(vec_id=1, embedding=[1.0, 0.0]),   # d2 = 1
+            Row(vec_id=2, embedding=[0.0, 2.0]),   # d2 = 4
+            Row(vec_id=3, embedding=[1.0, 0.0]),   # d2 = 1 (tie -> after 1)
+            Row(vec_id=4, embedding=[3.0, 0.0]),   # d2 = 9
+        ]
+    )
+    out = [(r["vec_id"], r["d2"]) for r in l2_topk(emb, 0, 3).collect()]
+    assert out == [(1, 1.0), (3, 1.0), (2, 4.0)]
+
+
+def test_pq_recall_perfect_when_codebook_covers_corpus(spark):
+    """With fewer vectors than PQ_K the codebook contains every vector,
+    codes reconstruct exactly, and ADC ranking equals the exact L2
+    ranking -> recall 1.0."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.similarity import pq_recall
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 7 + j * 3) % 5) for j in range(8)])
+        for i in range(6)
+    ]
+    out = pq_recall(spark.createDataFrame(rows), 0, k_results=3).collect()[0]
+    assert (out["k"], out["n_hits"], out["recall"]) == (3, 3, 1.0)
+
+
+def test_customer_order_gaps_fixture(spark):
+    """Customer 1 (BUILDING): orders on days 0, 3, 10 -> gaps 3, 7;
+    customer 2 (AUTO): days 5, 5 (same day, stable o_orderkey order)
+    -> gap 0.  Single-order customers contribute nothing."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    def _d(day):
+        return datetime.fromtimestamp(day * 86400, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    orders = spark.createDataFrame(
+        [
+            (1, 101, _d(0)), (1, 102, _d(3)), (1, 103, _d(10)),
+            (2, 201, _d(5)), (2, 202, _d(5)),
+            (3, 301, _d(1)),
+        ],
+        "o_custkey long, o_orderkey long, o_orderdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "AUTO"), (3, "MACHINERY")],
+        "c_custkey long, c_mktsegment string",
+    )
+
+    def fake_load(s, d, name):
+        return {"orders": orders, "customer": customer}[name]
+
+    with mock.patch.object(tables, "load_table", fake_load):
+        out = {
+            r["c_mktsegment"]: (
+                r["n_gaps"], r["p50_gap_days"], r["p90_gap_days"],
+                r["max_gap_days"], r["mean_gap_micro"],
+            )
+            for r in an.customer_order_gaps(spark, "ignored").collect()
+        }
+    assert out == {
+        "BUILDING": (2, 5.0, 6.6, 7, 5_000_000),
+        "AUTO": (1, 0.0, 0.0, 0, 0),
+    }
+
+
+def test_simplified_silhouette_matches_python(spark):
+    """Two orthogonal-ish clusters: recompute round6 centroid cosines
+    and the integer-micro silhouette in plain python and demand
+    identical per-cell rollups."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        ivf_centroids,
+        simplified_silhouette,
+    )
+
+    vecs = {
+        0: ([1.0, 0.1, 0.0], "a"),
+        1: ([0.9, 0.0, 0.1], "a"),
+        2: ([0.1, 1.0, 0.0], "b"),
+        3: ([0.0, 0.9, 0.2], "b"),
+    }
+    label_of = {"a": 0, "b": 1}
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=i, label=label_of[lab], embedding=v)
+            for i, (v, lab) in vecs.items()
+        ]
+    )
+    cents = ivf_centroids(emb)
+    out = {
+        r["label"]: (r["n_points"], r["mean_sil_micro"], r["min_sil_micro"])
+        for r in simplified_silhouette(emb, cents).collect()
+    }
+
+    # python recompute
+    import math
+
+    cent = {}
+    for lab in (0, 1):
+        members = [v for v, l in vecs.values() if label_of[l] == lab]
+        cent[lab] = [sum(c) / len(members) for c in zip(*members)]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b)
+        )
+        return round(d / n * 1000000) / 1000000
+
+    cells = {}
+    for i, (v, _) in vecs.items():
+        scored = sorted(
+            ((cos(v, cent[l]), -l) for l in (0, 1)), reverse=True
+        )
+        s1, s2 = scored[0][0], scored[1][0]
+        cell = -scored[0][1]
+        sil = 0 if (1.0 - s2) <= 0 else round((s1 - s2) / (1.0 - s2) * 1e6)
+        cells.setdefault(cell, []).append(sil)
+    expected = {
+        c: (len(v), sum(v) // len(v), min(v)) for c, v in cells.items()
+    }
+    assert out == expected

@@ -2150,3 +2150,68 @@ def item_neighbors(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
             "neighbor_baskets", "jaccard_micro", "rank",
         )
     )
+
+
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence by market segment: the day gaps between
+    each customer's consecutive orders, rolled up to per-segment
+    percentiles — the repeat-purchase-frequency panel behind churn and
+    replenishment models (the orders-side twin of ev_hazard_curve's
+    first-conversion view).
+
+    Determinism: order sequence per customer sorts on (order day,
+    o_orderkey) so same-day orders have a stable order; gaps are exact
+    integer days; the mean is integer micro-days; percentiles use the
+    same interpolating percentile/quantile_cont pair already pinned by
+    h_fulfillment_latency.
+
+    Scale: the lag window partitions by o_custkey (millions of small
+    partitions); the segment attach is a keyed join on the customer
+    dimension (corpus-sized — NOT broadcast) followed by a 5-row
+    partial agg.
+
+    Output: c_mktsegment, n_gaps, p50_gap_days, p90_gap_days,
+    max_gap_days, mean_gap_micro.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import (
+        load_table,
+        to_epoch_micros,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        to_epoch_micros(orders, "o_orderdate").alias("ord_us"),
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(f"ord_us div {DAY_US}").alias("day"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            (F.col("day") - F.lag("day").over(w)).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    seg = customer.select("c_custkey", "c_mktsegment")
+    return (
+        gaps.join(seg, gaps["o_custkey"] == seg["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            round4(F.expr("percentile(gap_days, 0.5)")).alias(
+                "p50_gap_days"
+            ),
+            round4(F.expr("percentile(gap_days, 0.9)")).alias(
+                "p90_gap_days"
+            ),
+            F.max("gap_days").alias("max_gap_days"),
+            F.expr("(sum(gap_days) * 1000000) div count(1)").alias(
+                "mean_gap_micro"
+            ),
+        )
+    )

@@ -1573,3 +1573,122 @@ def mmr_rerank(
     return embeddings.sparkSession.createDataFrame(
         picked, "rank int, vec_id bigint, cos double"
     )
+
+
+def l2_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Brute-force exact squared-L2 top-k — the ground truth the
+    L2-metric ANN paths (PQ-ADC) are measured against, as
+    :func:`cosine_topk` is for the cosine paths.  Same discipline: the
+    1-row query broadcasts, the distance uses the ||x||^2 - 2<x,q> +
+    ||q||^2 expansion (identical to the ADC oracle's algebra), rounds
+    to 4 decimals at the output boundary, ties break on vec_id, and
+    the query row is excluded so recall compositions never burn a slot
+    on the self-distance.  Compiles to TakeOrderedAndProject.
+
+    Output: vec_id, d2.
+    """
+    q = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(_as_double("embedding").alias("q_emb"))
+    )
+    e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    d2 = (
+        _dot(F.col("emb"), F.col("emb"))
+        - 2.0 * _dot(F.col("emb"), F.col("q_emb"))
+        + _dot(F.col("q_emb"), F.col("q_emb"))
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", round4(d2).alias("d2"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .orderBy(F.col("d2").asc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def pq_recall(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k_results: int = 10,
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> DataFrame:
+    """Recall@k of the PQ-ADC compressed search against the exact
+    squared-L2 top-k — the compression-loss measurement every PQ
+    deployment tracks beside its memory savings (the third member of
+    the recall-gate family: IVF probe loss, dimension-truncation loss,
+    and now code-compression loss).
+
+    Both sides are k-row relations; the expensive scans underneath are
+    the already-audited :func:`l2_topk` and :func:`pq_adc_topk`.
+
+    Output: one row — k, n_hits, recall (round4).
+    """
+    exact = l2_topk(embeddings, query_vec_id, k_results).select("vec_id")
+    approx = pq_adc_topk(embeddings, query_vec_id, k_results, m, k).select(
+        "vec_id"
+    )
+    hits = exact.join(approx, "vec_id", "left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(k_results).cast("int").alias("k"),
+        "n_hits",
+        round4(F.col("n_hits") / F.lit(float(k_results))).alias("recall"),
+    )
+
+
+def simplified_silhouette(
+    embeddings: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Per-cell clustering-quality audit: the simplified silhouette
+    (Hruschka et al. 2004 — centroid distances instead of all-pairs,
+    the only silhouette that scales) over the IVF cells, in cosine
+    distance: for each vector with best/second-best centroid
+    similarities s1 >= s2, sil = (s1 - s2) / (1 - s2) in [0, 1]
+    (0 = sits on the cell boundary, 1 = second cell orthogonal).
+
+    Determinism: centroid similarities are the SAME round6 scores the
+    assignment argmax uses (one shared derivation, ranked (s desc,
+    label)); per-point silhouette rounds to integer micro, so the cell
+    mean is an exact integer division.  A degenerate duplicate-centroid
+    cell (s2 = 1) scores 0 by definition rather than dividing by zero.
+
+    Scale: one broadcast centroid crossJoin (|cells| rows per vector,
+    the already-audited _centroid_scores shape), a vec_id-keyed top-2
+    window, and a |cells|-row rollup — vectors are never paired.
+
+    Output: label, n_points, mean_sil_micro, min_sil_micro.
+    """
+    from pyspark.sql import Window
+
+    scores = _centroid_scores(embeddings, centroids)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), F.col("label")
+    )
+    top = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("label"))).alias("cell"),
+            F.max(F.when(F.col("rk") == 1, F.col("s"))).alias("s1"),
+            F.max(F.when(F.col("rk") == 2, F.col("s"))).alias("s2"),
+        )
+    )
+    sil = F.when(
+        (F.lit(1.0) - F.col("s2")) <= 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.round(
+            (F.col("s1") - F.col("s2"))
+            / (F.lit(1.0) - F.col("s2"))
+            * 1_000_000
+        ).cast("long")
+    )
+    return (
+        top.select(F.col("cell").alias("label"), sil.alias("sil_micro"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.expr("sum(sil_micro) div count(1)").alias("mean_sil_micro"),
+            F.min("sil_micro").alias("min_sil_micro"),
+        )
+    )

@@ -137,6 +137,13 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_lift(member, "l_orderkey", "p_brand")
 
 
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence percentiles by market segment
+    (operators/analytics.py:customer_order_gaps): customer-keyed lag
+    window, keyed segment join, 5-row partial agg."""
+    return an.customer_order_gaps(spark, sf_dir)
+
+
 def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item Jaccard top-3 neighbors over order baskets
     (operators/analytics.py:item_neighbors): basket-keyed pair join,
@@ -312,6 +319,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_hazard_curve": q_hazard_curve,
         "w_basket_brand_pairs": q_basket_brand_pairs,
         "w_item_neighbors": q_item_neighbors,
+        "h_customer_order_gaps": q_customer_order_gaps,
         "h_fulfillment_latency": q_fulfillment_latency,
         "ev_ab_conversion": q_ab_conversion,
         "ev_changepoint": q_changepoint,
@@ -747,6 +755,33 @@ def analytics_oracles() -> dict[str, str]:
                    CAST((r.n_events * 1000000) // (t.n - r.exited)
                      AS BIGINT) AS hazard_micro
             FROM risk r CROSS JOIN tot t
+        """,
+        "h_customer_order_gaps": """
+            WITH o AS (
+              SELECT o_custkey, o_orderkey,
+                     epoch_us(o_orderdate) // 86400000000 AS day
+              FROM orders
+            ), gaps AS (
+              SELECT o_custkey,
+                     day - lag(day) OVER (
+                       PARTITION BY o_custkey ORDER BY day, o_orderkey
+                     ) AS gap_days
+              FROM o
+            ), g AS (
+              SELECT o_custkey, gap_days FROM gaps
+              WHERE gap_days IS NOT NULL
+            )
+            SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   (round(quantile_cont(gap_days, 0.5) * 10000) / 10000
+                     + 0.0) AS p50_gap_days,
+                   (round(quantile_cont(gap_days, 0.9) * 10000) / 10000
+                     + 0.0) AS p90_gap_days,
+                   CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+                   CAST((sum(gap_days) * 1000000) // count(*) AS BIGINT)
+                     AS mean_gap_micro
+            FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
         "w_item_neighbors": """
             WITH member AS (

@@ -1435,6 +1435,23 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_adc_topk(_emb(spark, sf_dir), ANN_QUERY_VEC)
 
 
+def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell simplified-silhouette quality audit
+    (operators/similarity.py:simplified_silhouette) over the persisted
+    IVF centroids — centroid-distance silhouette (never all-pairs),
+    integer-micro per-point scores, |cells|-row rollup."""
+    centroids, _ = _ivf_index(spark, sf_dir)
+    return sim.simplified_silhouette(_emb(spark, sf_dir), centroids)
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-loss recall gate for the PQ-ADC path
+    (operators/similarity.py:pq_recall): recall@k of the code-compressed
+    search vs the exact squared-L2 top-k — completes the recall-audit
+    family (IVF probe loss, truncation loss, code loss)."""
+    return sim.pq_recall(_emb(spark, sf_dir), ANN_QUERY_VEC, ANN_K)
+
+
 def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher word-level quality gate (Rae et al. 2021): per-rule
     booleans + combined pass, all rowwise over one tokenization
@@ -1669,6 +1686,8 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_feature_hashing": q_feature_hashing,
         "dedup_semantic_curve": q_dedup_semantic_curve,
         "ann_pq_adc": q_ann_pq_adc,
+        "ann_pq_recall": q_ann_pq_recall,
+        "emb_silhouette": q_emb_silhouette,
         "text_gopher_rules": q_text_gopher_rules,
         "text_ngram_novelty": q_text_ngram_novelty,
         "mm_phash_neardup": q_mm_phash_neardup,
@@ -1717,6 +1736,79 @@ def pipeline_oracles() -> dict[str, str]:
     # oracle as the vectorized serving row (ADVICE r05 — keeps the
     # fold-vs-arrow equivalence externally verified).
     oracles["dedup_semantic_fold"] = oracles["dedup_semantic"]
+    oracles["emb_silhouette"] = """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cent AS (
+          SELECT label, list(c ORDER BY i) AS cv FROM (
+            SELECT label, i, avg(x) AS c FROM (
+              SELECT label,
+                     unnest(generate_series(1, len(v))) AS i,
+                     unnest(v) AS x
+              FROM e
+            ) GROUP BY label, i
+          ) GROUP BY label
+        ),
+        sim AS (
+          SELECT e.vec_id, cent.label,
+                 ((round((list_dot_product(v, cv)
+                    / (sqrt(list_dot_product(v, v))
+                       * sqrt(list_dot_product(cv, cv)))) * 1000000)
+                   / 1000000) + 0.0) AS s
+          FROM e CROSS JOIN cent
+        ),
+        ranked AS (
+          SELECT vec_id, label, s,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY s DESC, label
+                 ) AS rk
+          FROM sim
+        ),
+        top AS (
+          SELECT vec_id,
+                 max(CASE WHEN rk = 1 THEN label END) AS cell,
+                 max(CASE WHEN rk = 1 THEN s END) AS s1,
+                 max(CASE WHEN rk = 2 THEN s END) AS s2
+          FROM ranked WHERE rk <= 2 GROUP BY vec_id
+        ),
+        sil AS (
+          SELECT cell,
+                 CASE WHEN (1.0 - s2) <= 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(round(((s1 - s2) / (1.0 - s2)) * 1000000)
+                             AS BIGINT)
+                 END AS sil_micro
+          FROM top
+        )
+        SELECT cell AS label,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(sil_micro) // count(*) AS BIGINT)
+                 AS mean_sil_micro,
+               CAST(min(sil_micro) AS BIGINT) AS min_sil_micro
+        FROM sil GROUP BY cell
+    """
+    # PQ recall gate composes the exact-L2 ground truth with the PQ-ADC
+    # oracle VERBATIM (nested WITH), so the compressed side can never
+    # drift from the already-audited ann_pq_adc derivation.
+    oracles["ann_pq_recall"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        ex AS (
+          SELECT vec_id,
+                 (round((list_dot_product(v, v)
+                         - 2.0 * list_dot_product(v, qv)
+                         + list_dot_product(qv, qv)) * 10000)
+                    / 10000 + 0.0) AS d2
+          FROM e, q WHERE vec_id != 0
+          ORDER BY d2, vec_id LIMIT 10
+        ),
+        pq AS ({oracles["ann_pq_adc"]}),
+        hits AS (SELECT ex.vec_id FROM ex JOIN pq USING (vec_id))
+        SELECT CAST(10 AS INTEGER) AS k,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               (round((count(*) / 10.0) * 10000) / 10000 + 0.0) AS recall
+        FROM hits
+    """
     oracles["pipe_incremental_dedup"] = f"""
         WITH old_docs AS (SELECT doc_id, text FROM documents),
         new_docs AS (
