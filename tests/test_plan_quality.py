@@ -1372,3 +1372,32 @@ def test_silhouette_window_is_vec_keyed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
         plan
     )
+
+
+def test_winnowing_selects_via_doc_keyed_window(spark, sf_dir):
+    """Gram hashes compute once (rowwise md5 transform, then
+    posexplode); the window-min selection is a doc_id-keyed sliding
+    window — never a nested array lambda (which re-evaluates the hash
+    array per window) and never a global sort; joins are fp/doc
+    equi-joins only."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_winnowing"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win and all("doc_id" in l for l in win), plan
+    assert "SinglePartition" not in plan, plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("lang" not in l for l in reads), plan
+
+
+def test_audio_fingerprint_is_arrow_batched(spark, sf_dir):
+    """Both the WAV render and the fingerprint run as Arrow-batched
+    MapInPandas stages; no shuffle, no join, payloads never
+    driver-side."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["mm_audio_fingerprint"](spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan or "rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

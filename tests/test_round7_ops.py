@@ -1924,3 +1924,70 @@ def test_simplified_silhouette_matches_python(spark):
         c: (len(v), sum(v) // len(v), min(v)) for c, v in cells.items()
     }
     assert out == expected
+
+
+def test_winnowing_guarantee_and_dfcap(spark):
+    """Docs sharing a 40-char run share fingerprints (the winnowing
+    guarantee: any common substring >= gram+window-1 = 11 chars yields
+    a shared fp); an unrelated doc pairs with nobody; and a fingerprint
+    carried by >max_df docs is dropped before pairing (12 clones -> no
+    pairs at all)."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        winnowing_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=shared + " alpha beta gamma"),
+            Row(doc_id=2, text="PREFIX " + shared),
+            Row(doc_id=3, text="zzzz completely different content yyyy"),
+        ]
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in winnowing_pairs(docs).collect()
+    }
+    assert set(out) == {(1, 2)} and out[(1, 2)] >= 2
+
+    clones = spark.createDataFrame(
+        [Row(doc_id=i, text=shared) for i in range(12)]
+    )
+    assert winnowing_pairs(clones).count() == 0
+
+
+def test_audio_fingerprint_hand_case(spark):
+    """n=16 mono samples (2 frames) from the oscillatory formula,
+    doc 0: recompute the single 3-bit code with explicit loops and
+    demand the decoded-bytes path agrees."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_wav,
+        synth_fm_samples,
+    )
+
+    n, ch, doc_id = 16, 1, 5
+    payload = encode_wav(synth_fm_samples(doc_id, n, ch), 8000)
+    media = spark.createDataFrame(
+        [Row(media_id=doc_id, sample_rate=8000, channels=ch,
+             payload=bytearray(payload))]
+    )
+    out = audio_fingerprint(media).collect()[0]
+
+    v = [((doc_id * 9973 + i * 40503) % 65536) - 32768 for i in range(16)]
+    e = [
+        [sum(x * x for x in v[f * 8 + b * 2 : f * 8 + b * 2 + 2])
+         for b in range(4)]
+        for f in range(2)
+    ]
+    d1 = [[e[f][b] - e[f][b + 1] for b in range(3)] for f in range(2)]
+    bits = [1 if d1[1][b] - d1[0][b] > 0 else 0 for b in range(3)]
+    code = bits[0] * 4 + bits[1] * 2 + bits[2]
+    assert (
+        out["n_frames"], out["n_codes"], out["n_distinct_codes"],
+        out["codes"],
+    ) == (2, 1, 1, str(code))

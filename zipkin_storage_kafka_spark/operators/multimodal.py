@@ -1207,3 +1207,117 @@ def multimodal_record_sizes(
             ),
         )
     )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channel", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("n_codes", T.LongType(), False),
+        T.StructField("n_distinct_codes", T.LongType(), False),
+        T.StructField("codes", T.StringType(), False),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Robust audio fingerprint from REAL PCM bytes — the energy-
+    difference scheme of Haitsma & Kalker 2002 ("A Highly Robust Audio
+    Fingerprinting System"), time-domain simplification: each 8-sample
+    frame splits into 4 contiguous 2-sample bands with exact int64
+    energies E[f][b] = sum v^2; fingerprint bit b of frame f is the
+    sign of the double difference (E[f][b] - E[f][b+1]) -
+    (E[f-1][b] - E[f-1][b+1]), giving a 3-bit code per frame from the
+    second frame on.  (The paper's 33 FFT bands become 4 time bands
+    here — the bit construction, the part that carries the robustness
+    argument, is unchanged; a real deployment swaps in band-pass
+    energies.)
+
+    All-integer, so the SQL oracle reproduces the codes exactly from
+    the synthetic PCM formula; strict ``> 0`` means a zero difference
+    can never flip on engine float behavior (there are no floats).
+
+    Output: media_id, channel, n_frames, n_codes, n_distinct_codes,
+    codes (comma-joined frame codes, the per-channel fingerprint).
+
+    Scale (100 TB): Arrow-batched ``mapInPandas``, partition-
+    preserving; per-row output is ~n_samples/8 small integers.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {k.name: [] for k in AUDIO_FP_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr, _sr = decode_wav(payload)
+                n = arr.shape[0]
+                n_frames = n // 8
+                for c in range(arr.shape[1]):
+                    v = arr[: n_frames * 8, c].astype(np.int64)
+                    if n_frames >= 1:
+                        energy = (v * v).reshape(n_frames, 4, 2).sum(axis=2)
+                        band_diff = energy[:, :3] - energy[:, 1:]
+                        dd = band_diff[1:] - band_diff[:-1]
+                        bits = (dd > 0).astype(np.int64)
+                        codes = bits[:, 0] * 4 + bits[:, 1] * 2 + bits[:, 2]
+                    else:
+                        codes = np.zeros(0, dtype=np.int64)
+                    cols["media_id"].append(int(mid))
+                    cols["channel"].append(c)
+                    cols["n_frames"].append(int(n_frames))
+                    cols["n_codes"].append(int(codes.shape[0]))
+                    cols["n_distinct_codes"].append(
+                        int(np.unique(codes).shape[0])
+                    )
+                    cols["codes"].append(
+                        ",".join(str(int(x)) for x in codes)
+                    )
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def synth_fm_samples(doc_id: int, n: int, ch: int) -> np.ndarray:
+    """Oscillatory fixture audio for the fingerprint row:
+    ((doc_id*9973 + i*40503 + c*17) % 65536) - 32768.  The 40503 step
+    wraps the int16 range every ~1.6 samples, so band energies vary
+    frame to frame and the Haitsma-Kalker bits carry signal — the
+    linear :func:`synth_samples` ramp is feature-free for a
+    difference-of-differences fingerprint (every code degenerates to
+    0).  Still pure integer arithmetic, so the oracle reproduces every
+    sample."""
+    i = np.arange(n, dtype=np.int64).reshape(-1, 1)
+    c = np.arange(ch, dtype=np.int64).reshape(1, -1)
+    return (((doc_id * 9973 + i * 40503 + c * 17) % 65536) - 32768).astype(
+        np.int16
+    )
+
+
+def fm_wav_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Render the oscillatory-fixture WAV per document (same geometry
+    as :func:`wav_media_from_documents`: n = n_chars%50+20 samples,
+    channels = doc_id%2+1, rate 8000 + (doc_id%3)*4000), carrying
+    :func:`synth_fm_samples` audio — real bytes, Arrow-batched."""
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(8000) + (F.col("doc_id") % 3) * 4000)
+        .cast("int")
+        .alias("sample_rate"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
+        (F.col("n_chars") % 50 + 20).cast("int").alias("n"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(synth_fm_samples(int(mid), int(n), int(ch)), sr)
+                for mid, sr, ch, n in zip(
+                    pdf["media_id"], pdf["sample_rate"],
+                    pdf["channels"], pdf["n"],
+                )
+            ]
+            out = pdf[["media_id", "sample_rate", "channels"]].copy()
+            out["payload"] = pd.Series(payloads, index=pdf.index, dtype=object)
+            yield out[["media_id", "sample_rate", "channels", "payload"]]
+
+    return base.mapInPandas(run, WAV_MEDIA_SCHEMA)

@@ -1435,6 +1435,25 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_adc_topk(_emb(spark, sf_dir), ANN_QUERY_VEC)
 
 
+def q_mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haitsma-Kalker energy-difference audio fingerprint over REAL
+    WAV bytes (operators/multimodal.py:audio_fingerprint): exact int64
+    band energies, 3-bit codes per frame, Arrow-batched decode; the
+    oracle recomputes every code from the synthetic PCM formula.
+    Runs on the oscillatory fixture WAVs (fm_wav_media_from_documents)
+    — the linear ramp fixture is feature-free for a
+    difference-of-differences fingerprint (every code would be 0)."""
+    media = mm.fm_wav_media_from_documents(_docs(spark, sf_dir))
+    return mm.audio_fingerprint(media)
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) near-dup pairs
+    (operators/text_analysis.py:winnowing_pairs): per-doc window-min
+    fingerprint selection, df-capped posting-list pair join."""
+    return ta.winnowing_pairs(_docs(spark, sf_dir))
+
+
 def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell simplified-silhouette quality audit
     (operators/similarity.py:simplified_silhouette) over the persisted
@@ -1688,6 +1707,8 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "ann_pq_adc": q_ann_pq_adc,
         "ann_pq_recall": q_ann_pq_recall,
         "emb_silhouette": q_emb_silhouette,
+        "text_winnowing": q_text_winnowing,
+        "mm_audio_fingerprint": q_mm_audio_fingerprint,
         "text_gopher_rules": q_text_gopher_rules,
         "text_ngram_novelty": q_text_ngram_novelty,
         "mm_phash_neardup": q_mm_phash_neardup,
@@ -1736,6 +1757,116 @@ def pipeline_oracles() -> dict[str, str]:
     # oracle as the vectorized serving row (ADVICE r05 — keeps the
     # fold-vs-arrow equivalence externally verified).
     oracles["dedup_semantic_fold"] = oracles["dedup_semantic"]
+    oracles["mm_audio_fingerprint"] = """
+        WITH d AS (
+          SELECT doc_id, n_chars % 50 + 20 AS n, doc_id % 2 + 1 AS ch
+          FROM documents
+        ),
+        fr AS (
+          SELECT doc_id, n, ch, unnest(generate_series(0, n // 8 - 1)) AS f
+          FROM d
+        ),
+        cc AS (
+          SELECT doc_id, n, f, unnest(generate_series(0, ch - 1)) AS c
+          FROM fr
+        ),
+        bb AS (
+          SELECT doc_id, n, f, c, unnest(generate_series(0, 3)) AS b
+          FROM cc
+        ),
+        jj AS (
+          SELECT doc_id, n, f, c, b, unnest(generate_series(0, 1)) AS j
+          FROM bb
+        ),
+        v AS (
+          SELECT doc_id, n, f, c, b,
+                 ((doc_id*9973 + (f*8 + b*2 + j)*40503 + c*17) % 65536)
+                   - 32768 AS val
+          FROM jj
+        ),
+        e AS (
+          SELECT doc_id, n, f, c, b,
+                 CAST(sum(val * val) AS BIGINT) AS en
+          FROM v GROUP BY 1, 2, 3, 4, 5
+        ),
+        bd AS (
+          SELECT doc_id, n, f, c, b,
+                 en - lead(en) OVER (
+                   PARTITION BY doc_id, c, f ORDER BY b
+                 ) AS d1
+          FROM e
+        ),
+        dd AS (
+          SELECT doc_id, n, f, c, b,
+                 d1 - lag(d1) OVER (
+                   PARTITION BY doc_id, c, b ORDER BY f
+                 ) AS ddv
+          FROM bd WHERE b <= 2
+        ),
+        code AS (
+          SELECT doc_id, n, c, f,
+                 CAST(sum((CASE WHEN ddv > 0 THEN 1 ELSE 0 END)
+                      * (CASE b WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END))
+                   AS BIGINT) AS cd
+          FROM dd WHERE f >= 1 GROUP BY 1, 2, 3, 4
+        ),
+        agg AS (
+          SELECT doc_id, n, c,
+                 CAST(count(*) AS BIGINT) AS n_codes,
+                 CAST(count(DISTINCT cd) AS BIGINT) AS n_distinct_codes,
+                 string_agg(CAST(cd AS VARCHAR), ',' ORDER BY f) AS codes
+          FROM code GROUP BY 1, 2, 3
+        )
+        SELECT doc_id AS media_id, CAST(c AS INTEGER) AS channel,
+               CAST(n // 8 AS BIGINT) AS n_frames,
+               n_codes, n_distinct_codes, codes
+        FROM agg
+    """
+    oracles["text_winnowing"] = """
+        WITH d AS (
+          SELECT doc_id, text,
+                 greatest(1, length(text) - 7) AS nh
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id, nh, i,
+                 substring(md5(substring(text, i, 8)), 1, 8) AS hv
+          FROM d, unnest(generate_series(1, nh)) t(i)
+        ),
+        sm AS (
+          SELECT doc_id, nh, i,
+                 min(hv) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                 ) AS fp
+          FROM h
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id, fp FROM sm
+          WHERE i <= greatest(1, nh - 3)
+        ),
+        dfc AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp),
+        kept AS (
+          SELECT s.doc_id, s.fp FROM sel s JOIN dfc USING (fp)
+          WHERE df <= 10
+        ),
+        per_doc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps
+          FROM kept GROUP BY doc_id
+        ),
+        pairs AS (
+          SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS shared_fps
+          FROM kept l JOIN kept r
+            ON l.fp = r.fp AND l.doc_id < r.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT p.doc_a, p.doc_b, p.shared_fps,
+               a.n_fps AS a_fps, b.n_fps AS b_fps
+        FROM pairs p
+        JOIN per_doc a ON p.doc_a = a.doc_id
+        JOIN per_doc b ON p.doc_b = b.doc_id
+    """
     oracles["emb_silhouette"] = """
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings),
