@@ -1401,3 +1401,31 @@ def test_audio_fingerprint_is_arrow_batched(spark, sf_dir):
     assert "MapInPandas" in plan, plan
     assert "Exchange" not in plan or "rangepartitioning" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_seasonality_single_partial_agg(spark, sf_dir):
+    """One (type,dow,hour) partial agg + broadcast totals — no window,
+    no cartesian; the events scan reads only (event_type, ts)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ev_seasonality"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all(
+        "props" not in l and "value" not in l for l in reads
+    ), plan
+
+
+def test_sampling_bias_never_materializes_sample(spark, sf_dir):
+    """ONE grouped aggregate over the span scan (conditional sum — the
+    sample is a flag, not a relation): no join, no window, no second
+    scan."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["z_sampling_bias"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        plan
+    )

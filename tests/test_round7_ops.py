@@ -1991,3 +1991,67 @@ def test_audio_fingerprint_hand_case(spark):
         out["n_frames"], out["n_codes"], out["n_distinct_codes"],
         out["codes"],
     ) == (2, 1, 1, str(code))
+
+
+def test_seasonality_fixture(spark):
+    """1970-01-01 was a Thursday (dow 4 with 0=Sunday): events at
+    epoch hour 0 land in (4, 0); one event exactly one week later in
+    the same cell; one at +25h lands in (5, 1).  Ratios: cell (4,0)
+    has 2 of 3 -> 2*168e6/3 = 112000000."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    def _t(hours):
+        return datetime.fromtimestamp(
+            hours * 3600, tz=timezone.utc
+        ).replace(tzinfo=None)
+
+    ev = spark.createDataFrame(
+        [("click", _t(0)), ("click", _t(168)), ("click", _t(25))],
+        "event_type string, ts timestamp",
+    )
+    with mock.patch.object(tables, "load_table", lambda s, d, n: ev):
+        out = {
+            (r["dow"], r["hour"]): (r["n_events"], r["uniform_ratio_micro"])
+            for r in an.seasonality_profile(spark, "ignored").collect()
+        }
+    assert out == {
+        (4, 0): (2, 112_000_000),
+        (5, 1): (1, 56_000_000),
+    }
+
+
+def test_sampling_bias_trace_coherent(spark):
+    """All spans of one trace are in or out together, and the
+    estimate is exactly 16x the sampled count.  trace 'keep' is
+    engineered into bucket 0; trace 'drop' is not."""
+    import hashlib
+
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    import zipkin_storage_kafka_spark.plans.registry as reg
+
+    def bucket(tid):
+        return int(hashlib.md5(tid.encode()).hexdigest()[:8], 16) % 16
+
+    keep = next(f"k{i}" for i in range(1000) if bucket(f"k{i}") == 0)
+    drop = next(f"d{i}" for i in range(1000) if bucket(f"d{i}") != 0)
+    spans = spark.createDataFrame(
+        [
+            Row(trace_id=keep, local_service="svc"),
+            Row(trace_id=keep, local_service="svc"),
+            Row(trace_id=drop, local_service="svc"),
+        ]
+    )
+    with mock.patch.object(reg, "_spans", lambda s, d: spans):
+        out = reg.q_sampling_bias(spark, "ignored").collect()
+    r = out[0]
+    assert (
+        r["local_service"], r["n_spans"], r["n_sampled"], r["est_spans"],
+        r["bias_micro"],
+    ) == ("svc", 3, 2, 32, 10_666_666)

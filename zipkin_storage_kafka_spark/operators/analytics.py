@@ -2215,3 +2215,51 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week traffic profile per event type, with
+    the exact ratio to a uniform profile — the seasonality panel behind
+    capacity planning and anomaly baselines ("is Tuesday 14:00 really
+    hotter, or is the detector drifting").
+
+    Calendar math stays in integer epoch arithmetic (dow =
+    (epoch_days + 4) % 7 with 0 = Sunday — 1970-01-01 was a Thursday =
+    4; hour = epoch_hours % 24), so no engine date/timezone function
+    can disagree; ratios are integer micro (1e6 = exactly uniform over
+    the 168 cells).
+
+    Scale: one (type, dow, hour) partial agg — at most |types| x 168
+    output rows regardless of corpus size; the per-type total attaches
+    by broadcast.
+
+    Output: event_type, dow, hour, n_events, uniform_ratio_micro.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import (
+        load_table,
+        to_epoch_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", to_epoch_micros(ev, "ts").alias("us")
+    ).select(
+        "event_type",
+        F.expr(f"((us div {DAY_US}) + 4) % 7").cast("int").alias("dow"),
+        F.expr("(us div 3600000000) % 24").cast("int").alias("hour"),
+    )
+    cells = base.groupBy("event_type", "dow", "hour").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    totals = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "dow",
+        "hour",
+        "n_events",
+        F.expr("(n_events * 168 * 1000000) div total").alias(
+            "uniform_ratio_micro"
+        ),
+    )

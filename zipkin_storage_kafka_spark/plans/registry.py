@@ -532,6 +532,40 @@ def q_salted_service_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sampling_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace-sampling fidelity audit: a deterministic 1/16 head-based
+    sample (md5(trace_id) bucket — how production tracers sample) vs
+    the full corpus, per service: scaled-up estimate and its exact
+    micro ratio to truth.  The "can we trust the sampled dashboard"
+    panel every tracing deployment needs before turning sampling on;
+    trace-coherent by construction (whole traces in or out, the
+    property head-based sampling must preserve).  One corpus partial
+    agg with a conditional sum — the sample is never materialized."""
+    spans = _spans(spark, sf_dir)
+    flag = (
+        F.expr(
+            "conv(substring(md5(trace_id), 1, 8), 16, 10) % 16"
+        ).cast("int")
+        == 0
+    ).cast("long")
+    return (
+        spans.groupBy("local_service")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(flag).alias("n_sampled"),
+        )
+        .select(
+            "local_service",
+            "n_spans",
+            "n_sampled",
+            (F.col("n_sampled") * 16).alias("est_spans"),
+            F.expr("(n_sampled * 16 * 1000000) div n_spans").alias(
+                "bias_micro"
+            ),
+        )
+    )
+
+
 def q_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew audit (operators/skew.py:shuffle_key_skew) over
     the two keys every trace query shuffles on — trace_id (the re-key
@@ -1472,6 +1506,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_latency_percentiles": q_latency_percentiles,
         "z_salted_service_counts": q_salted_service_counts,
         "z_partition_skew": q_partition_skew,
+        "z_sampling_bias": q_sampling_bias,
         "z_sketch_service_traces": q_sketch_service_traces,
         "z_hll_service_traces": q_hll_service_traces,
         "z_hll_merge_rollup": q_hll_merge_rollup,
@@ -2482,6 +2517,26 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
             """
             SELECT local_service,
                    CAST(count(*) AS BIGINT) AS n_spans
+            FROM spans GROUP BY local_service
+            """
+        ),
+        "z_sampling_bias": with_spans_cte(
+            """
+            SELECT local_service,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN
+                       CAST(('0x' || substring(md5(trace_id), 1, 8))
+                            AS BIGINT) % 16 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                   CAST(sum(CASE WHEN
+                       CAST(('0x' || substring(md5(trace_id), 1, 8))
+                            AS BIGINT) % 16 = 0
+                     THEN 1 ELSE 0 END) * 16 AS BIGINT) AS est_spans,
+                   CAST((sum(CASE WHEN
+                       CAST(('0x' || substring(md5(trace_id), 1, 8))
+                            AS BIGINT) % 16 = 0
+                     THEN 1 ELSE 0 END) * 16 * 1000000) // count(*)
+                     AS BIGINT) AS bias_micro
             FROM spans GROUP BY local_service
             """
         ),

@@ -137,6 +137,14 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_lift(member, "l_orderkey", "p_brand")
 
 
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour x weekday traffic profile per event type
+    (operators/analytics.py:seasonality_profile): integer epoch
+    calendar math, one (type,dow,hour) partial agg, broadcast totals,
+    exact micro ratio to uniform."""
+    return an.seasonality_profile(spark, sf_dir)
+
+
 def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-purchase cadence percentiles by market segment
     (operators/analytics.py:customer_order_gaps): customer-keyed lag
@@ -320,6 +328,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "w_basket_brand_pairs": q_basket_brand_pairs,
         "w_item_neighbors": q_item_neighbors,
         "h_customer_order_gaps": q_customer_order_gaps,
+        "ev_seasonality": q_seasonality,
         "h_fulfillment_latency": q_fulfillment_latency,
         "ev_ab_conversion": q_ab_conversion,
         "ev_changepoint": q_changepoint,
@@ -755,6 +764,26 @@ def analytics_oracles() -> dict[str, str]:
                    CAST((r.n_events * 1000000) // (t.n - r.exited)
                      AS BIGINT) AS hazard_micro
             FROM risk r CROSS JOIN tot t
+        """,
+        "ev_seasonality": """
+            WITH base AS (
+              SELECT event_type,
+                     ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                     (epoch_us(ts) // 3600000000) % 24 AS hour
+              FROM events
+            ), cells AS (
+              SELECT event_type, CAST(dow AS INTEGER) AS dow,
+                     CAST(hour AS INTEGER) AS hour,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM base GROUP BY 1, 2, 3
+            ), totals AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS total
+              FROM base GROUP BY event_type
+            )
+            SELECT c.event_type, c.dow, c.hour, c.n_events,
+                   CAST((c.n_events * 168 * 1000000) // t.total AS BIGINT)
+                     AS uniform_ratio_micro
+            FROM cells c JOIN totals t USING (event_type)
         """,
         "h_customer_order_gaps": """
             WITH o AS (
