@@ -1429,3 +1429,28 @@ def test_sampling_bias_never_materializes_sample(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
         plan
     )
+
+
+def test_ltv_triangle_custkey_cokey_join(spark, sf_dir):
+    """Cohort derivation and join-back are both o_custkey-keyed (no
+    cartesian, no window); the orders scan reads only the three used
+    columns."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["h_ltv_triangle"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("o_comment" not in l for l in reads), plan
+
+
+def test_seasonal_anomalies_takeordered(spark, sf_dir):
+    """Final cut is a TakeOrdered heap; cells broadcast back; spine
+    generates from aggregated bounds (Generate), never a fact-table
+    cross join."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ev_seasonal_anomalies"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan

@@ -2055,3 +2055,66 @@ def test_sampling_bias_trace_coherent(spark):
         r["local_service"], r["n_spans"], r["n_sampled"], r["est_spans"],
         r["bias_micro"],
     ) == ("svc", 3, 2, 32, 10_666_666)
+
+
+def test_ltv_triangle_fixture(spark):
+    """Customer 1 first orders in 202312 (ym boundary: +1 month is
+    202401 -> months_since 1); customer 2's single order forms its own
+    cohort.  Revenue is exact millis."""
+    from datetime import datetime
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    orders = spark.createDataFrame(
+        [
+            (1, datetime(2023, 12, 15), 10.5),
+            (1, datetime(2024, 1, 3), 20.25),
+            (1, datetime(2024, 1, 20), 1.0),
+            (2, datetime(2024, 1, 10), 5.125),
+        ],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    with mock.patch.object(tables, "load_table", lambda s, d, n: orders):
+        out = {
+            (r["cohort_ym"], r["order_ym"]): (
+                r["months_since"], r["n_customers"], r["n_orders"],
+                r["revenue_milli"],
+            )
+            for r in an.ltv_triangle(spark, "ignored").collect()
+        }
+    assert out == {
+        (202312, 202312): (0, 1, 1, 10500),
+        (202312, 202401): (1, 1, 2, 21250),
+        (202401, 202401): (0, 1, 1, 5125),
+    }
+
+
+def test_seasonal_anomalies_fixture(spark):
+    """Type with minutes spread over one (dow,hour) cell: 3 events in
+    one minute vs cell average; the spike minute ranks first with
+    ratio = 3 * cell_minutes * 1e6 / cell_events."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    def _t(minute):
+        return datetime.fromtimestamp(minute * 60, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    # minutes 0..9 all fall in (dow=4, hour=0); total 12 events over
+    # 10 spine minutes: one spike minute with 3, nine minutes with 1.
+    rows = [("click", _t(0))] * 3 + [("click", _t(m)) for m in range(1, 10)]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    with mock.patch.object(tables, "load_table", lambda s, d, n: ev):
+        out = an.seasonal_anomalies(spark, "ignored", k=2).collect()
+    top = out[0]
+    assert (
+        top["minute_ms"], top["n_events"], top["cell_events"],
+        top["cell_minutes"], top["ratio_micro"],
+    ) == (0, 3, 12, 10, (3 * 10 * 1_000_000) // 12)
+    assert out[1]["n_events"] == 1 and out[1]["minute_ms"] == 60_000

@@ -2263,3 +2263,131 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniform_ratio_micro"
         ),
     )
+
+
+def ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-cohort LTV triangle: customers grouped by the calendar
+    month of their FIRST order (the cohort), revenue rolled up by
+    (cohort month x order month) — the lifetime-value matrix every
+    subscription/commerce dashboard draws as the lower triangle
+    ("how much does the 2024-03 cohort spend in month 0, 1, 2, ...").
+    The revenue twin of ev_cohort_retention's activity matrix.
+
+    Money follows the rfm idiom: per-order integer millis
+    (round(price*1000)) summed as BIGINT — order-independent exact
+    sums.  Months are calendar (year*100+month under the pinned UTC
+    session) and months_since is exact integer month arithmetic.
+
+    Scale: one customer-keyed min-agg for cohorts, one keyed join back
+    (both sides order-table-sized, co-keyed on o_custkey), partial agg
+    to at most months^2 output rows.
+
+    Output: cohort_ym, order_ym, months_since, n_customers, n_orders,
+    revenue_milli.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate").cast("timestamp")) * 100
+            + F.month(F.col("o_orderdate").cast("timestamp"))
+        )
+        .cast("int")
+        .alias("ym"),
+        F.round(F.col("o_totalprice") * 1000, 0)
+        .cast("long")
+        .alias("milli"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    joined = o.join(first, "o_custkey")
+    return (
+        joined.groupBy("cohort_ym", "ym")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("milli").alias("revenue_milli"),
+        )
+        .select(
+            "cohort_ym",
+            F.col("ym").alias("order_ym"),
+            (
+                (F.expr("ym div 100") - F.expr("cohort_ym div 100")) * 12
+                + (F.expr("ym % 100") - F.expr("cohort_ym % 100"))
+            )
+            .cast("int")
+            .alias("months_since"),
+            "n_customers",
+            "n_orders",
+            "revenue_milli",
+        )
+    )
+
+
+def seasonal_anomalies(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Seasonality-adjusted spike detection: each observed minute's
+    event count measured against ITS OWN (dow, hour) cell's average
+    rate (cell events / cell minutes over the zero-filled observed
+    range) — the anomaly panel :func:`seasonality_profile` exists to
+    baseline ("Tuesday 14:00 is always hot; flag the minute that is
+    hot FOR a Tuesday 14:00").  Top-``k`` spikes, exact integer
+    ordering.
+
+    Everything derives from the minute index by integer arithmetic
+    (day = m div 1440, hour = (m mod 1440) div 60 — no date
+    functions); ratio_micro = n * cell_minutes * 1e6 div cell_events
+    is exact, and the top-k orders on (ratio, type, minute) — all
+    integers, engine-stable.
+
+    Scale: the (type, minute) partial agg is the only corpus-sized
+    work; the spine is calendar-bounded; cells collapse to <= types x
+    168 rows and broadcast back; the final top-k is a TakeOrdered
+    heap.
+
+    Output: event_type, minute_ms, n_events, cell_events,
+    cell_minutes, ratio_micro.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    marked = _with_event_minute(ev).select("event_type", "m")
+    counts = marked.groupBy("event_type", "m").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = marked.groupBy("event_type").agg(
+        F.min("m").alias("lo"), F.max("m").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("m")
+    ).select(
+        "event_type",
+        "m",
+        F.expr("((m div 1440) + 4) % 7").alias("dow"),
+        F.expr("(m % 1440) div 60").alias("hour"),
+    )
+    filled = spine.join(counts, ["event_type", "m"], "left").select(
+        "event_type", "m", "dow", "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+    cells = filled.groupBy("event_type", "dow", "hour").agg(
+        F.sum("n_events").alias("cell_events"),
+        F.count(F.lit(1)).alias("cell_minutes"),
+    )
+    scored = (
+        filled.filter(F.col("n_events") > 0)
+        .join(F.broadcast(cells), ["event_type", "dow", "hour"])
+        .select(
+            "event_type",
+            (F.col("m") * 60_000).alias("minute_ms"),
+            "n_events",
+            "cell_events",
+            "cell_minutes",
+            F.expr(
+                "(n_events * cell_minutes * 1000000) div cell_events"
+            ).alias("ratio_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("ratio_micro").desc(), F.col("event_type"), F.col("minute_ms")
+    ).limit(k)

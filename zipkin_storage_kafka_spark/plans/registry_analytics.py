@@ -137,6 +137,21 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_lift(member, "l_orderkey", "p_brand")
 
 
+def q_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-cohort LTV triangle
+    (operators/analytics.py:ltv_triangle): customer-keyed first-month
+    cohort, co-keyed join back, exact integer-milli revenue by
+    (cohort month x order month)."""
+    return an.ltv_triangle(spark, sf_dir)
+
+
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted top-20 spikes
+    (operators/analytics.py:seasonal_anomalies): minutes vs their own
+    (dow,hour) cell average, integer-micro ratios, TakeOrdered."""
+    return an.seasonal_anomalies(spark, sf_dir)
+
+
 def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour x weekday traffic profile per event type
     (operators/analytics.py:seasonality_profile): integer epoch
@@ -329,6 +344,8 @@ def analytics_queries() -> dict[str, QueryFn]:
         "w_item_neighbors": q_item_neighbors,
         "h_customer_order_gaps": q_customer_order_gaps,
         "ev_seasonality": q_seasonality,
+        "h_ltv_triangle": q_ltv_triangle,
+        "ev_seasonal_anomalies": q_seasonal_anomalies,
         "h_fulfillment_latency": q_fulfillment_latency,
         "ev_ab_conversion": q_ab_conversion,
         "ev_changepoint": q_changepoint,
@@ -764,6 +781,67 @@ def analytics_oracles() -> dict[str, str]:
                    CAST((r.n_events * 1000000) // (t.n - r.exited)
                      AS BIGINT) AS hazard_micro
             FROM risk r CROSS JOIN tot t
+        """,
+        "h_ltv_triangle": """
+            WITH o AS (
+              SELECT o_custkey,
+                     CAST(date_part('year', o_orderdate) * 100
+                          + date_part('month', o_orderdate) AS INTEGER)
+                       AS ym,
+                     CAST(round(o_totalprice * 1000) AS BIGINT) AS milli
+              FROM orders
+            ), first AS (
+              SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY 1
+            )
+            SELECT f.cohort_ym, o.ym AS order_ym,
+                   CAST((o.ym // 100 - f.cohort_ym // 100) * 12
+                        + (o.ym % 100 - f.cohort_ym % 100) AS INTEGER)
+                     AS months_since,
+                   CAST(count(DISTINCT o.o_custkey) AS BIGINT)
+                     AS n_customers,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(o.milli) AS BIGINT) AS revenue_milli
+            FROM o JOIN first f USING (o_custkey)
+            GROUP BY 1, 2, 3
+        """,
+        "ev_seasonal_anomalies": """
+            WITH marked AS (
+              SELECT event_type, epoch_us(ts) // 60000000 AS m FROM events
+            ), counts AS (
+              SELECT event_type, m, CAST(count(*) AS BIGINT) AS n_events
+              FROM marked GROUP BY 1, 2
+            ), bounds AS (
+              SELECT event_type, min(m) AS lo, max(m) AS hi
+              FROM marked GROUP BY event_type
+            ), spine AS (
+              SELECT event_type,
+                     unnest(generate_series(lo, hi)) AS m
+              FROM bounds
+            ), filled AS (
+              SELECT s.event_type, s.m,
+                     ((s.m // 1440) + 4) % 7 AS dow,
+                     (s.m % 1440) // 60 AS hour,
+                     coalesce(c.n_events, 0) AS n_events
+              FROM spine s LEFT JOIN counts c
+                ON s.event_type = c.event_type AND s.m = c.m
+            ), cells AS (
+              SELECT event_type, dow, hour,
+                     CAST(sum(n_events) AS BIGINT) AS cell_events,
+                     CAST(count(*) AS BIGINT) AS cell_minutes
+              FROM filled GROUP BY 1, 2, 3
+            )
+            SELECT f.event_type,
+                   CAST(f.m * 60000 AS BIGINT) AS minute_ms,
+                   CAST(f.n_events AS BIGINT) AS n_events,
+                   c.cell_events, c.cell_minutes,
+                   CAST((f.n_events * c.cell_minutes * 1000000)
+                        // c.cell_events AS BIGINT) AS ratio_micro
+            FROM filled f
+            JOIN cells c ON f.event_type = c.event_type
+                        AND f.dow = c.dow AND f.hour = c.hour
+            WHERE f.n_events > 0
+            ORDER BY ratio_micro DESC, f.event_type, minute_ms
+            LIMIT 20
         """,
         "ev_seasonality": """
             WITH base AS (
