@@ -1380,9 +1380,13 @@ def test_winnowing_selects_via_doc_keyed_window(spark, sf_dir):
     window — never a nested array lambda (which re-evaluates the hash
     array per window) and never a global sort; joins are fp/doc
     equi-joins only."""
-    import __spark_entry__ as entrymod
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        winnowing_pairs,
+    )
 
-    plan = _plan(entrymod.queries()["text_winnowing"](spark, sf_dir))
+    # the operator's own plan — the registry row serves the persisted
+    # matcache relation, whose plan is just a parquet scan
+    plan = _plan(winnowing_pairs(load_table(spark, sf_dir, "documents")))
     assert "CartesianProduct" not in plan, plan
     win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert win and all("doc_id" in l for l in win), plan
@@ -1454,3 +1458,17 @@ def test_seasonal_anomalies_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Generate" in plan, plan
+
+
+def test_winnow_clusters_closure_on_pair_relation(spark, sf_dir):
+    """The CC sweeps run on the winnowing PAIR relation (k rows), the
+    corpus never re-enters the loop: no cartesian anywhere, and the
+    only windows are the winnowing selection's doc-keyed ones."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(
+        entrymod.queries()["dedup_winnow_clusters"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert all("doc_id" in l for l in win), plan

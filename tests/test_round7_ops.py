@@ -2118,3 +2118,32 @@ def test_seasonal_anomalies_fixture(spark):
         top["cell_minutes"], top["ratio_micro"],
     ) == (0, 3, 12, 10, (3 * 10 * 1_000_000) // 12)
     assert out[1]["n_events"] == 1 and out[1]["minute_ms"] == 60_000
+
+
+def test_winnow_clusters_transitive(spark):
+    """A~B and B~C via shared runs (A,C share nothing directly) must
+    land in ONE component — the closure property the pair report alone
+    doesn't give."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.dedup import dedup_clusters
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        winnowing_pairs,
+    )
+
+    run1 = "alpha bravo charlie delta echo foxtrot golf"
+    run2 = "hotel india juliet kilo lima mike november"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=run1 + " 111"),
+            Row(doc_id=2, text=run1 + " and then " + run2),
+            Row(doc_id=3, text="333 " + run2),
+            Row(doc_id=9, text="totally unrelated content here xyz"),
+        ]
+    )
+    pairs = winnowing_pairs(docs).select("doc_a", "doc_b")
+    out = {
+        r["component_id"]: (r["n_docs"], r["member_ids"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert out == {1: (3, "1,2,3")}
