@@ -78,6 +78,13 @@ def main() -> None:
     _dedup_index(spark, sf_dir).count()
     _minhash_minima(spark, sf_dir).count()
     _charlm_scores(spark, sf_dir).count()
+    # late-round-7 materialized layer: the winnowing fingerprint match
+    # table shared by the pair report and the cluster resolution
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import (
+        _winnow_pairs,
+    )
+
+    _winnow_pairs(spark, sf_dir).count()
     centroids, assign = _ivf_index(spark, sf_dir)
     centroids.count()
     assign.count()

@@ -1472,3 +1472,16 @@ def test_winnow_clusters_closure_on_pair_relation(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert all("doc_id" in l for l in win), plan
+
+
+def test_ivfpq_prunes_code_table_before_lut(spark, sf_dir):
+    """The probe list broadcasts into semi joins (assignment, then the
+    code table) and the LUT broadcasts — the full-precision corpus
+    never reaches the ranking agg; no cartesian."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ann_ivfpq_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -664,3 +664,142 @@ def test_basket_lift_conserves_support(spark, baskets):
         assert r["lift_micro"] == (
             r["pair_baskets"] * n_total * 1_000_000
         ) // (r["a_baskets"] * r["b_baskets"])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    noise=st.lists(
+        st.text(alphabet="abcdefgh ", min_size=12, max_size=40),
+        min_size=2,
+        max_size=4,
+    ),
+    run=st.text(alphabet="xyzuvw", min_size=11, max_size=24),
+)
+def test_winnowing_guarantee_property(spark, noise, run):
+    """The Schleimer guarantee, randomized: any two docs sharing a
+    substring of length >= gram + window - 1 (= 11) MUST share at
+    least one selected fingerprint (min_shared=1 to test the raw
+    guarantee).  Noise docs use a disjoint alphabet so cross-matches
+    can't confound the assertion."""
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        winnowing_pairs,
+    )
+
+    rows = [Row(doc_id=1, text=noise[0] + run), Row(doc_id=2, text=run + noise[1])]
+    rows += [
+        Row(doc_id=10 + i, text=t) for i, t in enumerate(noise)
+    ]
+    docs = spark.createDataFrame(rows)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnowing_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=9), min_size=2, max_size=24),
+)
+def test_cusum_matches_bruteforce(spark, counts):
+    """cusum_changepoint equals the plain-python argmax of
+    |n*prefix - t*T| over 1 <= t < n (earliest tie) on an arbitrary
+    integer series."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    if sum(counts) == 0 or counts[0] == 0 or counts[-1] == 0:
+        counts = [1] + counts + [1]  # pin lo/hi so the spine is the list
+
+    rows = []
+    for m, c in enumerate(counts):
+        rows += [("t", datetime.fromtimestamp(
+            (5000 + m) * 60, tz=timezone.utc).replace(tzinfo=None))] * c
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    with mock.patch.object(tables, "load_table", lambda s, d, n: ev):
+        out = an.cusum_changepoint(spark, "ignored").collect()[0]
+
+    n, total = len(counts), sum(counts)
+    best = None
+    prefix = 0
+    for t in range(1, n):
+        prefix += counts[t - 1]
+        s = abs(n * prefix - t * total)
+        if best is None or s > best[0]:
+            best = (s, t)
+    assert (out["s_abs_max"], out["change_minute_ms"]) == (
+        best[0], (5000 + best[1] - 1) * 60_000,
+    )
+    assert out["n_minutes"] == n and out["total_events"] == total
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    baskets=st.lists(
+        st.lists(st.integers(min_value=1, max_value=8), min_size=1, max_size=4),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_item_neighbors_jaccard_matches_bruteforce(spark, baskets):
+    """Every reported jaccard_micro equals the exact set-Jaccard of
+    the two items' basket sets computed in plain python, and rank
+    ordering matches the (jaccard desc, pair desc, neighbor asc)
+    sort."""
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    member = {(o, p) for o, items in enumerate(baskets) for p in items}
+    li = spark.createDataFrame(
+        [Row(l_orderkey=o, l_partkey=p) for o, p in member]
+    )
+    with mock.patch.object(tables, "load_table", lambda s, d, n: li):
+        rows = an.item_neighbors(spark, "ignored", k=3).collect()
+
+    of_item: dict[int, set] = {}
+    for o, p in member:
+        of_item.setdefault(p, set()).add(o)
+    for r in rows:
+        a, b = of_item[r["part_key"]], of_item[r["neighbor_key"]]
+        inter = len(a & b)
+        assert inter == r["pair_baskets"] > 0
+        assert r["jaccard_micro"] == (inter * 1_000_000) // len(a | b)
+    for key in {r["part_key"] for r in rows}:
+        mine = sorted(
+            (r for r in rows if r["part_key"] == key),
+            key=lambda r: r["rank"],
+        )
+        expect = sorted(
+            mine,
+            key=lambda r: (-r["jaccard_micro"], -r["pair_baskets"],
+                           r["neighbor_key"]),
+        )
+        assert [r["neighbor_key"] for r in mine] == [
+            r["neighbor_key"] for r in expect
+        ]

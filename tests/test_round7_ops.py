@@ -2147,3 +2147,42 @@ def test_winnow_clusters_transitive(spark):
         for r in dedup_clusters(pairs).collect()
     }
     assert out == {1: (3, "1,2,3")}
+
+
+def test_ivfpq_subset_of_cell_members(spark):
+    """IVF-PQ results are exactly the PQ-ADC ranking restricted to the
+    probed cells: every returned id is assigned to a probed cell, and
+    restricting full PQ-ADC output to those members reproduces the
+    IVF-PQ list (order included)."""
+    from pyspark.sql import functions as F
+
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        ann_topk_ivfpq,
+        ivf_assignments,
+        ivf_centroids,
+        pq_adc_topk,
+        _centroid_scores,
+    )
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_centroids(emb)
+    assign = ivf_assignments(emb, cents)
+    out = ann_topk_ivfpq(
+        emb, 0, 5, nprobe=2, centroids=cents, assign=assign
+    ).collect()
+
+    probe = {
+        r["label"]
+        for r in _centroid_scores(emb.filter("vec_id = 0"), cents)
+        .orderBy(F.col("s").desc(), F.col("label"))
+        .limit(2)
+        .collect()
+    }
+    cell_of = {r["vec_id"]: r["label"] for r in assign.collect()}
+    assert all(cell_of[r["vec_id"]] in probe for r in out)
+
+    members = {v for v, c in cell_of.items() if c in probe}
+    full = pq_adc_topk(emb, 0, 10_000).collect()
+    expected = [r["vec_id"] for r in full if r["vec_id"] in members][:5]
+    assert [r["vec_id"] for r in out] == expected

@@ -839,6 +839,7 @@ def pq_adc_topk(
     k_results: int = 10,
     m: int = PQ_M,
     k: int = PQ_K,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus —
     the search half of an IVF-PQ index (:func:`pq_encode` is the build
@@ -882,6 +883,11 @@ def pq_adc_topk(
         ).alias("_d"),
     )
     codes = pq_encode(embeddings, m=m, k=k).select("vec_id", "m", "code")
+    if candidates is not None:
+        # IVF-PQ composition: restrict the code-table scan to the probed
+        # cells' members BEFORE the LUT join — at scale the cell label is
+        # a partition column of the code table, so this is a pruned scan.
+        codes = codes.join(candidates.select("vec_id"), "vec_id", "left_semi")
     return (
         codes.join(F.broadcast(lut), ["m", "code"])
         # exclude the query itself, matching cosine_topk — without this
@@ -1691,4 +1697,51 @@ def simplified_silhouette(
             F.expr("sum(sil_micro) div count(1)").alias("mean_sil_micro"),
             F.min("sil_micro").alias("min_sil_micro"),
         )
+    )
+
+
+def ann_topk_ivfpq(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k_results: int = 10,
+    nprobe: int = 3,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    centroids: DataFrame | None = None,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """The full IVF-PQ search (Jegou et al. 2011, the architecture of
+    every production billion-vector index): coarse-quantize the query
+    to its ``nprobe`` best cells, then rank ONLY those cells' members
+    by PQ asymmetric distance — neither the full-precision corpus nor
+    the full code table is scanned at query time.
+
+    Pure composition of the two audited halves: :func:`ann_topk_ivf`'s
+    probe (cosine cells, round6 scores, the shared assignment
+    derivation) feeds :func:`pq_adc_topk`'s candidate restriction.
+
+    Scale (100 TB): probe list is nprobe rows broadcast into a semi
+    join against the assignment table; the code-table scan prunes to
+    ~nprobe/n_cells of its (already ~m bytes/vector) size when the
+    cell label partitions it; the LUT stays an m x k broadcast.
+
+    Output: vec_id, adc_d2 — ordered (adc_d2, vec_id), query excluded.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(embeddings)
+    if assign is None:
+        assign = ivf_assignments(embeddings, centroids)
+    query_scores = _centroid_scores(
+        embeddings.filter(F.col("vec_id") == query_vec_id), centroids
+    )
+    probe = (
+        query_scores.orderBy(F.col("s").desc(), F.col("label"))
+        .limit(nprobe)
+        .select("label")
+    )
+    cand_ids = assign.join(F.broadcast(probe), "label", "left_semi").select(
+        "vec_id"
+    )
+    return pq_adc_topk(
+        embeddings, query_vec_id, k_results, m, k, candidates=cand_ids
     )

@@ -1501,6 +1501,19 @@ def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.simplified_silhouette(_emb(spark, sf_dir), centroids)
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ search (operators/similarity.py:ann_topk_ivfpq):
+    probe the query's 3 best cells from the persisted index, PQ-ADC
+    rank only their members — the production billion-vector shape;
+    neither the full-precision corpus nor the full code table is
+    scanned."""
+    centroids, assign = _ivf_index(spark, sf_dir)
+    return sim.ann_topk_ivfpq(
+        _emb(spark, sf_dir), ANN_QUERY_VEC, ANN_K,
+        nprobe=ANN_IVF_NPROBE, centroids=centroids, assign=assign,
+    )
+
+
 def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-loss recall gate for the PQ-ADC path
     (operators/similarity.py:pq_recall): recall@k of the code-compressed
@@ -1744,6 +1757,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "dedup_semantic_curve": q_dedup_semantic_curve,
         "ann_pq_adc": q_ann_pq_adc,
         "ann_pq_recall": q_ann_pq_recall,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "emb_silhouette": q_emb_silhouette,
         "text_winnowing": q_text_winnowing,
         "mm_audio_fingerprint": q_mm_audio_fingerprint,
@@ -1980,6 +1994,92 @@ def pipeline_oracles() -> dict[str, str]:
                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
                  AS member_ids
         FROM lab GROUP BY component_id
+    """
+    # IVF-PQ: the ivf_topk probe derivation (cells, round6 scores,
+    # argmax assignment) restricting the pq_adc derivation (codes, LUT)
+    # — both halves verbatim from their own audited oracles.
+    oracles["ann_ivfpq_topk"] = f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cent AS (
+          SELECT label, list(c ORDER BY i) AS cv FROM (
+            SELECT label, i, avg(x) AS c FROM (
+              SELECT label,
+                     unnest(generate_series(1, len(v))) AS i,
+                     unnest(v) AS x
+              FROM e
+            ) GROUP BY label, i
+          ) GROUP BY label
+        ),
+        csim AS (
+          SELECT e.vec_id, cent.label,
+                 ((round((list_dot_product(v, cv)
+                    / (sqrt(list_dot_product(v, v))
+                       * sqrt(list_dot_product(cv, cv)))) * 1000000)
+                   / 1000000) + 0.0) AS s
+          FROM e CROSS JOIN cent
+        ),
+        assign AS (
+          SELECT vec_id, label FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, label) AS rk
+            FROM csim
+          ) WHERE rk = 1
+        ),
+        probe AS (
+          SELECT label FROM csim WHERE vec_id = {ANN_QUERY_VEC}
+          ORDER BY s DESC, label LIMIT {ANN_IVF_NPROBE}
+        ),
+        cand AS (
+          SELECT vec_id FROM assign
+          WHERE label IN (SELECT label FROM probe)
+        ),
+        sub AS (
+          SELECT vec_id, m,
+                 v[m * (len(v) // {sim.PQ_M}) + 1 :
+                   (m + 1) * (len(v) // {sim.PQ_M})] AS sv
+          FROM e, unnest(generate_series(0, {sim.PQ_M - 1})) t(m)
+        ),
+        cb AS (
+          SELECT vec_id AS code, m,
+                 v[m * (len(v) // {sim.PQ_M}) + 1 :
+                   (m + 1) * (len(v) // {sim.PQ_M})] AS cv
+          FROM (SELECT * FROM e ORDER BY vec_id LIMIT {sim.PQ_K}),
+               unnest(generate_series(0, {sim.PQ_M - 1})) t(m)
+        ),
+        d AS (
+          SELECT vec_id, m, code,
+                 (round((list_dot_product(sv, sv)
+                         - 2.0 * list_dot_product(sv, cv)
+                         + list_dot_product(cv, cv)) * 10000)
+                    / 10000 + 0.0) AS d2
+          FROM sub JOIN cb USING (m)
+        ),
+        codes AS (
+          SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, code) AS rn
+            FROM d
+          ) WHERE rn = 1
+        ),
+        q AS (SELECT m, sv FROM sub WHERE vec_id = {ANN_QUERY_VEC}),
+        lut AS (
+          SELECT cb.m, cb.code,
+                 (list_dot_product(q.sv, q.sv)
+                  - 2.0 * list_dot_product(q.sv, cb.cv)
+                  + list_dot_product(cb.cv, cb.cv)) AS ld
+          FROM q JOIN cb USING (m)
+        )
+        SELECT vec_id,
+               (round(sum(ld) * 10000) / 10000 + 0.0) AS adc_d2
+        FROM codes JOIN lut USING (m, code)
+        WHERE vec_id != {ANN_QUERY_VEC}
+          AND vec_id IN (SELECT vec_id FROM cand)
+        GROUP BY vec_id
+        ORDER BY adc_d2, vec_id
+        LIMIT {ANN_K}
     """
     # PQ recall gate composes the exact-L2 ground truth with the PQ-ADC
     # oracle VERBATIM (nested WITH), so the compressed side can never
