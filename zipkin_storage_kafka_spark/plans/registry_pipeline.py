@@ -1514,6 +1514,28 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ recall gate: recall@k of the composed
+    coarse-probe + code-compression search against the exact
+    squared-L2 top-k — measures BOTH loss sources together (the number
+    a deployment actually ships), beside the per-stage gates
+    (ann_ivf_recall, ann_pq_recall, ann_truncated_recall)."""
+    centroids, assign = _ivf_index(spark, sf_dir)
+    exact = sim.l2_topk(_emb(spark, sf_dir), ANN_QUERY_VEC, ANN_K).select(
+        "vec_id"
+    )
+    approx = sim.ann_topk_ivfpq(
+        _emb(spark, sf_dir), ANN_QUERY_VEC, ANN_K,
+        nprobe=ANN_IVF_NPROBE, centroids=centroids, assign=assign,
+    ).select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(ANN_K).cast("int").alias("k"),
+        "n_hits",
+        round4(F.col("n_hits") / F.lit(float(ANN_K))).alias("recall"),
+    )
+
+
 def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-loss recall gate for the PQ-ADC path
     (operators/similarity.py:pq_recall): recall@k of the code-compressed
@@ -1758,6 +1780,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "ann_pq_adc": q_ann_pq_adc,
         "ann_pq_recall": q_ann_pq_recall,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_recall": q_ann_ivfpq_recall,
         "emb_silhouette": q_emb_silhouette,
         "text_winnowing": q_text_winnowing,
         "mm_audio_fingerprint": q_mm_audio_fingerprint,
@@ -2080,6 +2103,29 @@ def pipeline_oracles() -> dict[str, str]:
         GROUP BY vec_id
         ORDER BY adc_d2, vec_id
         LIMIT {ANN_K}
+    """
+    # End-to-end IVF-PQ recall: exact-L2 ground truth vs the composed
+    # ivfpq oracle, nested verbatim.
+    oracles["ann_ivfpq_recall"] = f"""
+        WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+        q2 AS (SELECT v AS qv FROM e2 WHERE vec_id = {ANN_QUERY_VEC}),
+        ex AS (
+          SELECT vec_id,
+                 (round((list_dot_product(v, v)
+                         - 2.0 * list_dot_product(v, qv)
+                         + list_dot_product(qv, qv)) * 10000)
+                    / 10000 + 0.0) AS d2
+          FROM e2, q2 WHERE vec_id != {ANN_QUERY_VEC}
+          ORDER BY d2, vec_id LIMIT {ANN_K}
+        ),
+        ivfpq AS ({oracles["ann_ivfpq_topk"]}),
+        hits AS (SELECT ex.vec_id FROM ex JOIN ivfpq USING (vec_id))
+        SELECT CAST({ANN_K} AS INTEGER) AS k,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               (round((count(*) / {ANN_K}.0) * 10000) / 10000 + 0.0)
+                 AS recall
+        FROM hits
     """
     # PQ recall gate composes the exact-L2 ground truth with the PQ-ADC
     # oracle VERBATIM (nested WITH), so the compressed side can never
