@@ -1485,3 +1485,34 @@ def test_ivfpq_prunes_code_table_before_lut(spark, sf_dir):
     assert plan.count("LeftSemi") >= 2, plan
     assert "BroadcastExchange" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_winnow_decontaminate_joins_on_ids_only(spark, sf_dir):
+    """The split relation is (doc_id, split) — document text never
+    joins the pair relation; no cartesian, no window beyond the
+    operator's own derivation (served persisted)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(
+        entrymod.queries()["text_winnow_decontaminate"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    doc_reads = [l for l in reads if "doc_id" in l and "text" in l]
+    assert not doc_reads, plan  # split derivation prunes text away
+
+
+def test_active_users_explodes_small_relation(spark, sf_dir):
+    """The trailing-window fanout explodes the distinct (user, day)
+    relation (Generate AFTER the distinct agg), never the raw corpus;
+    the bounds attach by broadcast; no range join."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ev_active_users"](spark, sf_dir))
+    assert "Generate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all(
+        "props" not in l and "event_type" not in l for l in reads
+    ), plan

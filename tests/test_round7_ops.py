@@ -2225,3 +2225,80 @@ def test_ivfpq_recall_bounded_by_pq_recall_components(spark):
     exact = {r["vec_id"] for r in l2_topk(emb, 0, 10).collect()}
     hits = exact & approx
     assert 0 <= len(hits) <= 10
+
+
+def test_winnow_decontaminate_direction(spark):
+    """Only eval docs with a TRAIN partner are flagged: doc_ids are
+    engineered by split nibble (md5(doc_id) first hex) so one train
+    doc shares a run with one test doc and one val doc; train-train
+    overlap and eval-eval overlap must NOT appear."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        winnow_decontaminate,
+    )
+
+    def nib(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[0]
+
+    train_ids = [i for i in range(200) if nib(i) in "0123456789ab"]
+    test_ids = [i for i in range(200) if nib(i) in "ef"]
+    val_ids = [i for i in range(200) if nib(i) in "cd"]
+    t1, t2 = train_ids[0], train_ids[1]
+    ev1, v1 = test_ids[0], val_ids[0]
+    run = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=t1, text=run + " t1"),
+            Row(doc_id=t2, text=run + " t2"),            # train-train pair
+            Row(doc_id=ev1, text="E " + run),            # test <- train
+            Row(doc_id=v1, text=run + " validation"),    # val <- train
+        ]
+    )
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        winnowing_pairs,
+    )
+
+    pairs = winnowing_pairs(docs)
+    out = {
+        r["doc_id"]: (r["split"], r["n_train_matches"])
+        for r in winnow_decontaminate(pairs, docs).collect()
+    }
+    assert set(out) == {ev1, v1}
+    assert out[ev1][0] == "test" and out[ev1][1] == 2
+    assert out[v1][0] == "val" and out[v1][1] == 2
+
+
+def test_active_users_fixture(spark):
+    """3 users over 3 days: DAU exact per day; WAU/MAU trailing windows
+    accumulate distinct users; a user active twice in a window counts
+    once."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    def _t(day):
+        return datetime.fromtimestamp(day * 86400, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    rows = [
+        (1, _t(100)), (2, _t(100)),
+        (1, _t(101)),
+        (3, _t(102)), (1, _t(102)), (1, _t(102)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    with mock.patch.object(tables, "load_table", lambda s, d, n: ev):
+        out = {
+            r["day_ms"] // 86_400_000: (r["dau"], r["wau"], r["mau"])
+            for r in an.active_users(spark, "ignored").collect()
+        }
+    assert out == {
+        100: (2, 2, 2),
+        101: (1, 2, 2),
+        102: (2, 3, 3),
+    }

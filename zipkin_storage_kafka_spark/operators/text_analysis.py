@@ -2345,3 +2345,59 @@ def winnowing_pairs(
         )
         .select("doc_a", "doc_b", "shared_fps", "a_fps", "b_fps")
     )
+
+
+def winnow_decontaminate(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Substring-level train/eval decontamination (the Lee et al. 2022
+    concern :func:`dedup_substring` measures corpus-wide, applied to
+    the split boundary): an eval (val/test) document that shares ANY
+    winnowing fingerprint with a train document contains a verbatim
+    run of >= gram + window - 1 characters from the training set — the
+    contamination long-doc MinHash misses (whole-doc Jaccard dilutes a
+    single shared paragraph below threshold; fingerprints are local).
+    Complements :func:`fuzzy_decontaminate`'s near-whole-doc flavor.
+
+    Split rule is the shared :func:`split_assignment` hash, so shards,
+    split report, and decontamination can never disagree.
+
+    Scale: one broadcast of the |docs|-row (doc_id, split) relation
+    onto the (already df-capped, persisted) pair relation; output is
+    flagged eval docs only.
+
+    Output: doc_id, split, n_train_matches, max_shared_fps.
+    """
+    split = docs.select("doc_id", split_assignment().alias("split"))
+    sym = pairs.select(
+        F.col("doc_a").alias("eval_id"),
+        F.col("doc_b").alias("other_id"),
+        "shared_fps",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("eval_id"),
+            F.col("doc_a").alias("other_id"),
+            "shared_fps",
+        )
+    )
+    j = (
+        sym.join(
+            split.select(
+                F.col("doc_id").alias("eval_id"),
+                F.col("split").alias("split"),
+            ),
+            "eval_id",
+        )
+        .join(
+            split.select(
+                F.col("doc_id").alias("other_id"),
+                F.col("split").alias("other_split"),
+            ),
+            "other_id",
+        )
+        .filter(
+            (F.col("split") != "train") & (F.col("other_split") == "train")
+        )
+    )
+    return j.groupBy(F.col("eval_id").alias("doc_id"), "split").agg(
+        F.count(F.lit(1)).alias("n_train_matches"),
+        F.max("shared_fps").alias("max_shared_fps"),
+    )

@@ -145,6 +145,14 @@ def q_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.ltv_triangle(spark, sf_dir)
 
 
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU/WAU/MAU panel (operators/analytics.py:active_users):
+    distinct (user, day) relation exploded to its trailing-window
+    contribution days — linear fanout of the small relation, never a
+    range join."""
+    return an.active_users(spark, sf_dir)
+
+
 def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality-adjusted top-20 spikes
     (operators/analytics.py:seasonal_anomalies): minutes vs their own
@@ -346,6 +354,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_seasonality": q_seasonality,
         "h_ltv_triangle": q_ltv_triangle,
         "ev_seasonal_anomalies": q_seasonal_anomalies,
+        "ev_active_users": q_active_users,
         "h_fulfillment_latency": q_fulfillment_latency,
         "ev_ab_conversion": q_ab_conversion,
         "ev_changepoint": q_changepoint,
@@ -803,6 +812,43 @@ def analytics_oracles() -> dict[str, str]:
                    CAST(sum(o.milli) AS BIGINT) AS revenue_milli
             FROM o JOIN first f USING (o_custkey)
             GROUP BY 1, 2, 3
+        """,
+        "ev_active_users": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ), b AS (
+              SELECT min(day) AS lo, max(day) AS hi FROM ud
+            ), spine AS (
+              SELECT unnest(generate_series(lo, hi)) AS d FROM b
+            ), dau AS (
+              SELECT day AS d, CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS dau
+              FROM ud GROUP BY day
+            ), wc AS (
+              SELECT user_id,
+                     unnest(generate_series(day, day + 6)) AS d
+              FROM ud
+            ), wau AS (
+              SELECT wc.d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+              FROM wc, b WHERE wc.d >= lo AND wc.d <= hi GROUP BY wc.d
+            ), mc AS (
+              SELECT user_id,
+                     unnest(generate_series(day, day + 29)) AS d
+              FROM ud
+            ), mau AS (
+              SELECT mc.d, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+              FROM mc, b WHERE mc.d >= lo AND mc.d <= hi GROUP BY mc.d
+            )
+            SELECT CAST(s.d * 86400000 AS BIGINT) AS day_ms,
+                   coalesce(dau.dau, 0) AS dau,
+                   coalesce(wau.wau, 0) AS wau,
+                   coalesce(mau.mau, 0) AS mau
+            FROM spine s
+            LEFT JOIN dau ON s.d = dau.d
+            LEFT JOIN wau ON s.d = wau.d
+            LEFT JOIN mau ON s.d = mau.d
         """,
         "ev_seasonal_anomalies": """
             WITH marked AS (

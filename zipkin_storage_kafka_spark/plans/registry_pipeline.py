@@ -1492,6 +1492,16 @@ def q_dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(pairs, flavor="star")
 
 
+def q_text_winnow_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level split decontamination
+    (operators/text_analysis.py:winnow_decontaminate): eval docs
+    sharing winnowing fingerprints with train docs, over the shared
+    persisted pair relation and the shared split-assignment hash."""
+    return ta.winnow_decontaminate(
+        _winnow_pairs(spark, sf_dir), _docs(spark, sf_dir)
+    )
+
+
 def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell simplified-silhouette quality audit
     (operators/similarity.py:simplified_silhouette) over the persisted
@@ -1785,6 +1795,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_winnowing": q_text_winnowing,
         "mm_audio_fingerprint": q_mm_audio_fingerprint,
         "dedup_winnow_clusters": q_dedup_winnow_clusters,
+        "text_winnow_decontaminate": q_text_winnow_decontaminate,
         "text_gopher_rules": q_text_gopher_rules,
         "text_ngram_novelty": q_text_ngram_novelty,
         "mm_phash_neardup": q_mm_phash_neardup,
@@ -1992,6 +2003,34 @@ def pipeline_oracles() -> dict[str, str]:
                  AS mean_sil_micro,
                CAST(min(sil_micro) AS BIGINT) AS min_sil_micro
         FROM sil GROUP BY cell
+    """
+    # Winnow decontamination: the winnowing-pair oracle + the shared
+    # split-nibble rule.
+    oracles["text_winnow_decontaminate"] = f"""
+        WITH wp AS MATERIALIZED ({oracles["text_winnowing"]}),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                      THEN 'train'
+                      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        IN ('c','d') THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        ),
+        sym AS (
+          SELECT doc_a AS eval_id, doc_b AS other_id, shared_fps FROM wp
+          UNION ALL
+          SELECT doc_b, doc_a, shared_fps FROM wp
+        )
+        SELECT s.eval_id AS doc_id, se.split,
+               CAST(count(*) AS BIGINT) AS n_train_matches,
+               CAST(max(s.shared_fps) AS BIGINT) AS max_shared_fps
+        FROM sym s
+        JOIN sp se ON s.eval_id = se.doc_id
+        JOIN sp so ON s.other_id = so.doc_id
+        WHERE se.split != 'train' AND so.split = 'train'
+        GROUP BY 1, 2
     """
     # Winnow clusters: the winnowing-pair oracle VERBATIM as the edge
     # source, then the same min-label recursive closure as
