@@ -1521,3 +1521,27 @@ def test_active_users_explodes_small_relation(spark, sf_dir):
     assert reads and all(
         "props" not in l and "event_type" not in l for l in reads
     ), plan
+
+
+def test_open_orders_two_level_prefix(spark, sf_dir):
+    """The running-total window partitions by the day bucket (never a
+    global SinglePartition sort); bucket offsets come from the
+    triangular join over the k-row bucket table."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["h_open_orders_timeline"](spark, sf_dir))
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win and all("bkt" in l for l in win), plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lang_gini_one_partial_agg(spark, sf_dir):
+    """Two-level partial agg to |sources| rows; no window, no join."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_source_lang_gini"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("text" not in l.split("ReadSchema")[1] for l in reads), plan

@@ -2302,3 +2302,74 @@ def test_active_users_fixture(spark):
         101: (1, 2, 2),
         102: (2, 3, 3),
     }
+
+
+def test_source_lang_gini_fixture(spark):
+    """Monolingual source scores 0; a 2/1 mix scores 1e6 - (4+1)*1e6//9
+    = 444445."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        source_lang_gini,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(source="mono", lang="en"),
+            Row(source="mono", lang="en"),
+            Row(source="mix", lang="en"),
+            Row(source="mix", lang="en"),
+            Row(source="mix", lang="de"),
+        ]
+    )
+    out = {
+        r["source"]: (r["n_langs"], r["n_docs"], r["gini_micro"])
+        for r in source_lang_gini(docs).collect()
+    }
+    assert out == {
+        "mono": (1, 2, 0),
+        "mix": (2, 3, 1_000_000 - (5 * 1_000_000) // 9),
+    }
+
+
+def test_open_orders_timeline_fixture(spark):
+    """Orders: A [day 0, ships day 2], B [day 1, ships day 1].  Open
+    counts: d0=1, d1=2, d2=1 (B closes the day after its last ship),
+    d3 boundary row shows the close.  Unshipped orders (no lineitem)
+    never enter the timeline."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    def _t(day):
+        return datetime.fromtimestamp(day * 86400, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    orders = spark.createDataFrame(
+        [(1, _t(0)), (2, _t(1)), (9, _t(0))],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, _t(1)), (1, _t(2)), (2, _t(1))],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+
+    def fake_load(s, d, name):
+        return {"orders": orders, "lineitem": lineitem}[name]
+
+    with mock.patch.object(tables, "load_table", fake_load):
+        out = {
+            r["day_ms"] // 86_400_000: (
+                r["opened"], r["closed"], r["open_orders"]
+            )
+            for r in an.open_orders_timeline(spark, "ignored").collect()
+        }
+    assert out == {
+        0: (1, 0, 1),
+        1: (1, 0, 2),
+        2: (0, 1, 1),
+        3: (0, 1, 0),
+    }

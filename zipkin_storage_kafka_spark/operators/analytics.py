@@ -2459,3 +2459,88 @@ def active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("mau", F.lit(0)).alias("mau"),
         )
     )
+
+
+def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-backlog timeline: how many orders are OPEN (placed, not
+    yet fully shipped) on each day — the fulfillment-pressure panel,
+    computed with the same +1/-1 boundary-sweep kernel as the span
+    concurrency operators (an order is an interval [orderdate,
+    last line shipdate]; the active count is a prefix sum of interval
+    boundaries, never an interval join).
+
+    Exact integer days; the running sum over the calendar-bounded
+    boundary-delta relation is the DISTRIBUTED TWO-LEVEL PREFIX SUM
+    (token_budget_sample's pattern): bucket days by ``d div 256``,
+    offsets from a triangular join over the handful of bucket totals,
+    windowed sum WITHIN buckets only — no single-partition WindowExec
+    at any scale.
+
+    Output: day_ms, opened, closed, open_orders.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import (
+        load_table,
+        to_epoch_micros,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o = orders.select(
+        "o_orderkey",
+        to_epoch_micros(orders, "o_orderdate").alias("ord_us"),
+    ).select("o_orderkey", F.expr(f"ord_us div {DAY_US}").alias("start_day"))
+    last_ship = (
+        lineitem.select(
+            "l_orderkey",
+            to_epoch_micros(lineitem, "l_shipdate").alias("ship_us"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.max(F.expr(f"ship_us div {DAY_US}")).alias("end_day"))
+    )
+    iv = o.join(
+        last_ship, o["o_orderkey"] == last_ship["l_orderkey"], "inner"
+    ).select("start_day", "end_day")
+    # boundary deltas: +1 at start_day, -1 the day AFTER the last ship
+    # (the order is still open on its final ship day)
+    deltas = (
+        iv.groupBy(F.col("start_day").alias("d")).agg(
+            F.count(F.lit(1)).alias("opened")
+        )
+    ).join(
+        iv.groupBy((F.col("end_day") + 1).alias("d")).agg(
+            F.count(F.lit(1)).alias("closed")
+        ),
+        "d",
+        "full",
+    ).select(
+        "d",
+        F.coalesce("opened", F.lit(0)).alias("opened"),
+        F.coalesce("closed", F.lit(0)).alias("closed"),
+    )
+    deltas = deltas.withColumn("net", F.col("opened") - F.col("closed"))
+    bucketed = deltas.withColumn("bkt", F.expr("d div 256"))
+    per_bucket = bucketed.groupBy("bkt").agg(F.sum("net").alias("bsum"))
+    b2 = per_bucket.select(
+        F.col("bkt").alias("_b2"), F.col("bsum").alias("_s2")
+    )
+    offsets = (
+        per_bucket.join(b2, F.col("_b2") < F.col("bkt"), "left")
+        .groupBy(F.col("bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("_s2"), F.lit(0)).alias("offset"))
+    )
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.join(
+            F.broadcast(offsets), F.col("bkt") == F.col("_bkt")
+        )
+        .select(
+            (F.col("d") * 86_400_000).alias("day_ms"),
+            "opened",
+            "closed",
+            (F.col("offset") + F.sum("net").over(w)).alias("open_orders"),
+        )
+    )

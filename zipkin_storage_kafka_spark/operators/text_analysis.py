@@ -2401,3 +2401,28 @@ def winnow_decontaminate(pairs: DataFrame, docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_train_matches"),
         F.max("shared_fps").alias("max_shared_fps"),
     )
+
+
+def source_lang_gini(docs: DataFrame) -> DataFrame:
+    """Per-source language diversity by Gini impurity — the "is this
+    source monolingual or a mixer" panel of corpus assembly, chosen
+    over Shannon entropy because 1 - sum(p_i^2) needs NO logarithm:
+    gini_micro = 1e6 - sum(cnt_i^2) * 1e6 div total^2 is exact integer
+    arithmetic end to end (0 = one language, -> 1e6 = uniform mix).
+
+    Scale: one (source, lang) partial agg, collapsed to |sources|
+    rows; cnt^2 sums stay far inside int64 (cnt <= corpus rows).
+
+    Output: source, n_langs, n_docs, gini_micro.
+    """
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum("cnt").alias("n_docs"),
+        F.expr(
+            "1000000 - (sum(cnt * cnt) * 1000000)"
+            " div (sum(cnt) * sum(cnt))"
+        ).alias("gini_micro"),
+    )

@@ -145,6 +145,14 @@ def q_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.ltv_triangle(spark, sf_dir)
 
 
+def q_open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-backlog timeline
+    (operators/analytics.py:open_orders_timeline): +1/-1 boundary
+    sweep on [orderdate, last shipdate] intervals; two-level prefix
+    sum, no single-partition window."""
+    return an.open_orders_timeline(spark, sf_dir)
+
+
 def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DAU/WAU/MAU panel (operators/analytics.py:active_users):
     distinct (user, day) relation exploded to its trailing-window
@@ -355,6 +363,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "h_ltv_triangle": q_ltv_triangle,
         "ev_seasonal_anomalies": q_seasonal_anomalies,
         "ev_active_users": q_active_users,
+        "h_open_orders_timeline": q_open_orders_timeline,
         "h_fulfillment_latency": q_fulfillment_latency,
         "ev_ab_conversion": q_ab_conversion,
         "ev_changepoint": q_changepoint,
@@ -812,6 +821,38 @@ def analytics_oracles() -> dict[str, str]:
                    CAST(sum(o.milli) AS BIGINT) AS revenue_milli
             FROM o JOIN first f USING (o_custkey)
             GROUP BY 1, 2, 3
+        """,
+        "h_open_orders_timeline": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     epoch_us(o_orderdate) // 86400000000 AS start_day
+              FROM orders
+            ), ls AS (
+              SELECT l_orderkey,
+                     max(epoch_us(l_shipdate) // 86400000000) AS end_day
+              FROM lineitem GROUP BY l_orderkey
+            ), iv AS (
+              SELECT start_day, end_day
+              FROM o JOIN ls ON o.o_orderkey = ls.l_orderkey
+            ), op AS (
+              SELECT start_day AS d, CAST(count(*) AS BIGINT) AS opened
+              FROM iv GROUP BY 1
+            ), cl AS (
+              SELECT end_day + 1 AS d, CAST(count(*) AS BIGINT) AS closed
+              FROM iv GROUP BY 1
+            ), deltas AS (
+              SELECT coalesce(op.d, cl.d) AS d,
+                     coalesce(opened, 0) AS opened,
+                     coalesce(closed, 0) AS closed
+              FROM op FULL JOIN cl ON op.d = cl.d
+            )
+            SELECT CAST(d * 86400000 AS BIGINT) AS day_ms,
+                   opened, closed,
+                   CAST(sum(opened - closed) OVER (
+                     ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS open_orders
+            FROM deltas
         """,
         "ev_active_users": """
             WITH ud AS (

@@ -1492,6 +1492,13 @@ def q_dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(pairs, flavor="star")
 
 
+def q_text_source_lang_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-diversity Gini
+    (operators/text_analysis.py:source_lang_gini): log-free exact
+    integer impurity over one (source, lang) partial agg."""
+    return ta.source_lang_gini(_docs(spark, sf_dir))
+
+
 def q_text_winnow_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level split decontamination
     (operators/text_analysis.py:winnow_decontaminate): eval docs
@@ -1796,6 +1803,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "mm_audio_fingerprint": q_mm_audio_fingerprint,
         "dedup_winnow_clusters": q_dedup_winnow_clusters,
         "text_winnow_decontaminate": q_text_winnow_decontaminate,
+        "text_source_lang_gini": q_text_source_lang_gini,
         "text_gopher_rules": q_text_gopher_rules,
         "text_ngram_novelty": q_text_ngram_novelty,
         "mm_phash_neardup": q_mm_phash_neardup,
@@ -2003,6 +2011,18 @@ def pipeline_oracles() -> dict[str, str]:
                  AS mean_sil_micro,
                CAST(min(sil_micro) AS BIGINT) AS min_sil_micro
         FROM sil GROUP BY cell
+    """
+    oracles["text_source_lang_gini"] = """
+        WITH per AS (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_langs,
+               CAST(sum(cnt) AS BIGINT) AS n_docs,
+               CAST(1000000 - (sum(cnt * cnt) * 1000000)
+                    // (sum(cnt) * sum(cnt)) AS BIGINT) AS gini_micro
+        FROM per GROUP BY source
     """
     # Winnow decontamination: the winnowing-pair oracle + the shared
     # split-nibble rule.
