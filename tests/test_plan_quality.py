@@ -1545,3 +1545,19 @@ def test_lang_gini_one_partial_agg(spark, sf_dir):
     assert "Join" not in plan, plan
     reads = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert reads and all("text" not in l.split("ReadSchema")[1] for l in reads), plan
+
+
+def test_mixture_shift_anti_join_on_ids(spark, sf_dir):
+    """The dropped set reaches the token relation as an id-only
+    LeftAnti join; totals broadcast; no cartesian beyond the 1-row
+    broadcasts."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(
+        entrymod.queries()["pipe_dedup_mixture_shift"](spark, sf_dir)
+    )
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan
+    )

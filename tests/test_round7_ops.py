@@ -2373,3 +2373,40 @@ def test_open_orders_timeline_fixture(spark):
         2: (0, 1, 1),
         3: (0, 1, 0),
     }
+
+
+def test_dedup_mixture_shift_fixture(spark):
+    """A 2-doc 'en' cluster drops its lower-quality member; 'de' is
+    untouched — en loses token share, de gains it, shares stay exact
+    integer micro and docs outside clusters are implicitly kept."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        dedup_mixture_shift,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="a b c d"),     # 4 tokens, kept
+            Row(doc_id=2, lang="en", text="a b c"),       # 3 tokens, dropped
+            Row(doc_id=3, lang="de", text="x y z"),       # 3 tokens
+        ]
+    )
+    pairs = spark.createDataFrame([Row(doc_a=1, doc_b=2)])
+    quality = spark.createDataFrame(
+        [Row(doc_id=1, quality=0.9), Row(doc_id=2, quality=0.5),
+         Row(doc_id=3, quality=0.7)]
+    )
+    out = {
+        r["lang"]: (
+            r["docs_before"], r["docs_after"], r["tokens_before"],
+            r["tokens_after"], r["share_before_micro"],
+            r["share_after_micro"], r["shift_micro"],
+        )
+        for r in dedup_mixture_shift(pairs, quality, docs).collect()
+    }
+    # before: en 7/10, de 3/10; after: en 4/7, de 3/7
+    assert out == {
+        "en": (2, 1, 7, 4, 700000, 571428, -128572),
+        "de": (1, 1, 3, 3, 300000, 428571, 128571),
+    }

@@ -1457,3 +1457,81 @@ def source_overlap(
             F.expr("sum(j_micro) div count(1)").alias("avg_jaccard_micro"),
         )
     )
+
+
+def dedup_mixture_shift(
+    pairs: DataFrame, quality: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """What dedup DOES to the data mixture: per-language doc/token
+    shares before vs after quality-aware near-dup survivorship — the
+    audit that catches dedup silently reweighting the corpus
+    (boilerplate-heavy sources lose disproportionately, so the
+    post-dedup mixture is NOT the mixture you sampled; the mixture-
+    weights step must run after dedup, and this row is the proof of
+    how much it matters).
+
+    Survivorship matches :func:`canonical_docs` exactly (same CC, same
+    (quality desc, doc_id) keeper rule); docs outside any cluster are
+    implicitly kept.  Shares are exact integer micro; shift_micro =
+    share_after - share_before (negative = the language lost share).
+
+    Scale: the cluster fixpoint is the audited CC operator; the
+    dropped set is one component-keyed window; the mixture halves are
+    two (lang) partial aggs with 1-row broadcast totals.
+
+    Output: lang, docs_before, docs_after, tokens_before,
+    tokens_after, share_before_micro, share_after_micro, shift_micro.
+    """
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs)
+    members = cc.join(quality, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    dropped = (
+        members.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 1)
+        .select("doc_id")
+    )
+    dt = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    before = dt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_before"),
+        F.sum("n_tokens").alias("tokens_before"),
+    )
+    after = (
+        dt.join(dropped, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs_after"),
+            F.sum("n_tokens").alias("tokens_after"),
+        )
+    )
+    tot_b = before.agg(F.sum("tokens_before").alias("total_b"))
+    tot_a = after.agg(F.sum("tokens_after").alias("total_a"))
+    return (
+        before.join(after, "lang", "left")
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_a))
+        .select(
+            "lang",
+            "docs_before",
+            F.coalesce("docs_after", F.lit(0)).alias("docs_after"),
+            "tokens_before",
+            F.coalesce("tokens_after", F.lit(0)).alias("tokens_after"),
+            F.expr("(tokens_before * 1000000) div total_b").alias(
+                "share_before_micro"
+            ),
+            F.expr(
+                "(coalesce(tokens_after, 0) * 1000000) div total_a"
+            ).alias("share_after_micro"),
+        )
+        .withColumn(
+            "shift_micro",
+            F.col("share_after_micro") - F.col("share_before_micro"),
+        )
+    )

@@ -930,6 +930,23 @@ def q_pipe_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.canonical_docs(pairs, quality)
 
 
+def q_pipe_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixture shares before vs after quality-aware
+    survivorship (operators/dedup.py:dedup_mixture_shift) — the
+    dedup-reweights-your-corpus audit; same CC + keeper rule as
+    pipe_canonical_docs, over the shared memoized pair relations."""
+    pairs = dd.jaccard_pairs(
+        _shingles(spark, sf_dir),
+        _lsh_candidates(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        verified=_verified_pairs(spark, sf_dir),
+    )
+    quality = ta.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "quality"
+    )
+    return dd.dedup_mixture_shift(pairs, quality, _docs(spark, sf_dir))
+
+
 _CMAP_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -1804,6 +1821,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "dedup_winnow_clusters": q_dedup_winnow_clusters,
         "text_winnow_decontaminate": q_text_winnow_decontaminate,
         "text_source_lang_gini": q_text_source_lang_gini,
+        "pipe_dedup_mixture_shift": q_pipe_dedup_mixture_shift,
         "text_gopher_rules": q_text_gopher_rules,
         "text_ngram_novelty": q_text_ngram_novelty,
         "mm_phash_neardup": q_mm_phash_neardup,
@@ -2011,6 +2029,95 @@ def pipeline_oracles() -> dict[str, str]:
                  AS mean_sil_micro,
                CAST(min(sil_micro) AS BIGINT) AS min_sil_micro
         FROM sil GROUP BY cell
+    """
+    # Mixture shift: the canonical-docs CTE chain (same cluster +
+    # keeper derivation) feeding per-language before/after shares.
+    oracles["pipe_dedup_mixture_shift"] = f"""
+        WITH RECURSIVE {_MINHASH_CTE},
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM inter
+          JOIN cnt ca ON ca.doc_id = doc_a
+          JOIN cnt cb ON cb.doc_id = doc_b
+          WHERE (round((i * 1.0 / (ca.n + cb.n - i)) * 10000) / 10000 + 0.0)
+                >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        lab AS (
+          SELECT src AS doc_id, least(src, min(dst)) AS component_id
+          FROM reach GROUP BY src
+        ),
+        tw AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+        ts AS (
+          SELECT doc_id,
+                 len(w) AS n_tokens,
+                 len(list_filter(w, x -> x IN {_STOP_SQL})) AS stop_cnt,
+                 (round((len(list_distinct(w)) * 1.0 / len(w)) * 10000)
+                   / 10000 + 0.0) AS ttr
+          FROM tw
+        ),
+        qual AS (
+          SELECT doc_id,
+                 (round((0.4 * (CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+                       + 0.3 * least(1.0, 5.0 * (stop_cnt * 1.0 / n_tokens))
+                       + 0.3 * ttr) * 10000) / 10000 + 0.0) AS quality
+          FROM ts
+        ),
+        ranked AS (
+          SELECT component_id, l.doc_id, quality,
+                 row_number() OVER (PARTITION BY component_id
+                                    ORDER BY quality DESC, l.doc_id) AS rk
+          FROM lab l JOIN qual q ON q.doc_id = l.doc_id
+        ),
+        dropped AS (SELECT doc_id FROM ranked WHERE rk > 1),
+        dt AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        bf AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS docs_before,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens_before
+          FROM dt GROUP BY lang
+        ),
+        af AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS docs_after,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens_after
+          FROM dt WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+          GROUP BY lang
+        ),
+        tb AS (SELECT CAST(sum(tokens_before) AS BIGINT) AS total_b FROM bf),
+        ta2 AS (SELECT CAST(sum(tokens_after) AS BIGINT) AS total_a FROM af)
+        SELECT bf.lang, bf.docs_before,
+               coalesce(af.docs_after, 0) AS docs_after,
+               bf.tokens_before,
+               coalesce(af.tokens_after, 0) AS tokens_after,
+               CAST((bf.tokens_before * 1000000) // total_b AS BIGINT)
+                 AS share_before_micro,
+               CAST((coalesce(af.tokens_after, 0) * 1000000) // total_a
+                 AS BIGINT) AS share_after_micro,
+               CAST((coalesce(af.tokens_after, 0) * 1000000) // total_a
+                    - (bf.tokens_before * 1000000) // total_b AS BIGINT)
+                 AS shift_micro
+        FROM bf LEFT JOIN af ON bf.lang = af.lang, tb, ta2
     """
     oracles["text_source_lang_gini"] = """
         WITH per AS (
