@@ -1561,3 +1561,29 @@ def test_mixture_shift_anti_join_on_ids(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
         plan
     )
+
+
+def test_revenue_pareto_no_global_window(spark, sf_dir):
+    """The quintile assignment is the distributed exact ntile (range
+    partition + two-level rank): every window ranks within a
+    range-partition id — the scalar 1-row totals are the only
+    SinglePartition exchanges, and none of them is a window; the
+    orders scan prunes to the two needed columns."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["w_revenue_pareto"](spark, sf_dir))
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win and all("_pid" in l for l in win), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_vocab_coverage_head_is_takeordered(spark, sf_dir):
+    """The only corpus-sized work is the token-frequency groupBy; the
+    head retrieval compiles to a TakeOrdered heap and the ranking is
+    the sorted-array collapse (no window)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["text_vocab_coverage"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

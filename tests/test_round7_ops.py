@@ -2410,3 +2410,54 @@ def test_dedup_mixture_shift_fixture(spark):
         "en": (2, 1, 7, 4, 700000, 571428, -128572),
         "de": (1, 1, 3, 3, 300000, 428571, 128571),
     }
+
+
+def test_revenue_pareto_fixture(spark):
+    """5 customers with revenues 1..5 (millis 1000..5000): each forms
+    its own quintile; bucket 5 holds the top spender with share
+    5000/15000 = 333333 micro."""
+    from datetime import datetime
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    orders = spark.createDataFrame(
+        [(c, datetime(2024, 1, 1), float(c)) for c in range(1, 6)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    with mock.patch.object(tables, "load_table", lambda s, d, n: orders):
+        out = {
+            r["bucket"]: (r["n_customers"], r["revenue_milli"],
+                          r["share_micro"])
+            for r in an.revenue_pareto(spark, "ignored").collect()
+        }
+    assert out == {
+        1: (1, 1000, 66666), 2: (1, 2000, 133333), 3: (1, 3000, 200000),
+        4: (1, 4000, 266666), 5: (1, 5000, 333333),
+    }
+
+
+def test_vocab_coverage_fixture(spark):
+    """Tokens: a x5, b x3, c x1, d x1 (T=10): K=4 covers everything
+    (1e6); a tighter K via the ks parameter: K=1 -> 500000, K=2 ->
+    800000; ties at cnt=1 rank c before d."""
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a a a b b", ),
+         Row(doc_id=2, text="a a b c d")]
+    )
+    out = {
+        r["vocab_k"]: (r["covered_tokens"], r["coverage_micro"])
+        for r in vocab_coverage(docs, ks=(1, 2, 4)).collect()
+    }
+    assert out == {
+        1: (5, 500000),
+        2: (8, 800000),
+        4: (10, 1_000_000),
+    }

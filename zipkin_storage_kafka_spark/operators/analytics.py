@@ -2544,3 +2544,48 @@ def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.sum("net").over(w)).alias("open_orders"),
         )
     )
+
+
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) panel: customers in exact
+    revenue quintiles, each bucket's share of total revenue in integer
+    micro — the "do 20% of customers carry 80% of revenue" read every
+    commerce review opens with.
+
+    Quintiles use the exact distributed ntile (operators/ntile.py — a
+    range-partitioned two-level rank, no single-partition window) over
+    the UNIQUE (revenue_milli, custkey) order; revenue is the rfm
+    idiom's integer millis, so shares are exact integer division.
+
+    Output: bucket (1 = lowest spend, 5 = top), n_customers,
+    revenue_milli, share_micro.
+    """
+    from zipkin_storage_kafka_spark.operators.ntile import distributed_ntile
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 1000, 0).cast("long")
+        ).alias("milli")
+    )
+    bucketed = distributed_ntile(
+        per_cust, 5, ["milli", "o_custkey"], bucket_col="bucket"
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("milli").alias("revenue_milli"),
+    )
+    total = per_bucket.agg(F.sum("revenue_milli").alias("total_milli"))
+    # share scaling split 1000 x 1000 so the numerator stays inside
+    # int64 at any corpus size (total revenue in millis already reaches
+    # ~2.8e14 at sf1; * 1e6 would overflow) — the identical expression
+    # runs on both engines, so parity is exact by construction.
+    return per_bucket.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "n_customers",
+        "revenue_milli",
+        F.expr(
+            "(revenue_milli * 1000) div (total_milli div 1000)"
+        ).alias("share_micro"),
+    )

@@ -2426,3 +2426,55 @@ def source_lang_gini(docs: DataFrame) -> DataFrame:
             " div (sum(cnt) * sum(cnt))"
         ).alias("gini_micro"),
     )
+
+
+VOCAB_COVERAGE_KS = (4, 16, 64, 256, 1024)
+
+
+def vocab_coverage(docs: DataFrame, ks=VOCAB_COVERAGE_KS) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of corpus tokens the
+    top-K token types cover, at the K checkpoints a tokenizer designer
+    sweeps — the "how big must the vocab be" panel (the cumulative
+    complement of :func:`zipf_fit`'s rank-frequency view).
+
+    The head retrieval is a TakeOrdered heap ((cnt desc, token asc) —
+    deterministic ties) and the ranking runs through ranked_collapse's
+    sorted-array trick on that k-row relation, so there is no global
+    window anywhere; coverage is exact integer micro against the
+    corpus token total.
+
+    Output: vocab_k, covered_tokens, total_tokens, coverage_micro.
+    """
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = freq.agg(F.sum("cnt").alias("total_tokens"))
+    head = freq.orderBy(F.col("cnt").desc(), F.col("token")).limit(
+        max(ks)
+    )
+    ranked = ranked_collapse(
+        head.select(F.col("token"), F.col("cnt"))
+    )
+    cov = None
+    for k in ks:
+        row = (
+            ranked.filter(F.col("rk") <= k)
+            .agg(F.sum("cnt").alias("covered_tokens"))
+            .select(
+                F.lit(k).cast("int").alias("vocab_k"),
+                F.coalesce("covered_tokens", F.lit(0)).alias(
+                    "covered_tokens"
+                ),
+            )
+        )
+        cov = row if cov is None else cov.unionByName(row)
+    return cov.crossJoin(F.broadcast(total)).select(
+        "vocab_k",
+        "covered_tokens",
+        "total_tokens",
+        F.expr("(covered_tokens * 1000000) div total_tokens").alias(
+            "coverage_micro"
+        ),
+    )

@@ -145,6 +145,13 @@ def q_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.ltv_triangle(spark, sf_dir)
 
 
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration quintiles
+    (operators/analytics.py:revenue_pareto): exact distributed ntile
+    over (revenue_milli, custkey), integer-micro shares."""
+    return an.revenue_pareto(spark, sf_dir)
+
+
 def q_open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-backlog timeline
     (operators/analytics.py:open_orders_timeline): +1/-1 boundary
@@ -364,6 +371,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_seasonal_anomalies": q_seasonal_anomalies,
         "ev_active_users": q_active_users,
         "h_open_orders_timeline": q_open_orders_timeline,
+        "w_revenue_pareto": q_revenue_pareto,
         "h_fulfillment_latency": q_fulfillment_latency,
         "ev_ab_conversion": q_ab_conversion,
         "ev_changepoint": q_changepoint,
@@ -821,6 +829,30 @@ def analytics_oracles() -> dict[str, str]:
                    CAST(sum(o.milli) AS BIGINT) AS revenue_milli
             FROM o JOIN first f USING (o_custkey)
             GROUP BY 1, 2, 3
+        """,
+        "w_revenue_pareto": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 1000) AS BIGINT))
+                       AS BIGINT) AS milli
+              FROM orders GROUP BY o_custkey
+            ), bucketed AS (
+              SELECT milli,
+                     CAST(ntile(5) OVER (ORDER BY milli, o_custkey)
+                       AS INTEGER) AS bucket
+              FROM per_cust
+            ), per_bucket AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS n_customers,
+                     CAST(sum(milli) AS BIGINT) AS revenue_milli
+              FROM bucketed GROUP BY bucket
+            ), tot AS (
+              SELECT CAST(sum(revenue_milli) AS BIGINT) AS total_milli
+              FROM per_bucket
+            )
+            SELECT bucket, n_customers, revenue_milli,
+                   CAST((revenue_milli * 1000) // (total_milli // 1000)
+                     AS BIGINT) AS share_micro
+            FROM per_bucket, tot
         """,
         "h_open_orders_timeline": """
             WITH o AS (

@@ -1509,6 +1509,14 @@ def q_dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(pairs, flavor="star")
 
 
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve
+    (operators/text_analysis.py:vocab_coverage): TakeOrdered head +
+    the sorted-array rank collapse, exact integer-micro coverage at
+    the tokenizer-design K checkpoints."""
+    return ta.vocab_coverage(_docs(spark, sf_dir))
+
+
 def q_text_source_lang_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source language-diversity Gini
     (operators/text_analysis.py:source_lang_gini): log-free exact
@@ -1822,6 +1830,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_winnow_decontaminate": q_text_winnow_decontaminate,
         "text_source_lang_gini": q_text_source_lang_gini,
         "pipe_dedup_mixture_shift": q_pipe_dedup_mixture_shift,
+        "text_vocab_coverage": q_text_vocab_coverage,
         "text_gopher_rules": q_text_gopher_rules,
         "text_ngram_novelty": q_text_ngram_novelty,
         "mm_phash_neardup": q_mm_phash_neardup,
@@ -2118,6 +2127,32 @@ def pipeline_oracles() -> dict[str, str]:
                     - (bf.tokens_before * 1000000) // total_b AS BIGINT)
                  AS shift_micro
         FROM bf LEFT JOIN af ON bf.lang = af.lang, tb, ta2
+    """
+    oracles["text_vocab_coverage"] = """
+        WITH freq AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents
+          ) GROUP BY token
+        ),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM freq),
+        head AS (
+          SELECT token, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, token) AS rk
+          FROM freq ORDER BY cnt DESC, token LIMIT 1024
+        ),
+        ks AS (SELECT unnest([4, 16, 64, 256, 1024]) AS vocab_k),
+        cov AS (
+          SELECT ks.vocab_k,
+                 CAST(sum(h.cnt) AS BIGINT) AS covered_tokens
+          FROM ks JOIN head h ON h.rk <= ks.vocab_k
+          GROUP BY ks.vocab_k
+        )
+        SELECT CAST(cov.vocab_k AS INTEGER) AS vocab_k,
+               cov.covered_tokens, tot.total_tokens,
+               CAST((cov.covered_tokens * 1000000) // tot.total_tokens
+                 AS BIGINT) AS coverage_micro
+        FROM cov, tot
     """
     oracles["text_source_lang_gini"] = """
         WITH per AS (
