@@ -1587,3 +1587,24 @@ def test_vocab_coverage_head_is_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_new_vs_returning_user_cokey_join(spark, sf_dir):
+    """First-day derivation and join-back are user-keyed on the
+    distinct (user,day) relation — no window, no cartesian."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["ev_new_vs_returning"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_supplier_hhi_broadcast_dims(spark, sf_dir):
+    """The part dim and the |brands|-row totals both broadcast; the
+    quantize-then-square path has no window and no cartesian."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["h_supplier_hhi"](spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

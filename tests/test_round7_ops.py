@@ -2461,3 +2461,68 @@ def test_vocab_coverage_fixture(spark):
         2: (8, 800000),
         4: (10, 1_000_000),
     }
+
+
+def test_new_vs_returning_fixture(spark):
+    """User 1 active days 100,101; user 2 only day 101: day 100 = 1
+    new; day 101 = 1 new (user 2) + 1 returning (user 1)."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    def _t(day):
+        return datetime.fromtimestamp(day * 86400, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    ev = spark.createDataFrame(
+        [(1, _t(100)), (1, _t(100)), (1, _t(101)), (2, _t(101))],
+        "user_id long, ts timestamp",
+    )
+    with mock.patch.object(tables, "load_table", lambda s, d, n: ev):
+        out = {
+            r["day_ms"] // 86_400_000: (
+                r["new_users"], r["returning_users"], r["dau"]
+            )
+            for r in an.new_vs_returning(spark, "ignored").collect()
+        }
+    assert out == {100: (1, 0, 1), 101: (1, 1, 2)}
+
+
+def test_supplier_hhi_fixture(spark):
+    """Brand A: one supplier -> HHI 1e6 (monopoly).  Brand B: two
+    equal suppliers -> shares 500000 each, HHI = 2 * 500000^2 / 1e6
+    = 500000."""
+    from datetime import datetime
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    lineitem = spark.createDataFrame(
+        [
+            (10, 1, 100.0, 0.0),
+            (20, 2, 50.0, 0.0), (20, 3, 50.0, 0.0),
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double,"
+        " l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(10, "A"), (20, "B")], "p_partkey long, p_brand string"
+    )
+
+    def fake_load(s, d, name):
+        return {"lineitem": lineitem, "part": part}[name]
+
+    with mock.patch.object(tables, "load_table", fake_load):
+        out = {
+            r["p_brand"]: (r["n_suppliers"], r["revenue_cents"],
+                           r["hhi_micro"])
+            for r in an.supplier_hhi(spark, "ignored").collect()
+        }
+    assert out == {
+        "A": (1, 10000, 1_000_000),
+        "B": (2, 10000, 500_000),
+    }

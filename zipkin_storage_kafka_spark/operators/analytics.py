@@ -2589,3 +2589,107 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(revenue_milli * 1000) div (total_milli div 1000)"
         ).alias("share_micro"),
     )
+
+
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning split per day: users seen for the FIRST time
+    that day vs users who had activity on an earlier day — the growth
+    decomposition behind every DAU chart ("is the line new blood or
+    retention").  Companion of :func:`active_users`.
+
+    Shape: the corpus collapses to the distinct (user, day) relation;
+    each user's first day is a user-keyed min-agg; the split is one
+    co-keyed join + a per-day conditional count.  All exact integers.
+
+    Output: day_ms, new_users, returning_users, dau.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import (
+        load_table,
+        to_epoch_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id", to_epoch_micros(ev, "ts").alias("us")
+        )
+        .select("user_id", F.expr(f"us div {DAY_US}").alias("day"))
+        .distinct()
+    )
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy(F.col("day").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("day") == F.col("first_day")).cast("long")
+            ).alias("new_users"),
+            F.sum(
+                (F.col("day") > F.col("first_day")).cast("long")
+            ).alias("returning_users"),
+            F.count(F.lit(1)).alias("dau"),
+        )
+        .select(
+            (F.col("d") * 86_400_000).alias("day_ms"),
+            "new_users",
+            "returning_users",
+            "dau",
+        )
+    )
+
+
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration Herfindahl index per part brand: HHI =
+    sum over suppliers of (revenue share)^2 — the antitrust-standard
+    concentration measure (10000-point scale convention -> integer
+    micro here: 1e6 = monopoly, 1e6/n = perfectly even among n).
+    The sourcing-risk panel beside w_revenue_pareto's customer-side
+    concentration.
+
+    Log-free and int64-safe like the Gini family, via PRE-QUANTIZED
+    shares: share_micro = rev * 1e6 div brand_total first (numerator
+    <= total * 1e6 ~ 7e16 at sf1, safe), then hhi_micro =
+    sum(share_micro^2) div 1e6 (squares <= 1e12, their sum bounded by
+    (sum shares)^2 = 1e12) — raw rev^2 sums would overflow int64 at
+    sf1.  The identical quantize-then-square expression runs on both
+    engines, so parity is exact by construction.
+
+    Scale: one (brand, supplier) partial agg (broadcast part dim for
+    the brand attach), a broadcast |brands|-row total join, collapsed
+    to |brands| rows.
+
+    Output: p_brand, n_suppliers, revenue_cents, hhi_micro.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .select(
+            "p_brand",
+            "l_suppkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                0,
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    totals = rev.groupBy("p_brand").agg(F.sum("rev").alias("total"))
+    shared = rev.join(F.broadcast(totals), "p_brand").withColumn(
+        "share_micro", F.expr("(rev * 1000000) div total")
+    )
+    return shared.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev").alias("revenue_cents"),
+        F.expr(
+            "sum(share_micro * share_micro) div 1000000"
+        ).alias("hhi_micro"),
+    )

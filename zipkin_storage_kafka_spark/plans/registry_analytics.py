@@ -145,6 +145,22 @@ def q_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.ltv_triangle(spark, sf_dir)
 
 
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning DAU decomposition
+    (operators/analytics.py:new_vs_returning): distinct (user,day)
+    relation, user-keyed first-day min, co-keyed join + conditional
+    counts."""
+    return an.new_vs_returning(spark, sf_dir)
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration Herfindahl per brand
+    (operators/analytics.py:supplier_hhi): quantize-then-square
+    integer-micro shares (int64-safe at any scale), broadcast brand
+    totals."""
+    return an.supplier_hhi(spark, sf_dir)
+
+
 def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration quintiles
     (operators/analytics.py:revenue_pareto): exact distributed ntile
@@ -372,6 +388,8 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_active_users": q_active_users,
         "h_open_orders_timeline": q_open_orders_timeline,
         "w_revenue_pareto": q_revenue_pareto,
+        "ev_new_vs_returning": q_new_vs_returning,
+        "h_supplier_hhi": q_supplier_hhi,
         "h_fulfillment_latency": q_fulfillment_latency,
         "ev_ab_conversion": q_ab_conversion,
         "ev_changepoint": q_changepoint,
@@ -829,6 +847,48 @@ def analytics_oracles() -> dict[str, str]:
                    CAST(sum(o.milli) AS BIGINT) AS revenue_milli
             FROM o JOIN first f USING (o_custkey)
             GROUP BY 1, 2, 3
+        """,
+        "ev_new_vs_returning": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ), first AS (
+              SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1
+            )
+            SELECT CAST(ud.day * 86400000 AS BIGINT) AS day_ms,
+                   CAST(sum(CASE WHEN ud.day = f.first_day
+                            THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+                   CAST(sum(CASE WHEN ud.day > f.first_day
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS returning_users,
+                   CAST(count(*) AS BIGINT) AS dau
+            FROM ud JOIN first f USING (user_id)
+            GROUP BY ud.day
+        """,
+        "h_supplier_hhi": """
+            WITH rev AS (
+              SELECT p.p_brand, l.l_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice
+                                   * (1 - l_discount) * 100) AS BIGINT))
+                       AS BIGINT) AS rev
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              GROUP BY 1, 2
+            ), totals AS (
+              SELECT p_brand, CAST(sum(rev) AS BIGINT) AS total
+              FROM rev GROUP BY p_brand
+            ), shared AS (
+              SELECT r.p_brand, r.rev,
+                     CAST((r.rev * 1000000) // t.total AS BIGINT)
+                       AS share_micro
+              FROM rev r JOIN totals t USING (p_brand)
+            )
+            SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(rev) AS BIGINT) AS revenue_cents,
+                   CAST(sum(share_micro * share_micro) // 1000000
+                     AS BIGINT) AS hhi_micro
+            FROM shared GROUP BY p_brand
         """,
         "w_revenue_pareto": """
             WITH per_cust AS (
