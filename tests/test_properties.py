@@ -803,3 +803,107 @@ def test_item_neighbors_jaccard_matches_bruteforce(spark, baskets):
         assert [r["neighbor_key"] for r in mine] == [
             r["neighbor_key"] for r in expect
         ]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=600),
+            st.integers(min_value=0, max_value=600),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_open_orders_prefix_sum_matches_python(spark, iv):
+    """The two-level distributed prefix sum equals a plain python
+    running total over random [start, end] intervals — including
+    intervals spanning the div-256 bucket boundary."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    iv = [(s, max(s, e)) for s, e in iv]
+
+    def _t(day):
+        return datetime.fromtimestamp(day * 86400, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    orders = spark.createDataFrame(
+        [(i, _t(s)) for i, (s, _) in enumerate(iv)],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [(i, _t(e)) for i, (_, e) in enumerate(iv)],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+
+    def fake_load(s, d, name):
+        return {"orders": orders, "lineitem": lineitem}[name]
+
+    with mock.patch.object(tables, "load_table", fake_load):
+        out = {
+            r["day_ms"] // 86_400_000: r["open_orders"]
+            for r in an.open_orders_timeline(spark, "ignored").collect()
+        }
+
+    from collections import Counter
+
+    opened = Counter(s for s, _ in iv)
+    closed = Counter(e + 1 for _, e in iv)
+    days = sorted(set(opened) | set(closed))
+    run = 0
+    expect = {}
+    for d in days:
+        run += opened.get(d, 0) - closed.get(d, 0)
+        expect[d] = run
+    assert out == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    keys=st.lists(
+        st.sampled_from(["a", "b", "c", "hot", "d"]),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_shuffle_key_skew_matches_python(spark, keys):
+    """Every skew-audit stat equals a plain python recompute on a
+    random key multiset."""
+    from collections import Counter
+
+    from zipkin_storage_kafka_spark.operators.skew import shuffle_key_skew
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    r = shuffle_key_skew(df, ["k"]).collect()[0]
+    c = Counter(keys)
+    n_keys, total, mx = len(c), sum(c.values()), max(c.values())
+    hot = sum(1 for v in c.values() if v * n_keys > 10 * total)
+    assert (
+        r["n_keys"], r["total_rows"], r["max_rows"],
+        r["top1_share_micro"], r["skew_vs_mean_micro"], r["hot_keys_10x"],
+    ) == (
+        n_keys, total, mx,
+        (mx * 1_000_000) // total,
+        (mx * n_keys * 1_000_000) // total,
+        hot,
+    )
