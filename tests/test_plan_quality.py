@@ -1608,3 +1608,14 @@ def test_supplier_hhi_broadcast_dims(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_path_redundancy_composes_k_row_edges(spark, sf_dir):
+    """The matrix-power joins compose the checkpointed k-row edge
+    relation — the corpus appears only in the links derivation, and
+    no window or cartesian exists anywhere."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["z_path_redundancy"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan

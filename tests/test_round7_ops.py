@@ -2526,3 +2526,39 @@ def test_supplier_hhi_fixture(spark):
         "A": (1, 10000, 1_000_000),
         "B": (2, 10000, 500_000),
     }
+
+
+def test_path_redundancy_fixture(spark):
+    """Diamond A->B->D, A->C->D, A->D: (A,D) has direct=1, via2=2;
+    a triangle leg A->B gives (A,B) direct only (B->...->B paths are
+    non-simple and excluded); self-loops never appear."""
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        path_redundancy,
+    )
+
+    links = spark.createDataFrame(
+        [
+            Row(parent="A", child="B"),
+            Row(parent="A", child="C"),
+            Row(parent="B", child="D"),
+            Row(parent="C", child="D"),
+            Row(parent="A", child="D"),
+            Row(parent="D", child="A"),  # cycle back
+        ]
+    )
+    out = {
+        (r["src"], r["dst"]): (
+            r["direct"], r["via2"], r["via3"], r["total_paths"]
+        )
+        for r in path_redundancy(links).collect()
+    }
+    assert out[("A", "D")] == (1, 2, 0, 3)
+    assert out[("A", "B")] == (1, 0, 0, 1)
+    # D->B exists only via D->A->B (2 hops)
+    assert out[("D", "B")] == (0, 1, 0, 1)
+    # no self pairs anywhere
+    assert all(s != d for (s, d) in out)

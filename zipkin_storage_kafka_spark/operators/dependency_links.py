@@ -636,3 +636,69 @@ def service_reachability(links: DataFrame, rounds: int = 12) -> DataFrame:
         "service",
         F.coalesce("n_reachable", F.lit(0).cast("long")).alias("n_reachable"),
     )
+
+
+def path_redundancy(links: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Path-multiplicity panel for the service graph: for every
+    (src, dst) pair, how many DISTINCT simple paths of length 1..3
+    connect them — the redundancy view the binary reachability
+    closure flattens away (one path = a fragile dependency; several =
+    the mesh absorbs a hop failure).  Only ``max_hops``: longer paths
+    matter less operationally and keep the oracle a closed form.
+
+    Exact integer path counts by relational composition on the
+    DISTINCT |services|-bounded edge relation (adjacency "matrix
+    powers" as k-row self-joins — the corpus never re-enters):
+    paths2 excludes revisiting src or dst (simple paths), paths3
+    excludes any repeated node.  direct/via2/via3 are reported
+    separately so the panel shows WHERE the redundancy lives.
+
+    Output: src, dst, direct (0/1), via2, via3, total_paths.
+    """
+    e = (
+        links.select(F.col("parent").alias("src"), F.col("child").alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    p1 = e.select("src", "dst", F.lit(1).alias("direct"))
+    p2 = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .where(F.col("a.src") != F.col("b.dst"))
+        .groupBy(
+            F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("via2"))
+    )
+    p3 = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .join(e.alias("c"), F.col("b.dst") == F.col("c.src"))
+        .where(
+            (F.col("a.src") != F.col("b.dst"))
+            & (F.col("a.src") != F.col("c.dst"))
+            & (F.col("a.dst") != F.col("c.dst"))
+        )
+        .groupBy(
+            F.col("a.src").alias("src"), F.col("c.dst").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("via3"))
+    )
+    return (
+        p1.join(p2, ["src", "dst"], "full")
+        .join(p3, ["src", "dst"], "full")
+        .select(
+            "src",
+            "dst",
+            F.coalesce("direct", F.lit(0)).alias("direct"),
+            F.coalesce("via2", F.lit(0)).alias("via2"),
+            F.coalesce("via3", F.lit(0)).alias("via3"),
+        )
+        .withColumn(
+            "total_paths",
+            F.col("direct") + F.col("via2") + F.col("via3"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )

@@ -532,6 +532,20 @@ def q_salted_service_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_path_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-graph path multiplicity
+    (operators/dependency_links.py:path_redundancy): distinct simple
+    paths of length 1..3 per (src, dst) by k-row adjacency
+    composition — the redundancy/fragility view the binary
+    reachability closure flattens (completes the graph panel:
+    influence, density, cone, multiplicity)."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        path_redundancy,
+    )
+
+    return path_redundancy(links_table(spark, sf_dir))
+
+
 def q_sampling_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trace-sampling fidelity audit: a deterministic 1/16 head-based
     sample (md5(trace_id) bucket — how production tracers sample) vs
@@ -1507,6 +1521,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_salted_service_counts": q_salted_service_counts,
         "z_partition_skew": q_partition_skew,
         "z_sampling_bias": q_sampling_bias,
+        "z_path_redundancy": q_path_redundancy,
         "z_sketch_service_traces": q_sketch_service_traces,
         "z_hll_service_traces": q_hll_service_traces,
         "z_hll_merge_rollup": q_hll_merge_rollup,
@@ -2519,6 +2534,44 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_spans
             FROM spans GROUP BY local_service
             """
+        ),
+        "z_path_redundancy": with_spans_cte(
+            """
+            SELECT coalesce(p1.src, p2.src, p3.src) AS src,
+                   coalesce(p1.dst, p2.dst, p3.dst) AS dst,
+                   CAST(coalesce(direct, 0) AS BIGINT) AS direct,
+                   CAST(coalesce(via2, 0) AS BIGINT) AS via2,
+                   CAST(coalesce(via3, 0) AS BIGINT) AS via3,
+                   CAST(coalesce(direct, 0) + coalesce(via2, 0)
+                        + coalesce(via3, 0) AS BIGINT) AS total_paths
+            FROM p1
+            FULL JOIN p2 ON p1.src = p2.src AND p1.dst = p2.dst
+            FULL JOIN p3 ON coalesce(p1.src, p2.src) = p3.src
+                        AND coalesce(p1.dst, p2.dst) = p3.dst
+            """,
+            extra_ctes=_LINKS_CTE.strip().rstrip()
+            + """,
+            de AS MATERIALIZED (
+              SELECT DISTINCT parent AS src, child AS dst FROM links
+              WHERE parent IS NOT NULL AND child IS NOT NULL
+                AND parent != child
+            ),
+            p1 AS (SELECT src, dst, 1 AS direct FROM de),
+            p2 AS (
+              SELECT a.src, b.dst, CAST(count(*) AS BIGINT) AS via2
+              FROM de a JOIN de b ON a.dst = b.src
+              WHERE a.src != b.dst
+              GROUP BY 1, 2
+            ),
+            p3 AS (
+              SELECT a.src, c.dst, CAST(count(*) AS BIGINT) AS via3
+              FROM de a
+              JOIN de b ON a.dst = b.src
+              JOIN de c ON b.dst = c.src
+              WHERE a.src != b.dst AND a.src != c.dst AND a.dst != c.dst
+              GROUP BY 1, 2
+            )
+            """,
         ),
         "z_sampling_bias": with_spans_cte(
             """
