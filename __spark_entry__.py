@@ -68,32 +68,34 @@ _PINNED_ZIPKIN_CORE = (
     "f5_proto_roundtrip",
 )
 
-# Round-7 rotation: 19 first-time keys (VERDICT r06 next-round #1).  The
-# 15 operators registered after the r06 rotation was pinned jump the
-# queue (ROTATION.md rule: new code fronts the rotation), then the
-# recomputed queue head.
+# Round-8 rotation: 19 first-time keys.  The fourteen operators
+# registered early in round 7 (after the r07 rotation was pinned) jump
+# the queue (ROTATION.md rule: new code fronts the rotation), then the
+# recomputed queue head.  NOTE: CORRECTNESS_r07.json was never delivered
+# to the repo; if the r07 run was in fact lost, the 19 r07 rotation keys
+# remain "never-checked" under the recompute rule and automatically
+# return to the r09 queue head — rotating forward is the dominant move
+# either way (see ROTATION.md).
 _ROTATION = (
-    "pipe_bloom_prefilter",
-    "dedup_containment",
-    "w8_stream_lsh_registry",
-    "z_trace_path_signature",
-    "ann_range_search",
-    "text_source_hellinger",
-    "emb_ivf_balance",
-    "pipe_shard_plan",
-    "dedup_minhash_estimate",
-    "pipe_reembed_queue",
-    "w9_stream_error_alerts",
-    "emb_centroid_outliers",
-    "z_dependency_diff",
-    "z_latency_shift",
-    "z_error_paths",
-    "w25_slowest_per_service",
-    "z_error_pivot",
-    "z_error_unpivot",
-    # VERDICT r06 next-round #2: the P5 disabled-flag row takes the last
-    # slot (h18_large_volume_customers returns to the queue head).
-    "p5_disabled_flags",
+    "ann_ivf_nprobe_recall",
+    "mm_video_frames",
+    "mm_video_scene_cuts",
+    "mm_video_frame_sample",
+    "w10_stream_incremental_dedup",
+    "pipe_canonical_docs",
+    "z_orphan_spans",
+    "z_link_latency_gaps",
+    "text_hybrid_rrf",
+    "z_quantile_sketch_audit",
+    "dedup_lsh_bucket_audit",
+    "dedup_jaccard_curve",
+    "dedup_banding_audit",
+    "text_ccnet_buckets",
+    "h18_large_volume_customers",
+    "hr_pricing_rollup",
+    "h15_top_supplier",
+    "h16_part_supplier_variety",
+    "h22_sales_opportunity",
 )
 
 _FIRST50 = _PINNED_ZIPKIN_CORE + _ROTATION
