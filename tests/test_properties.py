@@ -907,3 +907,39 @@ def test_shuffle_key_skew_matches_python(spark, keys):
         (mx * n_keys * 1_000_000) // total,
         hot,
     )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=12),
+    budget=st.integers(min_value=1, max_value=500),
+)
+def test_semantic_audit_cells_matches_python(spark, counts, budget):
+    """semantic_audit_cells selects exactly the cells whose EXCLUSIVE
+    prefix pair-sum (cells in (size, label) order) is under the budget,
+    always including the smallest cell."""
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        semantic_audit_cells,
+    )
+
+    rows = [
+        (label * 1000 + i, label)
+        for label, c in enumerate(counts)
+        for i in range(c)
+    ]
+    assign = spark.createDataFrame(rows, "vec_id long, label int")
+    got = sorted(
+        r["cell"] for r in semantic_audit_cells(assign, budget).collect()
+    )
+    ordered = sorted(enumerate(counts), key=lambda lc: (lc[1], lc[0]))
+    expect, before = [], 0
+    for label, c in ordered:
+        if before < budget:
+            expect.append(label)
+        before += c * (c - 1) // 2
+    assert got == sorted(expect)
+    assert got  # the smallest cell is always audited

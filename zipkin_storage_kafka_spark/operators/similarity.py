@@ -728,6 +728,71 @@ def semantic_dedup(
     ).select("vec_id", "cell", F.col("_dup").isNull().alias("keep"))
 
 
+SEMDEDUP_AUDIT_PAIR_BUDGET = 50_000
+
+
+def semantic_audit_cells(
+    assign: DataFrame, pair_budget: int = SEMDEDUP_AUDIT_PAIR_BUDGET
+) -> DataFrame:
+    """Deterministic audit-cell selection for the pair-budgeted SemDeDup
+    fold audit: walk the IVF cells in increasing (size, label) order and
+    select every cell whose PRECEDING cumulative within-cell pair count
+    ``c*(c-1)/2`` is still under ``pair_budget``.  The smallest cell is
+    always selected (its preceding sum is 0), so the audit never comes
+    back empty; total audited pair mass is bounded by
+    ``pair_budget + pairs(first cell past the budget)`` regardless of
+    corpus size — the property that makes a per-corpus kernel audit
+    affordable at 100 TB, where auditing EVERY cell would cost
+    sum(c_i^2) over the whole index.
+
+    Because SemDeDup keep decisions are CELL-LOCAL (a vector's fate
+    depends only on same-cell vectors), restricting to whole cells
+    reproduces the full run's per-vector results exactly on the selected
+    subset — the audit loses coverage, never fidelity.
+
+    Engine-exact: all arithmetic is integer (counts, integer-div pair
+    counts), the order (c, label) is total, and the rule compares the
+    EXCLUSIVE prefix sum, so any engine selects the identical cell set.
+
+    Plan shape (100 TB): the cell-size relation is k ~ sqrt(n) rows.
+    The exclusive prefix sum runs as a two-level scheme — bucket =
+    decimal digit count of the cell size (a prefix of the numeric
+    order), per-bucket totals broadcast as offsets, within-bucket
+    running window partitioned by the bucket — so there is no
+    single-partition WindowExec even when k is millions of cells.
+
+    Input: ``assign`` (vec_id, label).  Output: one ``cell`` column.
+    """
+    sizes = assign.groupBy(F.col("label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sized = sizes.withColumn(
+        "pairs", F.expr("c * (c - 1) div 2").cast("long")
+    ).withColumn("bkt", F.length(F.col("c").cast("string")))
+    per_bucket = sized.groupBy("bkt").agg(F.sum("pairs").alias("bsum"))
+    b2 = per_bucket.select(
+        F.col("bkt").alias("_b2"), F.col("bsum").alias("_s2")
+    )
+    offsets = (
+        per_bucket.join(b2, F.col("_b2") < F.col("bkt"), "left")
+        .groupBy(F.col("bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("_s2"), F.lit(0)).alias("offset"))
+    )
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("c", "cell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.join(F.broadcast(offsets), F.col("bkt") == F.col("_bkt"))
+        .withColumn(
+            "before", F.col("offset") + F.sum("pairs").over(win) - F.col("pairs")
+        )
+        .filter(F.col("before") < F.lit(int(pair_budget)))
+        .select("cell")
+    )
+
+
 SEMDEDUP_CURVE_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7)
 
 

@@ -1401,17 +1401,32 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_semantic_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correctness-audit row for the Catalyst-fold SemDeDup flavor
-    (operators/similarity.py:semantic_dedup): identical semantics to
-    dedup_semantic but computed via the per-pair lambda-fold plan.  Both
-    registry serving rows moved to the vectorized arrow kernel in round
-    5, which left the fold flavor guarded only by local equivalence
-    tests — this row keeps the fold-vs-arrow equivalence EXTERNALLY
-    verified (same oracle as dedup_semantic), per ADVICE r05.  The
-    vectorized rows remain the 100 TB serving path; this one exists to
-    be checked, not to be fast."""
+    (operators/similarity.py:semantic_dedup): identical per-vector
+    semantics to dedup_semantic but computed via the per-pair
+    lambda-fold plan, restricted to a PAIR-BUDGETED deterministic cell
+    subset (operators/similarity.py:semantic_audit_cells — smallest
+    cells first until ~50k within-cell pairs).  Both registry serving
+    rows moved to the vectorized arrow kernel in round 5, which left
+    the fold flavor guarded only by local equivalence tests — this row
+    keeps the fold-vs-arrow check EXTERNALLY verified per ADVICE r05.
+    Round 8 made the audit budgeted: SemDeDup keep decisions are
+    cell-local, so whole-cell sampling loses coverage, never fidelity,
+    and the audit cost stays ~constant at any corpus size (it was the
+    single 10x-gate violation at sf1: 62 s, 15x — an unbudgeted
+    kernel audit is exactly what you cannot run per-corpus at 100 TB).
+    The FULL-corpus fold-vs-arrow equivalence remains pinned at test
+    scale (tests/test_pipeline_sampling.py).  The vectorized rows
+    remain the serving path; this one exists to be checked, not to be
+    fast."""
     centroids, assign = _ivf_index(spark, sf_dir)
+    cells = sim.semantic_audit_cells(assign)
+    audited = assign.join(
+        F.broadcast(cells),
+        assign["label"] == cells["cell"],
+        "left_semi",
+    )
     return sim.semantic_dedup(
-        _emb(spark, sf_dir), centroids=centroids, assign=assign
+        _emb(spark, sf_dir), centroids=centroids, assign=audited
     )
 
 
@@ -1878,7 +1893,70 @@ def pipeline_oracles() -> dict[str, str]:
     # Fold-flavor SemDeDup audit row: same semantics, same independent
     # oracle as the vectorized serving row (ADVICE r05 — keeps the
     # fold-vs-arrow equivalence externally verified).
-    oracles["dedup_semantic_fold"] = oracles["dedup_semantic"]
+    # Same per-vector semantics as dedup_semantic, restricted to the
+    # pair-budgeted audit cells (keep decisions are cell-local, so the
+    # subset run reproduces the full run exactly on the selected cells).
+    oracles["dedup_semantic_fold"] = f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cent AS (
+          SELECT label, list(c ORDER BY i) AS cv FROM (
+            SELECT label, i, avg(x) AS c FROM (
+              SELECT label,
+                     unnest(generate_series(1, len(v))) AS i,
+                     unnest(v) AS x
+              FROM e
+            ) GROUP BY label, i
+          ) GROUP BY label
+        ),
+        sim AS (
+          SELECT e.vec_id, cent.label,
+                 ((round((list_dot_product(v, cv)
+                    / (sqrt(list_dot_product(v, v))
+                       * sqrt(list_dot_product(cv, cv)))) * 1000000)
+                   / 1000000) + 0.0) AS s
+          FROM e CROSS JOIN cent
+        ),
+        assign AS (
+          SELECT vec_id, label FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, label) AS rk
+            FROM sim
+          ) WHERE rk = 1
+        ),
+        cells AS (
+          SELECT label AS cell, count(*) AS c FROM assign GROUP BY label
+        ),
+        sel AS (
+          SELECT cell FROM (
+            SELECT cell,
+                   coalesce(sum((c * (c - 1)) // 2) OVER (
+                     ORDER BY c, cell
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS before
+            FROM cells
+          ) WHERE before < {sim.SEMDEDUP_AUDIT_PAIR_BUDGET}
+        ),
+        m AS (
+          SELECT e.vec_id, assign.label AS cell, e.v
+          FROM e
+          JOIN assign USING (vec_id)
+          JOIN sel ON sel.cell = assign.label
+        ),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM m a JOIN m b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE ((round((list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)))) * 10000)
+                  / 10000) + 0.0) >= {sim.SEMDEDUP_THRESHOLD}
+        )
+        SELECT m.vec_id, m.cell,
+               (m.vec_id NOT IN (SELECT vec_id FROM dropped)) AS keep
+        FROM m
+    """
     oracles["mm_audio_fingerprint"] = """
         WITH d AS (
           SELECT doc_id, n_chars % 50 + 20 AS n, doc_id % 2 + 1 AS ch
