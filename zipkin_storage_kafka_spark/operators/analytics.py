@@ -1186,6 +1186,76 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZONE_MAP_SHARD_US = 2_592_000_000_000  # 30-day range shards
+ZONE_MAP_LO_US = 883_612_800_000_000  # 1998-01-01 UTC
+ZONE_MAP_HI_US = 899_251_200_000_000  # 1998-07-01 UTC
+
+
+def zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping audit (the min/max file-footer statistics
+    Delta/Iceberg/parquet row groups prune on): lay the lineitem fact
+    out two ways — 32 hash shards on l_orderkey (the ingest-order
+    layout every pipeline starts with) vs 30-day l_shipdate range
+    shards (the time-partitioned layout) — build each layout's
+    per-shard (min, max) shipdate zone map, and report how much of the
+    corpus a fixed 6-month predicate window could SKIP under each: the
+    measurement that justifies a re-layout job before anyone pays for
+    it (ev_zorder_layout plans the multi-dimension variant; this row
+    quantifies the benefit in rows and shards for the 1-D case).
+
+    A shard is pruned iff its zone proves emptiness: zmax < lo OR
+    zmin >= hi.  All math is exact int64 (epoch micros, integer div),
+    so both engines prune the identical shard set.
+
+    Columns: layout, n_shards, shards_scanned, rows_total,
+    rows_scanned, rows_matched, scan_efficiency_micro
+    (= rows_matched * 1e6 div rows_scanned).
+
+    Scale (100 TB): ONE fact scan — the two layouts stack into
+    (layout, shard) rows inside the scan projection, then a single
+    partial agg to layout x shard cardinality (~32 + ~80 rows) and a
+    2-row rollup; the fact is never shuffled at row grain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey"),
+        to_epoch_micros(li, "l_shipdate").alias("sd_us"),
+    )
+    lo, hi = ZONE_MAP_LO_US, ZONE_MAP_HI_US
+    stacked = base.select(
+        F.expr(
+            "stack(2, 'hash', l_orderkey % 32,"
+            f" 'date', sd_us div {ZONE_MAP_SHARD_US}) AS (layout, shard)"
+        ),
+        "sd_us",
+    )
+    zm = stacked.groupBy("layout", "shard").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(
+            ((F.col("sd_us") >= lo) & (F.col("sd_us") < hi)).cast("long")
+        ).alias("matched"),
+        F.min("sd_us").alias("zmin"),
+        F.max("sd_us").alias("zmax"),
+    )
+    pruned = (F.col("zmax") < lo) | (F.col("zmin") >= hi)
+    return (
+        zm.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum((~pruned).cast("long")).alias("shards_scanned"),
+            F.sum("rows").alias("rows_total"),
+            F.sum(F.when(pruned, F.lit(0)).otherwise(F.col("rows"))).alias(
+                "rows_scanned"
+            ),
+            F.sum("matched").alias("rows_matched"),
+        )
+        .withColumn(
+            "scan_efficiency_micro",
+            F.expr("rows_matched * 1000000 div rows_scanned"),
+        )
+    )
+
+
 def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average of the event ``value`` stream — the
     observability-metrics integral (a gauge sampled at irregular points,

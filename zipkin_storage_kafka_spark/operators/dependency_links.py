@@ -363,6 +363,67 @@ def link_latency_gaps(spans: DataFrame) -> DataFrame:
     )
 
 
+def span_overhang(spans: DataFrame) -> DataFrame:
+    """Parent/child containment audit per dependency edge: for every
+    linked span pair, whether the child span ENDS after its parent ends
+    (``child.timestamp + child.duration > parent.timestamp +
+    parent.duration``) and by how much — the signal Zipkin's
+    clock-skew corrector keys on (a child that outlives its RPC parent
+    is either async fire-and-forget or a clock-skewed reporter;
+    zipkin2 ``CorrectForClockSkew`` treats one-way/async spans
+    specially for exactly this reason).  ``link_latency_gaps`` measures
+    the handoff delay at the START of the edge; this measures
+    containment violations at the END.
+
+    Columns: parent, child, n_calls, n_overhangs, max_overhang_us,
+    overhang_rate_micro — all exact int64 (rate = n_overhangs * 1e6
+    div n_calls), so the row is engine-stable with no float rounding.
+
+    Scale (100 TB): the same trace-keyed parent/child self-join every
+    link operator shares (co-partitions with the J1 shuffle), then a
+    partial agg to service-pair cardinality.
+
+    Reference parity: the edge derivation matches
+    KafkaSpanStore.java's J1 linker input; the containment rule is the
+    zipkin2 CorrectForClockSkew.java child-bounds check re-expressed
+    as a batch panel.
+    """
+    c = spans.filter(F.col("parent_id").isNotNull()).select(
+        "trace_id",
+        "parent_id",
+        (F.col("timestamp") + F.coalesce(F.col("duration"), F.lit(0))).alias(
+            "c_end"
+        ),
+        F.col("local_service").alias("child"),
+    )
+    p = spans.select(
+        F.col("trace_id").alias("_t"),
+        F.col("id").alias("_id"),
+        (F.col("timestamp") + F.coalesce(F.col("duration"), F.lit(0))).alias(
+            "p_end"
+        ),
+        F.col("local_service").alias("parent"),
+    )
+    joined = c.join(
+        p,
+        (F.col("trace_id") == F.col("_t"))
+        & (F.col("parent_id") == F.col("_id")),
+    )
+    over = F.col("c_end") - F.col("p_end")
+    return (
+        joined.groupBy("parent", "child")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum((over > 0).cast("long")).alias("n_overhangs"),
+            F.greatest(F.max(over), F.lit(0)).alias("max_overhang_us"),
+        )
+        .withColumn(
+            "overhang_rate_micro",
+            F.expr("n_overhangs * 1000000 div n_calls"),
+        )
+    )
+
+
 def link_window_diff(links: DataFrame, split_us: int) -> DataFrame:
     """Dependency-graph diff across a time split (deploy-regression
     check): per (parent, child) edge, call/error counters BEFORE vs

@@ -728,6 +728,105 @@ def semantic_dedup(
     ).select("vec_id", "cell", F.col("_dup").isNull().alias("keep"))
 
 
+PCA_POWER_ITERATIONS = 3
+
+
+def _round6_py(v: float) -> float:
+    """Python twin of functions.portable.round6 (round half away from
+    zero at 6 decimals, -0.0 canonicalized) — used on the driver-side
+    power-iteration vector so the intermediate both engines iterate
+    from is the identical 6-decimal grid point."""
+    import math
+
+    if v >= 0:
+        return math.floor(v * 1_000_000.0 + 0.5) / 1_000_000.0 + 0.0
+    return -(math.floor(-v * 1_000_000.0 + 0.5) / 1_000_000.0) + 0.0
+
+
+def pca_power(
+    embeddings: DataFrame, iterations: int = PCA_POWER_ITERATIONS
+) -> DataFrame:
+    """Top principal component by MATRIX-FREE power iteration: iterate
+    x <- C x / ||C x|| against the mean-centered covariance WITHOUT
+    ever materializing C, using C x = E[v (v.x)] - mu (mu.x) — two
+    moments the corpus computes in ONE scan per iteration.  The
+    whitening/projection step downstream embedding pipelines run after
+    :func:`covariance_matrix` (which materializes the d^2 matrix for a
+    driver-side eigensolve); this flavor is the one that survives when
+    d is large enough that d^2 upper-triangle aggregation is the wrong
+    plan (d=4096: 8M agg cells vs d per-iteration sums here).
+
+    Engine-exact iteration discipline: the vector is re-synchronized to
+    the 6-decimal grid (portable round6) after every normalize, so both
+    engines iterate from IDENTICAL intermediates and per-engine float
+    summation noise (~1e-13) cannot compound across iterations; x0 is
+    the exact binary 1/sqrt(d) for d a power of four (0.125 for d=64).
+    The output projects to round4 like every float boundary.
+
+    Plan shape (100 TB): per iteration, one corpus scan — a rowwise
+    dot y = v.x against the BROADCAST-LITERAL vector (64-term codegen
+    expression, no shuffle), then d partial-agg sums sum(v[i]*y) to ONE
+    row; the d-element vector state lives on the driver between
+    iterations (the k-means-seed convention — parameter-scale, never
+    data-scale).  Driver cost is O(d) python per iteration.
+
+    Output: i (1..d), pc (round4 component), lambda_hat (round4
+    Rayleigh estimate ||C x|| of the final sweep — the same value on
+    every row, kept per-row so the relation is self-contained).
+    """
+    import math
+
+    e = embeddings.select(_as_double("embedding").alias("emb"))
+    d = int(e.select(F.size("emb").alias("d")).head()["d"])
+    n = e.count()
+    # Shallow expression trees throughout: the dot against the literal
+    # vector is the shared `_dot` fold (sequential accumulate — the FP
+    # order list_dot_product pins), and the d per-dimension sums come
+    # from ONE posexplode + 64-key partial agg instead of d aggregate
+    # columns (d-wide agg projections made Catalyst analysis, not
+    # execution, the dominant cost: 18 s -> ~2 s at sf0.1).
+    mu_rows = (
+        e.select(F.posexplode("emb").alias("i", "vi"))
+        .groupBy("i")
+        .agg(F.avg("vi").alias("m"))
+        .collect()
+    )
+    mu = [0.0] * d
+    for r in mu_rows:
+        mu[r["i"]] = float(r["m"])
+    x = [_round6_py(1.0 / math.sqrt(d))] * d
+    lam = 0.0
+    for _ in range(iterations):
+        mx = 0.0
+        for i in range(d):
+            mx += mu[i] * x[i]
+        xarr = F.array(*[F.lit(float(xi)) for xi in x])
+        s_rows = (
+            e.select(
+                _dot(F.col("emb"), xarr).alias("y"),
+                F.posexplode("emb").alias("i", "vi"),
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("vi") * F.col("y")).alias("sv"))
+            .collect()
+        )
+        sv = [0.0] * d
+        for r in s_rows:
+            sv[r["i"]] = float(r["sv"])
+        z = [sv[i] / n - mu[i] * mx for i in range(d)]
+        ss = 0.0
+        for zi in z:
+            ss += zi * zi
+        lam = math.sqrt(ss)
+        x = [_round6_py(zi / lam) for zi in z]
+    lam4 = math.floor(lam * 10_000.0 + 0.5) / 10_000.0 + 0.0  # lam >= 0
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, x[i], lam4) for i in range(d)],
+        "i int, pc double, lambda_hat double",
+    ).select("i", round4(F.col("pc")).alias("pc"), "lambda_hat")
+
+
 SEMDEDUP_AUDIT_PAIR_BUDGET = 50_000
 
 

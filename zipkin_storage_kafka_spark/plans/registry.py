@@ -1372,6 +1372,19 @@ def q_link_latency_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_latency_gaps(_spans(spark, sf_dir))
 
 
+def q_span_overhang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent/child containment audit per dependency edge
+    (operators/dependency_links.py:span_overhang): children that END
+    after their parent ends — the async/clock-skew signal zipkin2's
+    CorrectForClockSkew keys on, as a batch panel beside the
+    start-gap row (z_link_latency_gaps)."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        span_overhang,
+    )
+
+    return span_overhang(_spans(spark, sf_dir))
+
+
 def q_error_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Root-to-error service paths, counted — where failures concentrate
     BY ROUTE (operators/trace_aggregation.py:error_paths): served from
@@ -1563,6 +1576,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "p5_disabled_flags": q_p5_disabled_flags,
         "z_orphan_spans": q_orphan_spans,
         "z_link_latency_gaps": q_link_latency_gaps,
+        "z_span_overhang": q_span_overhang,
         "z_quantile_sketch_audit": q_quantile_sketch_audit,
         "z_cm_heavy_hitters": q_cm_heavy_hitters,
         "w11_stream_cm_grid": q_stream_cm_grid,
@@ -1925,6 +1939,28 @@ def zipkin_oracles() -> dict[str, str]:
                ((round((sum(c.timestamp - p.timestamp) * 1.0 / count(*)
                         / 1000) * 10000) / 10000) + 0.0) AS avg_gap_ms,
                (max(c.timestamp - p.timestamp) / 1000.0) AS max_gap_ms
+        FROM spans c
+        JOIN spans p
+          ON p.trace_id = c.trace_id AND p.id = c.parent_id
+        WHERE c.parent_id IS NOT NULL
+        GROUP BY 1, 2
+        """
+    )
+    oracles["z_span_overhang"] = with_spans_cte(
+        """
+        SELECT p.local_service AS parent,
+               c.local_service AS child,
+               CAST(count(*) AS BIGINT) AS n_calls,
+               CAST(sum(CASE WHEN (c.timestamp + coalesce(c.duration, 0))
+                              > (p.timestamp + coalesce(p.duration, 0))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_overhangs,
+               greatest(max((c.timestamp + coalesce(c.duration, 0))
+                            - (p.timestamp + coalesce(p.duration, 0))),
+                        0) AS max_overhang_us,
+               (CAST(sum(CASE WHEN (c.timestamp + coalesce(c.duration, 0))
+                               > (p.timestamp + coalesce(p.duration, 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+                 // count(*) AS overhang_rate_micro
         FROM spans c
         JOIN spans p
           ON p.trace_id = c.trace_id AND p.id = c.parent_id

@@ -335,6 +335,14 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.time_weighted_value(spark, sf_dir)
 
 
+def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping audit over two lineitem layouts
+    (operators/analytics.py:zone_map_prune): hash vs 30-day range
+    shards, per-shard (min,max) shipdate maps, prunability of a fixed
+    6-month window — one fact scan, layout x shard partial agg."""
+    return an.zone_map_prune(spark, sf_dir)
+
+
 def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.important_stock(spark, sf_dir)
 
@@ -410,6 +418,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "w_customer_deciles": q_customer_deciles,
         "h12_late_shipment_priority": q_late_shipment_priority,
         "ev_zorder_layout": q_zorder_layout,
+        "w_zone_map_prune": q_zone_map_prune,
         "ev_time_weighted_value": q_time_weighted_value,
         "h11_important_stock": q_important_stock,
         "h2_min_cost_supplier": q_min_cost_supplier,
@@ -1451,6 +1460,44 @@ def analytics_oracles() -> dict[str, str]:
                    CAST(sum(n_orders) AS BIGINT) AS n_orders,
                    {_r4("CAST(sum(spend) AS DOUBLE)")} AS total_spend
             FROM tiled GROUP BY decile
+        """,
+        "w_zone_map_prune": f"""
+            WITH base AS (
+              SELECT l_orderkey, epoch_us(l_shipdate) AS sd_us
+              FROM lineitem
+            ),
+            stacked AS (
+              SELECT 'hash' AS layout, l_orderkey % 32 AS shard, sd_us
+              FROM base
+              UNION ALL
+              SELECT 'date', sd_us // {an.ZONE_MAP_SHARD_US}, sd_us
+              FROM base
+            ),
+            zm AS (
+              SELECT layout, shard,
+                     count(*) AS rows,
+                     sum(CASE WHEN sd_us >= {an.ZONE_MAP_LO_US}
+                               AND sd_us < {an.ZONE_MAP_HI_US}
+                         THEN 1 ELSE 0 END) AS matched,
+                     min(sd_us) AS zmin, max(sd_us) AS zmax
+              FROM stacked GROUP BY 1, 2
+            )
+            SELECT layout,
+                   CAST(count(*) AS BIGINT) AS n_shards,
+                   CAST(sum(CASE WHEN zmax < {an.ZONE_MAP_LO_US}
+                                   OR zmin >= {an.ZONE_MAP_HI_US}
+                            THEN 0 ELSE 1 END) AS BIGINT) AS shards_scanned,
+                   CAST(sum(rows) AS BIGINT) AS rows_total,
+                   CAST(sum(CASE WHEN zmax < {an.ZONE_MAP_LO_US}
+                                   OR zmin >= {an.ZONE_MAP_HI_US}
+                            THEN 0 ELSE rows END) AS BIGINT) AS rows_scanned,
+                   CAST(sum(matched) AS BIGINT) AS rows_matched,
+                   (CAST(sum(matched) AS BIGINT) * 1000000)
+                     // CAST(sum(CASE WHEN zmax < {an.ZONE_MAP_LO_US}
+                                        OR zmin >= {an.ZONE_MAP_HI_US}
+                                 THEN 0 ELSE rows END) AS BIGINT)
+                     AS scan_efficiency_micro
+            FROM zm GROUP BY layout
         """,
         "ev_zorder_layout": f"""
             WITH ev AS (

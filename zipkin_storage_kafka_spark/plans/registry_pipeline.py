@@ -1384,6 +1384,66 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.covariance_matrix(_emb(spark, sf_dir))
 
 
+def _pca_power_oracle(iterations: int, d: int) -> str:
+    """Generate the DuckDB twin of operators/similarity.py:pca_power's
+    driver loop as an unrolled CTE chain (the _pagerank_oracle
+    pattern): each sweep recomputes the two moments E[v (v.x)] and
+    mu (mu.x) from the PREVIOUS sweep's round6-gridded vector, so both
+    engines iterate from identical intermediates."""
+    ctes = [
+        "e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e)",
+        (
+            "mu AS (SELECT list(m ORDER BY i) AS mv FROM ("
+            " SELECT i, avg(v[i]) AS m"
+            f" FROM e, unnest(generate_series(1, {d})) t(i)"
+            " GROUP BY i))"
+        ),
+        (
+            "x0 AS (SELECT list_transform("
+            f"generate_series(1, {d}),"
+            " i -> ((round((1.0 / sqrt("
+            f"CAST({d} AS DOUBLE))) * 1000000) / 1000000) + 0.0)) AS x)"
+        ),
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"x{k - 1}"
+        ctes.append(
+            f"it{k} AS (SELECT list("
+            f" s.sv / nn.n - mu.mv[s.i] * list_dot_product(mu.mv, {prev}.x)"
+            " ORDER BY s.i) AS z FROM ("
+            f" SELECT t.i AS i,"
+            f" sum(e.v[t.i] * list_dot_product(e.v, {prev}.x)) AS sv"
+            f" FROM e CROSS JOIN {prev},"
+            f" unnest(generate_series(1, {d})) t(i)"
+            f" GROUP BY t.i) s, nn, mu, {prev})"
+        )
+        ctes.append(
+            f"x{k} AS (SELECT list_transform(z,"
+            " zi -> ((round((zi / sqrt(list_dot_product(z, z)))"
+            f" * 1000000) / 1000000) + 0.0)) AS x FROM it{k})"
+        )
+    last = iterations
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT CAST(t.i AS INT) AS i,"
+        f" ((round(x{last}.x[t.i] * 10000) / 10000) + 0.0) AS pc,"
+        f" ((round(sqrt(list_dot_product(it{last}.z, it{last}.z))"
+        " * 10000) / 10000) + 0.0) AS lambda_hat"
+        f" FROM x{last}, it{last}, unnest(generate_series(1, {d})) t(i)"
+    )
+
+
+def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by matrix-free power iteration
+    (operators/similarity.py:pca_power): one corpus scan per sweep
+    (rowwise dot vs the broadcast-literal vector + d partial-agg sums),
+    d-element state on the driver, intermediates re-synchronized to the
+    round6 grid so both engines iterate identically — the large-d
+    complement of emb_covariance's d^2 materialization."""
+    return sim.pca_power(_emb(spark, sf_dir))
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the shared IVF index, served by the VECTORIZED
     flavor (one numpy gram matrix per cell via applyInPandas — the
@@ -1807,6 +1867,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_decontaminate": q_text_decontaminate,
         "emb_dim_stats": q_emb_dim_stats,
         "emb_covariance": q_emb_covariance,
+        "emb_pca_power": q_emb_pca_power,
         "emb_kmeans_step": q_emb_kmeans_step,
         "text_boilerplate": q_text_boilerplate,
         "text_tfidf": q_text_tfidf,
@@ -1893,6 +1954,9 @@ def pipeline_oracles() -> dict[str, str]:
     # Fold-flavor SemDeDup audit row: same semantics, same independent
     # oracle as the vectorized serving row (ADVICE r05 — keeps the
     # fold-vs-arrow equivalence externally verified).
+    oracles["emb_pca_power"] = _pca_power_oracle(
+        iterations=sim.PCA_POWER_ITERATIONS, d=64
+    )
     # Same per-vector semantics as dedup_semantic, restricted to the
     # pair-budgeted audit cells (keep decisions are cell-local, so the
     # subset run reproduces the full run exactly on the selected cells).
