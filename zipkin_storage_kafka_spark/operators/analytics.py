@@ -1186,6 +1186,57 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHECKSUM_TABLES = (
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("lineitem", "concat(l_orderkey, ':', l_linenumber)"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+CHECKSUM_MOD = 1_000_003  # prime; sum fits int64 to ~9e12 rows
+
+
+def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine integrity fingerprint of every corpus table: row
+    count + an ORDER-INDEPENDENT key checksum (sum over rows of
+    md5-derived 32-bit values mod a prime) — the replicate-and-compare
+    primitive a 100 TB migration runs on both sides before cutover
+    (what the driver's value-hash gate does for query results, as a
+    first-class operator for the base tables themselves).
+
+    Engine-exact: the per-row value is integer md5 arithmetic
+    (CAST/conv of the first 8 hex chars) mod 1000003, commutative
+    addition — so any engine, any partitioning, any row order produces
+    the identical pair (n_rows, key_checksum).  The mod keeps the sum
+    inside int64 to ~9e12 rows per table; wider corpora shard the
+    checksum by key range and compare per shard.
+
+    Scale (100 TB): one column-pruned scan per table (only the key
+    columns are read — parquet never materializes payloads), each a
+    partial agg to ONE row; the 10-row result is a metadata relation.
+
+    Output: tbl, n_rows, key_checksum (one row per table).
+    """
+    out = None
+    for tbl, key in CHECKSUM_TABLES:
+        t = load_table(spark, sf_dir, tbl)
+        row_val = F.expr(
+            f"cast(conv(substring(md5(cast(({key}) as string)), 1, 8),"
+            f" 16, 10) as bigint) % {CHECKSUM_MOD}"
+        )
+        one = t.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(row_val).alias("key_checksum"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "key_checksum")
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
 ZONE_MAP_SHARD_US = 2_592_000_000_000  # 30-day range shards
 ZONE_MAP_LO_US = 883_612_800_000_000  # 1998-01-01 UTC
 ZONE_MAP_HI_US = 899_251_200_000_000  # 1998-07-01 UTC

@@ -335,6 +335,14 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.time_weighted_value(spark, sf_dir)
 
 
+def q_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-table integrity fingerprints
+    (operators/analytics.py:table_checksums): row count + md5-key
+    checksum mod a prime per corpus table — the both-sides migration
+    audit; one column-pruned scan per table."""
+    return an.table_checksums(spark, sf_dir)
+
+
 def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map data-skipping audit over two lineitem layouts
     (operators/analytics.py:zone_map_prune): hash vs 30-day range
@@ -419,6 +427,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "h12_late_shipment_priority": q_late_shipment_priority,
         "ev_zorder_layout": q_zorder_layout,
         "w_zone_map_prune": q_zone_map_prune,
+        "pipe_table_checksums": q_table_checksums,
         "ev_time_weighted_value": q_time_weighted_value,
         "h11_important_stock": q_important_stock,
         "h2_min_cost_supplier": q_min_cost_supplier,
@@ -1461,6 +1470,18 @@ def analytics_oracles() -> dict[str, str]:
                    {_r4("CAST(sum(spend) AS DOUBLE)")} AS total_spend
             FROM tiled GROUP BY decile
         """,
+        "pipe_table_checksums": " UNION ALL ".join(
+            f"""
+            SELECT '{tbl}' AS tbl,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST('0x' ||
+                       substring(md5(CAST(({key}) AS VARCHAR)), 1, 8)
+                       AS BIGINT) % {an.CHECKSUM_MOD}) AS BIGINT)
+                     AS key_checksum
+            FROM {tbl}
+            """
+            for tbl, key in an.CHECKSUM_TABLES
+        ),
         "w_zone_map_prune": f"""
             WITH base AS (
               SELECT l_orderkey, epoch_us(l_shipdate) AS sd_us
