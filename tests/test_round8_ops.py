@@ -1,0 +1,219 @@
+"""Round-8 fixtures: the pair-budgeted SemDeDup audit, the
+span-overhang containment panel, zone-map pruning, power-iteration
+PCA, and the table-checksum integrity fingerprint."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_span_overhang_fixture(spark):
+    """Hand-computed containment: child b outlives parent a by 5us,
+    child c is contained; per-edge counters are exact integers."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        span_overhang,
+    )
+
+    rows = [
+        # trace t1: a(10..30) -> b(20..35): overhang 5
+        ("t1", "a", None, 10, 20, "svc_p"),
+        ("t1", "b", "a", 20, 15, "svc_c"),
+        # trace t2: a(0..100) -> c(10..50): contained
+        ("t2", "a", None, 0, 100, "svc_p"),
+        ("t2", "c", "a", 10, 40, "svc_c"),
+        # NULL duration child counts as zero-length (coalesce)
+        ("t3", "a", None, 0, 10, "svc_p"),
+        ("t3", "d", "a", 5, None, "svc_c"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trace_id string, id string, parent_id string, timestamp long,"
+        " duration long, local_service string",
+    )
+    out = {
+        (r["parent"], r["child"]): r for r in span_overhang(df).collect()
+    }
+    r = out[("svc_p", "svc_c")]
+    assert r["n_calls"] == 3
+    assert r["n_overhangs"] == 1
+    assert r["max_overhang_us"] == 5
+    assert r["overhang_rate_micro"] == 1_000_000 // 3
+
+
+def test_span_overhang_all_contained_clamps_to_zero(spark):
+    """max_overhang_us is clamped at 0 when every child is contained
+    (greatest(max(neg), 0)), so the panel never reports negative
+    overhang."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        span_overhang,
+    )
+
+    rows = [
+        ("t1", "a", None, 0, 100, "p"),
+        ("t1", "b", "a", 10, 10, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trace_id string, id string, parent_id string, timestamp long,"
+        " duration long, local_service string",
+    )
+    r = span_overhang(df).collect()[0]
+    assert (r["n_overhangs"], r["max_overhang_us"]) == (0, 0)
+
+
+def test_zone_map_prune_matches_python(spark, sf_dir):
+    """Both layouts' shard counts / scanned rows / matches equal a plain
+    python recompute over the raw parquet."""
+    import duckdb
+
+    from zipkin_storage_kafka_spark.operators.analytics import (
+        ZONE_MAP_HI_US,
+        ZONE_MAP_LO_US,
+        ZONE_MAP_SHARD_US,
+        zone_map_prune,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT l_orderkey, epoch_us(l_shipdate) AS sd"
+        f" FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    from collections import defaultdict
+
+    for layout, shard_of in (
+        ("hash", lambda k, s: k % 32),
+        ("date", lambda k, s: s // ZONE_MAP_SHARD_US),
+    ):
+        shards = defaultdict(lambda: [0, 0, None, None])
+        for k, s in rows:
+            st = shards[shard_of(k, s)]
+            st[0] += 1
+            st[1] += 1 if ZONE_MAP_LO_US <= s < ZONE_MAP_HI_US else 0
+            st[2] = s if st[2] is None else min(st[2], s)
+            st[3] = s if st[3] is None else max(st[3], s)
+        pruned = {
+            sh
+            for sh, st in shards.items()
+            if st[3] < ZONE_MAP_LO_US or st[2] >= ZONE_MAP_HI_US
+        }
+        got = {
+            r["layout"]: r for r in zone_map_prune(spark, sf_dir).collect()
+        }[layout]
+        assert got["n_shards"] == len(shards)
+        assert got["shards_scanned"] == len(shards) - len(pruned)
+        assert got["rows_total"] == len(rows)
+        assert got["rows_scanned"] == sum(
+            st[0] for sh, st in shards.items() if sh not in pruned
+        )
+        assert got["rows_matched"] == sum(st[1] for st in shards.values())
+
+
+def test_zone_map_prune_single_fact_scan(spark, sf_dir):
+    """The two layouts stack inside ONE lineitem scan — the plan must
+    contain exactly one parquet scan of the fact."""
+    from zipkin_storage_kafka_spark.operators.analytics import zone_map_prune
+
+    plan = (
+        zone_map_prune(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pca_power_recovers_dominant_direction(spark):
+    """On an embedded rank-1 signal (+noise-free), 3 sweeps recover the
+    planted direction up to sign and round4, and lambda_hat approximates
+    the planted variance."""
+    from zipkin_storage_kafka_spark.operators.similarity import pca_power
+
+    d = 8
+    direction = [1.0 if i == 2 else 0.0 for i in range(d)]
+    rows = []
+    for s in range(-5, 6):  # symmetric scalars -> zero mean, pure PC
+        rows.append((s + 5, [s * direction[i] for i in range(d)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["i"]: r for r in pca_power(df).collect()}
+    comps = [out[i + 1]["pc"] for i in range(d)]
+    # dominant component is +-1 on axis 2, ~0 elsewhere
+    assert abs(abs(comps[2]) - 1.0) < 1e-3
+    for i in range(d):
+        if i != 2:
+            assert abs(comps[i]) < 1e-3
+    # planted variance: E[s^2] = mean of s^2 over -5..5 = 10
+    lam = out[1]["lambda_hat"]
+    assert abs(lam - 10.0) < 0.05
+
+
+def test_table_checksums_matches_python(spark, sf_dir):
+    """The (n_rows, key_checksum) pair for every table equals a plain
+    python md5 recompute — the cross-engine contract the operator
+    exists to provide."""
+    import hashlib
+
+    import duckdb
+
+    from zipkin_storage_kafka_spark.operators.analytics import (
+        CHECKSUM_MOD,
+        table_checksums,
+    )
+
+    got = {r["tbl"]: r for r in table_checksums(spark, sf_dir).collect()}
+    assert len(got) == 10
+    for tbl, key_sql in (
+        ("region", "CAST(r_regionkey AS VARCHAR)"),
+        ("lineitem", "l_orderkey || ':' || l_linenumber"),
+        ("documents", "CAST(doc_id AS VARCHAR)"),
+    ):
+        keys = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT {key_sql} FROM '{sf_dir}/{tbl}.parquet'"
+            ).fetchall()
+        ]
+        chk = sum(
+            int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % CHECKSUM_MOD
+            for k in keys
+        )
+        assert got[tbl]["n_rows"] == len(keys)
+        assert got[tbl]["key_checksum"] == chk
+
+
+def test_semantic_fold_audit_subset_of_full_run(spark):
+    """The budgeted audit row's keep decisions equal the FULL fold run
+    restricted to the audited cells (cell-locality — the property that
+    makes whole-cell sampling lose coverage, never fidelity)."""
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_centroids,
+        semantic_audit_cells,
+        semantic_dedup,
+    )
+
+    rows = []
+    for v in range(40):
+        base = [math.sin(0.1 * v + 0.3 * i) for i in range(8)]
+        rows.append((v, base, v % 3))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    centroids = ivf_centroids(emb)
+    assign = ivf_assignments(emb, centroids)
+    full = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semantic_dedup(emb, centroids=centroids, assign=assign).collect()
+    }
+    cells = {r["cell"] for r in semantic_audit_cells(assign, 50).collect()}
+    assert cells  # smallest cell always audited
+    audited_assign = assign.filter(F.col("label").isin(list(cells)))
+    audited = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semantic_dedup(
+            emb, centroids=centroids, assign=audited_assign
+        ).collect()
+    }
+    assert audited == {
+        v: ck for v, ck in full.items() if ck[0] in cells
+    }
