@@ -217,3 +217,67 @@ def test_semantic_fold_audit_subset_of_full_run(spark):
     assert audited == {
         v: ck for v, ck in full.items() if ck[0] in cells
     }
+
+
+def test_multitouch_credit_conservation(spark, sf_dir):
+    """Linear credit is conserved exactly: sum over the linear scheme =
+    1e6 x the number of conversions with >= 1 touch in the lookback
+    (integer remainder assigned to the most recent touch); the last
+    scheme trivially conserves the same total."""
+    from zipkin_storage_kafka_spark.operators.analytics import (
+        multitouch_attribution,
+    )
+
+    rows = multitouch_attribution(spark, sf_dir).collect()
+    by_scheme = {}
+    for r in rows:
+        by_scheme.setdefault(r["scheme"], 0)
+        by_scheme[r["scheme"]] += r["credit_micro"]
+    assert by_scheme["linear"] == by_scheme["last"]
+    assert by_scheme["linear"] % 1_000_000 == 0
+    n_last = sum(r["n_touches"] for r in rows if r["scheme"] == "last")
+    assert by_scheme["last"] == n_last * 1_000_000
+
+
+def test_multitouch_fixture(spark, tmp_path):
+    """Hand-computed: purchase at day 10 with clicks at days 4, 9 ->
+    k=2, most recent (day 9, lag 1) gets 500000, day-4 click (lag 6)
+    gets 500000; a click 8 days before is outside the 7-day lookback."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zipkin_storage_kafka_spark.operators.analytics import (
+        multitouch_attribution,
+    )
+
+    day = 86_400_000_000
+    evs = [
+        # (event_id, ts_us, user_id, event_type)
+        (1, 2 * day, 7, "click"),    # 8 days before: excluded
+        (2, 4 * day, 7, "click"),    # lag 6
+        (3, 9 * day, 7, "click"),    # lag 1, most recent
+        (4, 10 * day, 7, "purchase"),
+        (5, 3 * day, 8, "view"),     # other user, no purchase
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([e[0] for e in evs], pa.int64()),
+            "ts": pa.array(
+                [e[1] for e in evs], pa.timestamp("us")
+            ),
+            "user_id": pa.array([e[2] for e in evs], pa.int64()),
+            "event_type": pa.array([e[3] for e in evs]),
+            "value": pa.array([1.0] * len(evs)),
+            "props": pa.array(['{"k":"1"}'] * len(evs)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {
+        (r["scheme"], r["lag_days"]): r
+        for r in multitouch_attribution(spark, str(tmp_path)).collect()
+    }
+    assert out[("linear", 1)]["credit_micro"] == 500_000
+    assert out[("linear", 6)]["credit_micro"] == 500_000
+    assert out[("last", 1)]["credit_micro"] == 1_000_000
+    assert ("linear", 8) not in out
+    assert len(out) == 3

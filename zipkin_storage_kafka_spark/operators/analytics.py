@@ -1186,6 +1186,100 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIB_LOOKBACK_US = 7 * 86_400_000_000  # 7-day attribution window
+
+
+def multitouch_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    event: str = "purchase",
+    cause: str = "click",
+) -> DataFrame:
+    """Multi-touch attribution panel — the full-credit complement of
+    :func:`asof_attribution`'s last-touch as-of join: every ``cause``
+    touch in the 7-day window before a conversion shares the credit,
+    under two schemes side by side ('linear': equal split; 'last':
+    everything to the most recent touch), rolled up by LAG DAYS between
+    touch and conversion — the "how long before purchase do converting
+    clicks happen" curve a marketing pipeline fits decay models to.
+
+    Exact integer credit: each conversion distributes 1,000,000 micro
+    units; linear gives each of its k touches 1e6 div k with the
+    remainder assigned to the MOST RECENT touch (deterministic), so
+    credit is conserved exactly — sum(credit) = 1e6 * attributed
+    conversions, an invariant the tests pin.
+
+    Scale (100 TB): the (conversion x touch) pair relation is a
+    user-keyed equi-join with the lookback range predicate — pair mass
+    is bounded by touches-per-user-per-window, never users²; the
+    per-conversion k and recency rank are one window over the pair
+    relation partitioned by conversion id; output collapses to ≤ 8 lag
+    buckets per scheme.
+
+    Output: scheme, lag_days, n_touches, credit_micro.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import (
+        load_table,
+        to_epoch_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin(event, cause)).select(
+        "event_id",
+        "user_id",
+        to_epoch_micros(ev, "ts").alias("ts_us"),
+        "event_type",
+    )
+    conv = base.filter(F.col("event_type") == event).select(
+        F.col("user_id").alias("_u"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    touch = base.filter(F.col("event_type") == cause).select(
+        "user_id",
+        F.col("event_id").alias("c_id"),
+        F.col("ts_us").alias("c_ts"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("_u") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.lit(ATTRIB_LOOKBACK_US)),
+    )
+    wk = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy(
+        F.col("c_ts").desc(), F.col("c_id").desc()
+    )
+    scored = pairs.select(
+        F.expr(f"(p_ts - c_ts) div {86_400_000_000}").alias("lag_days"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    linear = scored.select(
+        F.lit("linear").alias("scheme"),
+        "lag_days",
+        (
+            F.expr("1000000 div k")
+            + F.when(F.col("rn") == 1, F.expr("1000000 % k")).otherwise(
+                F.lit(0)
+            )
+        ).alias("credit"),
+    )
+    last = scored.filter(F.col("rn") == 1).select(
+        F.lit("last").alias("scheme"),
+        "lag_days",
+        F.lit(1_000_000).alias("credit"),
+    )
+    return (
+        linear.unionByName(last)
+        .groupBy("scheme", "lag_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit").alias("credit_micro"),
+        )
+    )
+
+
 CHECKSUM_TABLES = (
     ("region", "r_regionkey"),
     ("nation", "n_nationkey"),

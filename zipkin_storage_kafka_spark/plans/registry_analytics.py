@@ -335,6 +335,14 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.time_weighted_value(spark, sf_dir)
 
 
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution lag panel, linear vs last-touch schemes
+    (operators/analytics.py:multitouch_attribution): user-keyed
+    conversion x touch pairs inside a 7-day lookback, exact-integer
+    credit conservation, ≤8 lag buckets per scheme."""
+    return an.multitouch_attribution(spark, sf_dir)
+
+
 def q_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent per-table integrity fingerprints
     (operators/analytics.py:table_checksums): row count + md5-key
@@ -428,6 +436,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_zorder_layout": q_zorder_layout,
         "w_zone_map_prune": q_zone_map_prune,
         "pipe_table_checksums": q_table_checksums,
+        "ev_multitouch_attribution": q_multitouch_attribution,
         "ev_time_weighted_value": q_time_weighted_value,
         "h11_important_stock": q_important_stock,
         "h2_min_cost_supplier": q_min_cost_supplier,
@@ -1469,6 +1478,47 @@ def analytics_oracles() -> dict[str, str]:
                    CAST(sum(n_orders) AS BIGINT) AS n_orders,
                    {_r4("CAST(sum(spend) AS DOUBLE)")} AS total_spend
             FROM tiled GROUP BY decile
+        """,
+        "ev_multitouch_attribution": f"""
+            WITH base AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+              FROM events
+              WHERE event_type IN ('purchase', 'click')
+            ),
+            conv AS (
+              SELECT user_id, event_id AS p_id, ts_us AS p_ts
+              FROM base WHERE event_type = 'purchase'
+            ),
+            touch AS (
+              SELECT user_id, event_id AS c_id, ts_us AS c_ts
+              FROM base WHERE event_type = 'click'
+            ),
+            pairs AS (
+              SELECT p.p_id,
+                     (p.p_ts - t.c_ts) // 86400000000 AS lag_days,
+                     count(*) OVER (PARTITION BY p.p_id) AS k,
+                     row_number() OVER (
+                       PARTITION BY p.p_id
+                       ORDER BY t.c_ts DESC, t.c_id DESC) AS rn
+              FROM conv p
+              JOIN touch t
+                ON t.user_id = p.user_id
+               AND t.c_ts <= p.p_ts
+               AND t.c_ts > p.p_ts - {an.ATTRIB_LOOKBACK_US}
+            ),
+            credits AS (
+              SELECT 'linear' AS scheme, lag_days,
+                     1000000 // k
+                       + CASE WHEN rn = 1 THEN 1000000 % k ELSE 0 END
+                       AS credit
+              FROM pairs
+              UNION ALL
+              SELECT 'last', lag_days, 1000000 FROM pairs WHERE rn = 1
+            )
+            SELECT scheme, CAST(lag_days AS BIGINT) AS lag_days,
+                   CAST(count(*) AS BIGINT) AS n_touches,
+                   CAST(sum(credit) AS BIGINT) AS credit_micro
+            FROM credits GROUP BY 1, 2
         """,
         "pipe_table_checksums": " UNION ALL ".join(
             f"""
