@@ -918,12 +918,16 @@ def test_shuffle_key_skew_matches_python(spark, keys):
     counts=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=12),
     budget=st.integers(min_value=1, max_value=500),
 )
-def test_semantic_audit_cells_matches_python(spark, counts, budget):
-    """semantic_audit_cells selects exactly the cells whose EXCLUSIVE
-    prefix pair-sum (cells in (size, label) order) is under the budget,
-    always including the smallest cell."""
+def test_semantic_audit_members_matches_python(spark, counts, budget):
+    """semantic_audit_members = per-cell md5-order cap at
+    m = isqrt(2*budget), then the exclusive-prefix cell walk on the
+    CAPPED pair counts — byte-identical to a plain python model, and
+    the audited pair mass never exceeds ~2x the budget."""
+    import hashlib
+    import math
+
     from zipkin_storage_kafka_spark.operators.similarity import (
-        semantic_audit_cells,
+        semantic_audit_members,
     )
 
     rows = [
@@ -933,13 +937,25 @@ def test_semantic_audit_cells_matches_python(spark, counts, budget):
     ]
     assign = spark.createDataFrame(rows, "vec_id long, label int")
     got = sorted(
-        r["cell"] for r in semantic_audit_cells(assign, budget).collect()
+        (r["vec_id"], r["label"])
+        for r in semantic_audit_members(assign, budget).collect()
     )
-    ordered = sorted(enumerate(counts), key=lambda lc: (lc[1], lc[0]))
-    expect, before = [], 0
-    for label, c in ordered:
+    m = math.isqrt(2 * budget)
+    capped = {}
+    for label, c in enumerate(counts):
+        ids = sorted(
+            (label * 1000 + i for i in range(c)),
+            key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+        )[:m]
+        capped[label] = ids
+    ordered = sorted(capped, key=lambda lb: (len(capped[lb]), lb))
+    expect, before, audited_pairs = [], 0, 0
+    for label in ordered:
+        c = len(capped[label])
         if before < budget:
-            expect.append(label)
+            expect.extend((v, label) for v in capped[label])
+            audited_pairs += c * (c - 1) // 2
         before += c * (c - 1) // 2
     assert got == sorted(expect)
     assert got  # the smallest cell is always audited
+    assert audited_pairs <= 2 * budget + m * (m - 1) // 2

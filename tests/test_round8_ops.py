@@ -182,13 +182,14 @@ def test_table_checksums_matches_python(spark, sf_dir):
 
 
 def test_semantic_fold_audit_subset_of_full_run(spark):
-    """The budgeted audit row's keep decisions equal the FULL fold run
-    restricted to the audited cells (cell-locality — the property that
-    makes whole-cell sampling lose coverage, never fidelity)."""
+    """When the audited cells are smaller than the member cap (every
+    test/driver scale), the budgeted audit row's keep decisions equal
+    the FULL fold run restricted to the audited cells (cell-locality —
+    whole-cell sampling loses coverage, never fidelity)."""
     from zipkin_storage_kafka_spark.operators.similarity import (
         ivf_assignments,
         ivf_centroids,
-        semantic_audit_cells,
+        semantic_audit_members,
         semantic_dedup,
     )
 
@@ -205,13 +206,16 @@ def test_semantic_fold_audit_subset_of_full_run(spark):
         r["vec_id"]: (r["cell"], r["keep"])
         for r in semantic_dedup(emb, centroids=centroids, assign=assign).collect()
     }
-    cells = {r["cell"] for r in semantic_audit_cells(assign, 50).collect()}
+    members = semantic_audit_members(assign, 120, member_cap=40)
+    cells = {r["label"] for r in members.collect()}
     assert cells  # smallest cell always audited
-    audited_assign = assign.filter(F.col("label").isin(list(cells)))
+    # member_cap=40 disables within-cell capping here, so the audit
+    # universe is whole cells (the budget walk still restricts WHICH
+    # cells) and fidelity vs the full run is exact
     audited = {
         r["vec_id"]: (r["cell"], r["keep"])
         for r in semantic_dedup(
-            emb, centroids=centroids, assign=audited_assign
+            emb, centroids=centroids, assign=members
         ).collect()
     }
     assert audited == {
@@ -281,3 +285,85 @@ def test_multitouch_fixture(spark, tmp_path):
     assert out[("last", 1)]["credit_micro"] == 1_000_000
     assert ("linear", 8) not in out
     assert len(out) == 3
+
+
+def test_ivf_nlist_recall_cost_monotone(spark, sf_dir):
+    """Coarser quantizers (smaller nlist) probe MORE rows per query —
+    probed_rows must be non-increasing in nlist, recall in [0,1], and
+    nlist=|labels| must reproduce the plain single-probe IVF cell."""
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        IVF_NLISTS,
+        ivf_nlist_recall,
+    )
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = ivf_nlist_recall(emb, 1, 10).collect()
+    assert [r["nlist"] for r in rows] == sorted(IVF_NLISTS)
+    probed = [r["probed_rows"] for r in rows]
+    assert probed == sorted(probed, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_hits"] <= r["k"]
+        # a probe can't return more hits than it scanned
+        assert r["n_hits"] <= r["probed_rows"]
+
+
+def test_compaction_plan_conserves_and_groups(spark, sf_dir):
+    """Compaction groups conserve files/docs/bytes exactly, group bytes
+    land near the target (every group except possibly the last spans
+    >= target once it has 2+ files... the invariant actually pinned:
+    group_start = cum_start div target means group_bytes <= target +
+    max_file_bytes), and needs_merge marks exactly the multi-file
+    groups."""
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        COMPACT_INGEST_BYTES,
+        SHARD_TARGET_BYTES,
+        compaction_plan,
+        shard_plan,
+    )
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = shard_plan(docs, COMPACT_INGEST_BYTES).collect()
+    groups = compaction_plan(docs).collect()
+    assert sum(g["n_files"] for g in groups) == len(files)
+    assert sum(g["n_docs"] for g in groups) == sum(f["n_docs"] for f in files)
+    assert sum(g["group_bytes"] for g in groups) == sum(
+        f["shard_bytes"] for f in files
+    )
+    max_file = max(f["shard_bytes"] for f in files)
+    for g in groups:
+        assert g["needs_merge"] == (g["n_files"] > 1)
+        assert g["group_bytes"] <= SHARD_TARGET_BYTES + max_file
+    # python recompute of the group assignment
+    from collections import defaultdict
+
+    expect = defaultdict(lambda: [0, 0, 0])
+    cum = 0
+    for f in sorted(files, key=lambda f: f["shard_id"]):
+        gid = cum // SHARD_TARGET_BYTES
+        expect[gid][0] += 1
+        expect[gid][1] += f["n_docs"]
+        expect[gid][2] += f["shard_bytes"]
+        cum += f["shard_bytes"]
+    got = {g["group_id"]: [g["n_files"], g["n_docs"], g["group_bytes"]] for g in groups}
+    assert got == dict(expect)
+
+
+def test_pca_explained_consistent_with_power(spark):
+    """explained_micro = floor(lambda_hat * 1e6 / total_var) on the
+    planted rank-1 corpus, where PC1 carries ALL the variance
+    (explained ~ 1.0)."""
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        pca_explained,
+    )
+
+    d = 8
+    rows = []
+    for s in range(-5, 6):
+        rows.append((s + 5, [float(s) if i == 2 else 0.0 for i in range(d)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = pca_explained(df).collect()[0]
+    assert abs(r["total_var"] - 10.0) < 0.01
+    assert 990_000 <= r["explained_micro"] <= 1_000_100

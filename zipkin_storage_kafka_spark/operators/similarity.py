@@ -728,6 +728,139 @@ def semantic_dedup(
     ).select("vec_id", "cell", F.col("_dup").isNull().alias("keep"))
 
 
+IVF_NLISTS = (2, 5, 10)
+
+
+def ivf_nlist_recall(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nlists: tuple[int, ...] = IVF_NLISTS,
+) -> DataFrame:
+    """The OTHER IVF tuning knob: recall@k AND probe cost as a function
+    of quantizer coarseness (nlist = number of cells), at nprobe=1 —
+    the cost/recall frontier a deployment reads before fixing its cell
+    count (coarser cells -> each probe scans more of the corpus ->
+    higher recall at higher cost; ``ivf_nprobe_recall`` sweeps the
+    query-side knob, this sweeps the index-build side).
+
+    Deterministic re-clustering: the nlist-cell quantizer merges the
+    seed labels by ``label % nlist`` and recomputes centroids as the
+    merged-group means — engine-reproducible (no k-means random
+    restarts), monotone in coverage by construction.  ``probed_rows``
+    reports the scanned candidate count (query excluded) so the row
+    shows BOTH axes of the trade.
+
+    Columns: nlist, k, n_hits, recall (round4), probed_rows.
+
+    Scale (100 TB): all nlist settings share the scans — ONE corpus x
+    (sum nlists = 17 tagged centroids) broadcast score pass feeds every
+    assignment via a (vec, nlist)-keyed argmax window; the probe rows
+    (one per setting) broadcast-semi-join the assignment; vectors move
+    once through the tagged candidate union, per-setting top-k is a
+    rank-filtered window (WindowGroupLimit, <= |nlists|*k rows
+    shuffled).  Centroid recomputation per setting is the posexplode
+    partial-agg (KB output), ingest-time work in deployment.
+    """
+    from pyspark.sql import Window
+
+    from zipkin_storage_kafka_spark.functions.portable import round6
+
+    e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
+    exact = cosine_topk(embeddings, query_vec_id, k).select("vec_id")
+    exploded = embeddings.select(
+        "label", F.posexplode(_as_double("embedding")).alias("pos", "x")
+    )
+    cent_parts = []
+    for nl in nlists:
+        cent = (
+            exploded.withColumn("cell", F.col("label") % F.lit(int(nl)))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("c"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("centroid")
+            )
+            .select(F.lit(int(nl)).alias("nlist"), "cell", "centroid")
+        )
+        cent_parts.append(cent)
+    cents = cent_parts[0]
+    for p in cent_parts[1:]:
+        cents = cents.unionByName(p)
+    sim = _dot(F.col("emb"), F.col("centroid")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+    )
+    scores = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "nlist", "cell", round6(sim).alias("s")
+    )
+    wv = Window.partitionBy("vec_id", "nlist").orderBy(
+        F.col("s").desc(), F.col("cell")
+    )
+    assign = (
+        scores.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "nlist", "cell")
+    )
+    probe = assign.filter(F.col("vec_id") == query_vec_id).select(
+        "nlist", "cell"
+    )
+    cands = assign.join(
+        F.broadcast(probe), ["nlist", "cell"], "left_semi"
+    ).filter(F.col("vec_id") != query_vec_id)
+    probed = cands.groupBy("nlist").agg(
+        F.count(F.lit(1)).alias("probed_rows")
+    )
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        _as_double("embedding").alias("q_emb")
+    )
+    ec = embeddings.join(
+        cands.select("vec_id", "nlist"), "vec_id"
+    ).select("vec_id", "nlist", _as_double("embedding").alias("emb"))
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+    )
+    scored = ec.crossJoin(F.broadcast(q)).select(
+        "vec_id", "nlist", round4(cos).alias("cos")
+    )
+    wt = Window.partitionBy("nlist").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    topk = (
+        scored.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= k)
+        .select("nlist", "vec_id")
+    )
+    hits = (
+        topk.join(exact, "vec_id", "left_semi")
+        .groupBy("nlist")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    anchor = embeddings.sparkSession.createDataFrame(
+        [(int(nl),) for nl in nlists], "nlist int"
+    )
+    return (
+        anchor.join(hits, "nlist", "left")
+        .join(probed, "nlist", "left")
+        .select(
+            "nlist",
+            F.lit(int(k)).cast("int").alias("k"),
+            F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("n_hits"),
+            round4(
+                F.coalesce(F.col("_h"), F.lit(0)) / F.lit(float(k))
+            ).alias("recall"),
+            F.coalesce(F.col("probed_rows"), F.lit(0))
+            .cast("long")
+            .alias("probed_rows"),
+        )
+        .orderBy("nlist")
+    )
+
+
 PCA_POWER_ITERATIONS = 3
 
 
@@ -827,42 +960,120 @@ def pca_power(
     ).select("i", round4(F.col("pc")).alias("pc"), "lambda_hat")
 
 
+def pca_explained(
+    embeddings: DataFrame, iterations: int = PCA_POWER_ITERATIONS
+) -> DataFrame:
+    """Variance explained by the top principal component: lambda_hat
+    from :func:`pca_power`'s final sweep over the TOTAL variance
+    trace(C) = E[||v||^2] - ||mu||^2 — the one-number answer to "is
+    this embedding space dominated by a single direction?" that decides
+    whether whitening (removing PC1) is worth a re-embed pass.  A
+    near-1 ratio usually means an uncentered artifact direction (the
+    'anisotropy' problem sentence-embedding papers whiten away).
+
+    Columns: one row — lambda_hat (round4), total_var (round4),
+    explained_micro (exact integer micro-units of the double ratio, so
+    the headline number never hash-flips on a ulp).
+
+    Scale: the power sweeps (one scan each) + ONE extra scan for the
+    two total-variance moments; everything else is driver floats.
+    """
+    import math
+
+    pcs = pca_power(embeddings, iterations).collect()
+    lam = pcs[0]["lambda_hat"]
+    e = embeddings.select(_as_double("embedding").alias("emb"))
+    n = e.count()
+    mom = (
+        e.select(F.posexplode("emb").alias("i", "vi"))
+        .groupBy("i")
+        .agg(F.sum("vi").alias("sv"))
+        .collect()
+    )
+    sq_total = float(
+        e.agg(F.sum(_dot(F.col("emb"), F.col("emb"))).alias("s")).collect()[
+            0
+        ]["s"]
+    )
+    mu_norm2 = 0.0
+    for r in sorted(mom, key=lambda r: r["i"]):
+        m = float(r["sv"]) / n
+        mu_norm2 += m * m
+    total_var = sq_total / n - mu_norm2
+    tv4 = math.floor(total_var * 10_000.0 + 0.5) / 10_000.0 + 0.0
+    explained_micro = int(lam * 1_000_000.0 // tv4) if tv4 > 0 else 0
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(lam, tv4, explained_micro)],
+        "lambda_hat double, total_var double, explained_micro bigint",
+    )
+
+
 SEMDEDUP_AUDIT_PAIR_BUDGET = 50_000
 
 
-def semantic_audit_cells(
-    assign: DataFrame, pair_budget: int = SEMDEDUP_AUDIT_PAIR_BUDGET
+def semantic_audit_members(
+    assign: DataFrame,
+    pair_budget: int = SEMDEDUP_AUDIT_PAIR_BUDGET,
+    member_cap: int | None = None,
 ) -> DataFrame:
-    """Deterministic audit-cell selection for the pair-budgeted SemDeDup
-    fold audit: walk the IVF cells in increasing (size, label) order and
-    select every cell whose PRECEDING cumulative within-cell pair count
-    ``c*(c-1)/2`` is still under ``pair_budget``.  The smallest cell is
-    always selected (its preceding sum is 0), so the audit never comes
-    back empty; total audited pair mass is bounded by
-    ``pair_budget + pairs(first cell past the budget)`` regardless of
+    """Deterministic audit-universe selection for the pair-budgeted
+    SemDeDup fold audit, budget-true at ANY cell size.  Two caps
+    compose:
+
+    1. **Within-cell member cap**: each cell keeps at most
+       m = isqrt(2 * pair_budget) members, the first m in
+       (md5(vec_id), vec_id) order — so one giant cell can never
+       exceed the budget on its own (the r08 lesson: at sf1 the
+       SMALLEST cell alone held 1.3M pairs and an
+       always-include-smallest rule let 17 s of fold through the
+       "budget").  The rank filter compiles to WindowGroupLimit
+       (per-partition partial top-m, no full per-cell sort).
+    2. **Cell walk**: cells in increasing (capped size, label) order
+       are selected while the EXCLUSIVE prefix of capped pair counts
+       ``c*(c-1)/2`` is under ``pair_budget``; the smallest cell is
+       always selected, so the audit never comes back empty.
+
+    Total audited pair mass is bounded by ~2x the budget regardless of
     corpus size — the property that makes a per-corpus kernel audit
-    affordable at 100 TB, where auditing EVERY cell would cost
-    sum(c_i^2) over the whole index.
+    affordable at 100 TB, where auditing EVERY cell costs sum(c_i^2).
 
-    Because SemDeDup keep decisions are CELL-LOCAL (a vector's fate
-    depends only on same-cell vectors), restricting to whole cells
-    reproduces the full run's per-vector results exactly on the selected
-    subset — the audit loses coverage, never fidelity.
+    Fidelity: SemDeDup keep decisions are CELL-LOCAL, so whenever a
+    selected cell is smaller than m (every test/driver scale), the
+    audit reproduces the full run's per-vector results on that cell
+    exactly; on capped cells the fold and the oracle both rank the
+    identical md5-ordered sub-universe, so the cross-engine check is
+    undiluted — what shrinks is coverage, never the comparison.
 
-    Engine-exact: all arithmetic is integer (counts, integer-div pair
-    counts), the order (c, label) is total, and the rule compares the
-    EXCLUSIVE prefix sum, so any engine selects the identical cell set.
+    Engine-exact: integer arithmetic, md5 ordering, total orders with
+    vec_id tie-breaks, EXCLUSIVE prefix compare — any engine selects
+    the identical member set.
 
-    Plan shape (100 TB): the cell-size relation is k ~ sqrt(n) rows.
-    The exclusive prefix sum runs as a two-level scheme — bucket =
-    decimal digit count of the cell size (a prefix of the numeric
-    order), per-bucket totals broadcast as offsets, within-bucket
-    running window partitioned by the bucket — so there is no
-    single-partition WindowExec even when k is millions of cells.
+    Plan shape (100 TB): the member cap is a WindowGroupLimit over the
+    cell partitioning; the cell-size relation is k ~ sqrt(n) rows and
+    its exclusive prefix sum runs two-level — bucket = decimal digit
+    count of the capped cell size (a prefix of the numeric order),
+    per-bucket totals broadcast as offsets, within-bucket running
+    window — so there is no single-partition WindowExec even at
+    millions of cells.
 
-    Input: ``assign`` (vec_id, label).  Output: one ``cell`` column.
+    Input: ``assign`` (vec_id, label).  Output: (vec_id, label) — the
+    audited members.
     """
-    sizes = assign.groupBy(F.col("label").alias("cell")).agg(
+    import math
+
+    m = member_cap if member_cap is not None else math.isqrt(
+        2 * int(pair_budget)
+    )
+    wm = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    members = (
+        assign.withColumn("_rk", F.row_number().over(wm))
+        .filter(F.col("_rk") <= m)
+        .select("vec_id", "label")
+    )
+    sizes = members.groupBy(F.col("label").alias("cell")).agg(
         F.count(F.lit(1)).alias("c")
     )
     sized = sizes.withColumn(
@@ -882,13 +1093,18 @@ def semantic_audit_cells(
         .orderBy("c", "cell")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    cells = (
         sized.join(F.broadcast(offsets), F.col("bkt") == F.col("_bkt"))
         .withColumn(
             "before", F.col("offset") + F.sum("pairs").over(win) - F.col("pairs")
         )
         .filter(F.col("before") < F.lit(int(pair_budget)))
         .select("cell")
+    )
+    return members.join(
+        F.broadcast(cells),
+        members["label"] == cells["cell"],
+        "left_semi",
     )
 
 

@@ -1914,6 +1914,71 @@ def shard_plan(docs: DataFrame, target_bytes: int = SHARD_TARGET_BYTES) -> DataF
     )
 
 
+COMPACT_INGEST_BYTES = 4096  # simulated ingest-grain file size
+
+
+def compaction_plan(
+    docs: DataFrame,
+    ingest_bytes: int = COMPACT_INGEST_BYTES,
+    target_bytes: int = SHARD_TARGET_BYTES,
+) -> DataFrame:
+    """Small-file compaction planning (the OPTIMIZE/rewrite step every
+    lakehouse runs after incremental ingest): the ingest wrote
+    ~``ingest_bytes`` files (:func:`shard_plan` at ingest grain); plan
+    merges of CONSECUTIVE files into ~``target_bytes`` outputs.  Group
+    assignment is the same deterministic trick as shard packing — a
+    file's group is its STARTING cumulative offset div target — so
+    every engine plans the identical merge jobs with no sequential
+    greedy.
+
+    Columns: group_id, n_files, n_docs, group_bytes, needs_merge
+    (false for a group that is already a single file — nothing to do).
+
+    Scale (100 TB): the file relation is corpus_bytes/ingest_bytes
+    rows (metadata-scale); the cumulative sum runs two-level with
+    bucket = shard_id div 1024 (a prefix of the order — no
+    single-partition WindowExec); the rollup is a partial agg on
+    group_id.
+    """
+    files = shard_plan(docs, ingest_bytes).withColumn(
+        "bkt", F.expr("shard_id div 1024")
+    )
+    per_bucket = files.groupBy("bkt").agg(F.sum("shard_bytes").alias("bsum"))
+    b2 = per_bucket.select(
+        F.col("bkt").alias("_b2"), F.col("bsum").alias("_s2")
+    )
+    offsets = (
+        per_bucket.join(b2, F.col("_b2") < F.col("bkt"), "left")
+        .groupBy(F.col("bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("_s2"), F.lit(0)).alias("offset"))
+    )
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("shard_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = files.join(
+        F.broadcast(offsets), F.col("bkt") == F.col("_bkt")
+    ).withColumn(
+        "cum_start",
+        F.col("offset") + F.sum("shard_bytes").over(win) - F.col("shard_bytes"),
+    )
+    return (
+        cum.select(
+            F.expr(f"cum_start div {int(target_bytes)}").alias("group_id"),
+            "n_docs",
+            "shard_bytes",
+        )
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("shard_bytes").alias("group_bytes"),
+        )
+        .withColumn("needs_merge", F.col("n_files") > 1)
+    )
+
+
 def priority_sample(docs: DataFrame, k: int = 64) -> DataFrame:
     """Weighted sample of k documents by PRIORITY SAMPLING (Duffield,
     Lund & Thorup, JACM 2007): each doc gets priority q_i = w_i / u_i

@@ -9,6 +9,8 @@ and rounded to 4 decimals, every LIMIT rides a total order.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
@@ -1341,6 +1343,15 @@ def q_pipe_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.shard_plan(_docs(spark, sf_dir))
 
 
+def q_pipe_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning
+    (operators/text_analysis.py:compaction_plan): ingest-grain ~4 KiB
+    files grouped into ~16 KiB merge jobs by the deterministic
+    starting-offset-div-target rule — the lakehouse OPTIMIZE step as a
+    plannable relation; two-level prefix sum, no sequential greedy."""
+    return ta.compaction_plan(_docs(spark, sf_dir))
+
+
 def q_pipe_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source epoch schedule for a 2x-corpus token budget
     (operators/text_analysis.py:epoch_plan): uniform per-source
@@ -1384,12 +1395,12 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.covariance_matrix(_emb(spark, sf_dir))
 
 
-def _pca_power_oracle(iterations: int, d: int) -> str:
-    """Generate the DuckDB twin of operators/similarity.py:pca_power's
-    driver loop as an unrolled CTE chain (the _pagerank_oracle
-    pattern): each sweep recomputes the two moments E[v (v.x)] and
-    mu (mu.x) from the PREVIOUS sweep's round6-gridded vector, so both
-    engines iterate from identical intermediates."""
+def _pca_cte_chain(iterations: int, d: int) -> list[str]:
+    """Shared CTE chain for the PCA oracles: the DuckDB twin of
+    operators/similarity.py:pca_power's driver loop, unrolled (the
+    _pagerank_oracle pattern) — each sweep recomputes the two moments
+    E[v (v.x)] and mu (mu.x) from the PREVIOUS sweep's round6-gridded
+    vector, so both engines iterate from identical intermediates."""
     ctes = [
         "e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e)",
@@ -1423,6 +1434,11 @@ def _pca_power_oracle(iterations: int, d: int) -> str:
             " zi -> ((round((zi / sqrt(list_dot_product(z, z)))"
             f" * 1000000) / 1000000) + 0.0)) AS x FROM it{k})"
         )
+    return ctes
+
+
+def _pca_power_oracle(iterations: int, d: int) -> str:
+    ctes = _pca_cte_chain(iterations, d)
     last = iterations
     return (
         "WITH " + ",\n".join(ctes) + "\n"
@@ -1432,6 +1448,127 @@ def _pca_power_oracle(iterations: int, d: int) -> str:
         " * 10000) / 10000) + 0.0) AS lambda_hat"
         f" FROM x{last}, it{last}, unnest(generate_series(1, {d})) t(i)"
     )
+
+
+def _pca_explained_oracle(iterations: int, d: int) -> str:
+    """DuckDB twin of operators/similarity.py:pca_explained: the shared
+    power-sweep chain plus the two total-variance moments."""
+    ctes = _pca_cte_chain(iterations, d)
+    last = iterations
+    ctes.append(
+        "tv AS (SELECT"
+        " (SELECT sum(list_dot_product(v, v)) FROM e) / (SELECT n FROM nn)"
+        " - (SELECT list_dot_product(mv, mv) FROM mu) AS t)"
+    )
+    ctes.append(
+        f"lam AS (SELECT ((round(sqrt(list_dot_product(z, z)) * 10000)"
+        f" / 10000) + 0.0) AS l FROM it{last})"
+    )
+    ctes.append(
+        "tvr AS (SELECT ((round(t * 10000) / 10000) + 0.0) AS t4 FROM tv)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT lam.l AS lambda_hat, tvr.t4 AS total_var,"
+        " CAST(floor(lam.l * 1000000 / tvr.t4) AS BIGINT)"
+        " AS explained_micro"
+        " FROM lam, tvr"
+    )
+
+
+def q_emb_pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PC1 explained-variance ratio
+    (operators/similarity.py:pca_explained): lambda_hat over trace(C) —
+    the anisotropy headline that decides whether whitening is worth a
+    re-embed pass; power sweeps + one extra two-moment scan."""
+    return sim.pca_explained(_emb(spark, sf_dir))
+
+
+def q_ann_ivf_nlist_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF quantizer-coarseness curve
+    (operators/similarity.py:ivf_nlist_recall): recall@k AND probed-row
+    cost at nlist in {2,5,10} cells (nprobe=1) — the index-build-side
+    twin of ann_ivf_nprobe_recall's query-side sweep; together they
+    span the full IVF cost/recall tuning surface."""
+    return sim.ivf_nlist_recall(
+        _emb(spark, sf_dir), ANN_QUERY_VEC, ANN_K, nlists=sim.IVF_NLISTS
+    )
+
+
+def _nlist_oracle() -> str:
+    """DuckDB twin of ivf_nlist_recall, one generated block per nlist
+    (the _pca_power_oracle / nprobe-sweep pattern)."""
+    head = f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {ANN_QUERY_VEC}),
+        exact AS (
+          SELECT e.vec_id,
+                 ((round((list_dot_product(v, qv)
+                    / (sqrt(list_dot_product(v, v))
+                       * sqrt(list_dot_product(qv, qv)))) * 10000)
+                   / 10000) + 0.0) AS cos
+          FROM e, q WHERE e.vec_id <> {ANN_QUERY_VEC}
+          ORDER BY cos DESC, vec_id LIMIT {ANN_K}
+        ),"""
+    blocks = ",".join(
+        f"""
+        cent_{nl} AS (
+          SELECT cell, list(c ORDER BY i) AS cv FROM (
+            SELECT label % {nl} AS cell, i, avg(x) AS c FROM (
+              SELECT label,
+                     unnest(generate_series(1, len(v))) AS i,
+                     unnest(v) AS x
+              FROM e
+            ) GROUP BY cell, i
+          ) GROUP BY cell
+        ),
+        assign_{nl} AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, cent_{nl}.cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     ((round((list_dot_product(v, cv)
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(cv, cv)))) * 1000000)
+                       / 1000000) + 0.0) DESC, cent_{nl}.cell) AS rk
+            FROM e CROSS JOIN cent_{nl}
+          ) WHERE rk = 1
+        ),
+        cand_{nl} AS (
+          SELECT vec_id FROM assign_{nl}
+          WHERE cell = (SELECT cell FROM assign_{nl}
+                        WHERE vec_id = {ANN_QUERY_VEC})
+            AND vec_id <> {ANN_QUERY_VEC}
+        ),
+        ivf_{nl} AS (
+          SELECT e.vec_id,
+                 ((round((list_dot_product(v, qv)
+                    / (sqrt(list_dot_product(v, v))
+                       * sqrt(list_dot_product(qv, qv)))) * 10000)
+                   / 10000) + 0.0) AS cos
+          FROM e JOIN cand_{nl} USING (vec_id), q
+          ORDER BY cos DESC, vec_id LIMIT {ANN_K}
+        )"""
+        for nl in sim.IVF_NLISTS
+    )
+    tail = (
+        "\n        SELECT * FROM ("
+        + "\n        UNION ALL".join(
+            f"""
+          SELECT CAST({nl} AS INTEGER) AS nlist,
+                 CAST({ANN_K} AS INTEGER) AS k,
+                 CAST((SELECT count(*) FROM exact
+                       JOIN ivf_{nl} USING (vec_id)) AS BIGINT) AS n_hits,
+                 (round(((SELECT count(*) FROM exact
+                          JOIN ivf_{nl} USING (vec_id))
+                         * 1.0 / {ANN_K}) * 10000) / 10000 + 0.0) AS recall,
+                 CAST((SELECT count(*) FROM cand_{nl}) AS BIGINT)
+                   AS probed_rows"""
+            for nl in sim.IVF_NLISTS
+        )
+        + "\n        ) ORDER BY nlist"
+    )
+    return head + blocks + tail
 
 
 def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1463,9 +1600,10 @@ def q_dedup_semantic_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correctness-audit row for the Catalyst-fold SemDeDup flavor
     (operators/similarity.py:semantic_dedup): identical per-vector
     semantics to dedup_semantic but computed via the per-pair
-    lambda-fold plan, restricted to a PAIR-BUDGETED deterministic cell
-    subset (operators/similarity.py:semantic_audit_cells — smallest
-    cells first until ~50k within-cell pairs).  Both registry serving
+    lambda-fold plan, restricted to a PAIR-BUDGETED deterministic
+    audit universe (operators/similarity.py:semantic_audit_members —
+    per-cell member cap at isqrt(2*budget) in md5 order, then smallest
+    cells first until ~50k capped pairs).  Both registry serving
     rows moved to the vectorized arrow kernel in round 5, which left
     the fold flavor guarded only by local equivalence tests — this row
     keeps the fold-vs-arrow check EXTERNALLY verified per ADVICE r05.
@@ -1479,12 +1617,7 @@ def q_dedup_semantic_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     remain the serving path; this one exists to be checked, not to be
     fast."""
     centroids, assign = _ivf_index(spark, sf_dir)
-    cells = sim.semantic_audit_cells(assign)
-    audited = assign.join(
-        F.broadcast(cells),
-        assign["label"] == cells["cell"],
-        "left_semi",
-    )
+    audited = sim.semantic_audit_members(assign)
     return sim.semantic_dedup(
         _emb(spark, sf_dir), centroids=centroids, assign=audited
     )
@@ -1850,6 +1983,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "pipe_clean_corpus": q_pipe_clean_corpus,
         "ann_ivf_recall": q_ann_ivf_recall,
         "ann_ivf_nprobe_recall": q_ann_ivf_nprobe_recall,
+        "ann_ivf_nlist_recall": q_ann_ivf_nlist_recall,
         "text_chunking": q_text_chunking,
         "text_train_split": q_text_train_split,
         "text_encode_ids": q_text_encode_ids,
@@ -1868,6 +2002,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "emb_dim_stats": q_emb_dim_stats,
         "emb_covariance": q_emb_covariance,
         "emb_pca_power": q_emb_pca_power,
+        "emb_pca_explained": q_emb_pca_explained,
         "emb_kmeans_step": q_emb_kmeans_step,
         "text_boilerplate": q_text_boilerplate,
         "text_tfidf": q_text_tfidf,
@@ -1936,6 +2071,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "text_source_hellinger": q_text_source_hellinger,
         "emb_ivf_balance": q_emb_ivf_balance,
         "pipe_shard_plan": q_pipe_shard_plan,
+        "pipe_compaction_plan": q_pipe_compaction_plan,
         "pipe_epoch_plan": q_pipe_epoch_plan,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "pipe_reembed_queue": q_pipe_reembed_queue,
@@ -1954,7 +2090,11 @@ def pipeline_oracles() -> dict[str, str]:
     # Fold-flavor SemDeDup audit row: same semantics, same independent
     # oracle as the vectorized serving row (ADVICE r05 — keeps the
     # fold-vs-arrow equivalence externally verified).
+    oracles["ann_ivf_nlist_recall"] = _nlist_oracle()
     oracles["emb_pca_power"] = _pca_power_oracle(
+        iterations=sim.PCA_POWER_ITERATIONS, d=64
+    )
+    oracles["emb_pca_explained"] = _pca_explained_oracle(
         iterations=sim.PCA_POWER_ITERATIONS, d=64
     )
     # Same per-vector semantics as dedup_semantic, restricted to the
@@ -1989,8 +2129,17 @@ def pipeline_oracles() -> dict[str, str]:
             FROM sim
           ) WHERE rk = 1
         ),
+        members AS (
+          SELECT vec_id, label FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (
+                     PARTITION BY label
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS mrk
+            FROM assign
+          ) WHERE mrk <= {math.isqrt(2 * sim.SEMDEDUP_AUDIT_PAIR_BUDGET)}
+        ),
         cells AS (
-          SELECT label AS cell, count(*) AS c FROM assign GROUP BY label
+          SELECT label AS cell, count(*) AS c FROM members GROUP BY label
         ),
         sel AS (
           SELECT cell FROM (
@@ -2003,10 +2152,10 @@ def pipeline_oracles() -> dict[str, str]:
           ) WHERE before < {sim.SEMDEDUP_AUDIT_PAIR_BUDGET}
         ),
         m AS (
-          SELECT e.vec_id, assign.label AS cell, e.v
+          SELECT e.vec_id, members.label AS cell, e.v
           FROM e
-          JOIN assign USING (vec_id)
-          JOIN sel ON sel.cell = assign.label
+          JOIN members USING (vec_id)
+          JOIN sel ON sel.cell = members.label
         ),
         dropped AS (
           SELECT DISTINCT b.vec_id
@@ -2969,6 +3118,41 @@ def pipeline_oracles() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(nb) AS BIGINT) AS shard_bytes
         FROM c GROUP BY 1
+    """
+    oracles["pipe_compaction_plan"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 coalesce(length(text), 0) AS nb,
+                 md5(CAST(doc_id AS VARCHAR)) AS rk
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, nb,
+                 sum(nb) OVER (ORDER BY rk, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+          FROM d
+        ),
+        files AS (
+          SELECT (cum - nb) // {ta.COMPACT_INGEST_BYTES} AS shard_id,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nb) AS BIGINT) AS shard_bytes
+          FROM c GROUP BY 1
+        ),
+        fc AS (
+          SELECT shard_id, n_docs, shard_bytes,
+                 sum(shard_bytes) OVER (ORDER BY shard_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)
+                   - shard_bytes AS cum_start
+          FROM files
+        )
+        SELECT cum_start // {ta.SHARD_TARGET_BYTES} AS group_id,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs,
+               CAST(sum(shard_bytes) AS BIGINT) AS group_bytes,
+               (count(*) > 1) AS needs_merge
+        FROM fc GROUP BY 1
     """
     nh = dd.BANDS * dd.ROWS_PER_BAND
     oracles["dedup_minhash_estimate"] = f"""
