@@ -1200,6 +1200,19 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return static_enriched_windows_via_stream(spark, sf_dir)
 
 
+def q_stream_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15: ingest-time zone-map maintenance — per-1-minute-shard
+    (min, max, rows) duration statistics kept current as spans arrive,
+    each shard's zone closing exactly once (append mode + watermark);
+    the streaming half of w_zone_map_prune's layout audit
+    (streaming.jobs.zone_maps_via_stream)."""
+    from zipkin_storage_kafka_spark.streaming.jobs import (
+        zone_maps_via_stream,
+    )
+
+    return zone_maps_via_stream(spark, sf_dir)
+
+
 def q_stream_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/J1 driver-visible row: the full aggregation topology run to
     completion — session-window closed traces fanned out through
@@ -1583,6 +1596,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "w12_stream_stream_join": q_stream_stream_root_errors,
         "w13_stream_sliding_windows": q_stream_sliding_windows,
         "w14_stream_static_enrich": q_stream_static_enrich,
+        "w15_stream_zone_maps": q_stream_zone_maps,
     }
 
 
@@ -1857,6 +1871,19 @@ def zipkin_oracles() -> dict[str, str]:
         FROM spans
         WHERE local_service IS NOT NULL
         GROUP BY 1, 2
+        """
+    )
+    oracles["w15_stream_zone_maps"] = with_spans_cte(
+        """
+        SELECT CAST((timestamp // 60000000) * 60000 AS BIGINT)
+                 AS shard_ms,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(duration) AS zmin_duration,
+               max(duration) AS zmax_duration,
+               CAST(sum(CASE WHEN is_error THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_errors
+        FROM spans
+        GROUP BY 1
         """
     )
     oracles["w12_stream_stream_join"] = with_spans_cte(

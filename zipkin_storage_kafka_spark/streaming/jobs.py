@@ -1696,3 +1696,71 @@ def static_enriched_windows_via_stream(
     return raw.filter(F.col("tier") != "tier_sentinel").select(
         "tier", "window_start_ms", "n_spans", "n_errors"
     )
+
+
+def zone_maps_via_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = DEFAULT_TRACE_TIMEOUT,
+) -> DataFrame:
+    """W15 driver row: INGEST-TIME ZONE-MAP MAINTENANCE — the streaming
+    half of the zone-map story (w_zone_map_prune audits layouts after
+    the fact; this row keeps the per-shard (min, max, rows) duration
+    statistics current AS DATA ARRIVES, the way a lakehouse writer
+    maintains file footers).  Shard = the 1-minute event-time window a
+    span lands in; each shard's zone closes exactly once (append mode +
+    watermark), carrying the min/max duration a reader needs to skip
+    the shard under a duration predicate.
+
+    Sentinel discipline: sentinel spans flow THROUGH the aggregation
+    (an in-stream filter would be pushed below EventTimeWatermark and
+    the last real shard would never close — the w6 lesson) but are
+    excluded from the statistics by CONDITIONAL aggregates, which no
+    rewrite can push below the watermark; sentinel-only shards then
+    read back as n_rows = 0 and drop.
+
+    Output: shard_ms, n_rows, zmin_duration, zmax_duration, n_errors.
+    """
+    import os
+
+    def run(stream: DataFrame, work: str, ckpt: str) -> str:
+        out_dir = os.path.join(work, "zonemaps")
+        real = F.col("local_service") != SENTINEL_SERVICE
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 minute").alias("w"))
+            .agg(
+                F.sum(real.cast("long")).alias("n_rows"),
+                F.min(F.when(real, F.col("duration"))).alias(
+                    "zmin_duration"
+                ),
+                F.max(F.when(real, F.col("duration"))).alias(
+                    "zmax_duration"
+                ),
+                F.sum(
+                    (real & F.col("is_error")).cast("long")
+                ).alias("n_errors"),
+            )
+            .select(
+                F.unix_millis(F.col("w.start")).alias("shard_ms"),
+                "n_rows",
+                "zmin_duration",
+                "zmax_duration",
+                "n_errors",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out_dir
+
+    raw = _staged_stream_run(spark, sf_dir, gap, "w15_zonemaps", run)
+    return raw.filter(F.col("n_rows") > 0).select(
+        "shard_ms", "n_rows", "zmin_duration", "zmax_duration", "n_errors"
+    )
