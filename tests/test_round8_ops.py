@@ -367,3 +367,50 @@ def test_pca_explained_consistent_with_power(spark):
     r = pca_explained(df).collect()[0]
     assert abs(r["total_var"] - 10.0) < 0.01
     assert 990_000 <= r["explained_micro"] <= 1_000_100
+
+
+def test_discount_elasticity_matches_numpy_fixture(spark, tmp_path):
+    """Hand-plantable OLS: brand A has a perfect +2 qty per discount
+    cent (slope 200 per full unit, corr 1.0); brand B is flat (dropped
+    by the variance guard when discount never varies)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zipkin_storage_kafka_spark.operators.analytics import (
+        discount_elasticity,
+    )
+
+    li_rows = [
+        # brand A: qty = 2 * cents + 1
+        (1, 0.01, 3.0), (1, 0.02, 5.0), (1, 0.04, 9.0),
+        # brand B: discount constant -> zero x-variance -> dropped
+        (2, 0.05, 7.0), (2, 0.05, 11.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([r[0] for r in li_rows], pa.int64()),
+                "l_discount": pa.array([r[1] for r in li_rows]),
+                "l_quantity": pa.array([r[2] for r in li_rows]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_brand": pa.array(["Brand#A", "Brand#B"]),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    rows = {
+        r["brand"]: r
+        for r in discount_elasticity(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {"Brand#A"}
+    a = rows["Brand#A"]
+    assert a["n_lines"] == 3
+    assert abs(a["slope_round4"] - 200.0) < 1e-9
+    assert abs(a["corr_round4"] - 1.0) < 1e-9

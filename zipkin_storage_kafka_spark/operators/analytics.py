@@ -1186,6 +1186,78 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS fit of quantity on discount — the price-elasticity
+    panel ("does a deeper discount move more units, and for which
+    brands?") that turns the raw Q6-style revenue scan into a
+    parameter a pricing team can act on.  The per-GROUP least-squares
+    fit is an operator class of its own: the five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²[, Σy²]) are ONE partial agg, so the fit
+    distributes like any counter and never materializes residuals.
+
+    Exact sufficient statistics: discount quantizes to integer CENTS
+    (round(d*100) — exact for the 0.00..0.10 domain) and quantity to
+    integer units, so all five sums are engine-exact int64 and the two
+    engines disagree only inside the final double division (round4,
+    like every float boundary).  Degenerate brands (zero discount or
+    quantity variance) drop via the denominator guard rather than
+    emitting a NULL fit.
+
+    Columns: brand, n_lines, slope_round4 (quantity units per FULL
+    discount unit, i.e. cents-slope x 100), corr_round4.
+
+    Scale (100 TB): lineitem joins the part dimension on partkey — a
+    KEYED join, not broadcast (the part dim is corpus-sized; the
+    basket_lift margins broadcast because brands are 25 rows, which is
+    the OUTPUT grain here, not the join grain); then one 25-row
+    partial agg.  int64 moments hold to ~1e9 rows/group (n*syy ~
+    2.5e3 * n²); past that the five sums move to DECIMAL(38,0) — same
+    plan, wider type.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("y"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    s = (
+        li.join(part, "l_partkey")
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        s.filter((denx > 0) & (deny > 0))
+        .select(
+            "brand",
+            F.col("n").alias("n_lines"),
+            round4(
+                num.cast("double") / denx.cast("double") * F.lit(100.0)
+            ).alias("slope_round4"),
+            round4(
+                num.cast("double")
+                / (
+                    F.sqrt(denx.cast("double"))
+                    * F.sqrt(deny.cast("double"))
+                )
+            ).alias("corr_round4"),
+        )
+    )
+
+
 ATTRIB_LOOKBACK_US = 7 * 86_400_000_000  # 7-day attribution window
 
 

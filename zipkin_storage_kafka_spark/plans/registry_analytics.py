@@ -335,6 +335,14 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.time_weighted_value(spark, sf_dir)
 
 
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS quantity-on-discount fit
+    (operators/analytics.py:discount_elasticity): five exact-int64
+    sufficient statistics in ONE 25-row partial agg after the keyed
+    part join — the distributed per-group regression class."""
+    return an.discount_elasticity(spark, sf_dir)
+
+
 def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution lag panel, linear vs last-touch schemes
     (operators/analytics.py:multitouch_attribution): user-keyed
@@ -437,6 +445,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "w_zone_map_prune": q_zone_map_prune,
         "pipe_table_checksums": q_table_checksums,
         "ev_multitouch_attribution": q_multitouch_attribution,
+        "h_discount_elasticity": q_discount_elasticity,
         "ev_time_weighted_value": q_time_weighted_value,
         "h11_important_stock": q_important_stock,
         "h2_min_cost_supplier": q_min_cost_supplier,
@@ -1478,6 +1487,35 @@ def analytics_oracles() -> dict[str, str]:
                    CAST(sum(n_orders) AS BIGINT) AS n_orders,
                    {_r4("CAST(sum(spend) AS DOUBLE)")} AS total_spend
             FROM tiled GROUP BY decile
+        """,
+        "h_discount_elasticity": """
+            WITH li AS (
+              SELECT l_partkey,
+                     CAST(round(l_discount * 100) AS BIGINT) AS x,
+                     CAST(round(l_quantity) AS BIGINT) AS y
+              FROM lineitem
+            ),
+            s AS (
+              SELECT p.p_brand AS brand,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM li JOIN part p ON p.p_partkey = li.l_partkey
+              GROUP BY 1
+            )
+            SELECT brand, n AS n_lines,
+                   ((round((CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE) * 100.0)
+                           * 10000) / 10000) + 0.0) AS slope_round4,
+                   ((round((CAST(n * sxy - sx * sy AS DOUBLE)
+                            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                           * 10000) / 10000) + 0.0) AS corr_round4
+            FROM s
+            WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         """,
         "ev_multitouch_attribution": f"""
             WITH base AS (
