@@ -142,3 +142,74 @@ def dedup_remap(embeddings: DataFrame, cmap: DataFrame) -> DataFrame:
             (canonical != F.col("vec_id")).alias("redirected"),
         )
     )
+
+
+def profile_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Ingest-batch data-quality profile drift (the Deequ/profiling
+    class): the same four column-profile metrics computed over the
+    EXISTING corpus and the INCOMING snapshot, side by side with their
+    delta — the gate a pipeline owner reads before merging a batch
+    ("tonight's crawl is 40% shorter on average and 10% null — hold
+    the merge").
+
+    Metrics over the ``text`` column, all exact BIGINT (micro-rates
+    are integer division, so the row never hash-flips): n_rows,
+    null_text_micro, avg_len_micro (micro-chars per non-null doc),
+    distinct_text.
+
+    Output: metric, base_value, new_value, delta — 4 rows.
+
+    Scale (100 TB): one profile agg per corpus (a single partial agg
+    to ONE row each; the exact count_distinct is the only expand — at
+    sketch scale swap it for the HLL flavor the z_hll rows already
+    serve), then a 4-row stack comparison.  The incoming batch is
+    usually orders of magnitude smaller than the corpus, and the
+    corpus-side profile is a once-per-snapshot materialization.
+    """
+
+    def prof(df: DataFrame):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("text").isNull().cast("long")).alias("nulls"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0)).cast("long")).alias(
+                "len_sum"
+            ),
+            F.countDistinct("text").alias("n_distinct"),
+        ).select(
+            F.col("n"),
+            F.expr("nulls * 1000000 div n").alias("null_micro"),
+            F.expr(
+                "CASE WHEN n - nulls > 0"
+                " THEN len_sum * 1000000 div (n - nulls) ELSE 0 END"
+            ).alias("avg_len_micro"),
+            F.col("n_distinct"),
+        )
+
+    b = prof(old).select(
+        F.lit(1).alias("_j"),
+        F.col("n").alias("b_n"),
+        F.col("null_micro").alias("b_null"),
+        F.col("avg_len_micro").alias("b_len"),
+        F.col("n_distinct").alias("b_dis"),
+    )
+    nw = prof(new).select(
+        F.lit(1).alias("_j"),
+        F.col("n").alias("n_n"),
+        F.col("null_micro").alias("n_null"),
+        F.col("avg_len_micro").alias("n_len"),
+        F.col("n_distinct").alias("n_dis"),
+    )
+    joined = b.join(F.broadcast(nw), "_j")
+    stacked = joined.select(
+        F.expr(
+            "stack(4,"
+            " 'n_rows', b_n, n_n,"
+            " 'null_text_micro', b_null, n_null,"
+            " 'avg_len_micro', b_len, n_len,"
+            " 'distinct_text', b_dis, n_dis"
+            ") AS (metric, base_value, new_value)"
+        )
+    )
+    return stacked.withColumn(
+        "delta", F.col("new_value") - F.col("base_value")
+    )

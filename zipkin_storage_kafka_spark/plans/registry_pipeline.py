@@ -1352,6 +1352,19 @@ def q_pipe_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.compaction_plan(_docs(spark, sf_dir))
 
 
+def q_pipe_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch profile drift (operators/corpus.py:profile_drift):
+    the four text-column quality metrics over the existing corpus vs
+    the derived incoming snapshot, exact-integer, 4 rows — the
+    hold-the-merge gate of the data-quality (Deequ) class."""
+    from zipkin_storage_kafka_spark.operators.corpus import profile_drift
+
+    return profile_drift(
+        _docs(spark, sf_dir),
+        dd.derived_new_snapshot(_docs(spark, sf_dir)),
+    )
+
+
 def q_pipe_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source epoch schedule for a 2x-corpus token budget
     (operators/text_analysis.py:epoch_plan): uniform per-source
@@ -2072,6 +2085,7 @@ def pipeline_queries() -> dict[str, QueryFn]:
         "emb_ivf_balance": q_emb_ivf_balance,
         "pipe_shard_plan": q_pipe_shard_plan,
         "pipe_compaction_plan": q_pipe_compaction_plan,
+        "pipe_profile_drift": q_pipe_profile_drift,
         "pipe_epoch_plan": q_pipe_epoch_plan,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "pipe_reembed_queue": q_pipe_reembed_queue,
@@ -2641,6 +2655,54 @@ def pipeline_oracles() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_hits,
                (round((count(*) / 10.0) * 10000) / 10000 + 0.0) AS recall
         FROM hits
+    """
+    oracles["pipe_profile_drift"] = """
+        WITH new_docs AS (
+          SELECT doc_id + 2000000 AS doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN text
+                      WHEN doc_id % 5 = 1 THEN text || ' extra'
+                      ELSE 'fresh doc ' || md5(text) END AS text
+          FROM documents WHERE doc_id % 5 < 3
+        ),
+        bp AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nulls,
+                 CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS len_sum,
+                 CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+          FROM documents
+        ),
+        np AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nulls,
+                 CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS len_sum,
+                 CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+          FROM new_docs
+        ),
+        m AS (
+          SELECT 'n_rows' AS metric, bp.n AS base_value, np.n AS new_value
+          FROM bp, np
+          UNION ALL
+          SELECT 'null_text_micro', bp.nulls * 1000000 // bp.n,
+                 np.nulls * 1000000 // np.n
+          FROM bp, np
+          UNION ALL
+          SELECT 'avg_len_micro',
+                 CASE WHEN bp.n - bp.nulls > 0
+                      THEN bp.len_sum * 1000000 // (bp.n - bp.nulls)
+                      ELSE 0 END,
+                 CASE WHEN np.n - np.nulls > 0
+                      THEN np.len_sum * 1000000 // (np.n - np.nulls)
+                      ELSE 0 END
+          FROM bp, np
+          UNION ALL
+          SELECT 'distinct_text', bp.n_distinct, np.n_distinct FROM bp, np
+        )
+        SELECT metric, CAST(base_value AS BIGINT) AS base_value,
+               CAST(new_value AS BIGINT) AS new_value,
+               CAST(new_value - base_value AS BIGINT) AS delta
+        FROM m
     """
     oracles["pipe_incremental_dedup"] = f"""
         WITH old_docs AS (SELECT doc_id, text FROM documents),
