@@ -414,3 +414,43 @@ def test_discount_elasticity_matches_numpy_fixture(spark, tmp_path):
     assert a["n_lines"] == 3
     assert abs(a["slope_round4"] - 200.0) < 1e-9
     assert abs(a["corr_round4"] - 1.0) < 1e-9
+
+
+def test_weighted_median_matches_python(spark, sf_dir):
+    """Exact lower weighted median per nation equals a plain python
+    recompute over the raw parquet."""
+    import duckdb
+
+    from zipkin_storage_kafka_spark.operators.analytics import (
+        weighted_median_price,
+    )
+
+    rows = duckdb.sql(
+        f"""
+        SELECT n.n_name,
+               CAST(round(l_extendedprice * 100) AS BIGINT),
+               CAST(round(l_quantity) AS BIGINT)
+        FROM '{sf_dir}/lineitem.parquet' li
+        JOIN '{sf_dir}/supplier.parquet' s ON s.s_suppkey = li.l_suppkey
+        JOIN '{sf_dir}/nation.parquet' n ON n.n_nationkey = s.s_nationkey
+        """
+    ).fetchall()
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: defaultdict(int))
+    for nat, p, q in rows:
+        cells[nat][p] += q
+    expect = {}
+    for nat, ws in cells.items():
+        total = sum(ws.values())
+        cum = 0
+        for p in sorted(ws):
+            cum += ws[p]
+            if 2 * cum >= total:
+                expect[nat] = (total, p)
+                break
+    got = {
+        r["nation"]: (r["total_qty"], r["median_price_cents"])
+        for r in weighted_median_price(spark, sf_dir).collect()
+    }
+    assert got == expect

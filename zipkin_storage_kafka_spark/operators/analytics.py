@@ -1186,6 +1186,67 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantity-weighted median extended price per supplier
+    nation — the weighted-quantile operator class (the unweighted
+    percentile rows interpolate; a weighted median answers "the price
+    at which half the UNITS ship", which no approx-percentile over raw
+    rows gives exactly).
+
+    Scale-safe shape: collapse lineitem to (nation, price_cents) weight
+    cells FIRST (one partial agg — the corpus never enters a window),
+    then the per-nation cumulative weight runs over the collapsed
+    relation, bounded by DISTINCT prices per nation, not rows.  The
+    median is the smallest price whose doubled cumulative weight
+    reaches the nation total (lower weighted median — exact integer
+    comparisons, engine-identical).
+
+    Columns: nation, total_qty, median_price_cents.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    cells = (
+        li.join(sup, "l_suppkey")
+        .join(F.broadcast(nat), "s_nationkey")
+        .groupBy("nation", "price_cents")
+        .agg(F.sum("qty").alias("w"))
+    )
+    wcum = Window.partitionBy("nation").orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy("nation")
+    ranked = cells.select(
+        "nation",
+        "price_cents",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wtot).alias("total"),
+    ).filter(2 * F.col("cum") >= F.col("total"))
+    wmin = Window.partitionBy("nation").orderBy("price_cents")
+    return (
+        ranked.withColumn("rk", F.row_number().over(wmin))
+        .filter(F.col("rk") == 1)
+        .select(
+            "nation",
+            F.col("total").alias("total_qty"),
+            F.col("price_cents").alias("median_price_cents"),
+        )
+    )
+
+
 def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand OLS fit of quantity on discount — the price-elasticity
     panel ("does a deeper discount move more units, and for which

@@ -335,6 +335,14 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.time_weighted_value(spark, sf_dir)
 
 
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per supplier nation
+    (operators/analytics.py:weighted_median_price): collapse to
+    (nation, price) weight cells first, cumulative weights over the
+    collapsed relation only — the weighted-quantile class."""
+    return an.weighted_median_price(spark, sf_dir)
+
+
 def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand OLS quantity-on-discount fit
     (operators/analytics.py:discount_elasticity): five exact-int64
@@ -446,6 +454,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "pipe_table_checksums": q_table_checksums,
         "ev_multitouch_attribution": q_multitouch_attribution,
         "h_discount_elasticity": q_discount_elasticity,
+        "h_weighted_median_price": q_weighted_median_price,
         "ev_time_weighted_value": q_time_weighted_value,
         "h11_important_stock": q_important_stock,
         "h2_min_cost_supplier": q_min_cost_supplier,
@@ -1487,6 +1496,33 @@ def analytics_oracles() -> dict[str, str]:
                    CAST(sum(n_orders) AS BIGINT) AS n_orders,
                    {_r4("CAST(sum(spend) AS DOUBLE)")} AS total_spend
             FROM tiled GROUP BY decile
+        """,
+        "h_weighted_median_price": """
+            WITH cells AS (
+              SELECT n.n_name AS nation,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS price_cents,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                          AS BIGINT) AS w
+              FROM lineitem li
+              JOIN supplier s ON s.s_suppkey = li.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT nation, price_cents,
+                     sum(w) OVER (PARTITION BY nation ORDER BY price_cents
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                     sum(w) OVER (PARTITION BY nation) AS total
+              FROM cells
+            )
+            SELECT nation,
+                   CAST(total AS BIGINT) AS total_qty,
+                   CAST(min(price_cents) AS BIGINT) AS median_price_cents
+            FROM ranked
+            WHERE 2 * cum >= total
+            GROUP BY nation, total
         """,
         "h_discount_elasticity": """
             WITH li AS (
