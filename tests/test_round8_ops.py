@@ -454,3 +454,21 @@ def test_weighted_median_matches_python(spark, sf_dir):
         for r in weighted_median_price(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_promo_lift_did_identity(spark, sf_dir):
+    """The DiD equals the difference of per-group deltas recomputed from
+    the row's own cells (an internal-consistency identity that fails if
+    any of the four integer means is computed over the wrong cell)."""
+    from zipkin_storage_kafka_spark.operators.analytics import (
+        promo_lift_did,
+    )
+
+    r = promo_lift_did(spark, sf_dir).collect()[0]
+    assert r["did_micro"] == (
+        r["promo_after_micro"] - r["promo_before_micro"]
+    ) - (r["other_after_micro"] - r["other_before_micro"])
+    assert min(
+        r["n_promo_before"], r["n_promo_after"],
+        r["n_other_before"], r["n_other_after"],
+    ) > 0

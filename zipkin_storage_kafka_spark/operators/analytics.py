@@ -1186,6 +1186,94 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DID_SPLIT_US = 891_388_800_000_000  # 1998-04-01 UTC
+
+
+def promo_lift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences promo lift — the causal-panel class:
+    revenue per line for PROMO parts vs non-promo parts, BEFORE vs
+    AFTER a fixed date split, and the DiD estimate
+    (promo_after - promo_before) - (other_after - other_before) that
+    nets out the seasonality both groups share.  The four cells come
+    from ONE conditional aggregation over the fact scan (the
+    link_window_diff discipline — never four filtered scans).
+
+    Exact integers: revenue quantizes to cents at the row
+    (round(extendedprice * (1 - discount) * 100) — the engines' shared
+    quantization), cell means are micro-cents by integer division, and
+    the DiD is a difference of those integers — the row cannot
+    hash-flip.
+
+    Columns: one row — n_promo_before, n_promo_after, n_other_before,
+    n_other_after, promo_before_micro, promo_after_micro,
+    other_before_micro, other_after_micro, did_micro.
+
+    Scale (100 TB): lineitem joins the part dim on partkey (keyed),
+    then a single partial agg to ONE row.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_partkey",
+        (to_epoch_micros(li, "l_shipdate") >= DID_SPLIT_US).alias("after"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        )
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_type").startswith("PROMO").alias("promo"),
+    )
+    cell = rows.join(part, "l_partkey")
+
+    def n(p, a):
+        return F.sum(
+            ((F.col("promo") == p) & (F.col("after") == a)).cast("long")
+        )
+
+    def s(p, a):
+        return F.sum(
+            F.when(
+                (F.col("promo") == p) & (F.col("after") == a),
+                F.col("rev_cents"),
+            ).otherwise(F.lit(0))
+        )
+
+    agg = cell.agg(
+        n(True, False).alias("n_pb"),
+        n(True, True).alias("n_pa"),
+        n(False, False).alias("n_ob"),
+        n(False, True).alias("n_oa"),
+        s(True, False).alias("s_pb"),
+        s(True, True).alias("s_pa"),
+        s(False, False).alias("s_ob"),
+        s(False, True).alias("s_oa"),
+    )
+    # micro-cent means widen the sum to DECIMAL(38,0) before the *1e6
+    # (cents-sum * 1e6 passes int64 around sf1 already); div returns long
+    def mean_micro(sc, nc):
+        return f"cast({sc} as decimal(38,0)) * 1000000 div {nc}"
+
+    return agg.select(
+        F.col("n_pb").alias("n_promo_before"),
+        F.col("n_pa").alias("n_promo_after"),
+        F.col("n_ob").alias("n_other_before"),
+        F.col("n_oa").alias("n_other_after"),
+        F.expr(mean_micro("s_pb", "n_pb")).alias("promo_before_micro"),
+        F.expr(mean_micro("s_pa", "n_pa")).alias("promo_after_micro"),
+        F.expr(mean_micro("s_ob", "n_ob")).alias("other_before_micro"),
+        F.expr(mean_micro("s_oa", "n_oa")).alias("other_after_micro"),
+        F.expr(
+            f"({mean_micro('s_pa', 'n_pa')} - {mean_micro('s_pb', 'n_pb')})"
+            f" - ({mean_micro('s_oa', 'n_oa')}"
+            f" - {mean_micro('s_ob', 'n_ob')})"
+        ).alias("did_micro"),
+    )
+
+
 def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT quantity-weighted median extended price per supplier
     nation — the weighted-quantile operator class (the unweighted

@@ -335,6 +335,14 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.time_weighted_value(spark, sf_dir)
 
 
+def q_promo_lift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences promo revenue lift
+    (operators/analytics.py:promo_lift_did): four cells from ONE
+    conditional agg over the keyed part join, exact micro-cent integer
+    means, the seasonality-netting causal panel."""
+    return an.promo_lift_did(spark, sf_dir)
+
+
 def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantity-weighted median price per supplier nation
     (operators/analytics.py:weighted_median_price): collapse to
@@ -455,6 +463,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "ev_multitouch_attribution": q_multitouch_attribution,
         "h_discount_elasticity": q_discount_elasticity,
         "h_weighted_median_price": q_weighted_median_price,
+        "w_promo_lift_did": q_promo_lift_did,
         "ev_time_weighted_value": q_time_weighted_value,
         "h11_important_stock": q_important_stock,
         "h2_min_cost_supplier": q_min_cost_supplier,
@@ -1496,6 +1505,48 @@ def analytics_oracles() -> dict[str, str]:
                    CAST(sum(n_orders) AS BIGINT) AS n_orders,
                    {_r4("CAST(sum(spend) AS DOUBLE)")} AS total_spend
             FROM tiled GROUP BY decile
+        """,
+        "w_promo_lift_did": f"""
+            WITH cell AS (
+              SELECT (p.p_type LIKE 'PROMO%') AS promo,
+                     (epoch_us(l_shipdate) >= {an.DID_SPLIT_US}) AS after,
+                     CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT) AS rev_cents
+              FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey
+            ),
+            agg AS (
+              SELECT
+                sum(CASE WHEN promo AND NOT after THEN 1 ELSE 0 END) AS n_pb,
+                sum(CASE WHEN promo AND after THEN 1 ELSE 0 END) AS n_pa,
+                sum(CASE WHEN NOT promo AND NOT after THEN 1 ELSE 0 END)
+                  AS n_ob,
+                sum(CASE WHEN NOT promo AND after THEN 1 ELSE 0 END) AS n_oa,
+                sum(CASE WHEN promo AND NOT after THEN rev_cents
+                    ELSE 0 END) AS s_pb,
+                sum(CASE WHEN promo AND after THEN rev_cents
+                    ELSE 0 END) AS s_pa,
+                sum(CASE WHEN NOT promo AND NOT after THEN rev_cents
+                    ELSE 0 END) AS s_ob,
+                sum(CASE WHEN NOT promo AND after THEN rev_cents
+                    ELSE 0 END) AS s_oa
+              FROM cell
+            )
+            SELECT CAST(n_pb AS BIGINT) AS n_promo_before,
+                   CAST(n_pa AS BIGINT) AS n_promo_after,
+                   CAST(n_ob AS BIGINT) AS n_other_before,
+                   CAST(n_oa AS BIGINT) AS n_other_after,
+                   CAST(s_pb * 1000000 // n_pb AS BIGINT)
+                     AS promo_before_micro,
+                   CAST(s_pa * 1000000 // n_pa AS BIGINT)
+                     AS promo_after_micro,
+                   CAST(s_ob * 1000000 // n_ob AS BIGINT)
+                     AS other_before_micro,
+                   CAST(s_oa * 1000000 // n_oa AS BIGINT)
+                     AS other_after_micro,
+                   CAST((s_pa * 1000000 // n_pa - s_pb * 1000000 // n_pb)
+                        - (s_oa * 1000000 // n_oa
+                           - s_ob * 1000000 // n_ob) AS BIGINT) AS did_micro
+            FROM agg
         """,
         "h_weighted_median_price": """
             WITH cells AS (
