@@ -472,3 +472,47 @@ def test_promo_lift_did_identity(spark, sf_dir):
         r["n_promo_before"], r["n_promo_after"],
         r["n_other_before"], r["n_other_after"],
     ) > 0
+
+
+def test_mad_anomalies_matches_python(spark, sf_dir):
+    """Median, MAD, and Hampel flag counts per service equal a plain
+    python recompute over the derived spans."""
+    from zipkin_storage_kafka_spark.operators.indexes import (
+        MAD_K_MICRO,
+        mad_anomalies,
+    )
+    from zipkin_storage_kafka_spark.sources.spans import spans_from_events
+
+    rows = [
+        (r["local_service"], r["duration"])
+        for r in spans_from_events(spark, sf_dir)
+        .select("local_service", "duration")
+        .collect()
+        if r["local_service"] is not None and r["duration"] is not None
+    ]
+    from collections import defaultdict
+
+    by_svc = defaultdict(list)
+    for s, d in rows:
+        by_svc[s].append(d)
+
+    def lower_median(vals):
+        vals = sorted(vals)
+        total = len(vals)
+        cum = 0
+        # weighted median with unit weights == value at 2*rank >= n
+        for i, v in enumerate(vals, 1):
+            if 2 * i >= total:
+                return v
+
+    got = {r["local_service"]: r for r in mad_anomalies(
+        spans_from_events(spark, sf_dir)).collect()}
+    assert set(got) == set(by_svc)
+    for s, ds in by_svc.items():
+        med = lower_median(ds)
+        mad = lower_median([abs(d - med) for d in ds])
+        n_anom = sum(1 for d in ds if abs(d - med) * 1_000_000 > MAD_K_MICRO * mad)
+        r = got[s]
+        assert (r["n_spans"], r["median_duration"], r["mad"], r["n_anomalies"]) == (
+            len(ds), med, mad, n_anom
+        )

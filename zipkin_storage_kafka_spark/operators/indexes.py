@@ -458,3 +458,105 @@ def exemplar_spans(spans: DataFrame) -> DataFrame:
             F.min_by("id", "pick").alias("exemplar_span"),
         )
     )
+
+
+MAD_K_MICRO = 5_189_100  # 3.5 * 1.4826 (the Hampel identifier) in micro
+
+
+def mad_anomalies(spans: DataFrame) -> DataFrame:
+    """Robust duration outliers per service via the HAMPEL identifier
+    (|x - median| > 3.5 * 1.4826 * MAD) — the robust-statistics twin of
+    :func:`anomalous_span_counts`' z-score panel: mean/stddev are
+    dragged by the very outliers being hunted, median/MAD are not
+    (50% breakdown point), so this is the panel that still works when
+    a service's tail is the story.
+
+    Both medians are EXACT and integer-only: durations collapse to
+    (service, value) count cells FIRST (the weighted-median discipline
+    — the corpus never enters a window), the lower weighted median
+    reads off the per-service cumulative cell weights, absolute
+    deviations collapse the same way for the MAD, and the outlier test
+    multiplies out to integers (|x - med| * 1e6 > K_micro * MAD), so
+    both engines flag the identical spans.
+
+    Columns: local_service, n_spans, median_duration, mad,
+    n_anomalies.
+
+    Scale (100 TB): two cell-collapse passes + two windows over the
+    collapsed (service, value) relations (bounded by distinct
+    durations per service, not rows) + one flagged count; at
+    full-corpus cardinality the cells relation itself is large — the
+    two-phase histogram refinement (bucket div B, then the one median
+    bucket) drops in without changing semantics, and the sketch-grade
+    flavor is the z_quantile_sketch row.
+    """
+    from pyspark.sql import Window
+
+    base = spans.filter(
+        F.col("local_service").isNotNull() & F.col("duration").isNotNull()
+    ).select("local_service", F.col("duration").cast("long").alias("d"))
+
+    def lower_weighted_median(df: DataFrame, val: str) -> DataFrame:
+        cells = df.groupBy("local_service", val).agg(
+            F.count(F.lit(1)).alias("w")
+        )
+        wcum = (
+            Window.partitionBy("local_service")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wtot = Window.partitionBy("local_service")
+        ranked = cells.select(
+            "local_service",
+            F.col(val).alias("v"),
+            F.sum("w").over(wcum).alias("cum"),
+            F.sum("w").over(wtot).alias("total"),
+        ).filter(2 * F.col("cum") >= F.col("total"))
+        wmin = Window.partitionBy("local_service").orderBy("v")
+        return (
+            ranked.withColumn("rk", F.row_number().over(wmin))
+            .filter(F.col("rk") == 1)
+            .select(
+                "local_service",
+                F.col("v").alias(f"med_{val}"),
+                F.col("total").alias("n_spans"),
+            )
+        )
+
+    med = lower_weighted_median(base, "d").withColumnRenamed(
+        "med_d", "median_duration"
+    )
+    dev = base.join(med.select("local_service", "median_duration"),
+                    "local_service").select(
+        "local_service",
+        F.abs(F.col("d") - F.col("median_duration")).alias("adev"),
+        "d",
+        "median_duration",
+    )
+    mad = lower_weighted_median(
+        dev.select("local_service", "adev"), "adev"
+    ).select("local_service", F.col("med_adev").alias("mad"))
+    flagged = (
+        dev.join(mad, "local_service")
+        .groupBy("local_service")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("d") - F.col("median_duration"))
+                    * F.lit(1_000_000)
+                    > F.lit(MAD_K_MICRO) * F.col("mad")
+                ).cast("long")
+            ).alias("n_anomalies")
+        )
+    )
+    return (
+        med.join(mad, "local_service")
+        .join(flagged, "local_service")
+        .select(
+            "local_service",
+            "n_spans",
+            "median_duration",
+            "mad",
+            "n_anomalies",
+        )
+    )

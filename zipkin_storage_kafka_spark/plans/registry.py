@@ -1385,6 +1385,16 @@ def q_link_latency_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_latency_gaps(_spans(spark, sf_dir))
 
 
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD, Hampel identifier) duration outliers per
+    service (operators/indexes.py:mad_anomalies) — the robust-stats
+    twin of z_anomalous_spans' z-score panel; exact lower weighted
+    medians via the collapse-to-cells discipline, integer-only flag."""
+    from zipkin_storage_kafka_spark.operators.indexes import mad_anomalies
+
+    return mad_anomalies(_spans(spark, sf_dir))
+
+
 def q_span_overhang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parent/child containment audit per dependency edge
     (operators/dependency_links.py:span_overhang): children that END
@@ -1590,6 +1600,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_orphan_spans": q_orphan_spans,
         "z_link_latency_gaps": q_link_latency_gaps,
         "z_span_overhang": q_span_overhang,
+        "z_anomaly_mad": q_mad_anomalies,
         "z_quantile_sketch_audit": q_quantile_sketch_audit,
         "z_cm_heavy_hitters": q_cm_heavy_hitters,
         "w11_stream_cm_grid": q_stream_cm_grid,
@@ -1972,6 +1983,70 @@ def zipkin_oracles() -> dict[str, str]:
         WHERE c.parent_id IS NOT NULL
         GROUP BY 1, 2
         """
+    )
+    oracles["z_anomaly_mad"] = with_spans_cte(
+        """
+        SELECT med.local_service, med.n_spans, med.median_duration,
+               mad.mad, flagged.n_anomalies
+        FROM med
+        JOIN mad USING (local_service)
+        JOIN flagged USING (local_service)
+        """,
+        extra_ctes="""
+        base AS (
+          SELECT local_service, CAST(duration AS BIGINT) AS d
+          FROM spans
+          WHERE local_service IS NOT NULL AND duration IS NOT NULL
+        ),
+        c1 AS (
+          SELECT local_service, d AS v, count(*) AS w
+          FROM base GROUP BY 1, 2
+        ),
+        r1 AS (
+          SELECT local_service, v,
+                 sum(w) OVER (PARTITION BY local_service ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 sum(w) OVER (PARTITION BY local_service) AS total
+          FROM c1
+        ),
+        med AS (
+          SELECT local_service, CAST(total AS BIGINT) AS n_spans,
+                 CAST(min(v) AS BIGINT) AS median_duration
+          FROM r1 WHERE 2 * cum >= total
+          GROUP BY local_service, total
+        ),
+        dev AS (
+          SELECT b.local_service, b.d, m.median_duration,
+                 abs(b.d - m.median_duration) AS adev
+          FROM base b JOIN med m USING (local_service)
+        ),
+        c2 AS (
+          SELECT local_service, adev AS v, count(*) AS w
+          FROM dev GROUP BY 1, 2
+        ),
+        r2 AS (
+          SELECT local_service, v,
+                 sum(w) OVER (PARTITION BY local_service ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 sum(w) OVER (PARTITION BY local_service) AS total
+          FROM c2
+        ),
+        mad AS (
+          SELECT local_service, CAST(min(v) AS BIGINT) AS mad
+          FROM r2 WHERE 2 * cum >= total
+          GROUP BY local_service, total
+        ),
+        flagged AS (
+          SELECT dev.local_service,
+                 CAST(sum(CASE WHEN abs(d - median_duration) * 1000000
+                                    > 5189100 * mad.mad
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+          FROM dev JOIN mad USING (local_service)
+          GROUP BY 1
+        )
+        """,
     )
     oracles["z_span_overhang"] = with_spans_cte(
         """
