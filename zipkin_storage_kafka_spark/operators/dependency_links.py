@@ -363,6 +363,81 @@ def link_latency_gaps(spans: DataFrame) -> DataFrame:
     )
 
 
+def service_hits(
+    links: DataFrame, iterations: int = 3, scale: int = 1_000_000
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the UNWEIGHTED
+    service adjacency — the dual-score complement of the call-weighted
+    PageRank: a high-HUB service fans out to many important callees
+    (orchestrators, gateways), a high-AUTHORITY service is called by
+    many important callers (shared backends); PageRank's single score
+    conflates the two roles.
+
+    Integer micro-point iteration like :func:`service_pagerank`: each
+    half-step is a sum of int64 micros over in/out edges followed by a
+    SUM-normalization in exact integer div (the classical L2 normalize
+    is float and order-sensitive; L1 keeps every round engine-exact
+    under any aggregation order).  Fixed ``iterations`` rounds, no
+    convergence test — the unrolled-CTE oracle replays them
+    bit-for-bit.
+
+    Columns: service, hub_micro, auth_micro.
+
+    Scale (100 TB): the service graph is |services|-bounded (the span
+    corpus only enters through the links derivation); each half-round
+    is one broadcast join + one partial agg.
+    """
+    edges = links.select("parent", "child").distinct().localCheckpoint(
+        eager=False
+    )
+    nodes = (
+        edges.select(F.col("parent").alias("service"))
+        .union(edges.select(F.col("child").alias("service")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = nodes.select("service", F.lit(scale).cast("long").alias("hub"))
+    a = None
+    for _ in range(iterations):
+        hubs = h.select(F.col("service").alias("_p"), F.col("hub").alias("_h"))
+        araw = (
+            edges.join(F.broadcast(hubs), F.col("parent") == F.col("_p"))
+            .groupBy(F.col("child").alias("service"))
+            .agg(F.sum("_h").alias("ar"))
+        )
+        asum = araw.agg(F.sum("ar").alias("s"))
+        a = (
+            nodes.join(araw, "service", "left")
+            .crossJoin(F.broadcast(asum))
+            .select(
+                "service",
+                F.expr(f"coalesce(ar, 0) * {scale} div s").alias("auth"),
+            )
+        )
+        auths = a.select(
+            F.col("service").alias("_c"), F.col("auth").alias("_a")
+        )
+        hraw = (
+            edges.join(F.broadcast(auths), F.col("child") == F.col("_c"))
+            .groupBy(F.col("parent").alias("service"))
+            .agg(F.sum("_a").alias("hr"))
+        )
+        hsum = hraw.agg(F.sum("hr").alias("s2"))
+        h = (
+            nodes.join(hraw, "service", "left")
+            .crossJoin(F.broadcast(hsum))
+            .select(
+                "service",
+                F.expr(f"coalesce(hr, 0) * {scale} div s2").alias("hub"),
+            )
+        )
+    return h.join(a, "service").select(
+        "service",
+        F.col("hub").alias("hub_micro"),
+        F.col("auth").alias("auth_micro"),
+    )
+
+
 def span_overhang(spans: DataFrame) -> DataFrame:
     """Parent/child containment audit per dependency edge: for every
     linked span pair, whether the child span ENDS after its parent ends

@@ -933,6 +933,68 @@ def _pagerank_oracle(iterations: int = 3) -> str:
     )
 
 
+def _hits_oracle(iterations: int = 3) -> str:
+    """Unrolled HITS CTE chain mirroring
+    operators.dependency_links.service_hits' integer micro-point
+    half-steps (sum over in/out edges, L1 integer normalize) exactly."""
+    iter_ctes = []
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        iter_ctes.append(
+            f"""araw{i} AS (
+              SELECT e.child AS service, sum({prev_h}.hub) AS ar
+              FROM ed e JOIN {prev_h} ON {prev_h}.service = e.parent
+              GROUP BY e.child
+            )"""
+        )
+        iter_ctes.append(
+            f"""a{i} AS (
+              SELECT nd.service,
+                     coalesce(ar.ar, 0) * 1000000
+                       // (SELECT sum(ar) FROM araw{i}) AS auth
+              FROM nodes nd LEFT JOIN araw{i} ar ON ar.service = nd.service
+            )"""
+        )
+        iter_ctes.append(
+            f"""hraw{i} AS (
+              SELECT e.parent AS service, sum(a{i}.auth) AS hr
+              FROM ed e JOIN a{i} ON a{i}.service = e.child
+              GROUP BY e.parent
+            )"""
+        )
+        iter_ctes.append(
+            f"""h{i} AS (
+              SELECT nd.service,
+                     coalesce(hr.hr, 0) * 1000000
+                       // (SELECT sum(hr) FROM hraw{i}) AS hub
+              FROM nodes nd LEFT JOIN hraw{i} hr ON hr.service = nd.service
+            )"""
+        )
+        prev_h = f"h{i}"
+    extra = (
+        _LINKS_CTE.strip().rstrip(",")
+        + """,
+            ed AS (SELECT DISTINCT parent, child FROM links),
+            nodes AS (
+              SELECT DISTINCT service FROM (
+                SELECT parent AS service FROM ed
+                UNION ALL SELECT child FROM ed
+              )
+            ),
+            h0 AS (SELECT service, 1000000 AS hub FROM nodes),
+            """
+        + ",\n            ".join(iter_ctes)
+    )
+    last = iterations
+    return with_spans_cte(
+        f"SELECT h{last}.service,"
+        f" CAST(h{last}.hub AS BIGINT) AS hub_micro,"
+        f" CAST(a{last}.auth AS BIGINT) AS auth_micro"
+        f" FROM h{last} JOIN a{last} USING (service)",
+        extra_ctes=extra,
+    )
+
+
 def _kcore_oracle(ks: tuple[int, ...] = (2, 3), rounds: int = 8) -> str:
     """Unrolled peel-CTE chain mirroring
     operators.dependency_links.service_kcore: ``rounds`` sweeps per k of
@@ -1385,6 +1447,18 @@ def q_link_latency_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_latency_gaps(_spans(spark, sf_dir))
 
 
+def q_service_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the unweighted service adjacency
+    (operators/dependency_links.py:service_hits): 3 integer micro-point
+    rounds with L1 normalization — the dual-role complement of
+    z_service_pagerank's single criticality score."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        service_hits,
+    )
+
+    return service_hits(merge_links(links_table(spark, sf_dir)))
+
+
 def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (median/MAD, Hampel identifier) duration outliers per
     service (operators/indexes.py:mad_anomalies) — the robust-stats
@@ -1601,6 +1675,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_link_latency_gaps": q_link_latency_gaps,
         "z_span_overhang": q_span_overhang,
         "z_anomaly_mad": q_mad_anomalies,
+        "z_service_hits": q_service_hits,
         "z_quantile_sketch_audit": q_quantile_sketch_audit,
         "z_cm_heavy_hitters": q_cm_heavy_hitters,
         "w11_stream_cm_grid": q_stream_cm_grid,
@@ -2866,6 +2941,7 @@ def _zipkin_oracles_base(lo_ms, hi_ms, dep_lo_ms, dep_hi_ms) -> dict[str, str]:
             FROM rec GROUP BY trace_id
         """,
         "z_service_pagerank": _pagerank_oracle(),
+        "z_service_hits": _hits_oracle(),
         "z_service_kcore": _kcore_oracle(),
         "z_error_cooccurrence": with_spans_cte(
             """
