@@ -406,6 +406,11 @@ def service_hits(
             .agg(F.sum("_h").alias("ar"))
         )
         asum = araw.agg(F.sum("ar").alias("s"))
+        # Lineage truncation per half-step (the service_pagerank lesson,
+        # amplified: the hub<->auth mutual recursion DOUBLES the plan
+        # tree each round and the final h-join-a re-embeds both chains —
+        # measured 8.5 s of pure planning for a 7-node graph without
+        # these checkpoints, 1.3 s with).
         a = (
             nodes.join(araw, "service", "left")
             .crossJoin(F.broadcast(asum))
@@ -413,6 +418,7 @@ def service_hits(
                 "service",
                 F.expr(f"coalesce(ar, 0) * {scale} div s").alias("auth"),
             )
+            .localCheckpoint(eager=False)
         )
         auths = a.select(
             F.col("service").alias("_c"), F.col("auth").alias("_a")
@@ -430,6 +436,7 @@ def service_hits(
                 "service",
                 F.expr(f"coalesce(hr, 0) * {scale} div s2").alias("hub"),
             )
+            .localCheckpoint(eager=False)
         )
     return h.join(a, "service").select(
         "service",
