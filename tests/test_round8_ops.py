@@ -516,3 +516,41 @@ def test_mad_anomalies_matches_python(spark, sf_dir):
         assert (r["n_spans"], r["median_duration"], r["mad"], r["n_anomalies"]) == (
             len(ds), med, mad, n_anom
         )
+
+
+def test_next_basket_rules_fixture(spark, tmp_path):
+    """Planted sequence: customer 1 orders brand X then brand Y twice;
+    the X->Y rule gets n_seq_pairs=2 with lift above independence."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zipkin_storage_kafka_spark.operators.analytics import (
+        next_basket_rules,
+    )
+
+    day = 86_400_000_000
+    orders = [(1, 1, 1 * day), (2, 1, 2 * day), (3, 1, 3 * day),
+              (4, 2, 1 * day), (5, 2, 2 * day)]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+        "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+        "o_orderdate": pa.array([o[2] for o in orders], pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    # cust1: X -> Y -> Y (pairs: (1,2): X->Y ; (2,3): Y->Y)
+    # cust2: Z -> Z      (pair (4,5): Z->Z)
+    li = [(1, 10), (2, 20), (3, 20), (4, 30), (5, 30)]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([10, 20, 30], pa.int64()),
+        "p_brand": pa.array(["X", "Y", "Z"]),
+    }), str(tmp_path / "part.parquet"))
+    rows = {(r["brand_a"], r["brand_b"]): r
+            for r in next_basket_rules(spark, str(tmp_path)).collect()}
+    assert set(rows) == {("X", "Y"), ("Y", "Y"), ("Z", "Z")}
+    xy = rows[("X", "Y")]
+    # T=3 pairs; n_a(X)=1, n_b(Y)=2, n_seq=1 -> lift = 1*3*1e6 // 2
+    assert (xy["n_seq_pairs"], xy["n_a"], xy["n_b"]) == (1, 1, 2)
+    assert xy["lift_micro"] == 1_500_000

@@ -1186,6 +1186,104 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def next_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL association rules at brand grain: for every pair of
+    CONSECUTIVE orders by the same customer, which brand in the earlier
+    basket predicts which brand in the next one — the next-basket
+    recommendation panel (the static basket kernel asks "bought
+    together"; this asks "bought NEXT", which is what a replenishment
+    or cross-sell model actually consumes).
+
+    Exact integers end to end: supports are distinct-order-pair counts,
+    and lift_micro = n_ab * T * 1e6 div (n_a * n_b) widens to
+    DECIMAL(38,0) before the multiply so corpus-scale supports cannot
+    wrap int64.  Rules with support < 2 are kept (the oracle replays
+    the same cut-free table) — thresholding is the consumer's call.
+
+    Columns: brand_a, brand_b, n_seq_pairs, n_a, n_b, lift_micro.
+
+    Scale (100 TB): the consecutive-order chain is a customer-keyed
+    lag window over the ORDERS dimension (never lineitem); brand sets
+    collapse lineitem to distinct (order, brand) first; the rule join
+    fans out bounded by brands-per-order squared (~16), grouped
+    straight down to the 625-row brand x brand table.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import (
+        load_table,
+        to_epoch_micros,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    seq = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        to_epoch_micros(orders, "o_orderdate").alias("od_us"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od_us", "o_orderkey")
+    chain = (
+        seq.withColumn("prev_orderkey", F.lag("o_orderkey").over(w))
+        .filter(F.col("prev_orderkey").isNotNull())
+        .select(
+            F.col("prev_orderkey").alias("k_prev"),
+            F.col("o_orderkey").alias("k_next"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    brands = (
+        li.join(part, "l_partkey")
+        .select("l_orderkey", "brand")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ba = brands.select(
+        F.col("l_orderkey").alias("k_prev"), F.col("brand").alias("brand_a")
+    )
+    bb = brands.select(
+        F.col("l_orderkey").alias("k_next"), F.col("brand").alias("brand_b")
+    )
+    pair_rel = chain.join(ba, "k_prev").join(bb, "k_next")
+    n_ab = pair_rel.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).alias("n_seq_pairs")
+    )
+    n_a = (
+        chain.join(ba, "k_prev")
+        .select("k_prev", "k_next", "brand_a")
+        .distinct()
+        .groupBy("brand_a")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    n_b = (
+        chain.join(bb, "k_next")
+        .select("k_prev", "k_next", "brand_b")
+        .distinct()
+        .groupBy("brand_b")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    t_df = chain.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        n_ab.join(F.broadcast(n_a), "brand_a")
+        .join(F.broadcast(n_b), "brand_b")
+        .crossJoin(F.broadcast(t_df))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_seq_pairs",
+            "n_a",
+            "n_b",
+            F.expr(
+                "cast(n_seq_pairs as decimal(38,0)) * t * 1000000"
+                " div (n_a * n_b)"
+            ).alias("lift_micro"),
+        )
+    )
+
+
 DID_SPLIT_US = 891_388_800_000_000  # 1998-04-01 UTC
 
 

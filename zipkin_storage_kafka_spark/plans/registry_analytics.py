@@ -335,6 +335,16 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.time_weighted_value(spark, sf_dir)
 
 
+def q_next_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential next-basket brand rules
+    (operators/analytics.py:next_basket_rules): customer-keyed
+    consecutive-order chain, distinct (order, brand) collapse, rule
+    join bounded by brands-per-order², DECIMAL(38)-widened exact
+    lift — the sequential-pattern class beside the static basket
+    kernel."""
+    return an.next_basket_rules(spark, sf_dir)
+
+
 def q_promo_lift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences promo revenue lift
     (operators/analytics.py:promo_lift_did): four cells from ONE
@@ -464,6 +474,7 @@ def analytics_queries() -> dict[str, QueryFn]:
         "h_discount_elasticity": q_discount_elasticity,
         "h_weighted_median_price": q_weighted_median_price,
         "w_promo_lift_did": q_promo_lift_did,
+        "w_next_basket_rules": q_next_basket_rules,
         "ev_time_weighted_value": q_time_weighted_value,
         "h11_important_stock": q_important_stock,
         "h2_min_cost_supplier": q_min_cost_supplier,
@@ -1505,6 +1516,49 @@ def analytics_oracles() -> dict[str, str]:
                    CAST(sum(n_orders) AS BIGINT) AS n_orders,
                    {_r4("CAST(sum(spend) AS DOUBLE)")} AS total_spend
             FROM tiled GROUP BY decile
+        """,
+        "w_next_basket_rules": """
+            WITH seqo AS (
+              SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS od
+              FROM orders
+            ),
+            chain AS (
+              SELECT lag(o_orderkey) OVER (
+                       PARTITION BY o_custkey ORDER BY od, o_orderkey)
+                       AS k_prev,
+                     o_orderkey AS k_next
+              FROM seqo
+              QUALIFY k_prev IS NOT NULL
+            ),
+            brands AS (
+              SELECT DISTINCT l_orderkey, p_brand AS brand
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+            ),
+            pr AS (
+              SELECT ba.brand AS brand_a, bb.brand AS brand_b,
+                     CAST(count(*) AS BIGINT) AS n_seq_pairs
+              FROM chain
+              JOIN brands ba ON ba.l_orderkey = chain.k_prev
+              JOIN brands bb ON bb.l_orderkey = chain.k_next
+              GROUP BY 1, 2
+            ),
+            na AS (
+              SELECT ba.brand AS brand_a, CAST(count(*) AS BIGINT) AS n_a
+              FROM chain JOIN brands ba ON ba.l_orderkey = chain.k_prev
+              GROUP BY 1
+            ),
+            nb AS (
+              SELECT bb.brand AS brand_b, CAST(count(*) AS BIGINT) AS n_b
+              FROM chain JOIN brands bb ON bb.l_orderkey = chain.k_next
+              GROUP BY 1
+            ),
+            tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM chain)
+            SELECT brand_a, brand_b, n_seq_pairs, n_a, n_b,
+                   CAST(n_seq_pairs * tt.t * 1000000 // (n_a * n_b)
+                        AS BIGINT) AS lift_micro
+            FROM pr
+            JOIN na USING (brand_a)
+            JOIN nb USING (brand_b), tt
         """,
         "w_promo_lift_did": f"""
             WITH cell AS (
