@@ -554,3 +554,25 @@ def test_next_basket_rules_fixture(spark, tmp_path):
     # T=3 pairs; n_a(X)=1, n_b(Y)=2, n_seq=1 -> lift = 1*3*1e6 // 2
     assert (xy["n_seq_pairs"], xy["n_a"], xy["n_b"]) == (1, 1, 2)
     assert xy["lift_micro"] == 1_500_000
+
+
+def test_incremental_links_equal_full_merge(spark, sf_dir):
+    """Per-batch counter merge equals merge_links exactly for ANY batch
+    count (counter addition is associative; batches are trace-atomic)."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        incremental_links_merge,
+        merge_links,
+    )
+    from zipkin_storage_kafka_spark.sources.spans import links_table
+
+    links = links_table(spark, sf_dir)
+    full = {
+        (r["parent"], r["child"]): (r["call_count"], r["error_count"])
+        for r in merge_links(links).collect()
+    }
+    for n in (1, 3, 7):
+        inc = {
+            (r["parent"], r["child"]): (r["call_count"], r["error_count"])
+            for r in incremental_links_merge(links, n).collect()
+        }
+        assert inc == full, n

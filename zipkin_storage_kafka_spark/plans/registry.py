@@ -137,6 +137,19 @@ def q_dependency_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_links(links_table(spark, sf_dir))
 
 
+def q_links_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dependency-counter maintenance
+    (operators/dependency_links.py:incremental_links_merge):
+    trace-atomic ingest batches each partial-aggregate their own
+    counter table, query time sums the per-batch counters — proven
+    equal to the full merge by sharing j1_a8's oracle."""
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        incremental_links_merge,
+    )
+
+    return incremental_links_merge(links_table(spark, sf_dir))
+
+
 def q_dependency_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_link_counters(links_table(spark, sf_dir))
 
@@ -1676,6 +1689,7 @@ def zipkin_queries() -> dict[str, QueryFn]:
         "z_span_overhang": q_span_overhang,
         "z_anomaly_mad": q_mad_anomalies,
         "z_service_hits": q_service_hits,
+        "j1_links_incremental": q_links_incremental,
         "z_quantile_sketch_audit": q_quantile_sketch_audit,
         "z_cm_heavy_hitters": q_cm_heavy_hitters,
         "w11_stream_cm_grid": q_stream_cm_grid,
@@ -1698,6 +1712,8 @@ def zipkin_oracles() -> dict[str, str]:
     # Store-read J1: materialization must never change answers, so the
     # bucketed serving row checks against the SAME independent link SQL.
     oracles["j1_links_bucketed"] = oracles["j1_a8_dependency_links"]
+    # Incremental maintenance must equal the full merge — same oracle.
+    oracles["j1_links_incremental"] = oracles["j1_a8_dependency_links"]
     oracles["w4_stream_span_names"] = oracles["a4_span_names"]
     oracles["w4_stream_remote_services"] = oracles["a5_remote_service_names"]
     oracles["w4_stream_autocomplete_tags"] = oracles["a6_autocomplete_tags"]
