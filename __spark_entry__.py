@@ -34,68 +34,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # VERDICT r03 next-round #1).  Queries outside the prefix land AFTER it,
 # interleaved pipeline/analytics, so new work can never displace the
 # budgeted coverage.
+# Round-9 pinned core: SHRUNK 31 -> 15 (VERDICT r08 next-round #2).  The
+# 31-row prefix re-proved the same zipkin-core rows every round, but the
+# local suite (tests/test_oracle_parity.py) already oracle-checks all 275
+# queries per round, so the driver pin's regression value is redundant at
+# 31 rows while 135/275 queries have never had a driver row.  Keep the
+# most load-bearing row per SURVEY section-2 family (trace agg, link
+# join, windows, name indexes, store scans/lookups, predicate, ordering,
+# functions, codecs) and spend the freed 16 slots on rotation so the
+# never-checked queue drains in ~4 rounds instead of 7.
 _PINNED_ZIPKIN_CORE = (
-    "a2_trace_summaries",
-    "j1_a8_dependency_links",
-    "j1_links_tree",
-    "a7_dependency_windows",
-    "a4_span_names",
-    "a5_remote_service_names",
-    "a6_autocomplete_tags",
-    "s7_service_names",
-    "p4_find_traces",
-    "s9_get_trace",
-    "o1_latest_traces",
-    "s8_get_dependencies",
-    "s9_span_names_lookup",
-    "s9_autocomplete_values",
-    "p4_find_traces_annotation",
-    "p4_find_traces_tags",
-    "p4_find_traces_duration",
-    "f2_normalize_ids",
-    "o5_trace_many",
-    "w25_latest_span_per_service",
-    "s9_remote_service_lookup",
-    "a9_union_service_names",
-    "z_duration_histogram",
-    "z_service_error_rate",
-    "f6_json_roundtrip",
-    "f7_link_json_roundtrip",
-    "z_latency_percentiles",
-    "z_salted_service_counts",
-    "z_sketch_service_traces",
-    "z_trace_depth",
-    "f5_proto_roundtrip",
+    "a2_trace_summaries",        # A1/A2 trace aggregation
+    "j1_a8_dependency_links",    # J1/A8 link self-join + merge
+    "j1_links_tree",             # J1 full DependencyLinker tree semantics
+    "a7_dependency_windows",     # A7 1-min windowed counters
+    "a4_span_names",             # A4-A6 name/tag index family
+    "s7_service_names",          # S7 full store scan
+    "s8_get_dependencies",       # S8 range scan + J2 counter join
+    "s9_get_trace",              # S9 point lookup
+    "p4_find_traces",            # P4 QueryRequest predicate
+    "p4_find_traces_duration",   # P4 duration-bound variant
+    "o1_latest_traces",          # O1/O3 ordering + limit
+    "o5_trace_many",             # O5 traceMany cap
+    "f2_normalize_ids",          # F1-F4 function family
+    "f5_proto_roundtrip",        # F5 PROTO3 codec (the graded-weak row)
+    "f6_json_roundtrip",         # F6 JSON V2 codec
 )
 
-# Round-8 rotation: 19 first-time keys.  The fourteen operators
-# registered early in round 7 (after the r07 rotation was pinned) jump
-# the queue (ROTATION.md rule: new code fronts the rotation), then the
-# recomputed queue head.  NOTE: CORRECTNESS_r07.json was never delivered
-# to the repo; if the r07 run was in fact lost, the 19 r07 rotation keys
-# remain "never-checked" under the recompute rule and automatically
-# return to the r09 queue head — rotating forward is the dominant move
-# either way (see ROTATION.md).
+# Round-9 rotation: 35 first-time keys (consolidation round — registry
+# FROZEN at 275, VERDICT r08 next-round #1-#3).  Front: the seventeen
+# operators registered during round 8 (ROTATION.md rule: new code fronts
+# the rotation), then the recomputed never-checked queue head in registry
+# order.  CORRECTNESS_r07.json was never delivered, so the r07 rotation
+# keys remain in the queue under the recompute rule.
 _ROTATION = (
-    "ann_ivf_nprobe_recall",
-    "mm_video_frames",
-    "mm_video_scene_cuts",
-    "mm_video_frame_sample",
-    "w10_stream_incremental_dedup",
-    "pipe_canonical_docs",
-    "z_orphan_spans",
-    "z_link_latency_gaps",
-    "text_hybrid_rrf",
-    "z_quantile_sketch_audit",
-    "dedup_lsh_bucket_audit",
-    "dedup_jaccard_curve",
-    "dedup_banding_audit",
-    "text_ccnet_buckets",
-    "h18_large_volume_customers",
-    "hr_pricing_rollup",
-    "h15_top_supplier",
-    "h16_part_supplier_variety",
-    "h22_sales_opportunity",
+    # -- the 17 round-8 operators --
+    "z_span_overhang",
+    "w_zone_map_prune",
+    "emb_pca_power",
+    "pipe_table_checksums",
+    "ev_multitouch_attribution",
+    "ann_ivf_nlist_recall",
+    "emb_pca_explained",
+    "pipe_compaction_plan",
+    "w15_stream_zone_maps",
+    "h_discount_elasticity",
+    "pipe_profile_drift",
+    "h_weighted_median_price",
+    "z_anomaly_mad",
+    "w_promo_lift_did",
+    "z_service_hits",
+    "w_next_basket_rules",
+    "j1_links_incremental",
+    # -- recomputed queue head (registry order) --
+    "o2_limit_before_sort",
+    "z_partition_skew",
+    "z_sampling_bias",
+    "z_path_redundancy",
+    "z_hll_merge_rollup",
+    "z_exemplar_spans",
+    "z_slow_span_concurrency",
+    "ev_markov_transitions",
+    "ev_scd2_intervals",
+    "ev_outage_islands",
+    "z_service_triangles",
+    "ev_rfm_scores",
+    "z_service_cooccurrence",
+    "ev_ewma_smooth",
+    "z_service_kcore",
+    "ev_hazard_curve",
+    "z_service_reachability",
+    "w_basket_brand_pairs",
 )
 
 _FIRST50 = _PINNED_ZIPKIN_CORE + _ROTATION

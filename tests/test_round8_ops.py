@@ -519,8 +519,10 @@ def test_mad_anomalies_matches_python(spark, sf_dir):
 
 
 def test_next_basket_rules_fixture(spark, tmp_path):
-    """Planted sequence: customer 1 orders brand X then brand Y twice;
-    the X->Y rule gets n_seq_pairs=2 with lift above independence."""
+    """Planted sequence: customer 1 orders brand X then brand Y twice
+    (one X->Y transition, one Y->Y), customer 2 orders brand Z twice
+    (one Z->Z); the X->Y rule gets n_seq_pairs=1 with lift above
+    independence (1*3e6 // (1*2) = 1.5e6)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 

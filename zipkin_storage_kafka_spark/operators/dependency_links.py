@@ -90,8 +90,10 @@ def incremental_links_merge(links: DataFrame, n_batches: int = 4) -> DataFrame:
     batched = links.withColumn(
         "_b",
         F.expr(
-            f"pmod(conv(substring(md5(trace_id), 1, 8), 16, 10),"
-            f" {int(n_batches)})"
+            # conv() returns STRING — cast explicitly so the batch id is a
+            # BIGINT under ANSI mode too (no implicit string->double hop).
+            f"pmod(cast(conv(substring(md5(trace_id), 1, 8), 16, 10)"
+            f" as bigint), {int(n_batches)})"
         ),
     )
     per_batch = batched.groupBy("_b", "parent", "child").agg(

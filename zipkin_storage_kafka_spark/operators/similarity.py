@@ -751,7 +751,11 @@ def ivf_nlist_recall(
     reports the scanned candidate count (query excluded) so the row
     shows BOTH axes of the trade.
 
-    Columns: nlist, k, n_hits, recall (round4), probed_rows.
+    Columns: nlist, k, n_hits, recall (round4), probed_rows.  NOTE:
+    recall divides by the requested k and therefore assumes
+    |corpus| > k (true at every registry/bench scale); on a fixture
+    with fewer than k other vectors it reads below 1.0 even for a
+    perfect probe, because the exact baseline itself has < k rows.
 
     Scale (100 TB): all nlist settings share the scans — ONE corpus x
     (sum nlists = 17 tagged centroids) broadcast score pass feeds every

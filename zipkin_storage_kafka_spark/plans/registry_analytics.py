@@ -1554,7 +1554,11 @@ def analytics_oracles() -> dict[str, str]:
             ),
             tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM chain)
             SELECT brand_a, brand_b, n_seq_pairs, n_a, n_b,
-                   CAST(n_seq_pairs * tt.t * 1000000 // (n_a * n_b)
+                   -- widen the multiplicands to HUGEINT so the oracle
+                   -- widens like the engine's DECIMAL(38,0) does (the
+                   -- BIGINT product overflows around sf10+)
+                   CAST(CAST(n_seq_pairs AS HUGEINT) * tt.t * 1000000
+                        // (CAST(n_a AS HUGEINT) * n_b)
                         AS BIGINT) AS lift_micro
             FROM pr
             JOIN na USING (brand_a)
