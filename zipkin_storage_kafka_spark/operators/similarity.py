@@ -965,7 +965,9 @@ def pca_power(
 
 
 def pca_explained(
-    embeddings: DataFrame, iterations: int = PCA_POWER_ITERATIONS
+    embeddings: DataFrame,
+    iterations: int = PCA_POWER_ITERATIONS,
+    component: DataFrame | None = None,
 ) -> DataFrame:
     """Variance explained by the top principal component: lambda_hat
     from :func:`pca_power`'s final sweep over the TOTAL variance
@@ -980,12 +982,18 @@ def pca_explained(
     the headline number never hash-flips on a ulp).
 
     Scale: the power sweeps (one scan each) + ONE extra scan for the
-    two total-variance moments; everything else is driver floats.
+    two total-variance moments; everything else is driver floats.  Pass
+    ``component`` (a :func:`pca_power` result relation — e.g. the
+    matcache-materialized one the registry shares between the pca_power
+    and pca_explained rows) to skip re-running the sweeps entirely:
+    lambda_hat is read off the precomputed relation and only the
+    two-moment trace scan runs.
     """
     import math
 
-    pcs = pca_power(embeddings, iterations).collect()
-    lam = pcs[0]["lambda_hat"]
+    if component is None:
+        component = pca_power(embeddings, iterations)
+    lam = component.select("lambda_hat").head()["lambda_hat"]
     e = embeddings.select(_as_double("embedding").alias("emb"))
     n = e.count()
     mom = (

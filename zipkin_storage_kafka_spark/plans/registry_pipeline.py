@@ -1493,8 +1493,12 @@ def q_emb_pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PC1 explained-variance ratio
     (operators/similarity.py:pca_explained): lambda_hat over trace(C) —
     the anisotropy headline that decides whether whitening is worth a
-    re-embed pass; power sweeps + one extra two-moment scan."""
-    return sim.pca_explained(_emb(spark, sf_dir))
+    re-embed pass; lambda_hat comes off the SHARED materialized power
+    sweep (one derivation serves pca_power + this row), so only the
+    two-moment trace scan runs here."""
+    return sim.pca_explained(
+        _emb(spark, sf_dir), component=_pca_component(spark, sf_dir)
+    )
 
 
 def q_ann_ivf_nlist_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1584,14 +1588,38 @@ def _nlist_oracle() -> str:
     return head + blocks + tail
 
 
+# The power-iteration component relation is consumed by TWO rows
+# (emb_pca_power itself + emb_pca_explained's lambda_hat read) — one
+# matcache-materialized derivation serves both, like every other
+# >=2-consumer relation (VERDICT r08 next-round #5: pca_explained used
+# to re-run the full sweep).
+_PCA_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipkin_storage_kafka_spark.sources import matcache, tables
+
+    key = (id(spark), sf_dir)
+    if key not in _PCA_CACHE:
+        _PCA_CACHE[key] = matcache.materialized(
+            spark,
+            sf_dir,
+            "pca_component",
+            matcache.code_fingerprint((sim, tables)),
+            lambda: sim.pca_power(_emb(spark, sf_dir)),
+        ).persist()
+    return _PCA_CACHE[key]
+
+
 def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component by matrix-free power iteration
     (operators/similarity.py:pca_power): one corpus scan per sweep
     (rowwise dot vs the broadcast-literal vector + d partial-agg sums),
     d-element state on the driver, intermediates re-synchronized to the
     round6 grid so both engines iterate identically — the large-d
-    complement of emb_covariance's d^2 materialization."""
-    return sim.pca_power(_emb(spark, sf_dir))
+    complement of emb_covariance's d^2 materialization.  Served from
+    the shared materialized component relation."""
+    return _pca_component(spark, sf_dir)
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
