@@ -772,28 +772,40 @@ def ivf_nlist_recall(
 
     e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
     exact = cosine_topk(embeddings, query_vec_id, k).select("vec_id")
-    exploded = embeddings.select(
-        "label", F.posexplode(_as_double("embedding")).alias("pos", "x")
-    )
-    cent_parts = []
-    for nl in nlists:
-        cent = (
-            exploded.withColumn("cell", F.col("label") % F.lit(int(nl)))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("c"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda s: s["c"],
-                ).alias("centroid")
-            )
-            .select(F.lit(int(nl)).alias("nlist"), "cell", "centroid")
+    # ONE corpus scan builds every nlist's centroids: the posexplode agg
+    # collapses to label-level partial sums first (|labels| x d rows —
+    # bounded, KB-scale), and each nlist's cell means are the weighted
+    # combine of those label sums (label % nlist merges whole labels, so
+    # cell mean = sum of member label sums / sum of member counts —
+    # exactly the merged-group mean up to float summation order, which
+    # the round6 score grid already absorbs across engines).  Previously
+    # each nlist re-scanned the corpus: 3 posexplode aggs -> 1.
+    lab_sums = (
+        embeddings.select(
+            "label", F.posexplode(_as_double("embedding")).alias("pos", "x")
         )
-        cent_parts.append(cent)
-    cents = cent_parts[0]
-    for p in cent_parts[1:]:
-        cents = cents.unionByName(p)
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cents = (
+        lab_sums.select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(int(nl)) for nl in nlists])
+            ).alias("nlist"),
+        )
+        .withColumn("cell", F.col("label") % F.col("nlist"))
+        .groupBy("nlist", "cell", "pos")
+        .agg((F.sum("s") / F.sum("n")).alias("c"))
+        .groupBy("nlist", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+        .select("nlist", "cell", "centroid")
+    )
     sim = _dot(F.col("emb"), F.col("centroid")) / (
         F.sqrt(_dot(F.col("emb"), F.col("emb")))
         * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
