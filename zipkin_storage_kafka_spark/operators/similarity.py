@@ -736,6 +736,7 @@ def ivf_nlist_recall(
     query_vec_id: int,
     k: int = 10,
     nlists: tuple[int, ...] = IVF_NLISTS,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """The OTHER IVF tuning knob: recall@k AND probe cost as a function
     of quantizer coarseness (nlist = number of cells), at nprobe=1 —
@@ -771,7 +772,11 @@ def ivf_nlist_recall(
     from zipkin_storage_kafka_spark.functions.portable import round6
 
     e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
-    exact = cosine_topk(embeddings, query_vec_id, k).select("vec_id")
+    # ``exact`` lets callers supply the shared materialized ground-truth
+    # relation (one brute-force pass serves the whole recall family)
+    if exact is None:
+        exact = cosine_topk(embeddings, query_vec_id, k)
+    exact = exact.select("vec_id")
     # ONE corpus scan builds every nlist's centroids: the posexplode agg
     # collapses to label-level partial sums first (|labels| x d rows —
     # bounded, KB-scale), and each nlist's cell means are the weighted
@@ -1483,6 +1488,7 @@ def truncated_recall(
     query_vec_id: int,
     k: int = 10,
     dims: int = MRL_TRUNC_DIMS,
+    full: DataFrame | None = None,
 ) -> DataFrame:
     """Matryoshka-style dimension-truncation evaluation (Kusupati et al.
     2022, arXiv:2205.13147): recall@k of brute-force search over the
@@ -1503,7 +1509,9 @@ def truncated_recall(
     which parquet serves without touching the tail bytes when the
     embedding is stored dimension-chunked.
     """
-    full = cosine_topk(embeddings, query_vec_id, k).select("vec_id")
+    if full is None:
+        full = cosine_topk(embeddings, query_vec_id, k)
+    full = full.select("vec_id")
     trunc_emb = embeddings.select(
         "vec_id", F.expr(f"slice(embedding, 1, {dims})").alias("embedding")
     )
@@ -1529,6 +1537,7 @@ def ivf_nprobe_recall(
     nprobes: tuple[int, ...] = (1, 2, 4),
     centroids: DataFrame | None = None,
     assign: DataFrame | None = None,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """The IVF tuning curve (VERDICT r06 next-round #5): recall@k of the
     probe against brute-force ground truth at each ``nprobes`` setting —
@@ -1555,7 +1564,9 @@ def ivf_nprobe_recall(
         centroids = ivf_centroids(embeddings)
     if assign is None:
         assign = ivf_assignments(embeddings, centroids)
-    exact = cosine_topk(embeddings, query_vec_id, k).select("vec_id")
+    if exact is None:
+        exact = cosine_topk(embeddings, query_vec_id, k)
+    exact = exact.select("vec_id")
     query_scores = _centroid_scores(
         embeddings.filter(F.col("vec_id") == query_vec_id), centroids
     )
@@ -2020,6 +2031,7 @@ def pq_recall(
     k_results: int = 10,
     m: int = PQ_M,
     k: int = PQ_K,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the PQ-ADC compressed search against the exact
     squared-L2 top-k — the compression-loss measurement every PQ
@@ -2032,7 +2044,9 @@ def pq_recall(
 
     Output: one row — k, n_hits, recall (round4).
     """
-    exact = l2_topk(embeddings, query_vec_id, k_results).select("vec_id")
+    if exact is None:
+        exact = l2_topk(embeddings, query_vec_id, k_results)
+    exact = exact.select("vec_id")
     approx = pq_adc_topk(embeddings, query_vec_id, k_results, m, k).select(
         "vec_id"
     )
