@@ -533,17 +533,21 @@ def test_semantic_curve_no_per_threshold_pass(spark, sf_dir):
 
 
 def test_truncated_recall_two_topk_heaps(spark, sf_dir):
-    """Both rankings (full and truncated) must be TakeOrderedAndProject
-    heaps over broadcast-query scans — never a global sort or corpus
-    shuffle."""
+    """The truncated ranking must be a TakeOrderedAndProject heap over a
+    broadcast-query scan — never a global sort or corpus shuffle.  The
+    full-dimension ground truth comes off the SHARED materialized
+    ann_exact relation (r09: one brute-force pass serves the whole
+    recall family), so the plan carries exactly ONE heap and one k-row
+    parquet read instead of two corpus heaps."""
     import __spark_entry__ as entrymod
 
     import re
 
     plan = _plan(entrymod.queries()["ann_truncated_recall"](spark, sf_dir))
     heaps = re.findall(r"^\(\d+\) TakeOrderedAndProject", plan, re.M)
-    assert len(heaps) == 2, plan
+    assert len(heaps) == 1, plan
     assert not re.search(r"^\(\d+\) Sort\b", plan, re.M), plan
+    assert "ann_exact_cosine" in plan, plan
 
 
 def test_zipf_fit_no_global_window(spark, sf_dir):
