@@ -1186,7 +1186,35 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def next_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (l_orderkey, brand) basket-membership relation —
+    lineitem joined to the broadcast part dim, collapsed to distinct.
+    This is the only corpus-sized work in BOTH basket rows
+    (w_basket_brand_pairs and w_next_basket_rules), so the registry
+    materializes it once per corpus snapshot (the shingles/links
+    pattern) and each consumer pays a two-column parquet scan.
+
+    Columns: l_orderkey, brand.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        li.join(F.broadcast(part), "l_partkey")
+        .select("l_orderkey", "brand")
+        .distinct()
+    )
+
+
+def next_basket_rules(
+    spark: SparkSession, sf_dir: str, brands: DataFrame | None = None
+) -> DataFrame:
     """SEQUENTIAL association rules at brand grain: for every pair of
     CONSECUTIVE orders by the same customer, which brand in the earlier
     basket predicts which brand in the next one — the next-basket
@@ -1229,18 +1257,9 @@ def next_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    part = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
-    )
-    brands = (
-        li.join(part, "l_partkey")
-        .select("l_orderkey", "brand")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if brands is None:
+        brands = order_brands(spark, sf_dir)
+    brands = brands.localCheckpoint(eager=False)
     ba = brands.select(
         F.col("l_orderkey").alias("k_prev"), F.col("brand").alias("brand_a")
     )

@@ -113,26 +113,41 @@ def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.fulfillment_latency(spark, sf_dir)
 
 
+# The distinct (order, brand) basket-membership relation is the only
+# corpus-sized work in BOTH basket rows (static pairs + sequential
+# next-basket rules) — one matcache-materialized derivation serves
+# both, like every other >=2-consumer relation.
+_ORDER_BRANDS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipkin_storage_kafka_spark.sources import matcache, tables
+
+    key = (id(spark), sf_dir)
+    if key not in _ORDER_BRANDS_CACHE:
+        _ORDER_BRANDS_CACHE[key] = matcache.materialized(
+            spark,
+            sf_dir,
+            "order_brands",
+            matcache.code_fingerprint((an, tables)),
+            lambda: an.order_brands(spark, sf_dir),
+        ).persist()
+    return _ORDER_BRANDS_CACHE[key]
+
+
 def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket lift over orders x part brands — the generic
     basket kernel (operators/trace_aggregation.py:basket_lift, shared
     with z_service_cooccurrence) on the engine's LARGEST fact table:
-    the (order, brand) membership distinct is the only corpus-sized
-    work; the pair join is order-keyed with per-basket fanout bounded
-    by brands-per-order."""
+    the (order, brand) membership distinct comes off the SHARED
+    materialized order_brands relation; the pair join is order-keyed
+    with per-basket fanout bounded by brands-per-order."""
     from zipkin_storage_kafka_spark.operators.trace_aggregation import (
         basket_lift,
     )
 
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    member = (
-        lineitem.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
-            lineitem["l_partkey"] == part["p_partkey"],
-        )
-        .select("l_orderkey", "p_brand")
-        .distinct()
+    member = _order_brands(spark, sf_dir).withColumnRenamed(
+        "brand", "p_brand"
     )
     return basket_lift(member, "l_orderkey", "p_brand")
 
@@ -342,7 +357,9 @@ def q_next_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     join bounded by brands-per-order², DECIMAL(38)-widened exact
     lift — the sequential-pattern class beside the static basket
     kernel."""
-    return an.next_basket_rules(spark, sf_dir)
+    return an.next_basket_rules(
+        spark, sf_dir, brands=_order_brands(spark, sf_dir)
+    )
 
 
 def q_promo_lift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
