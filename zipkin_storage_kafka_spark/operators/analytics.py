@@ -2946,7 +2946,29 @@ def seasonal_anomalies(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFra
     ).limit(k)
 
 
-def active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (user_id, day) activity relation over events — the
+    corpus collapse BOTH engagement panels start from (active_users'
+    DAU/WAU/MAU triple and new_vs_returning's growth split), so the
+    registry materializes it once per corpus snapshot and each consumer
+    pays a two-column scan.  ``day`` is integer epoch days.
+    """
+    from zipkin_storage_kafka_spark.sources.tables import (
+        load_table,
+        to_epoch_micros,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", to_epoch_micros(ev, "ts").alias("us"))
+        .select("user_id", F.expr(f"us div {DAY_US}").alias("day"))
+        .distinct()
+    )
+
+
+def active_users(
+    spark: SparkSession, sf_dir: str, ud: DataFrame | None = None
+) -> DataFrame:
     """Exact DAU / WAU / MAU panel: distinct active users per day, per
     trailing 7 days, per trailing 30 days — the engagement triple every
     product dashboard leads with, computed EXACTLY (the HLL rollup
@@ -2963,20 +2985,8 @@ def active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: day_ms, dau, wau, mau.
     """
-    from zipkin_storage_kafka_spark.sources.tables import (
-        load_table,
-        to_epoch_micros,
-    )
-
-    ev = load_table(spark, sf_dir, "events")
-    ud = (
-        ev.select(
-            "user_id",
-            to_epoch_micros(ev, "ts").alias("us"),
-        )
-        .select("user_id", F.expr(f"us div {DAY_US}").alias("day"))
-        .distinct()
-    )
+    if ud is None:
+        ud = user_days(spark, sf_dir)
     bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
 
     def trailing(n: int, alias: str) -> DataFrame:
@@ -3144,7 +3154,9 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+def new_vs_returning(
+    spark: SparkSession, sf_dir: str, ud: DataFrame | None = None
+) -> DataFrame:
     """New-vs-returning split per day: users seen for the FIRST time
     that day vs users who had activity on an earlier day — the growth
     decomposition behind every DAU chart ("is the line new blood or
@@ -3156,19 +3168,8 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: day_ms, new_users, returning_users, dau.
     """
-    from zipkin_storage_kafka_spark.sources.tables import (
-        load_table,
-        to_epoch_micros,
-    )
-
-    ev = load_table(spark, sf_dir, "events")
-    ud = (
-        ev.select(
-            "user_id", to_epoch_micros(ev, "ts").alias("us")
-        )
-        .select("user_id", F.expr(f"us div {DAY_US}").alias("day"))
-        .distinct()
-    )
+    if ud is None:
+        ud = user_days(spark, sf_dir)
     first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
     return (
         ud.join(first, "user_id")

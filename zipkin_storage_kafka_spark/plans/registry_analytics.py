@@ -135,6 +135,27 @@ def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ORDER_BRANDS_CACHE[key]
 
 
+# The distinct (user, day) activity relation is the shared corpus
+# collapse of both engagement panels (ev_active_users +
+# ev_new_vs_returning) — materialized once, like order_brands.
+_USER_DAYS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipkin_storage_kafka_spark.sources import matcache, tables
+
+    key = (id(spark), sf_dir)
+    if key not in _USER_DAYS_CACHE:
+        _USER_DAYS_CACHE[key] = matcache.materialized(
+            spark,
+            sf_dir,
+            "user_days",
+            matcache.code_fingerprint((an, tables)),
+            lambda: an.user_days(spark, sf_dir),
+        ).persist()
+    return _USER_DAYS_CACHE[key]
+
+
 def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket lift over orders x part brands — the generic
     basket kernel (operators/trace_aggregation.py:basket_lift, shared
@@ -165,7 +186,7 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/analytics.py:new_vs_returning): distinct (user,day)
     relation, user-keyed first-day min, co-keyed join + conditional
     counts."""
-    return an.new_vs_returning(spark, sf_dir)
+    return an.new_vs_returning(spark, sf_dir, ud=_user_days(spark, sf_dir))
 
 
 def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,7 +217,7 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (user, day) relation exploded to its trailing-window
     contribution days — linear fanout of the small relation, never a
     range join."""
-    return an.active_users(spark, sf_dir)
+    return an.active_users(spark, sf_dir, ud=_user_days(spark, sf_dir))
 
 
 def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
