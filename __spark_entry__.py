@@ -61,50 +61,58 @@ _PINNED_ZIPKIN_CORE = (
     "f6_json_roundtrip",         # F6 JSON V2 codec
 )
 
-# Round-9 rotation: 35 first-time keys (consolidation round — registry
-# FROZEN at 275, VERDICT r08 next-round #1-#3).  Front: the seventeen
-# operators registered during round 8 (ROTATION.md rule: new code fronts
-# the rotation), then the recomputed never-checked queue head in registry
-# order.  CORRECTNESS_r07.json was never delivered, so the r07 rotation
-# keys remain in the queue under the recompute rule.
+# The round this rotation was pinned FOR: the prefix-contract test
+# excludes driver artifacts from rounds >= this (the round's own
+# delivery necessarily contains exactly these keys — VERDICT r09
+# next-round #2).
+_ROTATION_ROUND = 10
+
+# Round-10 rotation: 35 slots (VERDICT r09 next-round #1/#4).  Front: the
+# two pipeline rows whose DuckDB oracles had the uncast HUGEINT-division
+# bug (group_id/shard_id came back float64) — `pipe_compaction_plan` is
+# the ONE latest-red driver row (r09 hash mismatch) and re-checking it is
+# the only way to prove the fix first-party; `pipe_shard_plan` had the
+# identical latent bug and is fronted from the queue.  Then the
+# recomputed never-checked queue head in registry order (ROTATION.md
+# recompute rule, re-run 2026-08-15: 175/275 checked, 100 never).
 _ROTATION = (
-    # -- the 17 round-8 operators --
-    "z_span_overhang",
-    "w_zone_map_prune",
-    "emb_pca_power",
-    "pipe_table_checksums",
-    "ev_multitouch_attribution",
-    "ann_ivf_nlist_recall",
-    "emb_pca_explained",
+    # -- oracle-cast fixes (registry_pipeline.py HUGEINT // -> BIGINT) --
     "pipe_compaction_plan",
-    "w15_stream_zone_maps",
-    "h_discount_elasticity",
-    "pipe_profile_drift",
-    "h_weighted_median_price",
-    "z_anomaly_mad",
-    "w_promo_lift_did",
-    "z_service_hits",
-    "w_next_basket_rules",
-    "j1_links_incremental",
+    "pipe_shard_plan",
     # -- recomputed queue head (registry order) --
-    "o2_limit_before_sort",
-    "z_partition_skew",
-    "z_sampling_bias",
-    "z_path_redundancy",
-    "z_hll_merge_rollup",
-    "z_exemplar_spans",
-    "z_slow_span_concurrency",
-    "ev_markov_transitions",
-    "ev_scd2_intervals",
-    "ev_outage_islands",
-    "z_service_triangles",
-    "ev_rfm_scores",
-    "z_service_cooccurrence",
-    "ev_ewma_smooth",
-    "z_service_kcore",
-    "ev_hazard_curve",
-    "z_service_reachability",
-    "w_basket_brand_pairs",
+    "w_item_neighbors",
+    "h_customer_order_gaps",
+    "ev_seasonality",
+    "h_ltv_triangle",
+    "ev_seasonal_anomalies",
+    "ev_active_users",
+    "h_open_orders_timeline",
+    "w_revenue_pareto",
+    "ev_new_vs_returning",
+    "h_supplier_hhi",
+    "z_error_cooccurrence",
+    "h_fulfillment_latency",
+    "z_trace_idle_gaps",
+    "ev_ab_conversion",
+    "z_fanout_hotspots",
+    "ev_changepoint",
+    "mm_wav_resample",
+    "w25_slowest_per_service",
+    "z_error_pivot",
+    "z_error_unpivot",
+    "ann_ivf_recall",
+    "h19_discounted_parts_revenue",
+    "text_chunking",
+    "h10_returned_item_report",
+    "text_train_split",
+    "h8_national_market_share",
+    "text_encode_ids",
+    "h17_small_quantity_revenue",
+    "h21_waiting_suppliers",
+    "ev_minute_resample",
+    "w_rolling_revenue",
+    "text_quota_sample",
+    "z_trace_path_signature",
 )
 
 _FIRST50 = _PINNED_ZIPKIN_CORE + _ROTATION

@@ -1235,6 +1235,19 @@ def next_basket_rules(
     collapse lineitem to distinct (order, brand) first; the rule join
     fans out bounded by brands-per-order squared (~16), grouped
     straight down to the 625-row brand x brand table.
+
+    r10 scale pass (VERDICT r09 next-round #5, 3.9x at 10x data):
+    every order appears AT MOST ONCE as k_prev and at most once as
+    k_next (lag/lead over a per-customer total order), so the old
+    per-margin ``chain JOIN brands DISTINCT`` pipelines were
+    distinct-ing an already-unique relation — two full shuffles of a
+    |chain| x brands-per-order relation for nothing.  The margins are
+    just brand counts over orders flagged has-successor /
+    has-predecessor, computed by SUBTRACTION: a map-side total per
+    brand minus a correction join against only the ~2x|customers|
+    chain-END orders (the sole orders lacking a neighbor), replacing
+    both full-relation margin pipelines.  Measured min-of-4: sf1
+    5.63 -> 3.38 s, sf0.1 ~1.5 s, 10x ratio 4.3x -> ~2.2x.
     """
     from zipkin_storage_kafka_spark.sources.tables import (
         load_table,
@@ -1248,14 +1261,14 @@ def next_basket_rules(
         to_epoch_micros(orders, "o_orderdate").alias("od_us"),
     )
     w = Window.partitionBy("o_custkey").orderBy("od_us", "o_orderkey")
-    chain = (
-        seq.withColumn("prev_orderkey", F.lag("o_orderkey").over(w))
-        .filter(F.col("prev_orderkey").isNotNull())
-        .select(
-            F.col("prev_orderkey").alias("k_prev"),
-            F.col("o_orderkey").alias("k_next"),
-        )
-        .localCheckpoint(eager=False)
+    flagged = seq.select(
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    ).localCheckpoint(eager=False)
+    chain = flagged.filter(F.col("prev_orderkey").isNotNull()).select(
+        F.col("prev_orderkey").alias("k_prev"),
+        F.col("o_orderkey").alias("k_next"),
     )
     if brands is None:
         brands = order_brands(spark, sf_dir)
@@ -1270,24 +1283,52 @@ def next_basket_rules(
     n_ab = pair_rel.groupBy("brand_a", "brand_b").agg(
         F.count(F.lit(1)).alias("n_seq_pairs")
     )
-    n_a = (
-        chain.join(ba, "k_prev")
-        .select("k_prev", "k_next", "brand_a")
-        .distinct()
-        .groupBy("brand_a")
-        .agg(F.count(F.lit(1)).alias("n_a"))
+    # Margin counts by SUBTRACTION: n_a = per-brand count over orders
+    # with a successor = total per-brand order count minus the count
+    # over each customer's LAST order (the only orders lacking one);
+    # n_b symmetrically subtracts FIRST orders.  totals is a map-side
+    # partial agg over the brands scan (no join), and the correction
+    # join touches only the ~2x|customers| chain-end orders instead of
+    # the full |orders| flag relation.
+    totals = brands.groupBy("brand").agg(F.count(F.lit(1)).alias("n_tot"))
+    ends = flagged.filter(
+        F.col("prev_orderkey").isNull() | F.col("next_orderkey").isNull()
+    ).select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("next_orderkey").isNull().cast("long").alias("is_last"),
+        F.col("prev_orderkey").isNull().cast("long").alias("is_first"),
     )
-    n_b = (
-        chain.join(bb, "k_next")
-        .select("k_prev", "k_next", "brand_b")
-        .distinct()
-        .groupBy("brand_b")
-        .agg(F.count(F.lit(1)).alias("n_b"))
+    end_counts = (
+        brands.join(ends, "l_orderkey")
+        .groupBy("brand")
+        .agg(
+            F.sum("is_last").alias("n_last"),
+            F.sum("is_first").alias("n_first"),
+        )
+    )
+    margins = (
+        totals.join(end_counts, "brand", "left")
+        .select(
+            "brand",
+            (F.col("n_tot") - F.coalesce("n_last", F.lit(0))).alias("n_a"),
+            (F.col("n_tot") - F.coalesce("n_first", F.lit(0))).alias("n_b"),
+        )
+        .localCheckpoint(eager=False)
     )
     t_df = chain.agg(F.count(F.lit(1)).alias("t"))
     return (
-        n_ab.join(F.broadcast(n_a), "brand_a")
-        .join(F.broadcast(n_b), "brand_b")
+        n_ab.join(
+            F.broadcast(
+                margins.select(F.col("brand").alias("brand_a"), "n_a")
+            ),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(
+                margins.select(F.col("brand").alias("brand_b"), "n_b")
+            ),
+            "brand_b",
+        )
         .crossJoin(F.broadcast(t_df))
         .select(
             "brand_a",

@@ -3243,7 +3243,8 @@ def pipeline_oracles() -> dict[str, str]:
                                AND CURRENT ROW) AS cum
           FROM d
         )
-        SELECT (cum - nb) // {ta.SHARD_TARGET_BYTES} AS shard_id,
+        SELECT CAST((cum - nb) // {ta.SHARD_TARGET_BYTES} AS BIGINT)
+                 AS shard_id,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(nb) AS BIGINT) AS shard_bytes
         FROM c GROUP BY 1
@@ -3276,7 +3277,8 @@ def pipeline_oracles() -> dict[str, str]:
                    - shard_bytes AS cum_start
           FROM files
         )
-        SELECT cum_start // {ta.SHARD_TARGET_BYTES} AS group_id,
+        SELECT CAST(cum_start // {ta.SHARD_TARGET_BYTES} AS BIGINT)
+                 AS group_id,
                CAST(count(*) AS BIGINT) AS n_files,
                CAST(sum(n_docs) AS BIGINT) AS n_docs,
                CAST(sum(shard_bytes) AS BIGINT) AS group_bytes,
