@@ -99,8 +99,13 @@ def _rows(df_pandas, cols):
 
 
 def compare(spark_df, con, sql: str, name: str = "") -> None:
-    spark_pd = spark_df.toPandas()
-    oracle_pd = con.execute(sql).df()
+    compare_frames(spark_df.toPandas(), con.execute(sql).df(), name=name)
+
+
+def compare_frames(spark_pd, oracle_pd, name: str = "") -> None:
+    """Frame-level core of :func:`compare`, for callers that already
+    collected both sides (tools/local_correctness.py collects once for
+    row counts AND the value check — ADVICE r09)."""
     s_cols = sorted(spark_pd.columns)
     o_cols = sorted(oracle_pd.columns)
     assert s_cols == o_cols, f"{name}: columns differ: {s_cols} vs {o_cols}"

@@ -17,7 +17,7 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from tests.oracle import compare, duckdb_conn  # noqa: E402
+from tests.oracle import compare_frames, duckdb_conn  # noqa: E402
 from zipkin_storage_kafka_spark.session import get_spark  # noqa: E402
 
 
@@ -42,16 +42,16 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             if name not in oracles:
-                n = df.count()
-                rec.update(spark_rows=n, rows_match=n >= 0)
+                # rows-only queries: record ran-without-error explicitly
+                rec.update(spark_rows=df.count(), rows_match=True)
             else:
                 spark_pd = df.toPandas()
                 oracle_pd = con.execute(oracles[name]).df()
                 rec["spark_rows"] = len(spark_pd)
                 rec["oracle_rows"] = len(oracle_pd)
-                # compare() asserts columns, counts, and canonical values
-                # exactly like tests/test_oracle_parity.py
-                compare(df, con, oracles[name], name=name)
+                # one collection serves the counts AND the value check
+                # (ADVICE r09: compare() used to re-collect both sides)
+                compare_frames(spark_pd, oracle_pd, name=name)
                 rec.update(rows_match=True, schema_match=True, hash_match=True)
         except Exception as exc:  # record, keep going — this is an audit
             rec["err"] = f"{type(exc).__name__}: {exc}"[:500]

@@ -298,10 +298,13 @@ def _ann_exact(
                 _emb(spark, sf_dir), ANN_QUERY_VEC, ANN_K
             ),
         }[metric]
+        # The build depends on ANN_QUERY_VEC / ANN_K defined HERE, not in
+        # the fingerprinted modules — fold them into the table name so a
+        # parameter change can never serve stale parquet (ADVICE r09).
         _ANN_EXACT_CACHE[key] = matcache.materialized(
             spark,
             sf_dir,
-            f"ann_exact_{metric}",
+            f"ann_exact_{metric}_q{ANN_QUERY_VEC}_k{ANN_K}",
             matcache.code_fingerprint((sim, tables)),
             build,
         ).persist()
