@@ -1551,16 +1551,28 @@ def test_lang_gini_one_partial_agg(spark, sf_dir):
     assert reads and all("text" not in l.split("ReadSchema")[1] for l in reads), plan
 
 
-def test_mixture_shift_anti_join_on_ids(spark, sf_dir):
-    """The dropped set reaches the token relation as an id-only
-    LeftAnti join; totals broadcast; no cartesian beyond the 1-row
-    broadcasts."""
+def test_mixture_shift_single_corpus_scan(spark, sf_dir):
+    """r10 shape: the corpus text column is scanned and tokenized
+    exactly ONCE — the dropped flag attaches as an id-only left join
+    against the materialized survivorship map and both mixture halves
+    come out of one conditional agg.  No live CC fixpoint (no window),
+    no cartesian beyond the 1-row totals broadcast."""
     import __spark_entry__ as entrymod
 
     plan = _plan(
         entrymod.queries()["pipe_dedup_mixture_shift"](spark, sf_dir)
     )
-    assert "LeftAnti" in plan, plan
+    # The |langs|-row mixture agg is lazily checkpointed, so the final
+    # explain shows the corpus text scan at most once (zero when the
+    # checkpoint truncates the plan to a LogicalRDD) — never the old
+    # shape's 2-4 re-scans of the text column.
+    text_reads = [
+        l
+        for l in plan.splitlines()
+        if "ReadSchema" in l and "text" in l.split("ReadSchema")[1]
+    ]
+    assert len(text_reads) <= 1, plan
+    assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
         plan

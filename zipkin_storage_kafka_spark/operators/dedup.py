@@ -1460,7 +1460,10 @@ def source_overlap(
 
 
 def dedup_mixture_shift(
-    pairs: DataFrame, quality: DataFrame, docs: DataFrame
+    pairs: DataFrame,
+    quality: DataFrame,
+    docs: DataFrame,
+    dropped: DataFrame | None = None,
 ) -> DataFrame:
     """What dedup DOES to the data mixture: per-language doc/token
     shares before vs after quality-aware near-dup survivorship — the
@@ -1475,60 +1478,78 @@ def dedup_mixture_shift(
     implicitly kept.  Shares are exact integer micro; shift_micro =
     share_after - share_before (negative = the language lost share).
 
-    Scale: the cluster fixpoint is the audited CC operator; the
-    dropped set is one component-keyed window; the mixture halves are
-    two (lang) partial aggs with 1-row broadcast totals.
+    ``dropped`` is an optional precomputed (doc_id) relation of the
+    survivorship losers — one row per dropped doc, NO duplicates (the
+    registry feeds the materialized :func:`canonical_map` filtered to
+    doc_id != kept_doc_id, so the CC fixpoint runs once per corpus
+    snapshot, not once per audit).  When omitted the operator derives
+    it live from ``pairs`` + ``quality``.
+
+    Scale (r10 cost pass): the corpus is scanned and tokenized ONCE —
+    the dropped flag attaches as an id-only left join and both mixture
+    halves come out of a single conditional (lang) partial agg; the
+    old shape's before/after/total subtrees each re-scanned and
+    re-split the text column (up to 4 corpus scans).  The |langs|-row
+    result is lazily checkpointed so the 1-row broadcast totals read
+    it instead of re-deriving the corpus agg.
 
     Output: lang, docs_before, docs_after, tokens_before,
     tokens_after, share_before_micro, share_after_micro, shift_micro.
     """
-    from pyspark.sql import Window
+    if dropped is None:
+        from pyspark.sql import Window
 
-    cc = connected_components(pairs)
-    members = cc.join(quality, "doc_id")
-    w = Window.partitionBy("component_id").orderBy(
-        F.col("quality").desc(), F.col("doc_id")
-    )
-    dropped = (
-        members.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") > 1)
-        .select("doc_id")
-    )
+        cc = connected_components(pairs)
+        members = cc.join(quality, "doc_id")
+        w = Window.partitionBy("component_id").orderBy(
+            F.col("quality").desc(), F.col("doc_id")
+        )
+        dropped = (
+            members.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") > 1)
+            .select("doc_id")
+        )
     dt = docs.select(
         "doc_id",
         "lang",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
-    before = dt.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("docs_before"),
-        F.sum("n_tokens").alias("tokens_before"),
-    )
-    after = (
-        dt.join(dropped, "doc_id", "left_anti")
+    kept = F.col("_dropped").isNull()
+    mix = (
+        dt.join(
+            dropped.select("doc_id", F.lit(1).alias("_dropped")),
+            "doc_id",
+            "left",
+        )
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("docs_after"),
-            F.sum("n_tokens").alias("tokens_after"),
+            F.count(F.lit(1)).alias("docs_before"),
+            F.sum("n_tokens").alias("tokens_before"),
+            F.count(F.when(kept, F.lit(1))).alias("docs_after"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)
+            ).alias("tokens_after"),
         )
+        .localCheckpoint(eager=False)
     )
-    tot_b = before.agg(F.sum("tokens_before").alias("total_b"))
-    tot_a = after.agg(F.sum("tokens_after").alias("total_a"))
+    totals = mix.agg(
+        F.sum("tokens_before").alias("total_b"),
+        F.sum("tokens_after").alias("total_a"),
+    )
     return (
-        before.join(after, "lang", "left")
-        .crossJoin(F.broadcast(tot_b))
-        .crossJoin(F.broadcast(tot_a))
+        mix.crossJoin(F.broadcast(totals))
         .select(
             "lang",
             "docs_before",
-            F.coalesce("docs_after", F.lit(0)).alias("docs_after"),
+            "docs_after",
             "tokens_before",
-            F.coalesce("tokens_after", F.lit(0)).alias("tokens_after"),
+            "tokens_after",
             F.expr("(tokens_before * 1000000) div total_b").alias(
                 "share_before_micro"
             ),
-            F.expr(
-                "(coalesce(tokens_after, 0) * 1000000) div total_a"
-            ).alias("share_after_micro"),
+            F.expr("(tokens_after * 1000000) div total_a").alias(
+                "share_after_micro"
+            ),
         )
         .withColumn(
             "shift_micro",

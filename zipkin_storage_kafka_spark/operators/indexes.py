@@ -482,9 +482,13 @@ def mad_anomalies(spans: DataFrame) -> DataFrame:
     Columns: local_service, n_spans, median_duration, mad,
     n_anomalies.
 
-    Scale (100 TB): two cell-collapse passes + two windows over the
-    collapsed (service, value) relations (bounded by distinct
-    durations per service, not rows) + one flagged count; at
+    Scale (100 TB, r10 single-scan shape): the corpus is scanned ONCE
+    into (service, duration, weight) cells; the deviation relation
+    derives from those CELLS (|v - med| carries the cell weight), so
+    the median, the MAD, and the flagged count all run over relations
+    bounded by distinct durations per service — raw spans never enter
+    a join or window, and the old shape's three corpus scans collapse
+    to one.  The |services|-row median/MAD relations broadcast.  At
     full-corpus cardinality the cells relation itself is large — the
     two-phase histogram refinement (bucket div B, then the one median
     bucket) drops in without changing semantics, and the sketch-grade
@@ -496,10 +500,10 @@ def mad_anomalies(spans: DataFrame) -> DataFrame:
         F.col("local_service").isNotNull() & F.col("duration").isNotNull()
     ).select("local_service", F.col("duration").cast("long").alias("d"))
 
-    def lower_weighted_median(df: DataFrame, val: str) -> DataFrame:
-        cells = df.groupBy("local_service", val).agg(
-            F.count(F.lit(1)).alias("w")
-        )
+    def lower_weighted_median(cells: DataFrame, val: str) -> DataFrame:
+        """Lower weighted median over a (local_service, val, w) cell
+        relation: first value whose cumulative weight reaches half the
+        total."""
         wcum = (
             Window.partitionBy("local_service")
             .orderBy(val)
@@ -523,29 +527,44 @@ def mad_anomalies(spans: DataFrame) -> DataFrame:
             )
         )
 
-    med = lower_weighted_median(base, "d").withColumnRenamed(
+    dcells = (
+        base.groupBy("local_service", "d")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    med = lower_weighted_median(dcells, "d").withColumnRenamed(
         "med_d", "median_duration"
     )
-    dev = base.join(med.select("local_service", "median_duration"),
-                    "local_service").select(
-        "local_service",
-        F.abs(F.col("d") - F.col("median_duration")).alias("adev"),
-        "d",
-        "median_duration",
+    # Deviation CELLS from the duration cells — |v - med| keeps the
+    # cell weight, so the MAD and the flagged count never touch raw
+    # spans (one corpus scan total).
+    acells = (
+        dcells.join(
+            F.broadcast(med.select("local_service", "median_duration")),
+            "local_service",
+        )
+        .select(
+            "local_service",
+            F.abs(F.col("d") - F.col("median_duration")).alias("adev"),
+            "w",
+        )
+        .groupBy("local_service", "adev")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
     )
-    mad = lower_weighted_median(
-        dev.select("local_service", "adev"), "adev"
-    ).select("local_service", F.col("med_adev").alias("mad"))
+    mad = lower_weighted_median(acells, "adev").select(
+        "local_service", F.col("med_adev").alias("mad")
+    )
     flagged = (
-        dev.join(mad, "local_service")
+        acells.join(F.broadcast(mad), "local_service")
         .groupBy("local_service")
         .agg(
             F.sum(
-                (
-                    F.abs(F.col("d") - F.col("median_duration"))
-                    * F.lit(1_000_000)
-                    > F.lit(MAD_K_MICRO) * F.col("mad")
-                ).cast("long")
+                F.when(
+                    F.col("adev") * F.lit(1_000_000)
+                    > F.lit(MAD_K_MICRO) * F.col("mad"),
+                    F.col("w"),
+                ).otherwise(F.lit(0))
             ).alias("n_anomalies")
         )
     )

@@ -973,17 +973,19 @@ def q_pipe_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language mixture shares before vs after quality-aware
     survivorship (operators/dedup.py:dedup_mixture_shift) — the
     dedup-reweights-your-corpus audit; same CC + keeper rule as
-    pipe_canonical_docs, over the shared memoized pair relations."""
-    pairs = dd.jaccard_pairs(
-        _shingles(spark, sf_dir),
-        _lsh_candidates(spark, sf_dir),
-        threshold=JACCARD_THRESHOLD,
-        verified=_verified_pairs(spark, sf_dir),
+    pipe_canonical_docs.  The dropped set reads the materialized
+    survivorship map (doc_id != kept_doc_id over _canonical_map) —
+    canonical_map is built by the IDENTICAL keeper rule (max quality,
+    min doc_id), so the audit pays a parquet map read instead of
+    re-running the CC fixpoint (r10 cost pass)."""
+    dropped = (
+        _canonical_map(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("kept_doc_id"))
+        .select("doc_id")
     )
-    quality = ta.quality_score(_docs(spark, sf_dir)).select(
-        "doc_id", "quality"
+    return dd.dedup_mixture_shift(
+        None, None, _docs(spark, sf_dir), dropped=dropped
     )
-    return dd.dedup_mixture_shift(pairs, quality, _docs(spark, sf_dir))
 
 
 _CMAP_CACHE: dict[tuple[int, str], DataFrame] = {}
