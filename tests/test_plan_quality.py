@@ -1319,13 +1319,16 @@ def test_epoch_plan_prunes_documents(spark, sf_dir):
 
 
 def test_item_neighbors_basket_keyed_pair_join(spark, sf_dir):
-    """The pair join is an l_orderkey equi-join (never item x item),
-    the lineitem scan reads only (l_orderkey, l_partkey), and the
-    top-k window partitions by part_key."""
+    """r10 shape: pairs GENERATE from each order's collected part-set
+    (double explode under a<b — fanout bounded by parts-per-order,
+    never item x item, no self-join), the lineitem scan reads only
+    (l_orderkey, l_partkey), and the top-k window partitions by
+    part_key."""
     import __spark_entry__ as entrymod
 
     plan = _plan(entrymod.queries()["w_item_neighbors"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan  # the explode-based pair generation
     reads = [l for l in plan.splitlines() if "ReadSchema" in l]
     li = [l for l in reads if "l_orderkey" in l]
     assert li and all("l_quantity" not in l for l in li), plan
