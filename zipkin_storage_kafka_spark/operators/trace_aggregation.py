@@ -744,11 +744,11 @@ def service_cooccurrence(spans: DataFrame) -> DataFrame:
 
     Output: svc_a, svc_b, pair_traces, a_traces, b_traces, lift_micro.
     """
-    member = (
-        spans.filter(F.col("local_service").isNotNull())
-        .select("trace_id", F.col("local_service").alias("svc"))
-        .distinct()
+    member = spans.filter(F.col("local_service").isNotNull()).select(
+        "trace_id", F.col("local_service").alias("svc")
     )
+    # No distinct pass: basket_lift's collect_set dedups memberships
+    # map-side inside the one basket-keyed shuffle.
     out = basket_lift(member, "trace_id", "svc")
     return out.select(
         F.col("item_a").alias("svc_a"),
@@ -763,8 +763,16 @@ def service_cooccurrence(spans: DataFrame) -> DataFrame:
 def basket_lift(member: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     """The generic market-basket support+lift kernel behind
     :func:`service_cooccurrence` (traces x services) and the
-    order-basket registry row (orders x part brands): ``member`` must be
-    the DISTINCT (basket, item) membership relation.
+    order-basket registry row (orders x part brands).  ``member`` is
+    any (basket, item) relation — collect_set dedups duplicate
+    memberships map-side, so callers no longer need a distinct pass.
+
+    r10 basket-array shape (the item_neighbors rewrite, shared): ONE
+    basket-keyed shuffle collects each basket's item set and pairs
+    GENERATE from the array (double explode under a<b, fanout bounded
+    by items-per-basket — never a self-join); margins and the basket
+    total re-read the collected relation (AQE reuses the shuffle
+    stage, measured faster than an explicit checkpoint).
 
     Output: item_a, item_b, pair_baskets, a_baskets, b_baskets,
     lift_micro.
@@ -772,22 +780,26 @@ def basket_lift(member: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     member = member.select(
         F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
     )
+    baskets = member.groupBy("_bk").agg(
+        F.collect_set("_it").alias("_items")
+    )
     pairs = (
-        member.alias("l")
-        .join(
-            member.alias("r"),
-            (F.col("l._bk") == F.col("r._bk"))
-            & (F.col("l._it") < F.col("r._it")),
+        baskets.select(F.explode("_items").alias("item_a"), "_items")
+        .select(
+            "item_a",
+            F.explode(
+                F.filter("_items", lambda x: x > F.col("item_a"))
+            ).alias("item_b"),
         )
-        .groupBy(
-            F.col("l._it").alias("item_a"), F.col("r._it").alias("item_b")
-        )
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_baskets"))
     )
-    marg = member.groupBy("_it").agg(F.count(F.lit(1)).alias("n_baskets"))
-    total = member.select(
-        F.count_distinct("_bk").alias("n_total")
+    marg = (
+        baskets.select(F.explode("_items").alias("_it"))
+        .groupBy("_it")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
     )
+    total = baskets.agg(F.count(F.lit(1)).alias("n_total"))
     return (
         pairs.join(
             F.broadcast(marg.select(F.col("_it").alias("item_a"),

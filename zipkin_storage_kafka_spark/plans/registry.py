@@ -1095,7 +1095,12 @@ def q_error_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     error-window baskets): baskets = minutes, items = services with at
     least one error span in that minute.  High-lift pairs are the
     "these two fail together" edges an on-call uses to find the shared
-    dependency; the membership distinct is the only corpus-sized work."""
+    dependency; the membership distinct is the only corpus-sized work —
+    it stays EXPLICIT here (unlike the trace flavor) because error
+    spans duplicate heavily per (minute, service) across input
+    partitions, and collapsing them on the two-column key before the
+    kernel's minute-keyed collect_set measures faster than letting the
+    set dedup alone (sf1 min-of-3: 1.53 s vs 1.82 s)."""
     from zipkin_storage_kafka_spark.operators.trace_aggregation import (
         basket_lift,
     )

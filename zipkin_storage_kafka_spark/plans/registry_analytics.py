@@ -161,8 +161,9 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket kernel (operators/trace_aggregation.py:basket_lift, shared
     with z_service_cooccurrence) on the engine's LARGEST fact table:
     the (order, brand) membership distinct comes off the SHARED
-    materialized order_brands relation; the pair join is order-keyed
-    with per-basket fanout bounded by brands-per-order."""
+    materialized order_brands relation; pairs generate from each
+    order's collected brand set with fanout bounded by
+    brands-per-order."""
     from zipkin_storage_kafka_spark.operators.trace_aggregation import (
         basket_lift,
     )
