@@ -811,16 +811,18 @@ def test_link_latency_gaps_partial_agged(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_canonical_docs_window_is_partitioned(spark, sf_dir):
-    """The keeper-selection window must partition by component_id —
-    never a single-partition global window."""
+def test_canonical_docs_served_from_map(spark, sf_dir):
+    """r10: the cluster report reads the materialized survivorship map
+    (no live CC fixpoint, no keeper window — that ran once at map
+    build; the live window shape stays pinned by
+    test_canonical_map_keeper_window_per_component) and rolls up with
+    one component-keyed agg."""
     import __spark_entry__ as entrymod
 
     plan = _plan(entrymod.queries()["pipe_canonical_docs"](spark, sf_dir))
-    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
-    assert win, plan
-    for l in win:
-        assert "component_id" in l, l
+    assert "canonical_map-" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "SinglePartition" not in plan, plan
 
 
 def test_hybrid_rrf_no_global_window(spark, sf_dir):

@@ -1312,8 +1312,12 @@ def canonical_map(pairs: DataFrame, quality: DataFrame) -> DataFrame:
     needs no second join back onto the ranked members (one pass over
     the CC output).
 
-    Columns: doc_id, kept_doc_id (cluster members only; unclustered
-    docs are absent and map to themselves at the remap site).
+    Columns: doc_id, component_id, kept_doc_id, quality (cluster
+    members only; unclustered docs are absent and map to themselves
+    at the remap site).  component_id and the member's quality ride
+    along (r10) so the cluster REPORT
+    (:func:`canonical_docs_from_map`) also serves from the
+    materialized map instead of re-running the CC fixpoint.
 
     Scale (100 TB): the cluster fixpoint is the audited CC operator;
     the window partitions per component (cluster-sized, never global).
@@ -1331,7 +1335,44 @@ def canonical_map(pairs: DataFrame, quality: DataFrame) -> DataFrame:
     ).over(w)
     return members.select(
         "doc_id",
+        "component_id",
         (-kd.getField("nid")).cast("long").alias("kept_doc_id"),
+        "quality",
+    )
+
+
+def canonical_docs_from_map(cmap: DataFrame) -> DataFrame:
+    """:func:`canonical_docs`' cluster report served from the
+    materialized survivorship map instead of a live CC fixpoint: one
+    component-keyed partial agg over the members-only map relation —
+    the keeper id is constant per component, the keeper's quality is
+    the row where doc_id == kept_doc_id.  Output contract identical to
+    canonical_docs (component_id, kept_doc_id, kept_quality,
+    n_members, n_dropped), so the two share one oracle.
+
+    Scale (100 TB): the map is dup-rate x corpus rows (cluster members
+    only) and the agg is one hash shuffle on component_id — the
+    expensive CC ran once at dedup time.
+    """
+    return (
+        cmap.groupBy("component_id")
+        .agg(
+            F.min("kept_doc_id").alias("kept_doc_id"),
+            F.min(
+                F.when(
+                    F.col("doc_id") == F.col("kept_doc_id"),
+                    F.col("quality"),
+                )
+            ).alias("kept_quality"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "component_id",
+            "kept_doc_id",
+            "kept_quality",
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
     )
 
 

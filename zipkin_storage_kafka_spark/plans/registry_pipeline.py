@@ -953,20 +953,15 @@ def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipe_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware survivorship (operators/dedup.py:canonical_docs):
-    near-dup clusters resolved, then each cluster keeps its HIGHEST
-    quality_score member (doc_id tiebreak) — the keep-the-best-copy
-    dedup policy, vs dedup_cluster_resolve's min-id convention."""
-    pairs = dd.jaccard_pairs(
-        _shingles(spark, sf_dir),
-        _lsh_candidates(spark, sf_dir),
-        threshold=JACCARD_THRESHOLD,
-        verified=_verified_pairs(spark, sf_dir),
-    )
-    quality = ta.quality_score(_docs(spark, sf_dir)).select(
-        "doc_id", "quality"
-    )
-    return dd.canonical_docs(pairs, quality)
+    """Quality-aware survivorship: near-dup clusters resolved, then
+    each cluster keeps its HIGHEST quality_score member (doc_id
+    tiebreak) — the keep-the-best-copy dedup policy, vs
+    dedup_cluster_resolve's min-id convention.  Served from the
+    materialized survivorship map (r10 — the CC fixpoint runs once at
+    dedup time; operators/dedup.py:canonical_docs_from_map is the
+    map-grain report with the identical output contract, and the live
+    derivation stays exercised by dedup_cluster_resolve/star)."""
+    return dd.canonical_docs_from_map(_canonical_map(spark, sf_dir))
 
 
 def q_pipe_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
