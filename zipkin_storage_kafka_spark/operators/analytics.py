@@ -3115,21 +3115,35 @@ def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_ship, o["o_orderkey"] == last_ship["l_orderkey"], "inner"
     ).select("start_day", "end_day")
     # boundary deltas: +1 at start_day, -1 the day AFTER the last ship
-    # (the order is still open on its final ship day)
+    # (the order is still open on its final ship day).  Each interval
+    # EXPLODES into its two boundary rows so one (day) agg yields both
+    # counts — the old two-groupBy + full-outer-join shape evaluated
+    # the orders-x-lineitem interval subtree twice (r10 cost pass).
     deltas = (
-        iv.groupBy(F.col("start_day").alias("d")).agg(
-            F.count(F.lit(1)).alias("opened")
+        iv.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("start_day").alias("d"),
+                        F.lit(1).alias("is_open"),
+                    ),
+                    F.struct(
+                        (F.col("end_day") + 1).alias("d"),
+                        F.lit(0).alias("is_open"),
+                    ),
+                )
+            ).alias("b")
         )
-    ).join(
-        iv.groupBy((F.col("end_day") + 1).alias("d")).agg(
-            F.count(F.lit(1)).alias("closed")
-        ),
-        "d",
-        "full",
-    ).select(
-        "d",
-        F.coalesce("opened", F.lit(0)).alias("opened"),
-        F.coalesce("closed", F.lit(0)).alias("closed"),
+        .select("b.d", "b.is_open")
+        .groupBy("d")
+        .agg(
+            F.sum("is_open").alias("opened"),
+            F.sum(F.lit(1) - F.col("is_open")).alias("closed"),
+        )
+        # |days|-row relation read by the bucket totals, the offsets
+        # AND the final sweep — checkpoint so the corpus-sized interval
+        # derivation above runs once, not once per consumer.
+        .localCheckpoint(eager=False)
     )
     deltas = deltas.withColumn("net", F.col("opened") - F.col("closed"))
     bucketed = deltas.withColumn("bkt", F.expr("d div 256"))
