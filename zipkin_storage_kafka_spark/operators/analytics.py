@@ -759,11 +759,13 @@ def waiting_suppliers(
     exists/not-exists structure of the classic query is preserved.
 
     Spark-first rewrite: instead of the textbook EXISTS/NOT EXISTS pair of
-    correlated self-joins (two extra shuffles of lineitem), one groupBy per
-    order computes distinct-supplier and distinct-late-supplier counts plus
-    the single late supplier (min over a one-element set); orders with >=2
-    suppliers and exactly one late supplier charge that supplier.  One
-    shuffle of the fact table, map-side combinable, constant per-order state.
+    correlated self-joins (two extra shuffles of lineitem), the fact rows
+    collapse to (order, supplier, any-late) grain first — one map-side
+    combinable shuffle, no distinct aggs — and a second tiny agg per
+    order counts suppliers, late suppliers, and the single culprit
+    (r10: the earlier two-countDistinct formulation forced an Expand
+    that tripled every joined row through the shuffle); orders with
+    >= 2 suppliers and exactly one late supplier charge that supplier.
     """
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -783,12 +785,15 @@ def waiting_suppliers(
         "_late",
         F.col("_ship_us") > F.col("_od_us") + F.lit(late_days * 86_400_000_000),
     )
-    per_order = joined.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(
-            F.when(F.col("_late"), F.col("l_suppkey"))
-        ).alias("_n_late"),
-        F.min(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_culprit"),
+    per_supp = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("_late").cast("int")).alias("_any_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum("_any_late").alias("_n_late"),
+        F.min(
+            F.when(F.col("_any_late") == 1, F.col("l_suppkey"))
+        ).alias("_culprit"),
     )
     culprit = (
         per_order.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
