@@ -1178,16 +1178,23 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.expr("ts_us div 60000000") % 65536
     y = F.col("user_id") % 65536
     keyed = ev.select(F.col("user_id"), morton32(x, y).alias("zkey"))
-    return (
-        keyed.groupBy(
-            (F.col("zkey") / F.lit(1 << 24)).cast("long").alias("zbucket")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.min("zkey").alias("min_z"),
-            F.max("zkey").alias("max_z"),
-        )
+    # Two-level agg (r10): collapsing to (zbucket, user) grain first
+    # keeps every count a plain map-side-combinable agg — a
+    # countDistinct mixed with the other aggs would Expand (duplicate)
+    # every event row through the shuffle.
+    per_user = keyed.groupBy(
+        (F.col("zkey") / F.lit(1 << 24)).cast("long").alias("zbucket"),
+        "user_id",
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("zkey").alias("_min_z"),
+        F.max("zkey").alias("_max_z"),
+    )
+    return per_user.groupBy("zbucket").agg(
+        F.sum("_n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("_min_z").alias("min_z"),
+        F.max("_max_z").alias("max_z"),
     )
 
 
@@ -2911,12 +2918,19 @@ def ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
     joined = o.join(first, "o_custkey")
+    # Two-level agg (r10): the per-customer-month grain makes the
+    # distinct-customer count a plain count — count_distinct beside
+    # the other aggs would Expand every order row through the shuffle.
+    per_cust = joined.groupBy("cohort_ym", "ym", "o_custkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("milli").alias("_milli"),
+    )
     return (
-        joined.groupBy("cohort_ym", "ym")
+        per_cust.groupBy("cohort_ym", "ym")
         .agg(
-            F.count_distinct("o_custkey").alias("n_customers"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum("milli").alias("revenue_milli"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_n").alias("n_orders"),
+            F.sum("_milli").alias("revenue_milli"),
         )
         .select(
             "cohort_ym",
