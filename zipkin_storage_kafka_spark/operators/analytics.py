@@ -2690,6 +2690,10 @@ def item_neighbors(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     wrong here); the part_key margin join co-partitions with the
     top-k window, whose rows-per-item are bounded by the item's
     co-purchase breadth.  Measured min-of-3 at sf0.1: 2.49 -> 1.39 s.
+    The basket and aggregated-pair relations are lazily checkpointed —
+    each feeds two consumers (pairs+margins, the two union arms), and
+    AQE shuffle-stage reuse is not reliable across session states
+    (see basket_lift).
 
     Determinism: integer jaccard_micro, ties broken by (pair_baskets
     desc, neighbor asc) — all integers, so rank is engine-stable.
@@ -2700,8 +2704,10 @@ def item_neighbors(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     from zipkin_storage_kafka_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("items")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+        .localCheckpoint(eager=False)
     )
     prs = baskets.select(F.explode("items").alias("item_a"), "items")
     pairs = (
@@ -2713,6 +2719,7 @@ def item_neighbors(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_baskets"))
+        .localCheckpoint(eager=False)
     )
     marg = (
         baskets.select(F.explode("items").alias("pk"))

@@ -770,9 +770,12 @@ def basket_lift(member: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     r10 basket-array shape (the item_neighbors rewrite, shared): ONE
     basket-keyed shuffle collects each basket's item set and pairs
     GENERATE from the array (double explode under a<b, fanout bounded
-    by items-per-basket — never a self-join); margins and the basket
-    total re-read the collected relation (AQE reuses the shuffle
-    stage, measured faster than an explicit checkpoint).
+    by items-per-basket — never a self-join).  The collected relation
+    feeds THREE consumers (pairs, margins, total), so it is lazily
+    checkpointed: AQE shuffle-stage reuse fires in some session states
+    and silently does not in others (measured 2.7 s vs 2.2 s at sf1
+    when it failed and the collect_set ran once per consumer — the
+    checkpoint makes the single-build guarantee deterministic).
 
     Output: item_a, item_b, pair_baskets, a_baskets, b_baskets,
     lift_micro.
@@ -780,8 +783,10 @@ def basket_lift(member: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     member = member.select(
         F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
     )
-    baskets = member.groupBy("_bk").agg(
-        F.collect_set("_it").alias("_items")
+    baskets = (
+        member.groupBy("_bk")
+        .agg(F.collect_set("_it").alias("_items"))
+        .localCheckpoint(eager=False)
     )
     pairs = (
         baskets.select(F.explode("_items").alias("item_a"), "_items")
