@@ -2690,10 +2690,15 @@ def item_neighbors(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     wrong here); the part_key margin join co-partitions with the
     top-k window, whose rows-per-item are bounded by the item's
     co-purchase breadth.  Measured min-of-3 at sf0.1: 2.49 -> 1.39 s.
-    The basket and aggregated-pair relations are lazily checkpointed —
-    each feeds two consumers (pairs+margins, the two union arms), and
-    AQE shuffle-stage reuse is not reliable across session states
-    (see basket_lift).
+    The basket relation is lazily checkpointed (it feeds the pair
+    generation AND the margins, and AQE shuffle-stage reuse is not
+    reliable across session states — see basket_lift); the SYMMETRIC
+    pair relation generates directly (explode every ordered (a, b)
+    with a != b) so there is no union of two aggregated-pair subtree
+    copies and no corpus-scale checkpoint — the first r10 cut
+    materialized the triangular pair agg and union-flipped it, which
+    thrashed block storage in long sessions (10.6 s in the 275-query
+    bench vs 5.4 s idle).
 
     Determinism: integer jaccard_micro, ties broken by (pair_baskets
     desc, neighbor asc) — all integers, so rank is engine-stable.
@@ -2709,33 +2714,21 @@ def item_neighbors(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .agg(F.collect_set("l_partkey").alias("items"))
         .localCheckpoint(eager=False)
     )
-    prs = baskets.select(F.explode("items").alias("item_a"), "items")
-    pairs = (
-        prs.select(
-            "item_a",
+    sym = (
+        baskets.select(F.explode("items").alias("part_key"), "items")
+        .select(
+            "part_key",
             F.explode(
-                F.filter("items", lambda x: x > F.col("item_a"))
-            ).alias("item_b"),
+                F.filter("items", lambda x: x != F.col("part_key"))
+            ).alias("neighbor_key"),
         )
-        .groupBy("item_a", "item_b")
+        .groupBy("part_key", "neighbor_key")
         .agg(F.count(F.lit(1)).alias("pair_baskets"))
-        .localCheckpoint(eager=False)
     )
     marg = (
         baskets.select(F.explode("items").alias("pk"))
         .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
-    )
-    sym = pairs.select(
-        F.col("item_a").alias("part_key"),
-        F.col("item_b").alias("neighbor_key"),
-        "pair_baskets",
-    ).unionByName(
-        pairs.select(
-            F.col("item_b").alias("part_key"),
-            F.col("item_a").alias("neighbor_key"),
-            "pair_baskets",
-        )
     )
     scored = (
         sym.join(

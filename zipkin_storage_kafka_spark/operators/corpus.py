@@ -165,16 +165,27 @@ def profile_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     serve), then a 4-row stack comparison.  The incoming batch is
     usually orders of magnitude smaller than the corpus, and the
     corpus-side profile is a once-per-snapshot materialization.
+    r10: the distinct-text count runs over md5 digests from a narrow
+    pre-projection (null flag, length, 32-char hash), so the Expand
+    the mixed count_distinct forces duplicates 40-byte rows instead
+    of full document bodies, and the distinct partial-agg's hash
+    table keys on digests, never texts (collision odds at 2^128 are
+    nil next to the exactness claim).
     """
 
     def prof(df: DataFrame):
-        return df.agg(
+        narrow = df.select(
+            F.col("text").isNull().cast("long").alias("_is_null"),
+            F.coalesce(F.length("text"), F.lit(0))
+            .cast("long")
+            .alias("_len"),
+            F.md5("text").alias("_h"),
+        )
+        return narrow.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("text").isNull().cast("long")).alias("nulls"),
-            F.sum(F.coalesce(F.length("text"), F.lit(0)).cast("long")).alias(
-                "len_sum"
-            ),
-            F.countDistinct("text").alias("n_distinct"),
+            F.sum("_is_null").alias("nulls"),
+            F.sum("_len").alias("len_sum"),
+            F.countDistinct("_h").alias("n_distinct"),
         ).select(
             F.col("n"),
             F.expr("nulls * 1000000 div n").alias("null_micro"),
