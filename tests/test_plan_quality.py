@@ -1321,29 +1321,17 @@ def test_epoch_plan_prunes_documents(spark, sf_dir):
 
 
 def test_item_neighbors_basket_keyed_pair_join(spark, sf_dir):
-    """r10 shape: pairs GENERATE from each order's collected part-set
-    (double explode under a<b — fanout bounded by parts-per-order,
-    never item x item, no self-join), the lineitem scan reads only
-    (l_orderkey, l_partkey), and the top-k window partitions by
-    part_key."""
+    """The pair join is an l_orderkey equi-join (never item x item —
+    the deliberate corpus-scale-basket tuple shape, see the operator's
+    r10 flavor note), the lineitem scan reads only (l_orderkey,
+    l_partkey), and the top-k window partitions by part_key."""
     import __spark_entry__ as entrymod
 
     plan = _plan(entrymod.queries()["w_item_neighbors"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    assert "Generate" in plan, plan  # the explode-based margin/pair gen
-    # The basket/pair relations are lazily checkpointed, so the final
-    # explain shows them as RDD scans — the 2-column lineitem pruning
-    # lives inside the checkpointed subtree; assert it directly on the
-    # basket build instead.
-    from zipkin_storage_kafka_spark.sources.tables import load_table
-
-    bplan = _plan(
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("items"))
-    )
-    breads = [l for l in bplan.splitlines() if "ReadSchema" in l]
-    assert breads and all("l_quantity" not in l for l in breads), bplan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    li = [l for l in reads if "l_orderkey" in l]
+    assert li and all("l_quantity" not in l for l in li), plan
     win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert win and all("part_key" in l for l in win), plan
     assert "SinglePartition" not in plan, plan

@@ -2676,29 +2676,23 @@ def item_neighbors(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     surprise, Jaccard measures overlap; recommenders rank by the
     latter).
 
-    Scale discipline (r10 basket-array shape): ONE shuffle of raw
-    lineitem collects each order's distinct part set (collect_set
-    dedups map-side — no separate distinct pass), and the pair
-    relation GENERATES from the array (double explode under a<b) with
-    fanout bounded by parts-per-order — never item x item, and no
-    self-join: the old shape's distinct shuffle + orderkey self-join
-    disappear.  Per-item basket counts explode off the same basket
-    relation and attach to the aggregated pair relation via plain
-    keyed joins — NOT forced broadcasts — because the item dimension
-    is corpus-sized (millions of parts; the basket_lift kernel
-    broadcasts its margins, which is right for brands/services and
-    wrong here); the part_key margin join co-partitions with the
-    top-k window, whose rows-per-item are bounded by the item's
-    co-purchase breadth.  Measured min-of-3 at sf0.1: 2.49 -> 1.39 s.
-    The basket relation is lazily checkpointed (it feeds the pair
-    generation AND the margins, and AQE shuffle-stage reuse is not
-    reliable across session states — see basket_lift); the SYMMETRIC
-    pair relation generates directly (explode every ordered (a, b)
-    with a != b) so there is no union of two aggregated-pair subtree
-    copies and no corpus-scale checkpoint — the first r10 cut
-    materialized the triangular pair agg and union-flipped it, which
-    thrashed block storage in long sessions (10.6 s in the 275-query
-    bench vs 5.4 s idle).
+    Scale discipline: the pair join is basket-keyed with fanout
+    bounded by parts-per-order (never item x item), and the per-item
+    basket counts attach via plain keyed joins — NOT a broadcast —
+    because the item dimension here is corpus-sized (millions of
+    parts; the basket_lift kernel broadcasts its margins, which is
+    right for brands/services and wrong here).  The top-k window
+    partitions by item with rows-per-item bounded by the item's
+    co-purchase breadth.
+
+    r10 note — this is DELIBERATELY the tuple self-join shape, not
+    the collect_set basket-array kernel basket_lift's few-basket
+    flavors use: at 1.5M+ baskets the array flavor's object agg
+    (sort-based fallback past ~128 keys/partition) plus its
+    per-basket array materialization measured 9.3 s vs 6.3 s at sf1
+    inside the 275-query bench — the opposite of the idle-session
+    comparison (5.4 vs 6.1 s).  Kernel choice is basket-cardinality-
+    dependent; see basket_lift's flavor note.
 
     Determinism: integer jaccard_micro, ties broken by (pair_baskets
     desc, neighbor asc) — all integers, so rank is engine-stable.
@@ -2709,49 +2703,55 @@ def item_neighbors(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     from zipkin_storage_kafka_spark.sources.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("items"))
-        .localCheckpoint(eager=False)
+    member = li.select("l_orderkey", "l_partkey").distinct()
+    marg = member.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_baskets")
     )
-    sym = (
-        baskets.select(F.explode("items").alias("part_key"), "items")
-        .select(
-            "part_key",
-            F.explode(
-                F.filter("items", lambda x: x != F.col("part_key"))
-            ).alias("neighbor_key"),
-        )
-        .groupBy("part_key", "neighbor_key")
-        .agg(F.count(F.lit(1)).alias("pair_baskets"))
+    # Attach the margin to the (basket, item) relation BEFORE pairing:
+    # one item-keyed join on |member| rows instead of two joins on the
+    # larger pair relation (per-item counts are constant within a
+    # pair group, so min() recovers them through the groupBy for free).
+    member2 = member.join(marg, "l_partkey").select(
+        "l_orderkey", "l_partkey", "n_baskets"
     )
-    marg = (
-        baskets.select(F.explode("items").alias("pk"))
-        .groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("n_baskets"))
-    )
-    scored = (
-        sym.join(
-            marg.select(
-                F.col("pk").alias("neighbor_key"),
-                F.col("n_baskets").alias("neighbor_baskets"),
-            ),
-            "neighbor_key",
-        )
+    pairs = (
+        member2.alias("l")
         .join(
-            marg.select(
-                F.col("pk").alias("part_key"),
-                F.col("n_baskets").alias("item_baskets"),
-            ),
-            "part_key",
+            member2.alias("r"),
+            (F.col("l.l_orderkey") == F.col("r.l_orderkey"))
+            & (F.col("l.l_partkey") < F.col("r.l_partkey")),
         )
-        .withColumn(
-            "jaccard_micro",
-            F.expr(
-                "(pair_baskets * 1000000)"
-                " div (item_baskets + neighbor_baskets - pair_baskets)"
-            ),
+        .groupBy(
+            F.col("l.l_partkey").alias("item_a"),
+            F.col("r.l_partkey").alias("item_b"),
         )
+        .agg(
+            F.count(F.lit(1)).alias("pair_baskets"),
+            F.min("l.n_baskets").alias("a_baskets"),
+            F.min("r.n_baskets").alias("b_baskets"),
+        )
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("part_key"),
+        F.col("item_b").alias("neighbor_key"),
+        "pair_baskets",
+        F.col("a_baskets").alias("item_baskets"),
+        F.col("b_baskets").alias("neighbor_baskets"),
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("part_key"),
+            F.col("item_a").alias("neighbor_key"),
+            "pair_baskets",
+            F.col("b_baskets").alias("item_baskets"),
+            F.col("a_baskets").alias("neighbor_baskets"),
+        )
+    )
+    scored = sym.withColumn(
+        "jaccard_micro",
+        F.expr(
+            "(pair_baskets * 1000000)"
+            " div (item_baskets + neighbor_baskets - pair_baskets)"
+        ),
     )
     w = Window.partitionBy("part_key").orderBy(
         F.col("jaccard_micro").desc(),

@@ -760,22 +760,37 @@ def service_cooccurrence(spans: DataFrame) -> DataFrame:
     )
 
 
-def basket_lift(member: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+def basket_lift(
+    member: DataFrame,
+    basket_col: str,
+    item_col: str,
+    flavor: str = "array",
+) -> DataFrame:
     """The generic market-basket support+lift kernel behind
     :func:`service_cooccurrence` (traces x services) and the
-    order-basket registry row (orders x part brands).  ``member`` is
-    any (basket, item) relation — collect_set dedups duplicate
-    memberships map-side, so callers no longer need a distinct pass.
+    order-basket registry row (orders x part brands).
 
-    r10 basket-array shape (the item_neighbors rewrite, shared): ONE
-    basket-keyed shuffle collects each basket's item set and pairs
-    GENERATE from the array (double explode under a<b, fanout bounded
-    by items-per-basket — never a self-join).  The collected relation
-    feeds THREE consumers (pairs, margins, total), so it is lazily
-    checkpointed: AQE shuffle-stage reuse fires in some session states
-    and silently does not in others (measured 2.7 s vs 2.2 s at sf1
-    when it failed and the collect_set ran once per consumer — the
-    checkpoint makes the single-build guarantee deterministic).
+    Two flavors, chosen by BASKET CARDINALITY (an r10 measured
+    lesson, both directions):
+
+    - ``flavor="array"`` (default): ONE basket-keyed shuffle collects
+      each basket's item set (deduping map-side — callers need no
+      distinct pass) and pairs GENERATE from the array (double explode
+      under a<b); the collected relation feeds three consumers
+      (pairs, margins, total) so it is lazily checkpointed.  Wins when
+      baskets are FEW (traces, minutes: <= ~1e5 baskets) — the
+      service flavor went 2.47 -> 0.7 s at sf1 in the full bench.
+    - ``flavor="selfjoin"``: the distinct membership relation
+      self-joins on the basket key and margins/total partial-agg
+      straight off it (``member`` must then be DISTINCT — the brand
+      caller feeds the materialized order_brands parquet).  Wins at
+      CORPUS-SCALE basket counts (millions of orders): collect_set is
+      an object agg that falls back to sort-based past ~128 keys per
+      partition and its per-basket array materialization thrashes
+      block storage in long sessions — the brand row measured 4.8 s
+      (array) vs 1.7 s (selfjoin) at sf1 inside the 275-query bench,
+      despite the array flavor winning the same comparison in an idle
+      session.  Measure in the serving context, not just idle.
 
     Output: item_a, item_b, pair_baskets, a_baskets, b_baskets,
     lift_micro.
@@ -783,28 +798,47 @@ def basket_lift(member: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     member = member.select(
         F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
     )
-    baskets = (
-        member.groupBy("_bk")
-        .agg(F.collect_set("_it").alias("_items"))
-        .localCheckpoint(eager=False)
-    )
-    pairs = (
-        baskets.select(F.explode("_items").alias("item_a"), "_items")
-        .select(
-            "item_a",
-            F.explode(
-                F.filter("_items", lambda x: x > F.col("item_a"))
-            ).alias("item_b"),
+    if flavor == "selfjoin":
+        pairs = (
+            member.alias("l")
+            .join(
+                member.alias("r"),
+                (F.col("l._bk") == F.col("r._bk"))
+                & (F.col("l._it") < F.col("r._it")),
+            )
+            .groupBy(
+                F.col("l._it").alias("item_a"),
+                F.col("r._it").alias("item_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("pair_baskets"))
         )
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("pair_baskets"))
-    )
-    marg = (
-        baskets.select(F.explode("_items").alias("_it"))
-        .groupBy("_it")
-        .agg(F.count(F.lit(1)).alias("n_baskets"))
-    )
-    total = baskets.agg(F.count(F.lit(1)).alias("n_total"))
+        marg = member.groupBy("_it").agg(
+            F.count(F.lit(1)).alias("n_baskets")
+        )
+        total = member.select(F.count_distinct("_bk").alias("n_total"))
+    else:
+        baskets = (
+            member.groupBy("_bk")
+            .agg(F.collect_set("_it").alias("_items"))
+            .localCheckpoint(eager=False)
+        )
+        pairs = (
+            baskets.select(F.explode("_items").alias("item_a"), "_items")
+            .select(
+                "item_a",
+                F.explode(
+                    F.filter("_items", lambda x: x > F.col("item_a"))
+                ).alias("item_b"),
+            )
+            .groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).alias("pair_baskets"))
+        )
+        marg = (
+            baskets.select(F.explode("_items").alias("_it"))
+            .groupBy("_it")
+            .agg(F.count(F.lit(1)).alias("n_baskets"))
+        )
+        total = baskets.agg(F.count(F.lit(1)).alias("n_total"))
     return (
         pairs.join(
             F.broadcast(marg.select(F.col("_it").alias("item_a"),

@@ -161,9 +161,10 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket kernel (operators/trace_aggregation.py:basket_lift, shared
     with z_service_cooccurrence) on the engine's LARGEST fact table:
     the (order, brand) membership distinct comes off the SHARED
-    materialized order_brands relation; pairs generate from each
-    order's collected brand set with fanout bounded by
-    brands-per-order."""
+    materialized order_brands relation and self-joins on the order key
+    (the selfjoin kernel flavor: at millions of baskets the
+    collect_set object agg loses to the tuple join — see
+    basket_lift's flavor note)."""
     from zipkin_storage_kafka_spark.operators.trace_aggregation import (
         basket_lift,
     )
@@ -171,7 +172,7 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     member = _order_brands(spark, sf_dir).withColumnRenamed(
         "brand", "p_brand"
     )
-    return basket_lift(member, "l_orderkey", "p_brand")
+    return basket_lift(member, "l_orderkey", "p_brand", flavor="selfjoin")
 
 
 def q_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
