@@ -987,7 +987,13 @@ def _hits_oracle(iterations: int = 3) -> str:
     extra = (
         _LINKS_CTE.strip().rstrip(",")
         + """,
-            ed AS (SELECT DISTINCT parent, child FROM links),
+            -- MATERIALIZED: without it DuckDB re-inlines the whole
+            -- links/spans derivation through every unrolled HITS
+            -- half-step (the per-iteration scalar-subquery totals each
+            -- re-expand the chain) and the oracle OOMs at sf0.1; with
+            -- it every iteration runs on the |services|-bounded edge
+            -- relation (4 s at sf0.1, identical result).
+            ed AS MATERIALIZED (SELECT DISTINCT parent, child FROM links),
             nodes AS (
               SELECT DISTINCT service FROM (
                 SELECT parent AS service FROM ed
