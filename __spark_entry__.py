@@ -65,54 +65,49 @@ _PINNED_ZIPKIN_CORE = (
 # excludes driver artifacts from rounds >= this (the round's own
 # delivery necessarily contains exactly these keys — VERDICT r09
 # next-round #2).
-_ROTATION_ROUND = 10
+_ROTATION_ROUND = 11
 
-# Round-10 rotation: 35 slots (VERDICT r09 next-round #1/#4).  Front: the
-# two pipeline rows whose DuckDB oracles had the uncast HUGEINT-division
-# bug (group_id/shard_id came back float64) — `pipe_compaction_plan` is
-# the ONE latest-red driver row (r09 hash mismatch) and re-checking it is
-# the only way to prove the fix first-party; `pipe_shard_plan` had the
-# identical latent bug and is fronted from the queue.  Then the
+# Round-11 rotation: 35 slots (VERDICT r10 next-round #1).  r10 was
+# 50/50 green so there are no red rows to front; this is simply the
 # recomputed never-checked queue head in registry order (ROTATION.md
-# recompute rule, re-run 2026-08-15: 175/275 checked, 100 never).
+# recompute rule, re-run 2026-08-16: 209/275 checked, 66 never —
+# after this round 31 remain, fully drained in r12).
 _ROTATION = (
-    # -- oracle-cast fixes (registry_pipeline.py HUGEINT // -> BIGINT) --
-    "pipe_compaction_plan",
-    "pipe_shard_plan",
-    # -- recomputed queue head (registry order) --
-    "w_item_neighbors",
-    "h_customer_order_gaps",
-    "ev_seasonality",
-    "h_ltv_triangle",
-    "ev_seasonal_anomalies",
-    "ev_active_users",
-    "h_open_orders_timeline",
-    "w_revenue_pareto",
-    "ev_new_vs_returning",
-    "h_supplier_hhi",
-    "z_error_cooccurrence",
-    "h_fulfillment_latency",
-    "z_trace_idle_gaps",
-    "ev_ab_conversion",
-    "z_fanout_hotspots",
-    "ev_changepoint",
-    "mm_wav_resample",
-    "w25_slowest_per_service",
-    "z_error_pivot",
-    "z_error_unpivot",
-    "ann_ivf_recall",
-    "h19_discounted_parts_revenue",
-    "text_chunking",
-    "h10_returned_item_report",
-    "text_train_split",
-    "h8_national_market_share",
-    "text_encode_ids",
-    "h17_small_quantity_revenue",
-    "h21_waiting_suppliers",
-    "ev_minute_resample",
-    "w_rolling_revenue",
-    "text_quota_sample",
-    "z_trace_path_signature",
+    "h12_late_shipment_priority",
+    "ev_zorder_layout",
+    "text_global_shuffle",
+    "ev_time_weighted_value",
+    "text_pack_sequences",
+    "h11_important_stock",
+    "text_repetition",
+    "text_stratified_sample",
+    "h9_product_profit",
+    "text_decontaminate",
+    "emb_dim_stats",
+    "w9_stream_error_alerts",
+    "z_dependency_diff",
+    "text_boilerplate",
+    "z_latency_shift",
+    "z_error_paths",
+    "text_bpe_pairs",
+    "p5_disabled_flags",
+    "text_mixture_weights",
+    "text_trigram_search",
+    "text_url_domains",
+    "dedup_fuzzy_decontaminate",
+    "text_bm25_topk",
+    "z_cm_heavy_hitters",
+    "w11_stream_cm_grid",
+    "w12_stream_stream_join",
+    "emb_rp_simhash",
+    "w13_stream_sliding_windows",
+    "text_char_lm_score",
+    "w14_stream_static_enrich",
+    "pipe_corpus_card",
+    "text_token_budget_sample",
+    "text_priority_sample",
+    "text_pmi_bigrams",
+    "text_langid_agreement",
 )
 
 _FIRST50 = _PINNED_ZIPKIN_CORE + _ROTATION

@@ -58,6 +58,22 @@ def test_first50_prefix_contract():
         f"rotation keys already driver-GREEN (wasted budget): {stale}"
     )
 
+    # Symmetric guard (VERDICT r10 next-round #6): the exclusion above
+    # only works if the epoch was actually bumped when the rotation was
+    # re-pinned.  At pin time _ROTATION_ROUND must be exactly one past
+    # the newest delivered driver artifact — forgetting the bump would
+    # otherwise silently exclude a *delivered* round from the stale
+    # check and re-flag its green keys next pin.
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for f in files
+    ]
+    assert entrymod._ROTATION_ROUND == max(rounds) + 1, (
+        f"_ROTATION_ROUND={entrymod._ROTATION_ROUND} but newest delivered "
+        f"driver artifact is r{max(rounds)} — bump the epoch when "
+        "re-pinning the rotation"
+    )
+
 
 def test_pca_explained_uses_precomputed_component(spark):
     """pca_explained must read lambda_hat off the supplied component

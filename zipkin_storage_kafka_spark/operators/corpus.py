@@ -152,10 +152,12 @@ def profile_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     ("tonight's crawl is 40% shorter on average and 10% null — hold
     the merge").
 
-    Metrics over the ``text`` column, all exact BIGINT (micro-rates
-    are integer division, so the row never hash-flips): n_rows,
-    null_text_micro, avg_len_micro (micro-chars per non-null doc),
-    distinct_text.
+    Metrics over the ``text`` column: n_rows, null_text_micro and
+    avg_len_micro are exact BIGINT (micro-rates are integer division,
+    so the row never hash-flips); n_distinct counts distinct md5
+    digests rather than distinct texts, so it is probabilistically
+    exact — a 128-bit hash's birthday bound puts a collision at ~2^-64
+    odds even at corpus scale, negligible but not strict.
 
     Output: metric, base_value, new_value, delta — 4 rows.
 
@@ -169,8 +171,8 @@ def profile_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     pre-projection (null flag, length, 32-char hash), so the Expand
     the mixed count_distinct forces duplicates 40-byte rows instead
     of full document bodies, and the distinct partial-agg's hash
-    table keys on digests, never texts (collision odds at 2^128 are
-    nil next to the exactness claim).
+    table keys on digests, never texts (the ~2^-64 birthday-bound
+    collision odds above are the price).
     """
 
     def prof(df: DataFrame):

@@ -1501,8 +1501,8 @@ def source_overlap(
 
 
 def dedup_mixture_shift(
-    pairs: DataFrame,
-    quality: DataFrame,
+    pairs: DataFrame | None,
+    quality: DataFrame | None,
     docs: DataFrame,
     dropped: DataFrame | None = None,
 ) -> DataFrame:
@@ -1520,11 +1520,12 @@ def dedup_mixture_shift(
     share_after - share_before (negative = the language lost share).
 
     ``dropped`` is an optional precomputed (doc_id) relation of the
-    survivorship losers — one row per dropped doc, NO duplicates (the
-    registry feeds the materialized :func:`canonical_map` filtered to
-    doc_id != kept_doc_id, so the CC fixpoint runs once per corpus
-    snapshot, not once per audit).  When omitted the operator derives
-    it live from ``pairs`` + ``quality``.
+    survivorship losers (the registry feeds the materialized
+    :func:`canonical_map` filtered to doc_id != kept_doc_id, so the CC
+    fixpoint runs once per corpus snapshot, not once per audit).  The
+    operator dedups it defensively — duplicate doc_ids would otherwise
+    double-count in the *_before columns.  When omitted the operator
+    derives it live from ``pairs`` + ``quality`` (both then required).
 
     Scale (r10 cost pass): the corpus is scanned and tokenized ONCE —
     the dropped flag attaches as an id-only left join and both mixture
@@ -1538,6 +1539,11 @@ def dedup_mixture_shift(
     tokens_after, share_before_micro, share_after_micro, shift_micro.
     """
     if dropped is None:
+        if pairs is None or quality is None:
+            raise ValueError(
+                "dedup_mixture_shift: pass either a precomputed `dropped` "
+                "relation or BOTH `pairs` and `quality` to derive it live"
+            )
         from pyspark.sql import Window
 
         cc = connected_components(pairs)
@@ -1550,6 +1556,11 @@ def dedup_mixture_shift(
             .filter(F.col("rk") > 1)
             .select("doc_id")
         )
+    # Enforce (not assume) the documented no-duplicates contract: the
+    # dropped-flag attach is a plain left join, so a duplicated doc_id in
+    # `dropped` would double-count that doc in docs_before/tokens_before.
+    # Cost is bounded by dup-rate x corpus rows, dwarfed by the corpus agg.
+    dropped = dropped.select("doc_id").distinct()
     dt = docs.select(
         "doc_id",
         "lang",

@@ -51,9 +51,17 @@ def distinct_traces_sketch(spans: DataFrame) -> DataFrame:
     relation first — one partial-agg shuffle — so the exact count is a
     plain count and the remaining distinct-bucket agg Expands only the
     deduped two-column relation, not raw spans twice (two distinct
-    aggs over the corpus triple every row through the Expand).
+    aggs over the corpus triple every row through the Expand).  NULL
+    trace_ids are filtered first so the distinct+count(1) shape keeps
+    count_distinct's NULL semantics (a NULL id must not count as a
+    trace — proto decode via _hex_or_null can yield NULLs even though
+    the generated spans table never does).
     """
-    d = spans.select("local_service", "trace_id").distinct()
+    d = (
+        spans.filter(F.col("trace_id").isNotNull())
+        .select("local_service", "trace_id")
+        .distinct()
+    )
     agg = d.groupBy("local_service").agg(
         F.count_distinct(_bucket(F.col("trace_id"))).alias("n_buckets"),
         F.count(F.lit(1)).alias("exact_traces"),
@@ -98,9 +106,14 @@ def hll_distinct_traces(
     verified value-equal at sf1) and the exact count becomes a plain
     count, avoiding the Expand that mixing count_distinct with
     another agg forces on every raw span (sf1 min-of-3:
-    1.18 -> 0.84 s).
+    1.18 -> 0.84 s).  NULL trace_ids are filtered first — same
+    input-robustness note as :func:`distinct_traces_sketch`.
     """
-    d = spans.select("local_service", "trace_id").distinct()
+    d = (
+        spans.filter(F.col("trace_id").isNotNull())
+        .select("local_service", "trace_id")
+        .distinct()
+    )
     agg = d.groupBy("local_service").agg(
         F.hll_sketch_estimate(
             F.hll_sketch_agg("trace_id", F.lit(lg_k))

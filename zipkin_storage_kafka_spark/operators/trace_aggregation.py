@@ -792,6 +792,12 @@ def basket_lift(
       despite the array flavor winning the same comparison in an idle
       session.  Measure in the serving context, not just idle.
 
+    The array flavor's lazy localCheckpoint is non-reliable (executor
+    loss fails the query) and its blocks persist until LRU eviction —
+    acceptable because the flavor dispatch gates it to <= ~1e5 baskets;
+    SCALE.md "Round 11: the lazy-localCheckpoint trade-off" states the
+    contract once for all call sites.
+
     Output: item_a, item_b, pair_baskets, a_baskets, b_baskets,
     lift_micro.
     """
