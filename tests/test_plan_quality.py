@@ -399,11 +399,13 @@ def test_slowest_per_service_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
-def test_substring_dedup_two_exchanges_one_scan(spark, sf_dir):
-    """dedup_substring must keep the window-count formulation: exactly two
-    exchanges (hash key, then doc_id) and ONE parquet scan — the
-    groupBy+join-back alternative re-scans the explode and adds a third
-    exchange.  The scan must prune to (doc_id, text)."""
+def test_substring_dedup_no_sort_two_shuffles(spark, sf_dir):
+    """dedup_substring must keep the r11 unique-owner formulation: the
+    corpus-mass exchange on the hash key feeds a HashAggregate — never
+    the Sort+Window the count-over-partition shape forced on every
+    exploded row — and the only other shuffle is the KB-scale doc-keyed
+    unique-count agg (the analytic n_windows side re-scans the pruned
+    parquet instead of the explode).  Scans prune to (doc_id, text)."""
     from zipkin_storage_kafka_spark.operators.dedup import (
         substring_duplication,
     )
@@ -412,12 +414,14 @@ def test_substring_dedup_two_exchanges_one_scan(spark, sf_dir):
 
     df = substring_duplication(load_table(spark, sf_dir, "documents"))
     plan = _plan(df)
+    assert not re.search(r"^\(\d+\) Sort\b", plan, re.M), plan
+    assert "Window" not in plan, plan
     n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchange == 2, plan
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
-    assert n_scans == 1, plan
-    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
-    assert "text" in read_schema and "lang" not in read_schema
+    assert n_scans == 2, plan
+    for read_schema in (l for l in plan.splitlines() if "ReadSchema" in l):
+        assert "text" in read_schema and "lang" not in read_schema
 
 
 def test_bmp_pipeline_single_scan_no_shuffle(spark, sf_dir):

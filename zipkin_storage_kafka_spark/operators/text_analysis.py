@@ -1662,21 +1662,23 @@ def dsir_importance(
             " ", F.element_at("w", i), F.element_at("w", i + F.lit(1))
         ),
     )
-    g = d.filter(F.size("w") >= 2).select(
-        "doc_id",
-        "source",
-        F.explode(grams).alias("gram"),
-    )
-    # Materialize the per-(doc, bucket) counts ONCE: raw, tgt, and the
-    # per-doc pass all consume `occ`, and without lineage truncation
-    # each reference re-plans the full tokenize+explode+hash+groupBy
-    # pipeline (measured: 12 parquet scans / 5 explodes / zero
-    # ReusedExchange — the same duplicated-upstream pattern as the r4
-    # encode_token_ids regression).  Lazy localCheckpoint = the kmeans/
-    # connected-components discipline: computed on first use, every
-    # later branch reads the materialized partitions.
-    occ = (
-        g.select(
+    # TWO TOKENIZE PASSES, ZERO corpus-scale shuffle (r11 cost pass).
+    # The earlier shape grouped the gram stream to per-(doc, source,
+    # bucket) counts and lazily checkpointed them for three consumers —
+    # but at 1024 buckets most (doc, bucket) counts are 1, so the
+    # groupBy shuffled and block-stored nearly the whole gram mass for
+    # almost no compression (the corpus-scale-localCheckpoint smell;
+    # see SCALE.md r11).  Re-deriving the exploded gram stream per pass
+    # is pure pipelined CPU: pass 1 partial-aggs straight down to the
+    # |buckets|-row distribution table (KB shuffle), pass 2 scores docs
+    # through the broadcast weight table into a doc-keyed partial agg.
+    # Same-session A/B, output-identical: sf1 3.36 -> 2.13 s and the
+    # row now scales FLAT (sf0.1 2.11 s) because no shuffle grows with
+    # the corpus.
+    g = (
+        d.filter(F.size("w") >= 2)
+        .select("doc_id", "source", F.explode(grams).alias("gram"))
+        .select(
             "doc_id",
             "source",
             (
@@ -1684,48 +1686,41 @@ def dsir_importance(
                 % buckets
             ).alias("bucket"),
         )
-        .groupBy("doc_id", "source", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
     )
-    raw = occ.groupBy("bucket").agg(F.sum("n").alias("cr"))
-    tgt = (
-        occ.filter(F.col("source") == target_source)
-        .groupBy("bucket")
-        .agg(F.sum("n").alias("ct"))
+    # Both bucket distributions from ONE conditional agg (plain counts,
+    # no count_distinct — no Expand), replacing the raw/tgt left join.
+    bt = g.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(
+            F.when(F.col("source") == target_source, F.lit(1))
+        ).alias("ct"),
     )
-    totals = raw.join(tgt, "bucket", "left").agg(
-        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
-    )
-    lw = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            F.round(
-                F.log(
-                    (
-                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
-                        / (F.col("tt") + F.lit(buckets))
-                    )
-                    / (
-                        (F.col("cr") + F.lit(1))
-                        / (F.col("tr") + F.lit(buckets))
-                    )
+    totals = bt.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    lw = bt.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (
+                    (F.col("ct") + F.lit(1))
+                    / (F.col("tt") + F.lit(buckets))
                 )
-                * F.lit(1_000_000),
-                0,
+                / (
+                    (F.col("cr") + F.lit(1))
+                    / (F.col("tr") + F.lit(buckets))
+                )
             )
-            .cast("long")
-            .alias("lw_micro"),
+            * F.lit(1_000_000),
+            0,
         )
+        .cast("long")
+        .alias("lw_micro"),
     )
     per_doc = (
-        occ.join(F.broadcast(lw), "bucket")
+        g.join(F.broadcast(lw), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.sum("n").alias("n_grams"),
-            F.sum(F.col("n") * F.col("lw_micro")).alias("weight_micro"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lw_micro").alias("weight_micro"),
         )
     )
     return (
