@@ -657,6 +657,11 @@ def test_curriculum_order_no_global_window(spark, sf_dir):
     assert window_lines, "plan should contain Window detail lines"
     bad = [l for l in window_lines if l.count("], [") < 2]
     assert not bad, bad
+    # r11: the within-phase position must also never partition a window
+    # by the BOUNDED phase key (phases=4 -> four sort tasks each holding
+    # a quarter of the corpus); both ranks partition by the range id.
+    by_phase = [l for l in window_lines if "phase" in l.split("], [")[1]]
+    assert not by_phase, by_phase
 
 
 def test_links_bucketed_store_read_no_join_exchange(spark, sf_dir):

@@ -104,6 +104,49 @@ def distributed_ntile(
     )
 
 
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "_grank",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``rank_col`` = exact 1-based global ``row_number()`` over
+    the total order ``order_cols`` (must be a UNIQUE key combination),
+    via the same two-level shape as :func:`distributed_ntile`: range
+    exchange -> per-partition row_number (window partitioned by the
+    range id, parallel) -> broadcast partition-count offsets from a
+    triangular join.  Zero single-partition window stages.
+
+    The range-partitioned frame is lazily checkpointed so the rank path
+    and the count/offset path read ONE materialized partitioning — a
+    recomputed range exchange may re-sample different boundaries
+    (KB-scale blocks: #partitions counts; the data partitions
+    themselves are the same mass any global sort holds).
+    """
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"), F.col("a._c").alias("_c"))
+        .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_off"))
+        .select("_pid", "_off")
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def approx_buckets(
     df: DataFrame,
     n_buckets: int,
