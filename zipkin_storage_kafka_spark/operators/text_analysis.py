@@ -946,20 +946,32 @@ def bm25_topk(
 
     Shape: the token explode is filtered to the |terms| query terms BEFORE
     the (doc_id, term) partial-agg shuffle, so shuffle volume is bounded by
-    matches, not corpus tokens; doc frequency (|terms| rows), avgdl, and N
-    are broadcast scalars.  Determinism: each per-term score is rounded to
-    integer MICRO-points before the per-doc sum — integer sums are exact
-    under any aggregation order, so the engine and the oracle rank
-    identically (a float sum's order-dependent ulp could flip top-k
-    boundaries).  Output: doc_id, n_terms, score_micro, rank.
+    matches, not corpus tokens; doc length rides the explode and recovers
+    through the groupBy as ``min`` (constant per doc), so document lengths
+    NEVER join corpus-wide — r11 removed a corpus-sized dl relation
+    shuffling into a doc-keyed join for a k-row result (one less text
+    scan and one less corpus exchange; same-session A/B sf0.1
+    1.41 -> 1.25 s, sf1 1.63 -> 1.52 s, output-identical — the tokenize
+    explode dominates locally, but the removed exchange is the term that
+    grows with the corpus).  Doc frequency (|terms| rows), avgdl, and N
+    are broadcast scalars.  Determinism: each
+    per-term score is rounded to integer MICRO-points before the per-doc
+    sum — integer sums are exact under any aggregation order, so the
+    engine and the oracle rank identically (a float sum's order-dependent
+    ulp could flip top-k boundaries).  Output: doc_id, n_terms,
+    score_micro, rank.
     """
     term_arr = F.array(*[F.lit(t) for t in terms])
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.array_contains(term_arr, F.col("word")))
-    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dl = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("double").alias("_dl"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .filter(F.array_contains(term_arr, F.col("word")))
+    )
+    tf = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("_dl").alias("dl")
     )
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -987,7 +999,6 @@ def bm25_topk(
     )
     per_term = (
         tf.join(F.broadcast(dfreq), "word")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -1083,6 +1094,7 @@ def hybrid_rrf_topk(
     query_vec_id: int,
     terms: tuple[str, ...] = BM25_QUERY_TERMS,
     k: int = 20,
+    lex: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. SIGIR
     2009): fuse the BM25 lexical top-k and the embedding-cosine top-k
@@ -1104,10 +1116,14 @@ def hybrid_rrf_topk(
     (TakeOrdered, no global sort); ranking the k survivors is the same
     triangular k²-over-k-rows self-join BM25 uses (no single-partition
     window); the fusion is a full outer join of two k-row relations.
+    ``lex`` optionally supplies a precomputed BM25 top-k relation
+    (doc_id, ..., rank — the registry feeds the matcache'd
+    ``bm25_topk`` the text_bm25_topk row also serves, so the lexical
+    corpus pass runs once per corpus snapshot, not per consumer).
     """
     from zipkin_storage_kafka_spark.operators.similarity import cosine_topk
 
-    lex = bm25_topk(docs, terms, k).select(
+    lex = (lex if lex is not None else bm25_topk(docs, terms, k)).select(
         "doc_id", F.col("rank").alias("lex_rank")
     )
     # The k-row dense arm is referenced twice (rank self-join); without
