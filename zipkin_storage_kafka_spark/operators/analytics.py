@@ -975,8 +975,9 @@ def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE fact-table pass: bounds and the type dim both derive from the
     # already-aggregated tiny obs relation (the groupBy preserves every
     # observed (type, minute)), and the lazy checkpoint stops the three
-    # consumers from each re-planning the scan+aggregate subtree — the
-    # same duplicated-upstream discipline as dsir_importance.
+    # consumers from each re-planning the scan+aggregate subtree —
+    # justified here because obs is CELL-sized (types x minutes), not
+    # corpus-sized (SCALE.md r11 localCheckpoint contract).
     obs = (
         base.groupBy("event_type", "m")
         .agg(round4(F.avg("value")).alias("v"))
@@ -1282,9 +1283,12 @@ def next_basket_rules(
         F.col("prev_orderkey").alias("k_prev"),
         F.col("o_orderkey").alias("k_next"),
     )
+    # Checkpoint the membership ONLY when derived live (four consumers
+    # below would re-run the lineitem join).  The registry feeds the
+    # PERSISTED matcache relation — checkpointing that would materialize
+    # a second corpus-sized block copy per call for nothing (r11).
     if brands is None:
-        brands = order_brands(spark, sf_dir)
-    brands = brands.localCheckpoint(eager=False)
+        brands = order_brands(spark, sf_dir).localCheckpoint(eager=False)
     ba = brands.select(
         F.col("l_orderkey").alias("k_prev"), F.col("brand").alias("brand_a")
     )

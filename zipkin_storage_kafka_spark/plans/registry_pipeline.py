@@ -344,10 +344,33 @@ def _char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _TRIGRAM_CACHE[key]
 
 
+# The n-gram detector's per-doc prediction relation is consumed by TWO
+# rows (text_langid_ngram itself + the text_langid_agreement confusion
+# cube) and its build walks the trigram relation twice (profiles +
+# classify) — materialize it once per corpus snapshot like every other
+# >=2-consumer relation.
+_LANGID_NGRAM_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _langid_ngram_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipkin_storage_kafka_spark.sources import matcache, tables
+
+    key = (id(spark), sf_dir)
+    if key not in _LANGID_NGRAM_CACHE:
+        _LANGID_NGRAM_CACHE[key] = matcache.materialized(
+            spark,
+            sf_dir,
+            "langid_ngram_pred",
+            matcache.code_fingerprint((ta, tables)),
+            lambda: ta.language_id_ngram(
+                _docs(spark, sf_dir), tg=_char_trigrams(spark, sf_dir)
+            ),
+        ).persist()
+    return _LANGID_NGRAM_CACHE[key]
+
+
 def q_text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ta.language_id_ngram(
-        _docs(spark, sf_dir), tg=_char_trigrams(spark, sf_dir)
-    )
+    return _langid_ngram_pred(spark, sf_dir)
 
 
 def q_text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,12 +534,12 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-method language-ID confusion cube
     (operators/text_analysis.py:langid_agreement): one doc_id join of
-    the two detectors' outputs, partial-agged to <= |langs+1|^3 rows."""
+    the two detectors' outputs, partial-agged to <= |langs+1|^3 rows.
+    The n-gram arm reads the SHARED materialized prediction relation
+    (one profile+classify pass per corpus snapshot, two consumers)."""
     return ta.langid_agreement(
         ta.language_id(_docs(spark, sf_dir)),
-        ta.language_id_ngram(
-            _docs(spark, sf_dir), tg=_char_trigrams(spark, sf_dir)
-        ),
+        _langid_ngram_pred(spark, sf_dir),
     )
 
 
