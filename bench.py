@@ -88,6 +88,20 @@ def main() -> None:
     centroids, assign = _ivf_index(spark, sf_dir)
     centroids.count()
     assign.count()
+    # round-11 materialized layer: the item-neighbor membership, the
+    # BM25 eval top-20, and the n-gram langid predictions — each shared
+    # by >=2 rows (or replacing a per-call corpus derivation)
+    from zipkin_storage_kafka_spark.plans.registry_analytics import (
+        _order_parts,
+    )
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import (
+        _bm25_top,
+        _langid_ngram_pred,
+    )
+
+    _order_parts(spark, sf_dir).count()
+    _bm25_top(spark, sf_dir).count()
+    _langid_ngram_pred(spark, sf_dir).count()
     # Prewarm the Python worker pool (spawned once per executor, reused by
     # every Arrow-batched stage afterwards).  The prewarm closure imports
     # the codec modules so each worker pays the package import once here,

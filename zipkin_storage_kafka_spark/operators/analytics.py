@@ -1283,12 +1283,17 @@ def next_basket_rules(
         F.col("prev_orderkey").alias("k_prev"),
         F.col("o_orderkey").alias("k_next"),
     )
-    # Checkpoint the membership ONLY when derived live (four consumers
-    # below would re-run the lineitem join).  The registry feeds the
-    # PERSISTED matcache relation — checkpointing that would materialize
-    # a second corpus-sized block copy per call for nothing (r11).
+    # Checkpoint the membership UNCONDITIONALLY: four consumers below
+    # read it, and a same-session A/B (r11) measured the checkpoint
+    # faster even when the caller feeds the persisted matcache relation
+    # (2.70 vs 2.92/3.35 s idle; in-bench the checkpointed shape held
+    # 1.56 s where the no-checkpoint cut drifted to 2.28) — re-reading
+    # a persisted InMemoryRelation four times costs more per consumer
+    # than one narrow checkpoint write.  SCALE.md r11 records the
+    # block-accumulation trade-off once for all sites.
     if brands is None:
-        brands = order_brands(spark, sf_dir).localCheckpoint(eager=False)
+        brands = order_brands(spark, sf_dir)
+    brands = brands.localCheckpoint(eager=False)
     ba = brands.select(
         F.col("l_orderkey").alias("k_prev"), F.col("brand").alias("brand_a")
     )

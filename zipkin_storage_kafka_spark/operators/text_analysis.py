@@ -1715,19 +1715,25 @@ def dsir_importance(
             " ", F.element_at("w", i), F.element_at("w", i + F.lit(1))
         ),
     )
-    # TWO TOKENIZE PASSES, ZERO corpus-scale shuffle (r11 cost pass).
-    # The earlier shape grouped the gram stream to per-(doc, source,
-    # bucket) counts and lazily checkpointed them for three consumers —
-    # but at 1024 buckets most (doc, bucket) counts are 1, so the
-    # groupBy shuffled and block-stored nearly the whole gram mass for
-    # almost no compression (the corpus-scale-localCheckpoint smell;
-    # see SCALE.md r11).  Re-deriving the exploded gram stream per pass
-    # is pure pipelined CPU: pass 1 partial-aggs straight down to the
-    # |buckets|-row distribution table (KB shuffle), pass 2 scores docs
-    # through the broadcast weight table into a doc-keyed partial agg.
-    # Same-session A/B, output-identical: sf1 3.36 -> 2.13 s and the
-    # row now scales FLAT (sf0.1 2.11 s) because no shuffle grows with
-    # the corpus.
+    # ONE tokenize pass, ZERO corpus-scale shuffle (r11 cost pass, two
+    # iterations).  The r10 shape grouped the gram stream to
+    # per-(doc, source, bucket) counts and checkpointed them — but at
+    # 1024 buckets most counts are 1, so that corpus groupBy exchange
+    # shuffled nearly the whole gram mass for no compression.  A first
+    # r11 cut re-derived the gram stream per consumer instead (no
+    # checkpoint at all): it won idle A/Bs (sf1 3.36 -> 2.13) but LOST
+    # 2.6x inside the full 275-query bench (1.39 -> 3.62 noise-
+    # normalized) — the tokenize+spread of the wide text column is
+    # cheap idle and expensive under serving memory pressure (the
+    # basket-kernel lesson again: measure in the serving context).
+    # Shipped shape: checkpoint the exploded bucket stream BEFORE any
+    # shuffle — both consumers read the narrow (doc, source, bucket)
+    # blocks, pass 1 partial-aggs to the |buckets|-row distribution
+    # table (KB shuffle), pass 2 scores docs through the broadcast
+    # weight table into a doc-keyed partial agg.  Same storage mass as
+    # the r10 shape, one corpus exchange fewer.  At true 100 TB the
+    # per-snapshot materialization layer replaces the checkpoint
+    # (SCALE.md r11 localCheckpoint contract).
     g = (
         d.filter(F.size("w") >= 2)
         .select("doc_id", "source", F.explode(grams).alias("gram"))
@@ -1739,6 +1745,7 @@ def dsir_importance(
                 % buckets
             ).alias("bucket"),
         )
+        .localCheckpoint(eager=False)
     )
     # Both bucket distributions from ONE conditional agg (plain counts,
     # no count_distinct — no Expand), replacing the raw/tgt left join.
