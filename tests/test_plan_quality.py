@@ -1332,12 +1332,16 @@ def test_epoch_plan_prunes_documents(spark, sf_dir):
 def test_item_neighbors_basket_keyed_pair_join(spark, sf_dir):
     """The pair join is an l_orderkey equi-join (never item x item —
     the deliberate corpus-scale-basket tuple shape, see the operator's
-    r10 flavor note), the lineitem scan reads only (l_orderkey,
-    l_partkey), and the top-k window partitions by part_key."""
+    r10 flavor note), the membership scan reads only the narrow
+    membership columns, and the top-k window partitions by part_key.
+    r11: pairs generate SYMMETRICALLY from the join (l != r) — the plan
+    must contain NO Union (the old triangular+flip shape ran the final
+    pair agg twice over a flipped copy)."""
     import __spark_entry__ as entrymod
 
     plan = _plan(entrymod.queries()["w_item_neighbors"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+    assert "Union" not in plan, plan
     reads = [l for l in plan.splitlines() if "ReadSchema" in l]
     li = [l for l in reads if "l_orderkey" in l]
     assert li and all("l_quantity" not in l for l in li), plan

@@ -970,8 +970,15 @@ def bm25_topk(
         )
         .filter(F.array_contains(term_arr, F.col("word")))
     )
-    tf = toks.groupBy("doc_id", "word").agg(
-        F.count(F.lit(1)).alias("tf"), F.min("_dl").alias("dl")
+    # tf is consumed twice (per-doc scoring + the doc-frequency table)
+    # and is SMALL (docs containing a query term x |terms|) — checkpoint
+    # it so the corpus tokenize/explode runs once, not once per consumer
+    # (r11: the pre-AQE plan duplicated the whole corpus subtree, 6
+    # parquet scans / 10 exchanges for a k-row result).
+    tf = (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("_dl").alias("dl"))
+        .localCheckpoint(eager=False)
     )
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -1007,9 +1014,20 @@ def bm25_topk(
             .alias("micro"),
         )
     )
-    scored = per_term.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.sum("micro").alias("score_micro"),
+    # scored is checkpointed (matched-docs grain — small): BOTH
+    # triangular-join sides below re-evaluate their upstream, and
+    # without truncation each side re-ran the whole scoring subtree
+    # including the corpus stats scan (the pre-AQE plan showed 6
+    # parquet scans / 10 exchanges for a k-row result).  Checkpointing
+    # here — not at the k-row top — keeps the TakeOrderedAndProject
+    # visible in the outer plan for the pin.
+    scored = (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("micro").alias("score_micro"),
+        )
+        .localCheckpoint(eager=False)
     )
     # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k +
     # k-row driver merge); rank the k survivors by triangular self-join
