@@ -1,0 +1,131 @@
+"""Anti-pattern sweep over EVERY registered query's physical plan.
+
+Machine-checks the claims the per-operator docstrings make by hand:
+no cartesian products, no Expand blowups (mixed count_distinct), no
+unpartitioned windows, no single-partition exchanges except 1-row
+scalar reductions, bounded Union fan-out.  Writes one JSON artifact
+(default PLAN_AUDIT.json) with per-query operator counts plus an
+`offenders` section; exits nonzero if a HARD rule fires so the sweep
+can gate a round.
+
+Hard rules (plan must not contain):
+- CartesianProduct anywhere.
+- A Window whose partition spec is empty (single-partition sort).
+
+Soft counters (reported, judged manually — legitimate uses exist):
+- Expand (expected only where a single grouping-sets/rollup row is the
+  design, e.g. pivot audits; mixed count_distinct Expands were
+  eliminated in r10).
+- BroadcastNestedLoopJoin (legitimate against <=1-row/KB relations —
+  the scalar-bounds pattern; anything else is a flag).
+- Exchange SinglePartition (legitimate for 1-row scalar aggregations).
+- Union branches (legitimate for fixed small stacks, e.g. per-table
+  checksums; corpus-subtree unions were eliminated in r10/r11).
+
+Usage: python tools/plan_audit.py [out.json] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from zipkin_storage_kafka_spark.session import get_spark  # noqa: E402
+
+
+def audit_plan(plan: str) -> dict:
+    counts = {
+        "cartesian": len(re.findall(r"CartesianProduct", plan)),
+        "expand": len(re.findall(r"^\s*\(\d+\) Expand", plan, re.M)),
+        "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
+        "single_partition_exchange": len(
+            re.findall(r"Arguments: SinglePartition", plan)
+        ),
+        "union": len(re.findall(r"^\s*\(\d+\) Union", plan, re.M)),
+        "scans": len(re.findall(r"^\s*\(\d+\) Scan parquet", plan, re.M)),
+        "exchanges": len(re.findall(r"^\s*\(\d+\) Exchange", plan, re.M)),
+        "sorts": len(re.findall(r"^\s*\(\d+\) Sort\b", plan, re.M)),
+    }
+    # Window partition spec: the bracket-group count of the Arguments
+    # line is AMBIGUOUS ("unpartitioned + ordered" and "partitioned, no
+    # order" both print two groups — verified empirically), so parse the
+    # windowspecdefinition argument list itself: the spec's args are
+    # partitionCols..., orderCols (each "col ASC|DESC ..."), then the
+    # frame.  No partition key <=> the first arg is either the frame or
+    # an ordered column.
+    unpartitioned = 0
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        first = m.group(1).split(",")[0].strip()
+        if first.startswith("specifiedwindowframe") or re.search(
+            r"\b(ASC|DESC)\b", first
+        ):
+            unpartitioned += 1
+    counts["unpartitioned_window"] = unpartitioned
+    return counts
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLAN_AUDIT.json"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="plan-audit")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    results: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    t0 = time.time()
+    for i, (name, fn) in enumerate(entrymod.queries().items()):
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
+            results[name] = audit_plan(plan)
+        except Exception as exc:  # streaming rows can't explain batch
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        if (i + 1) % 50 == 0:
+            print(f"[{i + 1}] {time.time() - t0:.0f}s", flush=True)
+    hard = {
+        k: v
+        for k, v in results.items()
+        if v["cartesian"] or v["unpartitioned_window"]
+    }
+    soft = {
+        "expand": {k: v["expand"] for k, v in results.items() if v["expand"]},
+        "bnlj": {k: v["bnlj"] for k, v in results.items() if v["bnlj"]},
+        "single_partition_exchange": {
+            k: v["single_partition_exchange"]
+            for k, v in results.items()
+            if v["single_partition_exchange"]
+        },
+        "union": {k: v["union"] for k, v in results.items() if v["union"]},
+        "many_scans": {
+            k: v["scans"] for k, v in results.items() if v["scans"] >= 5
+        },
+    }
+    out = {
+        "sf_dir": sf_dir,
+        "n_queries": len(results),
+        "hard_violations": hard,
+        "soft": soft,
+        "errors": errors,
+        "per_query": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(
+        f"DONE {len(results)} plans, hard={len(hard)}, "
+        f"errors={len(errors)}, {time.time() - t0:.0f}s -> {out_path}",
+        flush=True,
+    )
+    for k in hard:
+        print("HARD:", k, hard[k])
+    return 1 if hard else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

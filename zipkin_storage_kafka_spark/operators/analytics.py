@@ -2442,9 +2442,17 @@ def hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("te").isNotNull().cast("long").alias("is_event"),
         )
     )
-    hist = per_user.groupBy("day").agg(
-        F.sum("is_event").alias("n_events"),
-        F.sum(F.lit(1) - F.col("is_event")).alias("n_censored"),
+    # |days|-row relation consumed THREE times (both triangular-join
+    # sides + the total) — without truncation each consumer re-evaluated
+    # the whole corpus subtree (12 pre-AQE parquet scans; the r11 plan
+    # audit's many_scans flag).  KB-scale checkpoint.
+    hist = (
+        per_user.groupBy("day")
+        .agg(
+            F.sum("is_event").alias("n_events"),
+            F.sum(F.lit(1) - F.col("is_event")).alias("n_censored"),
+        )
+        .localCheckpoint(eager=False)
     )
     a, b = hist.alias("a"), hist.alias("b")
     risk = (

@@ -1421,6 +1421,11 @@ def query_probe(
     Output per candidate: doc_id, exact_hit (int), n_band_hits,
     jaccard (round4).
     """
+    # The probe's intermediate relations are all CANDIDATE-bounded
+    # (one doc's band hits / shingles) but each is consumed twice —
+    # without truncation the consumers compounded to 12 pre-AQE parquet
+    # scans (r11 plan audit).  Three KB-scale checkpoints collapse the
+    # tree so the index seek and the candidate shingle read run once.
     qkeys = build_dedup_index(query, n, bands, rows)
     hits = (
         index.join(
@@ -1432,11 +1437,17 @@ def query_probe(
             F.max((F.col("kind") == "h").cast("int")).alias("exact_hit"),
             F.sum((F.col("kind") != "h").cast("long")).alias("n_band_hits"),
         )
+        .localCheckpoint(eager=False)
     )
-    q_sh = shingles_native(query, n).select("sh").distinct()
+    q_sh = (
+        shingles_native(query, n)
+        .select("sh")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     cand_sh = corpus_shingles.join(
         F.broadcast(hits.select("doc_id")), "doc_id", "semi"
-    )
+    ).localCheckpoint(eager=False)
     sizes = cand_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
     inter = (
         cand_sh.join(F.broadcast(q_sh), "sh")
