@@ -65,50 +65,56 @@ _PINNED_ZIPKIN_CORE = (
 # excludes driver artifacts from rounds >= this (the round's own
 # delivery necessarily contains exactly these keys — VERDICT r09
 # next-round #2).
-_ROTATION_ROUND = 11
+_ROTATION_ROUND = 12
 
-# Round-11 rotation: 35 slots (VERDICT r10 next-round #1).  r10 was
-# 50/50 green so there are no red rows to front; this is simply the
-# recomputed never-checked queue head in registry order (ROTATION.md
-# recompute rule, re-run 2026-08-16: 209/275 checked, 66 never —
-# after this round 31 remain, fully drained in r12).
-_ROTATION = (
-    "h12_late_shipment_priority",
-    "ev_zorder_layout",
-    "text_global_shuffle",
-    "ev_time_weighted_value",
-    "text_pack_sequences",
-    "h11_important_stock",
-    "text_repetition",
-    "text_stratified_sample",
-    "h9_product_profit",
-    "text_decontaminate",
-    "emb_dim_stats",
-    "w9_stream_error_alerts",
-    "z_dependency_diff",
-    "text_boilerplate",
-    "z_latency_shift",
-    "z_error_paths",
-    "text_bpe_pairs",
-    "p5_disabled_flags",
-    "text_mixture_weights",
-    "text_trigram_search",
-    "text_url_domains",
-    "dedup_fuzzy_decontaminate",
-    "text_bm25_topk",
-    "z_cm_heavy_hitters",
-    "w11_stream_cm_grid",
-    "w12_stream_stream_join",
-    "emb_rp_simhash",
-    "w13_stream_sliding_windows",
-    "text_char_lm_score",
-    "w14_stream_static_enrich",
-    "pipe_corpus_card",
-    "text_token_budget_sample",
-    "text_priority_sample",
-    "text_pmi_bigrams",
-    "text_langid_agreement",
+# Round-12 rotation: the FINAL drain (VERDICT r11 next-round #2).  r11
+# was 50/50 green so there are no red rows to front; the recomputed
+# never-checked queue (ROTATION.md recompute rule, re-run 2026-08-16:
+# 244/275 checked) holds exactly 31 keys — after this round every
+# registry query has a first-party driver row.  The 4 surplus slots
+# become deliberate RE-PROOFS of rows this round's cost passes touch
+# (re-checking a row whose plan just changed is the highest-value use
+# of a drained-queue slot); they live in _ROTATION_BACKFILL so the
+# prefix-contract test can tell them apart from wasted re-checks.
+_ROTATION_BACKFILL = (
+    "dedup_semantic_diverse",   # r12 cost pass: worst sf1 scaler (6.4x)
+    "text_tfidf",               # r12 cost pass: slowest never-tuned row
+    "pipe_incremental_dedup",   # r12 cost pass: 2nd slowest never-tuned
+    "emb_covariance",           # r12 idle re-measure target (5.4x flag)
 )
+_ROTATION = (
+    "text_heaps_law",
+    "text_feature_hashing",
+    "ann_pq_recall",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
+    "emb_silhouette",
+    "text_winnowing",
+    "mm_audio_fingerprint",
+    "dedup_winnow_clusters",
+    "text_winnow_decontaminate",
+    "text_source_lang_gini",
+    "pipe_dedup_mixture_shift",
+    "text_vocab_coverage",
+    "dedup_query_probe",
+    "pipe_source_overlap",
+    "ann_mmr_rerank",
+    "pipe_bloom_prefilter",
+    "dedup_containment",
+    "w8_stream_lsh_registry",
+    "ann_range_search",
+    "ann_filtered_topk",
+    "mm_record_sizes",
+    "text_source_hellinger",
+    "emb_ivf_balance",
+    "pipe_epoch_plan",
+    "dedup_minhash_estimate",
+    "pipe_reembed_queue",
+    "emb_centroid_outliers",
+    "emb_knn_graph",
+    "mm_audio_vad",
+    "pipe_dedup_remap",
+) + _ROTATION_BACKFILL
 
 _FIRST50 = _PINNED_ZIPKIN_CORE + _ROTATION
 
