@@ -1712,3 +1712,39 @@ def test_promo_did_single_fact_scan(spark, sf_dir):
     plan = _plan(entrymod.queries()["w_promo_lift_did"](spark, sf_dir))
     assert plan.count("Scan parquet  (") == 2, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_plan_audit_window_parser_balanced_parens():
+    """The PLAN_AUDIT gating rule's windowspecdefinition parser must
+    survive nested parens in the first spec argument (ADVICE r11 #2):
+    'coalesce(a, b) ASC' is an ORDER column on an UNPARTITIONED window
+    and must flag; 'coalesce(a, b), ts ASC' is a partition key and must
+    not.  A naive [^)]* capture truncates at the first nested ')' and
+    silently passes the pathological case."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from plan_audit import audit_plan
+
+    frame = "specifiedwindowframe(RangeFrame, unboundedpreceding$(), currentrow$())"
+    cases = [
+        # order-by-only windows (the pathology) -> must flag
+        (f"windowspecdefinition(coalesce(a#1, b#2) ASC NULLS FIRST, {frame})", 1),
+        (f"windowspecdefinition(cast(x#3 as int) ASC NULLS FIRST, {frame})", 1),
+        (f"windowspecdefinition({frame})", 1),
+        # partitioned windows (incl. nested-paren partition exprs) -> clean
+        (f"windowspecdefinition(coalesce(a#1, b#2), ts#4 ASC NULLS FIRST, {frame})", 0),
+        (f"windowspecdefinition(svc#5, ts#4 DESC NULLS LAST, {frame})", 0),
+        # ASC-like text nested inside a partition expression -> clean
+        (
+            "windowspecdefinition(CASE WHEN (x#1 ASC IN (1)) THEN 1 ELSE 0 END, "
+            f"y#2 ASC NULLS FIRST, {frame})",
+            0,
+        ),
+    ]
+    for plan, want in cases:
+        got = audit_plan(plan)["unpartitioned_window"]
+        assert got == want, f"{plan[:70]}... want {want} got {got}"

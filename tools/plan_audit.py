@@ -39,6 +39,31 @@ import __spark_entry__ as entrymod  # noqa: E402
 from zipkin_storage_kafka_spark.session import get_spark  # noqa: E402
 
 
+def _spec_args(plan: str, start: int) -> list[str]:
+    """Balanced-paren scan of a windowspecdefinition(...) argument list
+    starting at the char after the opening paren; returns the TOP-LEVEL
+    comma-separated args.  A plain [^)]* regex truncates at the first
+    nested ')' (e.g. 'coalesce(a, b) ASC'), silently misclassifying a
+    single-partition window as partitioned — a false negative on the
+    gating rule (ADVICE r11 #2)."""
+    args, buf, depth = [], [], 0
+    for ch in plan[start:]:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        args.append("".join(buf).strip())
+    return args
+
+
 def audit_plan(plan: str) -> dict:
     counts = {
         "cartesian": len(re.findall(r"CartesianProduct", plan)),
@@ -60,10 +85,15 @@ def audit_plan(plan: str) -> dict:
     # frame.  No partition key <=> the first arg is either the frame or
     # an ordered column.
     unpartitioned = 0
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
-        first = m.group(1).split(",")[0].strip()
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        args = _spec_args(plan, m.end())
+        first = args[0] if args else ""
+        # ASC/DESC only marks an ORDER column when it terminates the
+        # top-level arg (an ordering spec is "expr ASC NULLS FIRST" /
+        # "expr DESC NULLS LAST"); a nested mention inside a partition
+        # expression must not count.
         if first.startswith("specifiedwindowframe") or re.search(
-            r"\b(ASC|DESC)\b", first
+            r"\b(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?$", first
         ):
             unpartitioned += 1
     counts["unpartitioned_window"] = unpartitioned
