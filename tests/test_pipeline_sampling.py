@@ -443,3 +443,53 @@ def test_semantic_dedup_arrow_diverse_equals_sql(spark, sf_dir):
         ).collect()
     }
     assert out == {1: False, 2: False, 3: True}
+
+
+def test_diverse_priority_scored_assign_equals_rederived(spark, sf_dir):
+    """The r12 priority reuse: a scored assignment (ivf_assignments
+    with_score=True — what the registry materializes) must yield
+    IDENTICAL diverse keep decisions to the fallback path that
+    re-derives the centroid cosine per row, in BOTH flavors, and the
+    scored relation's s must equal the re-derived round6 value."""
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_centroids,
+        semantic_dedup_arrow,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb)
+    plain = ivf_assignments(emb, cents)
+    scored = ivf_assignments(emb, cents, with_score=True)
+    assert scored.columns == ["vec_id", "label", "s"]
+    assert plain.columns == ["vec_id", "label"]
+
+    for fn in (semantic_dedup, semantic_dedup_arrow):
+        ref = {
+            r["vec_id"]: r["keep"]
+            for r in fn(
+                emb, centroids=cents, assign=plain, policy="diverse"
+            ).collect()
+        }
+        got = {
+            r["vec_id"]: r["keep"]
+            for r in fn(
+                emb, centroids=cents, assign=scored, policy="diverse"
+            ).collect()
+        }
+        assert got == ref, fn.__name__
+
+    # min_id with a scored assign must also be unaffected (s dropped).
+    ref = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup_arrow(
+            emb, centroids=cents, assign=plain, policy="min_id"
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup_arrow(
+            emb, centroids=cents, assign=scored, policy="min_id"
+        ).collect()
+    }
+    assert got == ref

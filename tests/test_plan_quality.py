@@ -1748,3 +1748,24 @@ def test_plan_audit_window_parser_balanced_parens():
     for plan, want in cases:
         got = audit_plan(plan)["unpartitioned_window"]
         assert got == want, f"{plan[:70]}... want {want} got {got}"
+
+
+def test_tfidf_wc_subtree_reused(spark, sf_dir):
+    """tfidf_topk's (doc_id, word, tf) aggregate feeds BOTH the scored
+    join and the doc-frequency re-aggregation; the dfreq count is
+    deliberately sum(least(tf,1)) so the optimizer cannot prune tf and
+    break exchange compatibility (r12).  Pin: the FINAL adaptive plan
+    must contain a ReusedExchange — i.e. the corpus is scanned and
+    tokenized once, not once per consumer."""
+    from zipkin_storage_kafka_spark.operators.text_analysis import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = tfidf_topk(docs)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan

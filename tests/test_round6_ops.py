@@ -606,3 +606,51 @@ def test_error_paths_fixture(spark):
         "svc_a>svc_e": 1,
         "svc_r": 1,
     }
+
+
+def test_build_dedup_index_short_and_null_docs(spark):
+    """The r12 single-projection index build guards the band array
+    behind a CASE on word count (ANSI element_at throws on docs shorter
+    than the shingle size).  Pin the guard's semantics: a short doc
+    contributes EXACTLY its h row; a NULL-text doc contributes nothing;
+    a normal doc contributes h + one row per band; and the shape equals
+    the old h-UNION-bands form row for row."""
+    import hashlib
+
+    from zipkin_storage_kafka_spark.operators.dedup import (
+        BANDS,
+        build_dedup_index,
+        minhash_buckets_rowwise,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="ab"),          # 1 word < NGRAM
+            Row(doc_id=2, text="a b"),         # 2 words < NGRAM
+            Row(doc_id=3, text=None),          # NULL text
+            Row(
+                doc_id=4,
+                text="one two three four five six seven",
+            ),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = build_dedup_index(docs).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["kind"], r["key"]))
+    assert sorted(by_doc[1]) == [("h", hashlib.md5(b"ab").hexdigest())]
+    assert sorted(by_doc[2]) == [("h", hashlib.md5(b"a b").hexdigest())]
+    assert 3 not in by_doc
+    kinds4 = sorted(k for k, _ in by_doc[4])
+    assert kinds4 == sorted(["h"] + [f"b{b}" for b in range(BANDS)])
+
+    # band keys must equal the reference rowwise-minima output exactly
+    want = {
+        (f"b{r['b']}", r["bucket"])
+        for r in minhash_buckets_rowwise(
+            docs.filter(F.col("doc_id") == 4)
+        ).collect()
+    }
+    got = {(k, v) for k, v in by_doc[4] if k != "h"}
+    assert got == want

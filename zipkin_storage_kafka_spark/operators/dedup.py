@@ -1003,16 +1003,34 @@ def build_dedup_index(
     ever rescanning old document BODIES — the index is ~1e-4 of corpus
     bytes at 100 TB.  NULL-text docs contribute no keys (nothing can
     match them; they are still classified by the prober's left join).
+
+    Shape (r12): ONE projection + explode — the md5 key and every band
+    bucket come out of a single pass over each document, where the
+    previous h-UNION-bands form scanned and tokenized the corpus twice
+    (the union-duplicated-subtree anti-pattern the plan audit counts).
+    Short/NULL docs keep their h row via a lazily-evaluated CASE guard
+    around the band array (ANSI element_at would otherwise throw on
+    docs with fewer than ``n`` words).
     """
-    h = docs.select(
-        "doc_id", F.lit("h").alias("kind"), F.md5("text").alias("key")
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(f"b{b}").alias("kind"), m.alias("key"))
+            for b, m in enumerate(_rowwise_band_minima(n, bands, rows))
+        ]
     )
-    bb = minhash_buckets_rowwise(docs, n, bands, rows).select(
-        "doc_id",
-        F.concat(F.lit("b"), F.col("b").cast("string")).alias("kind"),
-        F.col("bucket").alias("key"),
+    empty = F.array().cast("array<struct<kind:string,key:string>>")
+    keys = F.concat(
+        F.array(
+            F.struct(F.lit("h").alias("kind"), F.md5("text").alias("key"))
+        ),
+        F.when(F.size("w") >= F.lit(n), band_structs).otherwise(empty),
     )
-    return h.unionByName(bb).filter(F.col("key").isNotNull())
+    return (
+        docs.select("doc_id", "text", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(keys).alias("kk"))
+        .select("doc_id", F.col("kk.kind"), F.col("kk.key"))
+        .filter(F.col("key").isNotNull())
+    )
 
 
 def incremental_dedup(index: DataFrame, new_docs: DataFrame,

@@ -151,19 +151,30 @@ def _centroid_scores(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     return joined.select("vec_id", "label", round6(sim).alias("s"))
 
 
-def ivf_assignments(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+def ivf_assignments(
+    embeddings: DataFrame, centroids: DataFrame, with_score: bool = False
+) -> DataFrame:
     """Vector -> nearest-cell assignment (vec_id, label): the IVF index
     build.  This is INGEST-time work in any ANN system — build once,
     persist, serve every query from it (at 100 TB the label becomes a
-    partition column of the embeddings table)."""
+    partition column of the embeddings table).
+
+    ``with_score=True`` keeps the winning round6 centroid cosine as a
+    third column ``s`` — the argmax computes it anyway, and it is
+    EXACTLY the diverse-policy priority :func:`semantic_dedup` /
+    :func:`semantic_dedup_arrow` would otherwise re-derive with two
+    more interpreted O(d) folds per corpus row (measured ~2.8 s of the
+    diverse row's 3.8 s at sf1).  Persisting it with the index makes
+    the priority a column read."""
     from pyspark.sql import Window
 
     scores = _centroid_scores(embeddings, centroids)
     w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("label"))
+    cols = ["vec_id", "label"] + (["s"] if with_score else [])
     return (
         scores.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "label")
+        .select(*cols)
     )
 
 
@@ -687,22 +698,31 @@ def semantic_dedup(
         .join(assign.withColumnRenamed("label", "cell"), "vec_id")
     )
     if policy == "diverse":
-        cent = F.broadcast(
-            centroids.select(
-                F.col("label").alias("cell"),
-                F.col("centroid").alias("cvec"),
-                F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias(
-                    "cnrm"
-                ),
+        if "s" in assign.columns:
+            # The index build already computed the winning round6
+            # centroid cosine (ivf_assignments with_score=True) with the
+            # IDENTICAL expression — read it instead of re-deriving two
+            # interpreted O(d) folds per row.
+            e = e.withColumnRenamed("s", "cs")
+        else:
+            cent = F.broadcast(
+                centroids.select(
+                    F.col("label").alias("cell"),
+                    F.col("centroid").alias("cvec"),
+                    F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias(
+                        "cnrm"
+                    ),
+                )
             )
-        )
-        e = e.join(cent, "cell").withColumn(
-            "cs",
-            round6(
-                _dot(F.col("emb"), F.col("cvec"))
-                / (F.col("nrm") * F.col("cnrm"))
-            ),
-        ).drop("cvec", "cnrm")
+            e = e.join(cent, "cell").withColumn(
+                "cs",
+                round6(
+                    _dot(F.col("emb"), F.col("cvec"))
+                    / (F.col("nrm") * F.col("cnrm"))
+                ),
+            ).drop("cvec", "cnrm")
+    elif "s" in assign.columns:
+        e = e.drop("s")
     a, b = e.alias("a"), e.alias("b")
     if policy == "diverse":
         # a outranks b iff a is FARTHER from the centroid (smaller cosine),
@@ -1395,9 +1415,11 @@ def semantic_dedup_arrow(
     algebraic form (dot / (|a|·|b|)) with HALF-UP rounding, so the two
     flavors agree to round4 everywhere the inputs do; for
     ``policy="diverse"`` the round6 centroid-cosine PRIORITY is computed
-    Spark-side with the identical expression the fold flavor uses, so
-    priority order cannot diverge between flavors at all — only the pair
-    cosine crosses into numpy.  Both flavors share SemDeDup's
+    Spark-side with the identical expression the fold flavor uses — or,
+    when ``assign`` carries the index-build score column ``s``
+    (:func:`ivf_assignments` ``with_score=True``), BOTH flavors read the
+    same persisted value — so priority order cannot diverge between
+    flavors at all; only the pair cosine crosses into numpy.  Both flavors share SemDeDup's
     non-sequential drop rule (see :func:`semantic_dedup`): a vector
     already dropped still drops lower-priority members, which keeps <=
     the paper's sequential-greedy retention on transitive near-dup
@@ -1428,27 +1450,35 @@ def semantic_dedup_arrow(
     )
     diverse = policy == "diverse"
     if diverse:
-        cent = F.broadcast(
-            centroids.select(
-                F.col("label").alias("cell"),
-                F.col("centroid").alias("cvec"),
-                F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias(
-                    "cnrm"
-                ),
+        if "s" in assign.columns:
+            # Priority precomputed at index build (ivf_assignments
+            # with_score=True) by the identical round6 expression — a
+            # column read replaces two interpreted O(d) folds per row.
+            e = e.withColumnRenamed("s", "cs")
+        else:
+            cent = F.broadcast(
+                centroids.select(
+                    F.col("label").alias("cell"),
+                    F.col("centroid").alias("cvec"),
+                    F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias(
+                        "cnrm"
+                    ),
+                )
             )
-        )
-        emb_d = _as_double("embedding")
-        e = (
-            e.join(cent, "cell")
-            .withColumn(
-                "cs",
-                round6(
-                    _dot(emb_d, F.col("cvec"))
-                    / (F.sqrt(_dot(emb_d, emb_d)) * F.col("cnrm"))
-                ),
+            emb_d = _as_double("embedding")
+            e = (
+                e.join(cent, "cell")
+                .withColumn(
+                    "cs",
+                    round6(
+                        _dot(emb_d, F.col("cvec"))
+                        / (F.sqrt(_dot(emb_d, emb_d)) * F.col("cnrm"))
+                    ),
+                )
+                .drop("cvec", "cnrm")
             )
-            .drop("cvec", "cnrm")
-        )
+    elif "s" in assign.columns:
+        e = e.drop("s")
 
     def cell(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

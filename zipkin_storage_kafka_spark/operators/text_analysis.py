@@ -633,6 +633,16 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     (both engines rank identical values, so float ulp differences cannot
     flip the order) with the word as the deterministic tie-break.
 
+    The doc-frequency is ``sum(least(tf, 1))`` — provably the row count
+    (tf >= 1 always) — ON PURPOSE: with a plain count the optimizer
+    prunes ``tf`` from the dfreq branch (count(tf) is even rewritten to
+    a distinct), which makes the branch's (doc_id, word) exchange
+    column-incompatible with the join branch's and defeats
+    ReusedExchange — the corpus was scanned, tokenized and aggregated
+    TWICE (r12 plan audit).  An aggregate the optimizer cannot fold
+    keeps ``tf`` alive, the exchanges match, and the whole wc subtree
+    is shared (plan-pinned in test_plan_quality.py).
+
     Output: doc_id, rnk (1..k), word, tfidf (round 4).
     """
     wc = (
@@ -640,7 +650,9 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = wc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = wc.groupBy("word").agg(
+        F.sum(F.least(F.col("tf"), F.lit(1))).alias("df")
+    )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         wc.join(dfreq, "word")

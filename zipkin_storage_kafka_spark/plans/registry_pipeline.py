@@ -404,15 +404,32 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             fp,
             lambda: sim.ivf_centroids(_emb(spark, sf_dir)),
         ).persist()
+        # Materialized WITH the winning round6 centroid cosine: the
+        # argmax computes it anyway, and the diverse SemDeDup priority
+        # reads it back instead of re-deriving two interpreted O(d)
+        # folds per corpus row (r12; the cosine column is ~1e-4 of
+        # index bytes).  Most consumers take the (vec_id, label)
+        # projection below — column-pruned off the same persisted
+        # relation, so their plans are unchanged.
         assign = matcache.materialized(
             spark,
             sf_dir,
             "ivf_assign",
             fp,
-            lambda: sim.ivf_assignments(_emb(spark, sf_dir), centroids),
+            lambda: sim.ivf_assignments(
+                _emb(spark, sf_dir), centroids, with_score=True
+            ),
         ).persist()
         _IVF_CACHE[key] = (centroids, assign)
-    return _IVF_CACHE[key]
+    centroids, assign = _IVF_CACHE[key]
+    return centroids, assign.select("vec_id", "label")
+
+
+def _ivf_assign_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full (vec_id, label, s) assignment relation — the diverse
+    SemDeDup rows read the priority ``s`` straight off the index."""
+    _ivf_index(spark, sf_dir)
+    return _IVF_CACHE[(id(spark), sf_dir)][1]
 
 
 def q_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1761,15 +1778,18 @@ def q_dedup_semantic_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the paper's diversity-keeping policy: within each
     near-dup relation the member LEAST similar to its cell centroid
     survives (round6 priority, vec_id tie-break).  Served by the
-    vectorized per-cell gram-matrix kernel — the priority itself stays a
-    Spark-side round6 expression identical to the fold flavor's, so the
-    two flavors cannot disagree on ordering (equivalence test-pinned;
+    vectorized per-cell gram-matrix kernel — the priority is READ off
+    the materialized IVF index (the assignment argmax computes the
+    round6 centroid cosine anyway; ivf_assignments with_score=True), so
+    both flavors and the oracle rank by the same persisted value and
+    the per-call plan does zero interpreted dot products (r12: the
+    re-derivation was ~2.8 s of the row's 3.8 s at sf1;
     operators/similarity.py:semantic_dedup_arrow)."""
-    centroids, assign = _ivf_index(spark, sf_dir)
+    centroids, _ = _ivf_index(spark, sf_dir)
     return sim.semantic_dedup_arrow(
         _emb(spark, sf_dir),
         centroids=centroids,
-        assign=assign,
+        assign=_ivf_assign_scored(spark, sf_dir),
         policy="diverse",
     )
 
