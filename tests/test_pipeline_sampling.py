@@ -493,3 +493,32 @@ def test_diverse_priority_scored_assign_equals_rederived(spark, sf_dir):
         ).collect()
     }
     assert got == ref
+
+
+def test_centroid_outliers_scored_assign_equals_rederived(spark, sf_dir):
+    """centroid_outliers with a scored assignment must yield exactly the
+    re-derivation path's rows — same cosines, same flags (the scored s
+    IS the same relation row the own-cell join would pick)."""
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        centroid_outliers,
+        ivf_assignments,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb)
+    ref = {
+        r["vec_id"]: (r["cell"], r["centroid_cos"], r["is_outlier"])
+        for r in centroid_outliers(
+            emb, centroids=cents, assign=ivf_assignments(emb, cents)
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: (r["cell"], r["centroid_cos"], r["is_outlier"])
+        for r in centroid_outliers(
+            emb,
+            centroids=cents,
+            assign=ivf_assignments(emb, cents, with_score=True),
+        ).collect()
+    }
+    assert got == ref

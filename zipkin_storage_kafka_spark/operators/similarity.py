@@ -1745,23 +1745,30 @@ def centroid_outliers(
 
     Columns: vec_id, cell, centroid_cos (round4), is_outlier.
 
-    Scale (100 TB): reuses the persisted index's centroid scores (tiny
-    broadcast side); one row per vector out, no new shuffle beyond the
-    assignment join.
+    Scale (100 TB): when ``assign`` carries the index-build score
+    column ``s`` (:func:`ivf_assignments` ``with_score=True`` — what
+    the registry materializes), the own-cell cosine is a COLUMN READ
+    off the persisted index: zero recompute, zero join.  Otherwise the
+    fallback re-derives the full vector x centroid score matrix
+    (|cells| interpreted O(d) folds per vector) and keeps each
+    vector's own-cell row.
     """
     if centroids is None:
         centroids = ivf_centroids(embeddings)
     if assign is None:
         assign = ivf_assignments(embeddings, centroids)
-    scores = _centroid_scores(embeddings, centroids)
-    own_assign = assign.select(
-        F.col("vec_id").alias("a_vec"), F.col("label").alias("cell")
-    )
-    own = own_assign.join(
-        scores,
-        (F.col("a_vec") == F.col("vec_id"))
-        & (F.col("cell") == F.col("label")),
-    ).select(F.col("a_vec").alias("vec_id"), "cell", "s")
+    if "s" in assign.columns:
+        own = assign.select("vec_id", F.col("label").alias("cell"), "s")
+    else:
+        scores = _centroid_scores(embeddings, centroids)
+        own_assign = assign.select(
+            F.col("vec_id").alias("a_vec"), F.col("label").alias("cell")
+        )
+        own = own_assign.join(
+            scores,
+            (F.col("a_vec") == F.col("vec_id"))
+            & (F.col("cell") == F.col("label")),
+        ).select(F.col("a_vec").alias("vec_id"), "cell", "s")
     return own.select(
         "vec_id",
         "cell",

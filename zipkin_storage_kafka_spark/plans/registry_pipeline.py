@@ -1436,11 +1436,14 @@ def q_emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-quality gate (operators/similarity.py:
     centroid_outliers): own-cell centroid cosine per vector with a
     fixed-threshold outlier flag (round6 similarity vs literal — the
-    boolean can never flip on a float ulp); shares the memoized IVF
-    index."""
-    centroids, assign = _ivf_index(spark, sf_dir)
+    boolean can never flip on a float ulp); the own-cell cosine is read
+    straight off the scored materialized index (r12), so the per-call
+    plan recomputes nothing."""
+    centroids, _ = _ivf_index(spark, sf_dir)
     return sim.centroid_outliers(
-        _emb(spark, sf_dir), centroids=centroids, assign=assign
+        _emb(spark, sf_dir),
+        centroids=centroids,
+        assign=_ivf_assign_scored(spark, sf_dir),
     )
 
 
