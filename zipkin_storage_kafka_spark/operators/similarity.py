@@ -1419,7 +1419,8 @@ def semantic_dedup_arrow(
     when ``assign`` carries the index-build score column ``s``
     (:func:`ivf_assignments` ``with_score=True``), BOTH flavors read the
     same persisted value — so priority order cannot diverge between
-    flavors at all; only the pair cosine crosses into numpy.  Both flavors share SemDeDup's
+    flavors at all; only the pair cosine crosses into numpy.  Both
+    flavors share SemDeDup's
     non-sequential drop rule (see :func:`semantic_dedup`): a vector
     already dropped still drops lower-priority members, which keeps <=
     the paper's sequential-greedy retention on transitive near-dup
