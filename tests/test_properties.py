@@ -959,3 +959,45 @@ def test_semantic_audit_members_matches_python(spark, counts, budget):
     assert got == sorted(expect)
     assert got  # the smallest cell is always audited
     assert audited_pairs <= 2 * budget + m * (m - 1) // 2
+
+
+# -- plan-audit windowspec parser (r12: the gating rule's tokenizer) -----
+
+_paren_atom = st.text(
+    alphabet="abcxyz0123456789#_ $",
+    min_size=1,
+    max_size=8,
+).map(lambda s: s.strip() or "x")
+
+
+@st.composite
+def _balanced_exprs(draw, depth=2):
+    """A top-level argument: atoms optionally wrapped in nested
+    parenthesized calls, possibly containing commas INSIDE the parens."""
+    if depth == 0:
+        return draw(_paren_atom)
+    inner = draw(
+        st.lists(_balanced_exprs(depth=depth - 1), min_size=1, max_size=3)
+    )
+    name = draw(_paren_atom)
+    wrap = draw(st.booleans())
+    return f"{name}({', '.join(inner)})" if wrap else draw(_paren_atom)
+
+
+@given(st.lists(_balanced_exprs(), min_size=1, max_size=5))
+@settings(deadline=None, max_examples=200)
+def test_spec_args_recovers_toplevel_args(args):
+    """_spec_args must split a windowspecdefinition argument list on
+    TOP-LEVEL commas only, for any nesting of balanced parens — the
+    [^)]* regex it replaced truncated at the first nested ')'."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from plan_audit import _spec_args
+
+    plan = "windowspecdefinition(" + ", ".join(args) + "), trailing junk"
+    got = _spec_args(plan, len("windowspecdefinition("))
+    assert got == args
