@@ -63,6 +63,17 @@ def test_first50_prefix_contract():
     assert not stale, (
         f"rotation keys already driver-GREEN (wasted budget): {stale}"
     )
+    # Backfill re-proofs are only legitimate once the queue is DRAINED:
+    # if any registry query anywhere still lacks a driver row, a
+    # backfill slot would be spending first-proof budget on a re-check.
+    if backfill:
+        unchecked_outside = [
+            q for q in qs if q not in first50 and q not in latest
+        ]
+        assert not unchecked_outside, (
+            "backfill slots used while never-checked keys remain outside "
+            f"the prefix: {unchecked_outside[:5]}..."
+        )
 
     # Symmetric guard (VERDICT r10 next-round #6): the exclusion above
     # only works if the epoch was actually bumped when the rotation was
