@@ -461,7 +461,7 @@ def test_diverse_priority_scored_assign_equals_rederived(spark, sf_dir):
     cents = ivf_centroids(emb)
     plain = ivf_assignments(emb, cents)
     scored = ivf_assignments(emb, cents, with_score=True)
-    assert scored.columns == ["vec_id", "label", "s"]
+    assert scored.columns == ["vec_id", "label", "__ivf_s"]
     assert plain.columns == ["vec_id", "label"]
 
     for fn in (semantic_dedup, semantic_dedup_arrow):

@@ -1001,3 +1001,43 @@ def test_spec_args_recovers_toplevel_args(args):
     plan = "windowspecdefinition(" + ", ".join(args) + "), trailing junk"
     got = _spec_args(plan, len("windowspecdefinition("))
     assert got == args
+
+
+_literal_atom = st.sampled_from(
+    ["'('", "')'", "','", "'a,b'", "'(('", "'it''s'", "x", "col#12"]
+)
+
+
+@st.composite
+def _quoted_exprs(draw, depth=2):
+    """Like _balanced_exprs but the leaves can be single-quoted string
+    literals holding parens/commas/escaped quotes — the plan text shape
+    ADVICE r12 #3 flagged (substring(x, '(', 1))."""
+    if depth == 0:
+        return draw(_literal_atom)
+    inner = draw(
+        st.lists(_quoted_exprs(depth=depth - 1), min_size=1, max_size=3)
+    )
+    name = draw(_paren_atom)
+    wrap = draw(st.booleans())
+    return f"{name}({', '.join(inner)})" if wrap else draw(_literal_atom)
+
+
+@given(st.lists(_quoted_exprs(), min_size=1, max_size=5))
+@settings(deadline=None, max_examples=200)
+def test_spec_args_ignores_quoted_literals(args):
+    """Parens and commas INSIDE single-quoted plan literals must not
+    unbalance the scan or split an arg (ADVICE r12 #3); Spark escapes
+    an embedded quote by doubling it, which the scanner treats as
+    close-then-reopen — net effect identical."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from plan_audit import _spec_args
+
+    plan = "windowspecdefinition(" + ", ".join(args) + "), trailing junk"
+    got = _spec_args(plan, len("windowspecdefinition("))
+    assert got == args

@@ -45,10 +45,22 @@ def _spec_args(plan: str, start: int) -> list[str]:
     comma-separated args.  A plain [^)]* regex truncates at the first
     nested ')' (e.g. 'coalesce(a, b) ASC'), silently misclassifying a
     single-partition window as partitioned — a false negative on the
-    gating rule (ADVICE r11 #2)."""
-    args, buf, depth = [], [], 0
+    gating rule (ADVICE r11 #2).  Single-quoted literal spans are
+    skipped wholesale so a paren or comma INSIDE a string literal
+    (e.g. substring(x, '(', 1)) can't unbalance the scan or split an
+    arg (ADVICE r12 #3); Spark plan text escapes an embedded quote by
+    doubling it (''), which this scan reads as close-then-reopen —
+    the net effect (stay inside the literal) is identical."""
+    args, buf, depth, in_str = [], [], 0, False
     for ch in plan[start:]:
-        if ch == "(":
+        if in_str:
+            if ch == "'":
+                in_str = False
+            buf.append(ch)
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             if depth == 0:

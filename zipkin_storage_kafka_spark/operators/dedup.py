@@ -272,45 +272,55 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     without hex->int conversion.  Columns: doc_id, simhash (bigint).
 
     Dictionary formulation: md5 is computed once per DISTINCT word (the
-    vocabulary), then broadcast-joined back to per-(doc, word) occurrence
-    counts — sum(count * sign) per occurrence equals the naive per-row
-    sum, at vocabulary cost instead of corpus cost.  At 100 TB the
-    vocabulary side stays MB-scale -> broadcast, no big-side shuffle
-    beyond the (doc, word) partial count.
+    vocabulary), then broadcast-joined back to the raw word OCCURRENCES
+    — sum(sign) over occurrences equals sum(count * sign) over distinct
+    words, at vocabulary hashing cost instead of corpus hashing cost.
+    At 100 TB the vocabulary side stays MB-scale -> broadcast.
+
+    Shuffle shape (r13 cost pass, two steps): (1) the per-bit sums are
+    ``bits`` AGGREGATE COLUMNS, not a x-bits row explosion through a
+    (doc_id, j) groupBy; (2) the old (doc_id, word) pre-count shuffle
+    is GONE — every occurrence of a doc lives in the doc's own row, so
+    the single doc_id groupBy collapses a doc's occurrences to one
+    partial row map-side and the only corpus-keyed exchange left
+    carries |docs| rows of (id, 16 ints).  The vocabulary distinct is
+    the one other exchange, also collapsed map-side to vocabulary
+    size.  Same-session interleaved A/B at sf1: old 4.24 s vs this
+    2.29 s (the bit-column change alone moved nothing — the pre-count
+    shuffle was the cost); value-identical, oracle unchanged.
     """
-    word_counts = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    occ = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
-    vocab = word_counts.select("word").distinct().withColumn(
-        "h", F.md5("word")
-    )
+    vocab = occ.select("word").distinct().withColumn("h", F.md5("word"))
+    # Hex digit j of md5(word) >= '8' <=> bit j votes +1 — one +/-1
+    # column per signature bit, evaluated once per vocabulary word.
     vocab_bits = vocab.select(
         "word",
-        F.explode(F.array(*[F.lit(j) for j in range(1, bits + 1)])).alias("j"),
-    ).select(
-        "word",
-        "j",
-        F.when(
-            F.substring(F.md5("word"), F.col("j").cast("int"), 1) >= "8",
-            F.lit(1),
-        )
-        .otherwise(F.lit(-1))
-        .alias("v"),
+        *[
+            F.when(F.substring("h", j, 1) >= "8", F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"v{j}")
+            for j in range(1, bits + 1)
+        ],
     )
     scores = (
-        word_counts.join(F.broadcast(vocab_bits), "word")
-        .groupBy("doc_id", "j")
-        .agg(F.sum(F.col("cnt") * F.col("v")).alias("s"))
+        occ.join(F.broadcast(vocab_bits), "word")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.col(f"v{j}")).alias(f"s{j}")
+                for j in range(1, bits + 1)
+            ]
+        )
     )
-    return scores.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")
-            ).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    sig = None
+    for j in range(1, bits + 1):
+        term = F.when(
+            F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return scores.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_dup_groups(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:

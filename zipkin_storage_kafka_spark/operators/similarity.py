@@ -160,22 +160,28 @@ def ivf_assignments(
     partition column of the embeddings table).
 
     ``with_score=True`` keeps the winning round6 centroid cosine as a
-    third column ``s`` — the argmax computes it anyway, and it is
+    third column ``__ivf_s`` — the argmax computes it anyway, and it is
     EXACTLY the diverse-policy priority :func:`semantic_dedup` /
     :func:`semantic_dedup_arrow` would otherwise re-derive with two
     more interpreted O(d) folds per corpus row (measured ~2.8 s of the
     diverse row's 3.8 s at sf1).  Persisting it with the index makes
-    the priority a column read."""
+    the priority a column read.  The dunder name is deliberate: the
+    consumers' fast path switches on this exact column, so a
+    caller-supplied assignment that happens to carry an unrelated
+    ``s`` column can never be silently used as the priority (r12
+    advice)."""
     from pyspark.sql import Window
 
     scores = _centroid_scores(embeddings, centroids)
     w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("label"))
-    cols = ["vec_id", "label"] + (["s"] if with_score else [])
-    return (
-        scores.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(*cols)
+    picked = scores.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
     )
+    if with_score:
+        return picked.select(
+            "vec_id", "label", F.col("s").alias("__ivf_s")
+        )
+    return picked.select("vec_id", "label")
 
 
 def ann_topk_ivf(
@@ -698,12 +704,14 @@ def semantic_dedup(
         .join(assign.withColumnRenamed("label", "cell"), "vec_id")
     )
     if policy == "diverse":
-        if "s" in assign.columns:
+        if "__ivf_s" in assign.columns:
             # The index build already computed the winning round6
             # centroid cosine (ivf_assignments with_score=True) with the
             # IDENTICAL expression — read it instead of re-deriving two
-            # interpreted O(d) folds per row.
-            e = e.withColumnRenamed("s", "cs")
+            # interpreted O(d) folds per row.  Gated on the dedicated
+            # dunder column so an unrelated caller column can't be
+            # mistaken for the priority.
+            e = e.withColumnRenamed("__ivf_s", "cs")
         else:
             cent = F.broadcast(
                 centroids.select(
@@ -721,8 +729,8 @@ def semantic_dedup(
                     / (F.col("nrm") * F.col("cnrm"))
                 ),
             ).drop("cvec", "cnrm")
-    elif "s" in assign.columns:
-        e = e.drop("s")
+    elif "__ivf_s" in assign.columns:
+        e = e.drop("__ivf_s")
     a, b = e.alias("a"), e.alias("b")
     if policy == "diverse":
         # a outranks b iff a is FARTHER from the centroid (smaller cosine),
@@ -1451,11 +1459,13 @@ def semantic_dedup_arrow(
     )
     diverse = policy == "diverse"
     if diverse:
-        if "s" in assign.columns:
+        if "__ivf_s" in assign.columns:
             # Priority precomputed at index build (ivf_assignments
             # with_score=True) by the identical round6 expression — a
             # column read replaces two interpreted O(d) folds per row.
-            e = e.withColumnRenamed("s", "cs")
+            # Gated on the dedicated dunder column so an unrelated
+            # caller column can't be mistaken for the priority.
+            e = e.withColumnRenamed("__ivf_s", "cs")
         else:
             cent = F.broadcast(
                 centroids.select(
@@ -1478,8 +1488,8 @@ def semantic_dedup_arrow(
                 )
                 .drop("cvec", "cnrm")
             )
-    elif "s" in assign.columns:
-        e = e.drop("s")
+    elif "__ivf_s" in assign.columns:
+        e = e.drop("__ivf_s")
 
     def cell(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -1747,7 +1757,7 @@ def centroid_outliers(
     Columns: vec_id, cell, centroid_cos (round4), is_outlier.
 
     Scale (100 TB): when ``assign`` carries the index-build score
-    column ``s`` (:func:`ivf_assignments` ``with_score=True`` — what
+    column ``__ivf_s`` (:func:`ivf_assignments` ``with_score=True`` — what
     the registry materializes), the own-cell cosine is a COLUMN READ
     off the persisted index: zero recompute, zero join.  Otherwise the
     fallback re-derives the full vector x centroid score matrix
@@ -1758,8 +1768,11 @@ def centroid_outliers(
         centroids = ivf_centroids(embeddings)
     if assign is None:
         assign = ivf_assignments(embeddings, centroids)
-    if "s" in assign.columns:
-        own = assign.select("vec_id", F.col("label").alias("cell"), "s")
+    if "__ivf_s" in assign.columns:
+        own = assign.select(
+            "vec_id", F.col("label").alias("cell"),
+            F.col("__ivf_s").alias("s"),
+        )
     else:
         scores = _centroid_scores(embeddings, centroids)
         own_assign = assign.select(

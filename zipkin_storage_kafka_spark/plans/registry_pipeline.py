@@ -391,7 +391,12 @@ ANN_NPROBE_SWEEP = (1, 2, 4)
 _IVF_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 
 
-def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _ivf_entry(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The single owner of the cache key and build: both public
+    accessors go through here, so the key construction can never drift
+    between them (r12 advice)."""
     from zipkin_storage_kafka_spark.sources import matcache, tables
 
     key = (id(spark), sf_dir)
@@ -421,15 +426,19 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             ),
         ).persist()
         _IVF_CACHE[key] = (centroids, assign)
-    centroids, assign = _IVF_CACHE[key]
+    return _IVF_CACHE[key]
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    centroids, assign = _ivf_entry(spark, sf_dir)
     return centroids, assign.select("vec_id", "label")
 
 
 def _ivf_assign_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full (vec_id, label, s) assignment relation — the diverse
-    SemDeDup rows read the priority ``s`` straight off the index."""
-    _ivf_index(spark, sf_dir)
-    return _IVF_CACHE[(id(spark), sf_dir)][1]
+    """The full (vec_id, label, __ivf_s) assignment relation — the
+    diverse SemDeDup rows read the priority ``__ivf_s`` straight off
+    the index."""
+    return _ivf_entry(spark, sf_dir)[1]
 
 
 def q_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
