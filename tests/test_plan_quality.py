@@ -1655,12 +1655,27 @@ def test_path_redundancy_composes_k_row_edges(spark, sf_dir):
 
 def test_fold_audit_member_cap_is_window_group_limit(spark, sf_dir):
     """The per-cell member cap compiles to WindowGroupLimit (partial
-    top-m per partition), and the budgeted pair join never degenerates
-    to a cartesian."""
+    top-m per partition) in the audit-universe BUILD plan, and the
+    budgeted pair join never degenerates to a cartesian.  r13 split:
+    the universe is materialized with the index (registry_pipeline.
+    _semdedup_audit_members), so the SERVING plan must carry no window
+    at all — selection cost lives at ingest, not per call."""
     import __spark_entry__ as entrymod
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_centroids,
+        semantic_audit_members,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    build_plan = _plan(
+        semantic_audit_members(ivf_assignments(emb, ivf_centroids(emb)))
+    )
+    assert "WindowGroupLimit" in build_plan, build_plan
+    assert "CartesianProduct" not in build_plan, build_plan
 
     plan = _plan(entrymod.queries()["dedup_semantic_fold"](spark, sf_dir))
-    assert "WindowGroupLimit" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 

@@ -697,11 +697,17 @@ def semantic_dedup(
     # n times instead of 2*(pairs) times, cutting the per-pair expression
     # from three dot products to one.  sqrt(aa)*sqrt(bb) is the exact same
     # float arithmetic as inline, so round4 decisions match the oracle
-    # bit-for-bit.
+    # bit-for-bit.  The cast/fold projection sits ABOVE the assign join
+    # (not below it), so a subset-restricting ``assign`` — the budgeted
+    # fold audit hands in ~isqrt(2*budget) members per cell — pays the
+    # interpreted O(d) folds only for the rows it keeps, never the full
+    # corpus (r13; identical expressions, identical values).
     e = (
-        embeddings.select("vec_id", _as_double("embedding").alias("emb"))
-        .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+        embeddings.select("vec_id", "embedding")
         .join(assign.withColumnRenamed("label", "cell"), "vec_id")
+        .withColumn("emb", _as_double("embedding"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+        .drop("embedding")
     )
     if policy == "diverse":
         if "__ivf_s" in assign.columns:

@@ -441,6 +441,36 @@ def _ivf_assign_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_entry(spark, sf_dir)[1]
 
 
+# The budgeted fold-audit universe is a deterministic FUNCTION of the
+# assignment (md5 member order, capped-size cell walk) — ingest-time
+# work by the same argument as the index itself, so it is materialized
+# once per corpus snapshot and the audit row serves from a 2-column
+# parquet scan (r13: selection alone was 3.5 s of the fold row's 5.4 s
+# idle at sf1 — windows + prefix sums re-ran per call for a ~632-row
+# result).
+_SEMDEDUP_AUDIT_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _semdedup_audit_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zipkin_storage_kafka_spark.sources import matcache, tables
+
+    key = (id(spark), sf_dir)
+    if key not in _SEMDEDUP_AUDIT_CACHE:
+
+        def build() -> DataFrame:
+            _, assign = _ivf_index(spark, sf_dir)
+            return sim.semantic_audit_members(assign)
+
+        _SEMDEDUP_AUDIT_CACHE[key] = matcache.materialized(
+            spark,
+            sf_dir,
+            "semdedup_audit",
+            matcache.code_fingerprint((sim, tables)),
+            build,
+        ).persist()
+    return _SEMDEDUP_AUDIT_CACHE[key]
+
+
 def q_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.regex_token_stats(_docs(spark, sf_dir))
 
@@ -1778,9 +1808,14 @@ def q_dedup_semantic_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     The FULL-corpus fold-vs-arrow equivalence remains pinned at test
     scale (tests/test_pipeline_sampling.py).  The vectorized rows
     remain the serving path; this one exists to be checked, not to be
-    fast."""
-    centroids, assign = _ivf_index(spark, sf_dir)
-    audited = sim.semantic_audit_members(assign)
+    fast.  r13: the audit UNIVERSE (a deterministic function of the
+    assignment — _semdedup_audit_members) is materialized with the
+    index, so the serving plan is the fold itself over a 2-column
+    member scan, and semantic_dedup now casts/folds only the joined
+    members, not the corpus; the member-cap WindowGroupLimit pin moved
+    to the build plan (tests/test_plan_quality.py)."""
+    centroids, _ = _ivf_index(spark, sf_dir)
+    audited = _semdedup_audit_members(spark, sf_dir)
     return sim.semantic_dedup(
         _emb(spark, sf_dir), centroids=centroids, assign=audited
     )
