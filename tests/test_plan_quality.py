@@ -13,6 +13,8 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from zipkin_storage_kafka_spark.operators import trace_summaries
@@ -744,6 +746,50 @@ def test_minhash_estimate_no_pair_blowup(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+# r13 (VERDICT r12 next-round #5): the docstring-vs-code drift sweep,
+# promoted from a by-hand check to a test.  Every row whose docstring
+# claims it SERVES from a materialized/persisted relation is listed
+# with the plan markers its BUILD would reintroduce if the claim
+# drifted — the r12 emb_centroid_outliers drift (docstring claimed a
+# reuse the code didn't perform, 0.62 s of live re-derivation) is
+# exactly the failure mode this catches.  Markers are build-unique:
+# aggregate( = interpreted O(d) lambda folds (centroid-score
+# re-derivation), windowspecdefinition = the argmax / member-cap rank,
+# md5(/xxhash64 = shingle+minhash hashing, the Pandas operators = the
+# decode / gram kernels that run at ingest.
+_REUSE_CLAIMS = [
+    ("emb_centroid_outliers",
+     ("aggregate(", "FlatMapGroupsInPandas", "windowspecdefinition")),
+    ("dedup_semantic_diverse", ("aggregate(", "windowspecdefinition")),
+    ("dedup_semantic_curve", ("aggregate(", "windowspecdefinition")),
+    ("dedup_semantic_fold", ("windowspecdefinition",)),
+    ("mm_record_sizes",
+     ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")),
+    ("emb_knn_graph", ("FlatMapGroupsInPandas", "ArrowEvalPython")),
+    ("pipe_canonical_docs",
+     ("md5(", "xxhash64", "FlatMapGroupsInPandas")),
+    ("pipe_dedup_mixture_shift", ("md5(", "xxhash64")),
+    ("z_error_paths", ("windowspecdefinition",)),
+]
+
+
+@pytest.mark.parametrize(
+    "name,forbidden", _REUSE_CLAIMS, ids=[c[0] for c in _REUSE_CLAIMS]
+)
+def test_materialized_reuse_claims_hold_in_plan(spark, sf_dir, name, forbidden):
+    """A docstring that says 'served from / reads the materialized X'
+    must be true of the physical plan: none of the build-side markers
+    may appear at serve time."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()[name](spark, sf_dir))
+    for marker in forbidden:
+        assert marker not in plan, (
+            f"{name} claims materialized reuse but its serving plan "
+            f"contains build marker {marker!r}:\n{plan}"
+        )
 
 
 def test_incremental_dedup_reads_persisted_index(spark, sf_dir):

@@ -329,6 +329,38 @@ def test_substring_duplication_hash_flavors_agree(spark, sf_dir):
     assert md5_rows == xx_rows
 
 
+def test_basket_lift_flavors_agree(spark, sf_dir):
+    """All three basket_lift flavors (array / selfjoin / bitmask) must
+    produce identical rows on a real distinct membership relation — the
+    bitmask flavor (r13) packs item sets into int64 masks and must not
+    change a single support/lift value; the rank-indexed bit order must
+    reproduce the other flavors' item_a < item_b orientation."""
+    from pyspark.sql import functions as F
+
+    from zipkin_storage_kafka_spark.operators.trace_aggregation import (
+        basket_lift,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    member = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    outs = {
+        fl: {
+            tuple(r)
+            for r in basket_lift(
+                member, "l_orderkey", "p_brand", flavor=fl
+            ).collect()
+        }
+        for fl in ("array", "selfjoin", "bitmask")
+    }
+    assert outs["array"] == outs["selfjoin"] == outs["bitmask"]
+    assert outs["bitmask"]  # non-vacuous
+
+
 def test_latency_percentiles_approx_mode_within_bound(spark, sf_dir):
     """The approx flavor (approx_percentile, no per-group sort) must land
     within the sketch's rank-error bound of the exact flavor, and exact

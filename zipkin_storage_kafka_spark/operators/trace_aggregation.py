@@ -791,6 +791,21 @@ def basket_lift(
       (array) vs 1.7 s (selfjoin) at sf1 inside the 275-query bench,
       despite the array flavor winning the same comparison in an idle
       session.  Measure in the serving context, not just idle.
+    - ``flavor="bitmask"`` (r13): corpus-scale baskets AND a SMALL item
+      domain (<= 60 distinct items, e.g. the 25 TPC-H brands).  Each
+      basket's item set becomes one int64 (sum of 1<<idx over a
+      rank-indexed broadcast item dim — a pure codegen agg, no object
+      state), baskets collapse to DISTINCT-MASK counts, and pairs /
+      margins / total all expand from that mask relation — thousands
+      of rows however many baskets exist.  One corpus-keyed exchange
+      total (the basket groupBy, partial-agg'd map-side) vs the
+      selfjoin's two membership shuffles + sort-merge pair join.
+      Same contracts as selfjoin (member DISTINCT, items non-null)
+      plus the <= 60-item cap: bit indexes beyond 63 would wrap
+      Java's shift — callers gate on known domain cardinality.
+      Item rank comes from a broadcast triangle join on the tiny dim
+      (count of items <= self), not a window or a collect, so the
+      no-unpartitioned-window and no-driver-collect rules hold.
 
     The array flavor's lazy localCheckpoint is non-reliable (executor
     loss fails the query) and its blocks persist until LRU eviction —
@@ -804,7 +819,98 @@ def basket_lift(
     member = member.select(
         F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
     )
-    if flavor == "selfjoin":
+    if flavor == "bitmask":
+        dim = member.select("_it").distinct()
+        # Rank by triangle join (idx = items <= self, minus one): the
+        # dim is <= 60 rows, so this is a broadcast nest of at most
+        # 60^2 comparisons — and idx order IS item sort order, so
+        # idx_a < idx_b <=> item_a < item_b and the pair orientation
+        # matches the other flavors exactly.
+        # Checkpointed for the same reason as mask_counts below: the
+        # mask build plus three broadcast name-mapping joins would each
+        # re-derive the dim distinct from the corpus; the relation is
+        # <= 60 rows.
+        idx = (
+            dim.alias("l")
+            .join(F.broadcast(dim.alias("r")), F.col("r._it") <= F.col("l._it"))
+            .groupBy(F.col("l._it").alias("_it"))
+            .agg((F.count(F.lit(1)) - 1).cast("int").alias("_idx"))
+            .localCheckpoint(eager=False)
+        )
+        masks = (
+            member.join(F.broadcast(idx), "_it")
+            .groupBy("_bk")
+            .agg(
+                F.sum(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), _idx)")
+                ).alias("_mask")
+            )
+        )
+        # Lazily checkpointed: pairs, BOTH margin broadcasts, and the
+        # total would otherwise each re-run the corpus subtree (the
+        # broadcast builds don't share exchanges — measured 9.3 s vs
+        # 2.2 s at sf1).  Unlike the array flavor's basket checkpoint
+        # this relation is DISTINCT-MASK sized (<= 2^|items|, ~1e4 for
+        # the brand row), so the non-reliable-checkpoint trade-off in
+        # SCALE.md costs KBs here.
+        mask_counts = (
+            masks.groupBy("_mask")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn(
+                "_bits",
+                F.expr(
+                    "filter(sequence(0, 59),"
+                    " i -> (shiftright(_mask, i) & 1) = 1)"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        rev = idx.select(F.col("_idx"), F.col("_it"))
+        pairs = (
+            mask_counts.select(
+                F.explode("_bits").alias("_ia"), "_bits", "_c"
+            )
+            .select(
+                "_ia",
+                F.explode(F.expr("filter(_bits, x -> x > _ia)")).alias(
+                    "_ib"
+                ),
+                "_c",
+            )
+            .groupBy("_ia", "_ib")
+            .agg(F.sum("_c").alias("pair_baskets"))
+            .join(
+                F.broadcast(
+                    rev.select(
+                        F.col("_idx").alias("_ia"),
+                        F.col("_it").alias("item_a"),
+                    )
+                ),
+                "_ia",
+            )
+            .join(
+                F.broadcast(
+                    rev.select(
+                        F.col("_idx").alias("_ib"),
+                        F.col("_it").alias("item_b"),
+                    )
+                ),
+                "_ib",
+            )
+            .select("item_a", "item_b", "pair_baskets")
+        )
+        marg = (
+            mask_counts.select(F.explode("_bits").alias("_i"), "_c")
+            .groupBy("_i")
+            .agg(F.sum("_c").alias("n_baskets"))
+            .join(
+                F.broadcast(rev.select(F.col("_idx").alias("_i"), "_it")),
+                "_i",
+            )
+            .select("_it", "n_baskets")
+        )
+        total = mask_counts.agg(F.sum("_c").alias("n_total"))
+    elif flavor == "selfjoin":
         pairs = (
             member.alias("l")
             .join(
