@@ -65,56 +65,60 @@ _PINNED_ZIPKIN_CORE = (
 # excludes driver artifacts from rounds >= this (the round's own
 # delivery necessarily contains exactly these keys — VERDICT r09
 # next-round #2).
-_ROTATION_ROUND = 12
+_ROTATION_ROUND = 13
 
-# Round-12 rotation: the FINAL drain (VERDICT r11 next-round #2).  r11
-# was 50/50 green so there are no red rows to front; the recomputed
-# never-checked queue (ROTATION.md recompute rule, re-run 2026-08-16:
-# 244/275 checked) holds exactly 31 keys — after this round every
-# registry query has a first-party driver row.  The 4 surplus slots
-# become deliberate RE-PROOFS of rows this round's cost passes touch
-# (re-checking a row whose plan just changed is the highest-value use
-# of a drained-queue slot); they live in _ROTATION_BACKFILL so the
-# prefix-contract test can tell them apart from wasted re-checks.
-_ROTATION_BACKFILL = (
-    "dedup_semantic_diverse",   # r12 cost pass: worst sf1 scaler (6.4x)
-    "text_tfidf",               # r12 cost pass: slowest never-tuned row
-    "pipe_incremental_dedup",   # r12 cost pass: 2nd slowest never-tuned
-    "emb_covariance",           # r12 idle re-measure target (5.4x flag)
+# Round-13 rotation: the queue is DRAINED (r12 recorded the last 31
+# never-checked keys — 275/275 first-party), so from this round the
+# whole 35-slot budget is RE-PROOF budget spent by the committed rule
+# (VERDICT r12 next-round #1, ROTATION.md "r13+ re-proof policy"):
+#   1. rows whose physical plans THIS round's diff changed (declared
+#      below — re-checking a row whose plan just changed is the
+#      highest-value re-proof), then
+#   2. the rest of the registry in OLDEST-PROOF-FIRST order: keys
+#      sorted by (newest driver round that recorded them, key name),
+#      recomputed from the CORRECTNESS_r*.json files — so the whole
+#      slate is machine-derivable and test_first50_prefix_contract
+#      recomputes it and asserts this literal matches.
+_ROTATION_PLAN_CHANGED = (
+    "dedup_simhash",            # r13: occurrence-join rewrite (1.8x)
+    "dedup_semantic_fold",      # r13: audit universe materialized
+    "dedup_semantic_diverse",   # r13: scored-index column -> __ivf_s
+    "emb_centroid_outliers",    # r13: scored-index column -> __ivf_s
+    "w_basket_brand_pairs",     # r13: bitmask basket flavor
 )
-_ROTATION = (
-    "text_heaps_law",
-    "text_feature_hashing",
-    "ann_pq_recall",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_recall",
-    "emb_silhouette",
-    "text_winnowing",
-    "mm_audio_fingerprint",
-    "dedup_winnow_clusters",
-    "text_winnow_decontaminate",
-    "text_source_lang_gini",
-    "pipe_dedup_mixture_shift",
-    "text_vocab_coverage",
-    "dedup_query_probe",
-    "pipe_source_overlap",
-    "ann_mmr_rerank",
-    "pipe_bloom_prefilter",
-    "dedup_containment",
-    "w8_stream_lsh_registry",
-    "ann_range_search",
-    "ann_filtered_topk",
-    "mm_record_sizes",
-    "text_source_hellinger",
-    "emb_ivf_balance",
-    "pipe_epoch_plan",
-    "dedup_minhash_estimate",
-    "pipe_reembed_queue",
-    "emb_centroid_outliers",
-    "emb_knn_graph",
-    "mm_audio_vad",
-    "pipe_dedup_remap",
-) + _ROTATION_BACKFILL
+_ROTATION_STALENESS_FILL = (
+    "emb_dup_pairs",
+    "mm_frame_sample",
+    "text_langid_ngram",
+    "text_regex_tokens",
+    "text_rolling_fingerprint",
+    "text_token_freq",
+    "ann_lsh_topk",
+    "dedup_ngram_jaccard",
+    "h13_customer_distribution",
+    "h3_shipping_priority",
+    "h4_order_priority_check",
+    "h6_revenue_forecast",
+    "h7_nation_volume",
+    "w_topk_orders_per_priority",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "emb_label_centroids",
+    "emb_quantize_int8",
+    "ev_asof_attribution",
+    "ev_user_sessions",
+    "h14_promo_revenue",
+    "h1_pricing_summary",
+    "h5_nation_revenue",
+    "mm_extract_features",
+    "mm_resize_meta",
+    "pipe_clean_corpus",
+    "text_fingerprint",
+    "text_langid",
+)
+_ROTATION = _ROTATION_PLAN_CHANGED + _ROTATION_STALENESS_FILL
 
 _FIRST50 = _PINNED_ZIPKIN_CORE + _ROTATION
 

@@ -53,26 +53,56 @@ def test_first50_prefix_contract():
                 and r.get("oracle_rows") is None
                 and bool(r.get("rows_match"))
             )
-    # Once the never-checked queue is shorter than the rotation, the
-    # surplus slots are deliberate re-proofs of rows whose plans changed
-    # this round; those keys are pinned in _ROTATION_BACKFILL so this
-    # guard still catches *accidental* green re-checks.
-    backfill = set(getattr(entrymod, "_ROTATION_BACKFILL", ()))
-    assert backfill <= set(rotation)
-    stale = [k for k in rotation if latest.get(k, False) and k not in backfill]
-    assert not stale, (
-        f"rotation keys already driver-GREEN (wasted budget): {stale}"
-    )
-    # Backfill re-proofs are only legitimate once the queue is DRAINED:
-    # if any registry query anywhere still lacks a driver row, a
-    # backfill slot would be spending first-proof budget on a re-check.
-    if backfill:
-        unchecked_outside = [
-            q for q in qs if q not in first50 and q not in latest
+    # Era split (VERDICT r12 next-round #1).  Pre-drain: every rotation
+    # slot must be a first proof (or a red re-proof).  Post-drain
+    # (every registry key has a driver row — true since r12): the whole
+    # rotation is re-proof budget and must follow the committed rule —
+    # plan-changed rows first (declared, this round's diff), then the
+    # registry in oldest-proof-first order, recomputed HERE from the
+    # CORRECTNESS files so a hand-edited slate that drifts from the
+    # rule fails the suite.
+    drained = all(q in latest for q in qs)
+    if not drained:
+        backfill = set(getattr(entrymod, "_ROTATION_BACKFILL", ()))
+        assert backfill <= set(rotation)
+        stale = [
+            k for k in rotation if latest.get(k, False) and k not in backfill
         ]
-        assert not unchecked_outside, (
-            "backfill slots used while never-checked keys remain outside "
-            f"the prefix: {unchecked_outside[:5]}..."
+        assert not stale, (
+            f"rotation keys already driver-GREEN (wasted budget): {stale}"
+        )
+        if backfill:
+            unchecked_outside = [
+                q for q in qs if q not in first50 and q not in latest
+            ]
+            assert not unchecked_outside, (
+                "backfill slots used while never-checked keys remain "
+                f"outside the prefix: {unchecked_outside[:5]}..."
+            )
+    else:
+        changed = list(entrymod._ROTATION_PLAN_CHANGED)
+        assert rotation[: len(changed)] == changed
+        assert not set(changed) & set(pinned)
+        # newest driver round that recorded each key (files < epoch only)
+        newest: dict[str, int] = {}
+        for f in files:
+            rnd = int(
+                re.search(r"r(\d+)", os.path.basename(f)).group(1)
+            )
+            if rnd >= entrymod._ROTATION_ROUND:
+                continue
+            for k in json.load(open(f)):
+                newest[k] = max(newest.get(k, 0), rnd)
+        taken = set(pinned) | set(changed)
+        expect_fill = [
+            k
+            for k, _ in sorted(newest.items(), key=lambda kv: (kv[1], kv[0]))
+            if k not in taken
+        ][: len(rotation) - len(changed)]
+        assert rotation[len(changed):] == expect_fill, (
+            "staleness fill diverges from the oldest-proof-first rule:\n"
+            f"pinned   {rotation[len(changed):]}\n"
+            f"expected {tuple(expect_fill)}"
         )
 
     # Symmetric guard (VERDICT r10 next-round #6): the exclusion above
