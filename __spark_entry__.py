@@ -85,6 +85,7 @@ _ROTATION_PLAN_CHANGED = (
     "dedup_semantic_diverse",   # r13: scored-index column -> __ivf_s
     "emb_centroid_outliers",    # r13: scored-index column -> __ivf_s
     "w_basket_brand_pairs",     # r13: bitmask basket flavor
+    "mm_phash_neardup",         # r13: hash table materialized
 )
 _ROTATION_STALENESS_FILL = (
     "emb_dup_pairs",
@@ -116,7 +117,6 @@ _ROTATION_STALENESS_FILL = (
     "mm_resize_meta",
     "pipe_clean_corpus",
     "text_fingerprint",
-    "text_langid",
 )
 _ROTATION = _ROTATION_PLAN_CHANGED + _ROTATION_STALENESS_FILL
 

@@ -772,6 +772,9 @@ _REUSE_CLAIMS = [
      ("md5(", "xxhash64", "FlatMapGroupsInPandas")),
     ("pipe_dedup_mixture_shift", ("md5(", "xxhash64")),
     ("z_error_paths", ("windowspecdefinition",)),
+    ("mm_phash_neardup",
+     ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+      "PythonUDF")),
 ]
 
 

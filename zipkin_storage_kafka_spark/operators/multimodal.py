@@ -719,9 +719,19 @@ def phash_class_neardup(
     Output: id_a, id_b (canonical = min media_id per class, id_a < id_b),
     hamming, n_images_a, n_images_b.
     """
-    groups = hashes.groupBy("b0", "b1", "b2", "b3").agg(
-        F.min("media_id").alias("media_id"),
-        F.count(F.lit(1)).alias("n_images"),
+    # Lazily checkpointed: the class relation feeds FIVE subtrees (the
+    # band self-join's two sides, the verify join's two sides, and the
+    # two member-count attachments) which would each re-run the
+    # collapse groupBy; the relation is DISTINCT-HASH sized (sublinear
+    # in the corpus — 299 -> 1462 for 10x docs here), so the
+    # non-reliable-checkpoint trade-off (SCALE.md r11) costs KBs.
+    groups = (
+        hashes.groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.min("media_id").alias("media_id"),
+            F.count(F.lit(1)).alias("n_images"),
+        )
+        .localCheckpoint(eager=False)
     )
     pairs = phash_neardup(
         groups.select("media_id", "b0", "b1", "b2", "b3"), max_hamming
