@@ -599,13 +599,21 @@ def test_dsir_weight_table_broadcast(spark, sf_dir):
 
 def test_phash_banded_candidates_no_cross_join(spark, sf_dir):
     """Perceptual-hash near-dup must hash in Arrow-batched Python
-    (MapInPandas over the media bytes) and enumerate candidates via the
-    (band, value) equi-join over DISTINCT hash classes — never a cross
-    join over images."""
+    (MapInPandas over the media bytes) — in the INDEX BUILD plan since
+    r13 (the hash table is matcache-materialized; the serving-side
+    absence of Python eval is pinned by the drift sweep) — and
+    enumerate candidates via the (band, value) equi-join over DISTINCT
+    hash classes, never a cross join over images."""
     import __spark_entry__ as entrymod
+    from zipkin_storage_kafka_spark.operators import multimodal as mm
+    from zipkin_storage_kafka_spark.plans.registry_pipeline import _docs
+
+    build_plan = _plan(
+        mm.bmp_ahash(mm.bmp_media_from_documents(_docs(spark, sf_dir)))
+    )
+    assert "MapInPandas" in build_plan, build_plan
 
     plan = _plan(entrymod.queries()["mm_phash_neardup"](spark, sf_dir))
-    assert "MapInPandas" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
