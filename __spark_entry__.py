@@ -84,7 +84,6 @@ _ROTATION_PLAN_CHANGED = (
     "dedup_semantic_fold",      # r13: audit universe materialized
     "dedup_semantic_diverse",   # r13: scored-index column -> __ivf_s
     "emb_centroid_outliers",    # r13: scored-index column -> __ivf_s
-    "w_basket_brand_pairs",     # r13: bitmask basket flavor
     "mm_phash_neardup",         # r13: hash table materialized
     "ann_pq_adc",               # r13: PQ code table + codebook materialized
     "ann_ivfpq_topk",           # r13: reads the materialized PQ index
@@ -117,6 +116,7 @@ _ROTATION_STALENESS_FILL = (
     "h14_promo_revenue",
     "h1_pricing_summary",
     "h5_nation_revenue",
+    "mm_extract_features",
 )
 _ROTATION = _ROTATION_PLAN_CHANGED + _ROTATION_STALENESS_FILL
 

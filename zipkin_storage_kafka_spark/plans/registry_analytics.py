@@ -184,12 +184,17 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket kernel (operators/trace_aggregation.py:basket_lift, shared
     with z_service_cooccurrence) on the engine's LARGEST fact table:
     the (order, brand) membership distinct comes off the SHARED
-    materialized order_brands relation.  r13: the bitmask flavor —
-    the brand domain is 25 values, so each order's brand set packs
-    into one int64 and pairs/margins/total expand from distinct-mask
-    counts; one corpus-keyed exchange vs the selfjoin's two membership
-    shuffles + sort-merge pair join (same-session A/B at sf1 in
-    basket_lift's flavor note; value-equivalence test-pinned)."""
+    materialized order_brands relation and self-joins on the order key
+    (the selfjoin kernel flavor: at millions of baskets the
+    collect_set object agg loses to the tuple join — see
+    basket_lift's flavor note).  r13 note: the bitmask flavor
+    (value-equivalence test-pinned, strictly less shuffle volume) was
+    tried here — it TIES the selfjoin idle (2.48 vs 2.44 s sf1,
+    same-session) but measured worse in BOTH full-bench runs (2.53 and
+    2.94 vs r12's 2.35 s sf1), so per the measure-in-the-serving-
+    context rule the selfjoin stays; the flavor remains available for
+    domains where the pair join, not the membership shuffle, dominates
+    (see z_service_cooccurrence-scale analyses)."""
     from zipkin_storage_kafka_spark.operators.trace_aggregation import (
         basket_lift,
     )
@@ -197,7 +202,7 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     member = _order_brands(spark, sf_dir).withColumnRenamed(
         "brand", "p_brand"
     )
-    return basket_lift(member, "l_orderkey", "p_brand", flavor="bitmask")
+    return basket_lift(member, "l_orderkey", "p_brand", flavor="selfjoin")
 
 
 def q_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
