@@ -89,6 +89,7 @@ _ROTATION_PLAN_CHANGED = (
     "ann_ivfpq_topk",           # r13: reads the materialized PQ index
     "ann_ivfpq_recall",         # r13: reads the materialized PQ index
     "ann_pq_recall",            # r13: reads the materialized PQ index
+    "emb_rp_simhash",           # r13: vectorized RP projection kernel
 )
 _ROTATION_STALENESS_FILL = (
     "emb_dup_pairs",
@@ -116,7 +117,6 @@ _ROTATION_STALENESS_FILL = (
     "h14_promo_revenue",
     "h1_pricing_summary",
     "h5_nation_revenue",
-    "mm_extract_features",
 )
 _ROTATION = _ROTATION_PLAN_CHANGED + _ROTATION_STALENESS_FILL
 
