@@ -22,17 +22,28 @@ sf0.1.  This script builds sf1 = 10 key-shifted replicas of sf0.1:
 Output: ``<repo>/.bench/sf1/*.parquet`` (gitignored), row groups sized so
 Spark's maxPartitionBytes actually splits the scan (the driver testdata's
 one-row-group-per-file pitfall is documented in SCALE.md).
+
+r14 (VERDICT r13 next-round #1): the replica count / output name are now
+argv-parametrized so the same machinery builds a third scale for the
+floor probes: ``python tools/make_sf1.py 50 sf5`` writes a 50-replica
+``.bench/sf5``.  Strides stay safe: the largest (10M) times 49 replicas
+is 4.9e8, far inside BIGINT and far above every sf0.1 key max.
 """
 
 from __future__ import annotations
 
 import os
+import sys
 
 import duckdb
 
-REPLICAS = 10
+REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench", "sf1")
+DST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".bench",
+    sys.argv[2] if len(sys.argv) > 2 else "sf1",
+)
 
 # table -> {column: stride}; strides are shared across FK edges.
 STRIDE_ORDER = 10_000_000

@@ -50,7 +50,13 @@ def _spec_args(plan: str, start: int) -> list[str]:
     (e.g. substring(x, '(', 1)) can't unbalance the scan or split an
     arg (ADVICE r12 #3); Spark plan text escapes an embedded quote by
     doubling it (''), which this scan reads as close-then-reopen —
-    the net effect (stay inside the literal) is identical."""
+    the net effect (stay inside the literal) is identical.
+
+    Ending the scan with ``in_str`` still True means an unpaired quote
+    swallowed the rest of the plan — the returned args would be silently
+    truncated, a fail-open path on the unpartitioned-window gating rule
+    (ADVICE r13).  That state raises instead; the caller records it as a
+    hard parse failure."""
     args, buf, depth, in_str = [], [], 0, False
     for ch in plan[start:]:
         if in_str:
@@ -71,6 +77,11 @@ def _spec_args(plan: str, start: int) -> list[str]:
             buf = []
             continue
         buf.append(ch)
+    if in_str:
+        raise ValueError(
+            "unterminated string literal in windowspecdefinition args "
+            f"(scan start {start}): {plan[start:start + 80]!r}..."
+        )
     if buf:
         args.append("".join(buf).strip())
     return args
@@ -97,8 +108,15 @@ def audit_plan(plan: str) -> dict:
     # frame.  No partition key <=> the first arg is either the frame or
     # an ordered column.
     unpartitioned = 0
+    parse_failures = 0
     for m in re.finditer(r"windowspecdefinition\(", plan):
-        args = _spec_args(plan, m.end())
+        try:
+            args = _spec_args(plan, m.end())
+        except ValueError:
+            # Fail CLOSED: a spec we cannot parse counts as a hard
+            # finding (window_parse_failure), never as "partitioned".
+            parse_failures += 1
+            continue
         first = args[0] if args else ""
         # ASC/DESC only marks an ORDER column when it terminates the
         # top-level arg (an ordering spec is "expr ASC NULLS FIRST" /
@@ -109,6 +127,7 @@ def audit_plan(plan: str) -> dict:
         ):
             unpartitioned += 1
     counts["unpartitioned_window"] = unpartitioned
+    counts["window_parse_failure"] = parse_failures
     return counts
 
 
@@ -134,7 +153,9 @@ def main() -> int:
     hard = {
         k: v
         for k, v in results.items()
-        if v["cartesian"] or v["unpartitioned_window"]
+        if v["cartesian"]
+        or v["unpartitioned_window"]
+        or v["window_parse_failure"]
     }
     soft = {
         "expand": {k: v["expand"] for k, v in results.items() if v["expand"]},

@@ -646,9 +646,24 @@ def rp_simhash_stats(emb: DataFrame, bits: int = RP_BITS) -> DataFrame:
     )
 
     def kernel(batches):
+        # ADVICE r13: np.stack on a null / ragged embedding column
+        # would crash with an opaque numpy error (the old Catalyst
+        # expression silently degraded instead).  Assert the contract
+        # per batch so a data-quality regression fails loudly with the
+        # offending vec_ids, identically at every scale.
+        dim = W.shape[1]
         for pdf in batches:
             if not len(pdf):
                 continue
+            bad = pdf["vec_id"][
+                [v is None or len(v) != dim for v in pdf["q"]]
+            ]
+            if len(bad):
+                raise ValueError(
+                    "rp_simhash: embedding must be a non-null "
+                    f"array of {dim} floats; offending vec_ids "
+                    f"(first 5): {list(bad[:5])}"
+                )
             m = np.stack(
                 [np.asarray(v, dtype=np.int64) for v in pdf["q"]]
             )
@@ -1359,6 +1374,18 @@ def pq_adc_topk(
     ``codes`` (:func:`pq_encode` output) and ``codebook``
     (matcache-materialized in the registry, r13) so the encode argmin
     never re-runs per query — without them both are derived live.
+
+    Prebuilt-index contract (ADVICE r13): ``codes`` and ``codebook``
+    MUST come from the same :func:`pq_encode` snapshot with the same
+    ``(m, k)`` — a stale or mismatched pair returns silently wrong
+    distances (the registry guarantees this via one matcache
+    fingerprint).  The structural half is cheap to enforce, so it is:
+    every vector must match exactly ``m`` ``(m, code)`` LUT entries
+    (wrong ``m`` in codes, or a codebook with fewer than ``k``
+    centroids, breaks this) — violations ``raise_error`` inside the
+    existing per-vector agg, costing one CASE per output row and no
+    extra job.  Content staleness (same shape, different snapshot)
+    remains the caller's responsibility.
     """
     e = embeddings.select("vec_id", _as_double("embedding").alias("v"))
     qsub = _pq_subvectors(
@@ -1390,7 +1417,21 @@ def pq_adc_topk(
         # self-distance, which skews any recall comparison built on top
         .filter(F.col("vec_id") != query_vec_id)
         .groupBy("vec_id")
-        .agg(round4(F.sum("_d")).alias("adc_d2"))
+        .agg(
+            round4(F.sum("_d")).alias("_adc"),
+            F.count(F.lit(1)).alias("_nm"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                f"CASE WHEN _nm = {int(m)} THEN _adc"
+                " ELSE CAST(raise_error(concat("
+                "'pq_adc_topk: vec_id ', vec_id, ' matched ', _nm,"
+                f" ' of {int(m)} subspace codes — prebuilt"
+                " codes/codebook inconsistent with (m, k)'))"
+                " AS DOUBLE) END"
+            ).alias("adc_d2"),
+        )
         .orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
         .limit(k_results)
     )

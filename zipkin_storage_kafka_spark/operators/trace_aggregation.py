@@ -837,12 +837,25 @@ def basket_lift(
             .agg((F.count(F.lit(1)) - 1).cast("int").alias("_idx"))
             .localCheckpoint(eager=False)
         )
+        # Runtime cap guard (ADVICE r13): shiftleft wraps at >= 64 and
+        # the _bits filter below only scans 0..59, so an oversized item
+        # domain would silently corrupt every count.  raise_error in the
+        # shift expression fails the build executor-side the moment an
+        # out-of-range index appears — no extra job, no driver collect.
         masks = (
             member.join(F.broadcast(idx), "_it")
             .groupBy("_bk")
             .agg(
                 F.sum(
-                    F.expr("shiftleft(CAST(1 AS BIGINT), _idx)")
+                    F.expr(
+                        "CASE WHEN _idx < 60 THEN"
+                        " shiftleft(CAST(1 AS BIGINT), _idx)"
+                        " ELSE CAST(raise_error(concat("
+                        "'basket_lift flavor=bitmask supports <= 60"
+                        " distinct items; got item index ', _idx,"
+                        " ' — use flavor=selfjoin or array'))"
+                        " AS BIGINT) END"
+                    )
                 ).alias("_mask")
             )
         )
