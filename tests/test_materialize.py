@@ -287,3 +287,85 @@ def test_matcache_prune_respects_grace_window(spark, tmp_path, monkeypatch):
     _sh.rmtree(os.path.join(tag_dir, "t-newfp0000000"))
     assert matcache.materialized(spark, src, "t", "newfp0000000", build).count() == 3
     assert not os.path.isdir(old_path)
+
+
+def test_matcache_fingerprint_invalidation_contract(
+    spark, tmp_path, monkeypatch
+):
+    """The staleness contract (VERDICT r13 next-round #5), both halves:
+    an UNCHANGED fingerprint must reuse the persisted table (zero
+    rebuilds), and mutating the fingerprint's INPUT BYTES must produce a
+    different fingerprint, which relocates the cache path and rebuilds.
+    The fingerprint input is exercised with a real on-disk module whose
+    source this test edits — the same mechanism that keys pq_codes /
+    semdedup_audit off operators/similarity.py."""
+    import importlib.util
+
+    from zipkin_storage_kafka_spark.sources import matcache
+
+    monkeypatch.setattr(matcache, "CACHE_ROOT", str(tmp_path / "cache"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(3).withColumnRenamed("id", "v")
+
+    mod_path = tmp_path / "fp_probe_mod.py"
+    mod_path.write_text("X = 1\n")
+    spec = importlib.util.spec_from_file_location("fp_probe_mod", mod_path)
+    mod = importlib.util.module_from_spec(spec)
+
+    fp1 = matcache.code_fingerprint((mod,))
+    assert matcache.materialized(spark, src, "t", fp1, build).count() == 3
+    assert len(builds) == 1
+    # unchanged fingerprint -> reuse, no rebuild (fresh memo = the
+    # cross-process case: a new driver recomputes the same md5)
+    monkeypatch.setattr(matcache, "_FP_CACHE", {})
+    assert matcache.code_fingerprint((mod,)) == fp1
+    assert matcache.materialized(spark, src, "t", fp1, build).count() == 3
+    assert len(builds) == 1
+
+    # mutate the fingerprint input -> new fingerprint -> rebuild
+    mod_path.write_text("X = 2\n")
+    monkeypatch.setattr(matcache, "_FP_CACHE", {})
+    fp2 = matcache.code_fingerprint((mod,))
+    assert fp2 != fp1
+    assert matcache.materialized(spark, src, "t", fp2, build).count() == 3
+    assert len(builds) == 2
+
+
+def test_pq_and_semdedup_caches_keyed_on_operator_source(
+    spark, monkeypatch, tmp_path
+):
+    """_pq_index and _semdedup_audit_members must persist under a path
+    embedding code_fingerprint((similarity, tables)) — so any edit to
+    the operator source structurally relocates (= invalidates) the
+    persisted pq_codes / pq_codebook / semdedup_audit tables.  Guards
+    the wiring half of the staleness contract: a refactor that drops
+    similarity.py from the fingerprint input would serve stale indexes
+    across code versions."""
+    from zipkin_storage_kafka_spark.operators import similarity as sim
+    from zipkin_storage_kafka_spark.plans import registry_pipeline as rp
+    from zipkin_storage_kafka_spark.sources import matcache, tables
+
+    monkeypatch.setattr(matcache, "CACHE_ROOT", str(tmp_path / "cache"))
+    monkeypatch.setattr(rp, "_PQ_INDEX_CACHE", {})
+    monkeypatch.setattr(rp, "_SEMDEDUP_AUDIT_CACHE", {})
+    monkeypatch.setattr(rp, "_IVF_CACHE", {})
+
+    sf_dir = "/root/testdata/sf0.001"
+    codes, codebook = rp._pq_index(spark, sf_dir)
+    assert codes.count() > 0 and codebook.count() > 0
+    assert rp._semdedup_audit_members(spark, sf_dir).count() > 0
+
+    fp = matcache.code_fingerprint((sim, tables))
+    persisted = {
+        d
+        for r, ds, _ in os.walk(str(tmp_path / "cache"))
+        for d in ds
+        if "-" in d
+    }
+    for table in ("pq_codes", "pq_codebook", "semdedup_audit"):
+        assert f"{table}-{fp}" in persisted, (table, sorted(persisted))
