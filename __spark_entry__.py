@@ -65,58 +65,56 @@ _PINNED_ZIPKIN_CORE = (
 # excludes driver artifacts from rounds >= this (the round's own
 # delivery necessarily contains exactly these keys — VERDICT r09
 # next-round #2).
-_ROTATION_ROUND = 13
+_ROTATION_ROUND = 14
 
-# Round-13 rotation: the queue is DRAINED (r12 recorded the last 31
-# never-checked keys — 275/275 first-party), so from this round the
-# whole 35-slot budget is RE-PROOF budget spent by the committed rule
-# (VERDICT r12 next-round #1, ROTATION.md "r13+ re-proof policy"):
-#   1. rows whose physical plans THIS round's diff changed (declared
-#      below — re-checking a row whose plan just changed is the
-#      highest-value re-proof), then
-#   2. the rest of the registry in OLDEST-PROOF-FIRST order: keys
-#      sorted by (newest driver round that recorded them, key name),
-#      recomputed from the CORRECTNESS_r*.json files — so the whole
-#      slate is machine-derivable and test_first50_prefix_contract
-#      recomputes it and asserts this literal matches.
+# Round-14 rotation, spent by the encoded drained-era rule (ROTATION.md
+# "r13+ re-proof policy", recomputed and asserted by
+# test_first50_prefix_contract's drained-era branch):
+#   1. rows whose physical plans THIS round's diff changed — the four
+#      ADC rows gained the prebuilt-index consistency projection and
+#      the rp_simhash row's Arrow kernel gained the malformed-embedding
+#      assertion (ADVICE r13 fixes); then
+#   2. the registry in OLDEST-PROOF-FIRST order recomputed from the
+#      CORRECTNESS_r*.json files (< r14): the r03 cohort tail, the r04
+#      cohort, and the r05 head.
 _ROTATION_PLAN_CHANGED = (
-    "dedup_simhash",            # r13: occurrence-join rewrite (1.8x)
-    "dedup_semantic_fold",      # r13: audit universe materialized
-    "dedup_semantic_diverse",   # r13: scored-index column -> __ivf_s
-    "emb_centroid_outliers",    # r13: scored-index column -> __ivf_s
-    "mm_phash_neardup",         # r13: hash table materialized
-    "ann_pq_adc",               # r13: PQ code table + codebook materialized
-    "ann_ivfpq_topk",           # r13: reads the materialized PQ index
-    "ann_ivfpq_recall",         # r13: reads the materialized PQ index
-    "ann_pq_recall",            # r13: reads the materialized PQ index
-    "emb_rp_simhash",           # r13: vectorized RP projection kernel
+    "ann_pq_adc",               # r14: per-vector subspace-count guard
+    "ann_ivfpq_topk",           # r14: same guard via ann_topk_ivfpq
+    "ann_ivfpq_recall",         # r14: same guard via ann_topk_ivfpq
+    "ann_pq_recall",            # r14: same guard via pq_recall
+    "emb_rp_simhash",           # r14: kernel null/ragged assertion
 )
 _ROTATION_STALENESS_FILL = (
-    "emb_dup_pairs",
-    "mm_frame_sample",
-    "text_langid_ngram",
-    "text_regex_tokens",
-    "text_rolling_fingerprint",
-    "text_token_freq",
-    "ann_lsh_topk",
-    "dedup_ngram_jaccard",
-    "h13_customer_distribution",
-    "h3_shipping_priority",
-    "h4_order_priority_check",
-    "h6_revenue_forecast",
-    "h7_nation_volume",
-    "w_topk_orders_per_priority",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "emb_label_centroids",
-    "emb_quantize_int8",
-    "ev_asof_attribution",
-    "ev_user_sessions",
-    "h14_promo_revenue",
-    "h1_pricing_summary",
-    "h5_nation_revenue",
+    "mm_extract_features",
+    "mm_resize_meta",
+    "pipe_clean_corpus",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_token_stats",
+    "ann_batch_topk",
+    "dedup_cluster_resolve",
+    "emb_kmeans_step",
+    "emb_pq_encode",
+    "ev_cohort_retention",
+    "ev_event_funnel",
+    "h20_excess_stock",
+    "h2_min_cost_supplier",
+    "hr_pricing_cube",
+    "text_bpe_train",
+    "text_length_buckets",
+    "text_pii_scrub",
+    "w1_stream_traces",
+    "w_customer_deciles",
+    "z_anomalous_spans",
+    "z_critical_path",
+    "z_self_time",
+    "z_service_pagerank",
+    "dedup_cluster_star",
+    "dedup_semantic",
+    "dedup_substring",
+    "mm_bmp_resize",
+    "mm_bmp_roundtrip",
 )
 _ROTATION = _ROTATION_PLAN_CHANGED + _ROTATION_STALENESS_FILL
 
