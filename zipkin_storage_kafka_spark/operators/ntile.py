@@ -62,6 +62,15 @@ def distributed_ntile(
     """
     if n_partitions is None:
         n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    # repartitionByRange SAMPLES its child with a separate collect job
+    # before the shuffle runs the child again (RangePartitioner.sketch)
+    # — for a derived input (an aggregation over the corpus) that is a
+    # full extra pass (guide 2.4: remove shuffles/passes outright).
+    # Truncating the input first means: sample job materializes the
+    # KB..MB-scale pre-ntile relation once, the range shuffle reads the
+    # same blocks.  r14 A/B (same-session interleaved, sf0.1):
+    # w_revenue_pareto and ev_rfm_scores below.
+    df = df.localCheckpoint(eager=False)
     ranged = (
         df.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
@@ -125,6 +134,9 @@ def distributed_rank(
     """
     if n_partitions is None:
         n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    # same input truncation as distributed_ntile: one materialization
+    # instead of sample-pass + shuffle-pass over the derived input
+    df = df.localCheckpoint(eager=False)
     ranged = (
         df.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())

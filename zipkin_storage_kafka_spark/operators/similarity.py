@@ -830,6 +830,7 @@ def ivf_nlist_recall(
     k: int = 10,
     nlists: tuple[int, ...] = IVF_NLISTS,
     exact: DataFrame | None = None,
+    truncate: bool = True,
 ) -> DataFrame:
     """The OTHER IVF tuning knob: recall@k AND probe cost as a function
     of quantizer coarseness (nlist = number of cells), at nprobe=1 —
@@ -914,17 +915,31 @@ def ivf_nlist_recall(
     wv = Window.partitionBy("vec_id", "nlist").orderBy(
         F.col("s").desc(), F.col("cell")
     )
+    # The assignment index is consumed THREE times below (probe rows,
+    # candidate semi-join, probed-row counts) — without truncation each
+    # consumer re-evaluates the whole corpus x centroid scoring pass +
+    # argmax window (11 parquet scans of the corpus in the r14 before
+    # plan, guide section 2.4 "remove shuffles outright"/3.3 duplicated
+    # subtrees).  The relation is 3 ints per (vector, nlist) — ~1% of
+    # corpus bytes — so the established KB-scale localCheckpoint
+    # contract (SCALE.md r11) applies at every scale.
     assign = (
         scores.withColumn("rk", F.row_number().over(wv))
         .filter(F.col("rk") == 1)
         .select("vec_id", "nlist", "cell")
     )
+    if truncate:
+        assign = assign.localCheckpoint(eager=False)
     probe = assign.filter(F.col("vec_id") == query_vec_id).select(
         "nlist", "cell"
     )
+    # cands feeds both the probed-row count and the vector join; same
+    # truncation argument (narrow (vec_id, nlist) rows).
     cands = assign.join(
         F.broadcast(probe), ["nlist", "cell"], "left_semi"
     ).filter(F.col("vec_id") != query_vec_id)
+    if truncate:
+        cands = cands.localCheckpoint(eager=False)
     probed = cands.groupBy("nlist").agg(
         F.count(F.lit(1)).alias("probed_rows")
     )
