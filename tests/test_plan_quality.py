@@ -296,11 +296,18 @@ def test_kmeans_assignment_broadcasts_seeds(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_boilerplate_reuses_shingle_exchange(spark, sf_dir):
-    """boilerplate_stats groups shingles by `sh` and joins the result back
-    on `sh`: the join must ride the groupBy's hash partitioning — exactly
-    one exchange over the shingle relation side (plus the broadcast of the
-    1-row corpus count), not two."""
+def test_boilerplate_broadcasts_only_frequent_set(spark, sf_dir):
+    """r14 boilerplate_stats shape: the doc-frequency agg is FILTERED to
+    the frequent (boilerplate) set before it is broadcast back to the
+    shingle rows — the build side is size-bounded ((100/pct) x
+    avg-shingles-per-doc regardless of corpus size), never the full
+    distinct-gram relation.  Pinned: (a) the frequent-set restriction
+    (the integer `* 100` threshold compare) sits BELOW a
+    BroadcastExchange, i.e. it is applied before the relation ships;
+    (b) the exchange budget holds — shingle distinct (x2 references:
+    counts + frequent set), the df-groupBy on sh, and the final doc_id
+    agg; a regression that re-shuffles the probe side for the join
+    pushes past it."""
     from zipkin_storage_kafka_spark.operators.dedup import shingles_native
     from zipkin_storage_kafka_spark.operators.text_analysis import (
         boilerplate_stats,
@@ -309,16 +316,35 @@ def test_boilerplate_reuses_shingle_exchange(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     df = boilerplate_stats(shingles_native(docs), docs)
     plan = _plan(df)
-    # one broadcast for the scalar count
     assert "BroadcastExchange" in plan
-    # Static-plan exchange budget: the raw shingle subtree's distinct costs
-    # one (doc_id, sh) exchange PER REFERENCE (x2 here — the registry path
-    # feeds a materialized shingle table, collapsing those to scans), plus
-    # the df-groupBy on sh, plus the final doc_id agg = 4.  A regression
-    # that repartitions the join separately from the groupBy pushes this
-    # past the budget.
+    # the threshold compare must appear in the plan as a Filter (build
+    # side restriction), not only inside an aggregate expression
+    assert "* 100)" in plan, "frequent-set threshold filter missing"
     n_exchanges = plan.count("hashpartitioning(")
-    assert n_exchanges <= 4, f"unexpected extra shuffles: {n_exchanges}"
+    assert n_exchanges <= 5, f"unexpected extra shuffles: {n_exchanges}"
+
+
+def test_ngram_novelty_never_joins_gram_text(spark, sf_dir):
+    """r14 ngram_novelty shape: first-owner attribution re-aggregates
+    the owner relation by first_doc — gram TEXT never crosses a join
+    (the pre-r14 plan broadcast/shuffled the corpus-sized owner table
+    back onto every shingle row).  Pinned: no join in the plan is keyed
+    on the shingle column; every join key is doc_id."""
+    from zipkin_storage_kafka_spark.operators.dedup import shingles_native
+    from zipkin_storage_kafka_spark.operators.text_analysis import (
+        ngram_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = ngram_novelty(shingles_native(docs), docs)
+    plan = _plan(df)
+    for line in plan.splitlines():
+        if "Join condition" in line or "join keys" in line.lower():
+            assert "sh#" not in line, f"gram-keyed join leaked back: {line}"
+    # keys lines in formatted plans: "Left keys"/"Right keys"
+    for line in plan.splitlines():
+        if line.strip().startswith(("Left keys", "Right keys")):
+            assert "sh#" not in line, f"gram-keyed join leaked back: {line}"
 
 
 def test_sketch_is_partial_aggregated(spark, sf_dir):

@@ -227,12 +227,21 @@ def pairwise_cosine_dups(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket join (same sign bucket)
     then exact cosine filter.  Columns: vec_a, vec_b, cos (round 4).
-    The bucket equi-join bounds the pair space — no O(n^2) stage."""
+    The bucket equi-join bounds the pair space — no O(n^2) stage.
+
+    r14: the per-vector norm ``sqrt(dot(v, v))`` is hoisted into the
+    bucketed projection, so the join condition evaluates ONE O(d) array
+    aggregate per candidate pair (the cross dot) instead of three —
+    pair mass grows quadratically in duplicate-clique size while vector
+    count grows linearly, so at scale this cuts the pair stage's O(d)
+    work ~3x (guide §1.2 per-task work).  Same expression tree
+    otherwise (dot / (norm_a * norm_b), sqrt before multiply), so the
+    round4 cosine is bit-identical."""
     bucketed = embeddings.select(
         "vec_id",
         _as_double("embedding").alias("emb"),
         sign_bucket(F.col("embedding"), bits).alias("bucket"),
-    )
+    ).withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = a.join(
@@ -241,8 +250,7 @@ def pairwise_cosine_dups(
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
-        F.sqrt(_dot(F.col("a.emb"), F.col("a.emb")))
-        * F.sqrt(_dot(F.col("b.emb"), F.col("b.emb")))
+        F.col("a.norm") * F.col("b.norm")
     )
     return (
         pairs.select(

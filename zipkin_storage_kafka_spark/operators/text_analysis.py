@@ -587,28 +587,38 @@ def boilerplate_stats(sh: DataFrame, docs: DataFrame, pct: int = 5) -> DataFrame
     repetition is the word n-gram shingle rather than the newline-split
     line the web-corpus cleaners use — same pipeline role, same plan.
 
-    Shape: doc-frequency groupBy on the shingle hash, then a join of the
-    shingle rows back on the SAME key — Spark reuses one exchange for
-    both (groupBy output is already hash-partitioned by ``sh``).  The
-    corpus-size threshold is a broadcast 1-row cross join; the comparison
-    is exact integer math (d * 100 >= pct * n_docs), no float threshold.
-    At 100 TB the boilerplate set (frequent shingles) is tiny and skewed
-    — exactly the rows AQE's skew-join splitting handles; everything else
-    is partial-agg bounded.
+    Shape (r14): doc-frequency groupBy on the shingle key, FILTER to the
+    frequent set first, and broadcast only that set back to the shingle
+    rows (left join + null flag).  The pre-r14 formulation joined the
+    ENTIRE distinct-gram count relation back on the gram text — a
+    corpus-sized build side whose broadcast (or shuffle) grows linearly
+    with the corpus (guide §3.1/§2.3: broadcast the side that fits,
+    shuffle fewer bytes).  The frequent set is size-bounded by
+    construction: a shingle in >= ``pct``% of docs implies at most
+    (100/pct) * avg_shingles_per_doc distinct members regardless of
+    corpus size, so the broadcast stays KB-scale at 100 TB.  The
+    corpus-size threshold is a broadcast 1-row cross join; the
+    comparison is exact integer math (d * 100 >= pct * n_docs), no
+    float threshold.  The per-doc agg partial-aggregates map-side.
 
     Output: doc_id, n_shingles, n_boilerplate, bp_ratio (round 4).
     """
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("d"))
-    return (
-        sh.join(df_counts, "sh")
+    bp = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("d"))
         .crossJoin(F.broadcast(n))
+        .filter(F.col("d") * 100 >= F.lit(pct) * F.col("n_docs"))
+        .select("sh", F.lit(1).alias("_bp"))
+    )
+    return (
+        sh.join(F.broadcast(bp), "sh", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                (F.col("d") * 100 >= F.lit(pct) * F.col("n_docs")).cast("long")
-            ).alias("n_boilerplate"),
+            F.sum(F.coalesce(F.col("_bp"), F.lit(0)).cast("long")).alias(
+                "n_boilerplate"
+            ),
         )
         .select(
             "doc_id",
@@ -1579,25 +1589,32 @@ def ngram_novelty(sh: DataFrame, docs: DataFrame) -> DataFrame:
     the SAME relation the MinHash pipeline consumes, so at 100 TB the
     expensive explode is computed once per corpus, not per operator.
 
-    Plan: one groupBy(gram) min(doc_id) for first-owner attribution, an
-    equi-join back on gram, and a per-doc partial agg — two hash
-    shuffles, both keyed on high-cardinality uniform keys (gram text,
-    doc_id), no skew hazard.  Docs with fewer than 3 words have no
-    grams: reported with n_grams = 0 and novelty 0.0 via the left join
+    Plan (r14): one groupBy(gram) min(doc_id) for first-owner
+    attribution, then — because ``sh`` is distinct per (doc_id, gram) —
+    ``n_novel`` is just a RE-AGGREGATION of the owner relation by
+    ``first_doc`` (each gram contributes exactly one first-owner row),
+    and ``n_grams`` is a direct per-doc count of ``sh``.  The pre-r14
+    formulation instead equi-joined the corpus-sized owner relation
+    back to every shingle row on the gram TEXT — a second full
+    gram-keyed shuffle (or a corpus-sized broadcast) that grows
+    linearly with the corpus (guide §2.4 remove shuffles outright,
+    §2.3 shuffle keys not payloads).  Both aggs partial-aggregate
+    map-side, so the two shuffles now carry doc-cardinality partials,
+    never gram text.  Docs with fewer than 3 words have no grams:
+    reported with n_grams = 0 and novelty 0.0 via the left join
     against the doc spine (one row per doc, always).
 
     Output: doc_id, n_grams, n_novel, novelty (round4).
     """
     owner = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        sh.join(owner, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                (F.col("first_doc") == F.col("doc_id")).cast("long")
-            ).alias("n_novel"),
-        )
+    novel = owner.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("n_novel"))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    per_doc = counts.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
     )
     return (
         docs.select("doc_id")
