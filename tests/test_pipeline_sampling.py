@@ -318,6 +318,51 @@ def test_covariance_matrix_matches_numpy(spark):
         assert abs(c - want[di - 1, dj - 1]) <= 1e-4, (di, dj)
 
 
+def test_covariance_matrix_flavors_agree(spark, sf_dir):
+    """The r14 arrow flavor (per-task Gram partials via one X.T @ X per
+    batch) must reproduce the expr flavor's rows exactly at round4 — on
+    the real corpus AND on a ragged fixture with null embedding rows
+    (per-length accumulation must match the rowwise stream's per-key
+    counts; null ROWS are skipped by both)."""
+    import pytest as _pytest
+
+    from zipkin_storage_kafka_spark.operators.similarity import (
+        covariance_matrix,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for source in (
+        emb,
+        spark.createDataFrame(
+            [
+                (1, [1.0, 2.0, 3.0]),
+                (2, [4.0, 0.5]),
+                (3, None),
+                (4, [0.25, -1.0, 7.0]),
+                (5, [2.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        ),
+    ):
+        got = {
+            fl: {
+                tuple(r)
+                for r in covariance_matrix(source, flavor=fl).collect()
+            }
+            for fl in ("expr", "arrow")
+        }
+        assert got["expr"] == got["arrow"]
+        assert got["arrow"]  # non-vacuous
+    # A null ELEMENT inside a vector is a data-quality error: the arrow
+    # kernel fails loudly (ADVICE r13 contract) instead of reproducing
+    # the expr flavor's silent null-skip arithmetic.
+    bad = spark.createDataFrame(
+        [(1, [1.0, None, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(Exception, match="null element"):
+        covariance_matrix(bad, flavor="arrow").collect()
+
+
 def test_semantic_dedup_arrow_equals_sql(spark, sf_dir):
     """The vectorized (gram-matrix) flavor makes EXACTLY the same keep
     decisions as the expression flavor — on the real corpus and on the

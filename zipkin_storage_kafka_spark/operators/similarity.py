@@ -1460,7 +1460,9 @@ def pq_adc_topk(
     )
 
 
-def covariance_matrix(embeddings: DataFrame) -> DataFrame:
+def covariance_matrix(
+    embeddings: DataFrame, flavor: str = "arrow"
+) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding dimensions — the
     input to whitening / PCA (the d x d matrix is KB-sized for any real
     d, so the eigendecomposition itself is legitimately a driver-side
@@ -1469,13 +1471,35 @@ def covariance_matrix(embeddings: DataFrame) -> DataFrame:
 
     Output: di, dj (1-based, di <= dj), cov (round4, population).
 
-    Scale (100 TB): the cross-product stream is generated ROWWISE (a
-    nested array transform — d*(d+1)/2 structs per vector, no self-join,
-    no shuffle before aggregation), then partial-aggregated down to
-    d*(d+1)/2 keys regardless of corpus size; the per-dimension means are
-    a d-row broadcast.  Double sums stay far inside the round4 tolerance
+    Flavors (r14, guide §4.2 — hand whole batches to vectorized native
+    code):
+
+    ``flavor="arrow"`` (default, the registry row): per-task partial
+    Gram matrices via ONE numpy ``X.T @ X`` per record batch inside
+    ``mapInArrow`` — the d*(d+1)/2-per-vector rowwise struct stream
+    (2,080 structs/vector at d=64, each through generate + hash-agg
+    probe) collapses to a dense BLAS call; each task emits one
+    d*(d+1)/2-row partial, so the shuffle carries O(tasks * d^2) rows
+    regardless of corpus size.  Mixed-length (ragged) embeddings
+    accumulate per length group, reproducing the rowwise flavor's
+    per-key counts exactly; null embedding ROWS are skipped (the expr
+    flavor's explode likewise yields nothing for them); a null element
+    INSIDE a vector raises (fail-loud, ADVICE r13 contract) rather
+    than reproducing the expr flavor's silent null-skip arithmetic.
+    Same summation class as the expr flavor (doubles, per-partition
+    partials merged in plan order), so values agree at round4 — pinned
+    by the flavor-equivalence test on the corpus.
+
+    ``flavor="expr"``: the pure-Column rowwise stream (the pre-r14
+    derivation, kept as the engine-portable reference shape).
+
+    Scale (100 TB): both flavors partial-aggregate to d*(d+1)/2 keys
+    regardless of corpus size; the per-dimension means are a d-row
+    broadcast.  Double sums stay far inside the round4 tolerance
     (same argument as :func:`dimension_stats`).
     """
+    if flavor == "arrow":
+        return _covariance_matrix_arrow(embeddings)
     pairs = embeddings.select(
         F.explode(
             F.expr(
@@ -1496,6 +1520,125 @@ def covariance_matrix(embeddings: DataFrame) -> DataFrame:
     ).groupBy((F.col("pos") + 1).alias("dim")).agg(F.avg("x").alias("mu"))
     mi = F.broadcast(dims.select(F.col("dim").alias("di"), F.col("mu").alias("_mi")))
     mj = F.broadcast(dims.select(F.col("dim").alias("dj"), F.col("mu").alias("_mj")))
+    return (
+        sums.join(mi, "di")
+        .join(mj, "dj")
+        .select(
+            F.col("di").cast("int").alias("di"),
+            F.col("dj").cast("int").alias("dj"),
+            round4(
+                F.col("sxy") / F.col("n") - F.col("_mi") * F.col("_mj")
+            ).alias("cov"),
+        )
+    )
+
+
+def _cov_gram_partials(batches):
+    """mapInArrow kernel for :func:`covariance_matrix` — accumulates the
+    task's cross-product sums (full Gram, emitted upper-triangle), pair
+    counts, per-dim sums and counts, grouped by vector length so ragged
+    inputs produce the same per-key counts as the rowwise stream."""
+    import numpy as np
+    import pyarrow as pa
+
+    G = N = sx = cnt = None
+    dmax = 0
+
+    def grow(d):
+        nonlocal G, N, sx, cnt, dmax
+        if d <= dmax:
+            return
+        G2 = np.zeros((d, d))
+        N2 = np.zeros((d, d), dtype=np.int64)
+        sx2 = np.zeros(d)
+        cnt2 = np.zeros(d, dtype=np.int64)
+        if dmax:
+            G2[:dmax, :dmax] = G
+            N2[:dmax, :dmax] = N
+            sx2[:dmax] = sx
+            cnt2[:dmax] = cnt
+        G, N, sx, cnt, dmax = G2, N2, sx2, cnt2, d
+
+    for b in batches:
+        col = b.column(0)
+        if col.null_count:
+            col = col.drop_null()
+        if len(col) == 0:
+            continue
+        if col.values.null_count:
+            raise ValueError(
+                "covariance_matrix arrow kernel: null element inside an "
+                "embedding vector — clean the corpus or use flavor='expr'"
+            )
+        offs = np.asarray(col.offsets)
+        vals = np.asarray(col.values).astype(np.float64, copy=False)
+        lens = np.diff(offs)
+        for d in np.unique(lens):
+            if d == 0:
+                continue
+            d = int(d)
+            starts = offs[:-1][lens == d]
+            rows = vals[starts[:, None] + np.arange(d)]
+            grow(d)
+            G[:d, :d] += rows.T @ rows
+            m = rows.shape[0]
+            N[:d, :d] += m
+            sx[:d] += rows.sum(axis=0)
+            cnt[:d] += m
+    if dmax:
+        iu, ju = np.triu_indices(dmax)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array((iu + 1).astype(np.int32)),
+                pa.array((ju + 1).astype(np.int32)),
+                pa.array(G[iu, ju]),
+                pa.array(N[iu, ju]),
+            ],
+            names=["di", "dj", "s", "n"],
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.arange(1, dmax + 1, dtype=np.int32)),
+                pa.array(np.zeros(dmax, dtype=np.int32)),
+                pa.array(sx),
+                pa.array(cnt),
+            ],
+            names=["di", "dj", "s", "n"],
+        )
+
+
+def _covariance_matrix_arrow(embeddings: DataFrame) -> DataFrame:
+    """Arrow flavor of :func:`covariance_matrix`: per-task Gram partials
+    (dj=0 sentinel rows carry the per-dim sums), final d^2-key agg.
+
+    The merged partials are a d(d+1)/2 + d row relation (KB-sized for
+    any real d), lazily localCheckpoint-ed so the three consumers below
+    (pair sums + the two mean broadcasts) read it instead of each
+    re-running the corpus-wide Gram kernel — without it the plan holds
+    three MapInArrow scans (Catalyst pushes the disjoint dj filters
+    below the Exchange, defeating ReuseExchange).  Same non-reliable-
+    checkpoint trade-off as SCALE.md "Round 11"; the relation is tiny.
+    """
+    parts = embeddings.select("embedding").mapInArrow(
+        _cov_gram_partials, "di int, dj int, s double, n long"
+    )
+    agg = (
+        parts.groupBy("di", "dj")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .localCheckpoint(eager=False)  # truncate: one Gram scan, not 3
+    )
+    sums = agg.filter(F.col("dj") > 0).select(
+        "di", "dj", F.col("s").alias("sxy"), "n"
+    )
+    dims = agg.filter(F.col("dj") == 0).select(
+        F.col("di").alias("dim"), (F.col("s") / F.col("n")).alias("mu")
+    )
+    mi = F.broadcast(
+        dims.select(F.col("dim").alias("di"), F.col("mu").alias("_mi"))
+    )
+    mj = F.broadcast(
+        dims.select(F.col("dim").alias("dj"), F.col("mu").alias("_mj"))
+    )
     return (
         sums.join(mi, "di")
         .join(mj, "dj")
