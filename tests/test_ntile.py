@@ -151,3 +151,45 @@ def test_distributed_ntile_matches_sql_ntile_sweep(spark):
             for r in distributed_ntile(df, 7, ["v", "id"]).collect()
         }
         assert got == want, f"n={n}"
+
+
+def test_offsets_flavors_agree(spark):
+    """The collect-offsets default and the lazy join-offsets flavor
+    produce identical buckets and ranks (the r14 job-count cut must be
+    value-invisible), including the empty-frame edge."""
+    from zipkin_storage_kafka_spark.operators.ntile import (
+        distributed_ntile,
+        distributed_rank,
+    )
+
+    rows = [(i, (i * 37) % 100) for i in range(23)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    a = {
+        r["id"]: r["bucket"]
+        for r in distributed_ntile(
+            df, 4, ["v", "id"], n_partitions=5, offsets="collect"
+        ).collect()
+    }
+    b = {
+        r["id"]: r["bucket"]
+        for r in distributed_ntile(
+            df, 4, ["v", "id"], n_partitions=5, offsets="join"
+        ).collect()
+    }
+    assert a == b
+    ra = {
+        r["id"]: r["_grank"]
+        for r in distributed_rank(
+            df, ["v", "id"], n_partitions=5, offsets="collect"
+        ).collect()
+    }
+    rb = {
+        r["id"]: r["_grank"]
+        for r in distributed_rank(
+            df, ["v", "id"], n_partitions=5, offsets="join"
+        ).collect()
+    }
+    assert ra == rb
+    empty = spark.createDataFrame([], "id long, v long")
+    assert distributed_ntile(empty, 4, ["v", "id"]).collect() == []
+    assert distributed_rank(empty, ["v", "id"]).collect() == []

@@ -19,10 +19,15 @@ Two flavors:
        read the same materialized partitioning (a recomputed range
        exchange may re-sample different boundaries).
     2. per-partition ``row_number`` (window PARTITIONED by the range id —
-       parallel) + per-partition row counts joined as broadcast offsets;
-       the offset prefix-sum is a triangular self-join over the tiny
-       (#partitions) count table, NOT an unpartitioned window, so the
-       whole plan emits zero single-partition window stages.
+       parallel) + per-partition row counts attached as offsets.  The
+       default ``offsets="collect"`` flavor collects the <= n_partitions
+       count rows (cluster-bounded, never data-bounded — the one collect
+       class SCALE.md allows) and inlines the prefix sums as a literal
+       map: ONE job materializes the checkpointed range partitioning and
+       the offsets together, where the lazy ``offsets="join"`` flavor
+       spends three (counts agg, triangular self-join, total agg) plus
+       two broadcast builds.  Both flavors emit zero single-partition
+       window stages; equivalence is test-pinned.
     3. piecewise front-loaded-remainder formula: with 1-based global rank
        ``r = _off + _rn`` and n total rows, the first ``n mod k`` buckets
        hold ``ceil(n/k)`` rows and the rest ``floor(n/k)`` — computed by
@@ -49,16 +54,41 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _collected_offsets(ranged: DataFrame) -> tuple[Column, int] | None:
+    """Materialize the checkpointed range partitioning and read back the
+    per-partition row counts in ONE job (<= n_partitions rows — bounded
+    by cluster parallelism, never by data volume).  Returns the literal
+    offset-lookup column keyed by ``_pid`` plus the total row count, or
+    ``None`` for an empty frame."""
+    rows = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    if not rows:
+        return None
+    counts = {r["_pid"]: r["_c"] for r in rows}
+    acc = 0
+    items: list[Column] = []
+    for pid in sorted(counts):
+        items.append(F.lit(pid))
+        items.append(F.lit(acc))
+        acc += counts[pid]
+    return F.create_map(*items), acc
+
+
 def distributed_ntile(
     df: DataFrame,
     n_buckets: int,
     order_cols: list[str],
     bucket_col: str = "bucket",
     n_partitions: int | None = None,
+    offsets: str = "collect",
 ) -> DataFrame:
     """Append ``bucket_col`` = exact ntile(``n_buckets``) over the total
     order ``order_cols`` (must be a UNIQUE key combination — ties would
     make the global rank, and thus bucket edges, nondeterministic).
+
+    ``offsets="collect"`` (default) inlines the per-partition offsets
+    from one bounded collect; ``offsets="join"`` keeps the plan fully
+    lazy (broadcast triangular-join offsets) for callers that must not
+    trigger a job at plan-build time.  Identical output (test-pinned).
     """
     if n_partitions is None:
         n_partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -76,25 +106,53 @@ def distributed_ntile(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    if offsets == "collect":
+        collected = _collected_offsets(ranged)
+        if collected is None:
+            return ranged.withColumn(
+                bucket_col, F.lit(None).cast("int")
+            ).drop("_pid")
+        offmap, n_total = collected
+        k = int(n_buckets)
+        ranked = (
+            ranged.withColumn("_rn", F.row_number().over(w_local))
+            .withColumn("_off", offmap[F.col("_pid")])
+            .withColumn("_n", F.lit(n_total))
+        )
+        return (
+            ranked.withColumn(bucket_col, _ntile_bucket(k).cast("int"))
+            .drop("_pid", "_rn", "_off", "_n")
+        )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     # offsets: triangular join over <= n_partitions rows (no window)
     a, b = counts.alias("a"), counts.alias("b")
-    offsets = (
+    offsets_df = (
         a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
         .groupBy(F.col("a._pid").alias("_pid"), F.col("a._c").alias("_c"))
         .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_off"))
         .select("_pid", "_off")
     )
     total = counts.agg(F.sum("_c").alias("_n"))
-    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    k = int(n_buckets)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets_df), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn(bucket_col, _ntile_bucket(k).cast("int"))
+        .drop("_pid", "_rn", "_off", "_n")
+    )
+
+
+def _ntile_bucket(k: int) -> Column:
     # SQL ntile(k) front-loads the remainder: the first (n mod k) buckets
     # get ceil(n/k) rows, the rest floor(n/k).  The tempting closed form
     # floor((r-1)*k/n)+1 spreads the remainder EVENLY instead (e.g. n=10,
     # k=4: sizes 3,2,3,2 vs SQL's 3,3,2,2) and only coincides when the
     # remainder happens to front-load — so the piecewise form below is
     # required for bit-exact parity with engine ntile()/DuckDB ntile().
-    k = int(n_buckets)
-    bucket = F.expr(
+    # Evaluated against columns `_off`, `_rn`, `_n` (literal or joined).
+    return F.expr(
         f"CASE WHEN _n % {k} = 0 THEN"
         f"  ((_off + _rn - 1) div (_n div {k})) + 1 "
         f"WHEN (_off + _rn) <= ((_n div {k}) + 1) * (_n % {k}) THEN"
@@ -104,13 +162,6 @@ def distributed_ntile(
         f"    - ((_n div {k}) + 1) * (_n % {k}) - 1) div (_n div {k})) + 1 "
         f"END"
     )
-    return (
-        ranged.withColumn("_rn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "_pid")
-        .crossJoin(F.broadcast(total))
-        .withColumn(bucket_col, bucket.cast("int"))
-        .drop("_pid", "_rn", "_off", "_n")
-    )
 
 
 def distributed_rank(
@@ -118,13 +169,15 @@ def distributed_rank(
     order_cols: list[str],
     rank_col: str = "_grank",
     n_partitions: int | None = None,
+    offsets: str = "collect",
 ) -> DataFrame:
     """Append ``rank_col`` = exact 1-based global ``row_number()`` over
     the total order ``order_cols`` (must be a UNIQUE key combination),
     via the same two-level shape as :func:`distributed_ntile`: range
     exchange -> per-partition row_number (window partitioned by the
-    range id, parallel) -> broadcast partition-count offsets from a
-    triangular join.  Zero single-partition window stages.
+    range id, parallel) -> partition-count offsets (collected literal
+    map by default, broadcast triangular join under
+    ``offsets="join"``).  Zero single-partition window stages.
 
     The range-partitioned frame is lazily checkpointed so the rank path
     and the count/offset path read ONE materialized partitioning — a
@@ -142,18 +195,31 @@ def distributed_rank(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    if offsets == "collect":
+        collected = _collected_offsets(ranged)
+        if collected is None:
+            return ranged.withColumn(
+                rank_col, F.lit(None).cast("long")
+            ).drop("_pid")
+        offmap, _ = collected
+        return (
+            ranged.withColumn("_rn", F.row_number().over(w_local))
+            .withColumn("_off", offmap[F.col("_pid")])
+            .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
+            .drop("_pid", "_rn", "_off")
+        )
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     a, b = counts.alias("a"), counts.alias("b")
-    offsets = (
+    offsets_df = (
         a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
         .groupBy(F.col("a._pid").alias("_pid"), F.col("a._c").alias("_c"))
         .agg(F.coalesce(F.sum("b._c"), F.lit(0)).alias("_off"))
         .select("_pid", "_off")
     )
-    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
         ranged.withColumn("_rn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "_pid")
+        .join(F.broadcast(offsets_df), "_pid")
         .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
