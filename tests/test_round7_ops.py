@@ -2562,3 +2562,45 @@ def test_path_redundancy_fixture(spark):
     assert out[("D", "B")] == (0, 1, 0, 1)
     # no self pairs anywhere
     assert all(s != d for (s, d) in out)
+
+
+def test_event_funnel_strict_order(spark):
+    """r14 one-exchange funnel: strict-inequality stage chain on the
+    fixture edges — click at the same instant as the first view does
+    NOT advance the funnel, a click before the first view is ignored,
+    and a purchase between view and click is ignored (it must follow
+    the click)."""
+    from datetime import datetime, timezone
+    from unittest import mock
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+    from zipkin_storage_kafka_spark.sources import tables
+
+    def _t(sec):
+        return datetime.fromtimestamp(1000 + sec, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    rows = [
+        # u1: full funnel in order
+        (1, _t(0), "view"), (1, _t(1), "click"), (1, _t(2), "purchase"),
+        # u2: click ties the first view exactly -> funnel stops at view
+        (2, _t(0), "view"), (2, _t(0), "click"),
+        # u3: click precedes the only view -> stops at view
+        (3, _t(5), "view"), (3, _t(1), "click"),
+        # u4: purchase between view and click -> stops at click
+        (4, _t(0), "view"), (4, _t(2), "click"), (4, _t(1), "purchase"),
+        # u5: no view at all -> not in the funnel
+        (5, _t(0), "click"), (5, _t(1), "purchase"),
+        # u6: second view earlier than first click -> t1 = min view
+        (6, _t(3), "view"), (6, _t(1), "view"), (6, _t(2), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    # event_funnel binds load_table at module import time
+    with mock.patch.object(an, "load_table", lambda s, d, n: ev):
+        out = an.event_funnel(spark, "ignored").collect()[0]
+    assert (
+        out["stage_view"], out["stage_click"], out["stage_purchase"]
+    ) == (5, 3, 1)

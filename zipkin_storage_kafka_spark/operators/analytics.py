@@ -500,36 +500,59 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order funnel over the events stream: users whose first view
-    precedes a click that precedes a purchase.  Each stage is a per-user
-    conditional-min aggregation joined to the previous stage's timestamp —
-    all three stages shuffle on user_id, so at scale they share one
-    exchange.  Output: one row (stage_view, stage_click, stage_purchase)."""
+    precedes a click that precedes a purchase.
+
+    r14 shape: the r13 chain (three per-type user-keyed aggs, each
+    joined to the previous stage's timestamp — 26 Exchange nodes, every
+    stage re-shuffling on the SAME user key) folds into ONE user-keyed
+    conditional agg: t1 = min view time, the click/purchase times
+    collected as per-user sorted arrays, and t2/t3 resolved rowwise
+    with array filter + array_min (first click strictly after t1, first
+    purchase strictly after t2) — identical strict-inequality
+    semantics, one corpus exchange plus one 1-row rollup (guide 2.4:
+    operations keyed the same way share one exchange).  Per-user event
+    lists are bounded by individual user activity (the same per-key
+    mass any funnel engine holds); the type filter prunes the scan to
+    the three funnel types.
+
+    Output: one row (stage_view, stage_click, stage_purchase)."""
     ev = load_table(spark, sf_dir, "events")
     ts = to_epoch_micros(ev, "ts")
-    base = ev.select("user_id", "event_type", ts.alias("ts_us"))
-    v = (
-        base.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t1"))
+    base = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", ts.alias("ts_us"))
+    per_user = base.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_us"))
+        ).alias("t1"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts_us"))
+            )
+        ).alias("_clicks"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+            )
+        ).alias("_purchases"),
     )
-    c = (
-        base.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts_us") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t2"))
+    staged = per_user.select(
+        "t1",
+        "_purchases",
+        F.array_min(
+            F.filter("_clicks", lambda c: c > F.col("t1"))
+        ).alias("t2"),
+    ).select(
+        "t1",
+        "t2",
+        F.array_min(
+            F.filter("_purchases", lambda p: p > F.col("t2"))
+        ).alias("t3"),
     )
-    p = (
-        base.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts_us") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t3"))
-    )
-    return (
-        v.agg(F.count(F.lit(1)).alias("stage_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("stage_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("stage_purchase")))
+    return staged.agg(
+        F.count("t1").alias("stage_view"),
+        F.count("t2").alias("stage_click"),
+        F.count("t3").alias("stage_purchase"),
     )
 
 
@@ -2401,10 +2424,16 @@ def hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     because a float cumprod is the one step that is not exactly
     engine-portable; every ingredient here is exact integer math.
 
-    Plan: two user-keyed partial aggs (first signup, first conversion)
-    + a 1-row broadcast horizon collapse the corpus to |users| rows;
-    the at-risk cumulation is the triangular join over the day
-    histogram (observed-range-bounded, no window).
+    Plan (r14): ONE user-keyed conditional agg (first signup as
+    min(CASE WHEN), the purchase times as a per-user sorted array with
+    the first at-or-after-signup purchase resolved rowwise by array
+    filter + array_min) + a 1-row broadcast horizon collapse the corpus
+    to |signup users| rows — the r13 shape's two per-type aggs + two
+    user-keyed joins shared one key and fold into one exchange (guide
+    2.4); the at-risk cumulation is the triangular join over the day
+    histogram (observed-range-bounded, no window).  The horizon stays
+    a separate ALL-type scan (max over every event, not just the two
+    funnel types).
 
     Output: day, n_risk, n_events, n_censored, hazard_micro.
     """
@@ -2419,22 +2448,32 @@ def hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         to_epoch_micros(ev, "ts").alias("ts_us"),
     )
-    signup = (
-        t.filter(F.col("event_type") == "signup")
+    cohort = (
+        t.filter(F.col("event_type").isin("signup", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t0"))
-    )
-    conv = (
-        t.filter(F.col("event_type") == "purchase")
-        .join(signup, "user_id")
-        .filter(F.col("ts_us") >= F.col("t0"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("te"))
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts_us"))
+            ).alias("t0"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("ts_us")
+                    )
+                )
+            ).alias("_purchases"),
+        )
+        .filter(F.col("t0").isNotNull())
+        .select(
+            "t0",
+            F.array_min(
+                F.filter("_purchases", lambda p: p >= F.col("t0"))
+            ).alias("te"),
+        )
     )
     horizon = t.agg(F.max("ts_us").alias("hz"))
     per_user = (
-        signup.join(conv, "user_id", "left")
-        .crossJoin(F.broadcast(horizon))
+        cohort.crossJoin(F.broadcast(horizon))
         .select(
             F.expr(
                 f"(coalesce(te, hz) - t0) div {DAY_US}"
@@ -2538,10 +2577,13 @@ def ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 72h) so the metric discriminates: lifetime "ever purchased"
     saturates at ~100% on any corpus with long-lived users.
 
-    Everything is exact integer math over two event-type-pruned
-    user-keyed partial aggs (corpus collapses to |signup users| rows,
-    then to 2); no normal approximation is baked in — the z-score
-    belongs to the BI layer, the engine's job is the exact counts.
+    Everything is exact integer math over ONE event-type-pruned
+    user-keyed conditional partial agg (corpus collapses to |users with
+    a signup or purchase| rows in a single exchange — the r13 shape's
+    two per-type aggs + left join shared the same key, so they fold
+    into one agg with min(CASE WHEN) per type, guide 2.4; then to 2
+    rows); no normal approximation is baked in — the z-score belongs
+    to the BI layer, the engine's job is the exact counts.
 
     Output: variant, n_users, n_converted, conv_micro, lift_micro
     (conversion relative to variant 0's, 1e6 = parity; NULL for the
@@ -2551,18 +2593,21 @@ def ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     ts_us = to_epoch_micros(ev, "ts")
-    signup = (
-        ev.filter(F.col("event_type") == "signup")
+    per_user = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
         .groupBy("user_id")
-        .agg(F.min(ts_us).alias("signup_us"))
-    )
-    purchase = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min(ts_us).alias("purchase_us"))
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", ts_us)
+            ).alias("signup_us"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", ts_us)
+            ).alias("purchase_us"),
+        )
+        .filter(F.col("signup_us").isNotNull())
     )
     window_us = 3 * 86400 * 1000000  # 72h, exact integer micros
-    users = signup.join(purchase, "user_id", "left").select(
+    users = per_user.select(
         F.expr(
             "conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10)"
             " % 2"

@@ -101,8 +101,8 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B conversion panel (operators/analytics.py:ab_conversion):
     md5-parity variant assignment, signup->purchase-within-72h
-    conversion, exact integer-micro rates and lift over two
-    event-type-pruned user-keyed partial aggs."""
+    conversion, exact integer-micro rates and lift over ONE
+    event-type-pruned user-keyed conditional partial agg."""
     return an.ab_conversion(spark, sf_dir)
 
 
@@ -287,7 +287,8 @@ def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete signup->purchase hazard curve
-    (operators/analytics.py:hazard_curve): two user-keyed partial aggs,
+    (operators/analytics.py:hazard_curve): one user-keyed conditional
+    agg (sorted purchase array, rowwise first-at-or-after-signup),
     1-row horizon broadcast, triangular at-risk cumulation — exact
     integer hazard micro-units."""
     return an.hazard_curve(spark, sf_dir)
