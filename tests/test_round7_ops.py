@@ -2604,3 +2604,65 @@ def test_event_funnel_strict_order(spark):
     assert (
         out["stage_view"], out["stage_click"], out["stage_purchase"]
     ) == (5, 3, 1)
+
+
+def test_service_kcore_peel_flavors_agree(spark):
+    """The r14 driver peel and the distributed peel produce identical
+    core levels on the fixture graph and on a denser random graph."""
+    import random
+
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        service_kcore,
+    )
+
+    rows = []
+    for pair in (("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")):
+        rows += [pair] * 3
+    rows += [("d", "e")]
+    rng = random.Random(7)
+    svcs = [f"s{i}" for i in range(12)]
+    for _ in range(60):
+        a, b = rng.sample(svcs, 2)
+        rows += [(a, b)] * rng.randint(1, 4)
+    links = spark.createDataFrame(rows, "parent string, child string")
+    drv = {
+        r["service"]: r["core_level"]
+        for r in service_kcore(links, peel="driver").collect()
+    }
+    dst = {
+        r["service"]: r["core_level"]
+        for r in service_kcore(links, peel="distributed").collect()
+    }
+    assert drv == dst
+
+
+def test_service_pagerank_power_flavors_agree(spark):
+    """The r14 driver power loop and the distributed one produce
+    bit-identical integer micro ranks on a weighted random graph."""
+    import random
+
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        service_pagerank,
+    )
+
+    rng = random.Random(11)
+    svcs = [f"s{i}" for i in range(10)]
+    rows = []
+    for _ in range(40):
+        a, b = rng.sample(svcs, 2)
+        rows.append((a, b, rng.randint(1, 9)))
+    links = spark.createDataFrame(
+        rows, "parent string, child string, call_count long"
+    )
+    agg = links.groupBy("parent", "child").sum("call_count").toDF(
+        "parent", "child", "call_count"
+    )
+    drv = {
+        r["service"]: r["rank_micro"]
+        for r in service_pagerank(agg, power="driver").collect()
+    }
+    dst = {
+        r["service"]: r["rank_micro"]
+        for r in service_pagerank(agg, power="distributed").collect()
+    }
+    assert drv == dst

@@ -270,6 +270,7 @@ def service_pagerank(
     iterations: int = 3,
     damping_micro: int = 850_000,
     scale: int = 1_000_000,
+    power: str = "driver",
 ) -> DataFrame:
     """Call-count-weighted PageRank over the service dependency graph — the
     service-criticality ranking downstream consumers build on the
@@ -283,10 +284,21 @@ def service_pagerank(
     documented rather than renormalized.
 
     Scale: the SERVICE graph is tiny relative to span volume (thousands of
-    nodes for millions of spans), so ranks and the node count stay
-    broadcast; each round is one broadcast join + one partial-agg shuffle
-    on the child key.  No driver collect anywhere — the node count rides
-    along as a broadcast 1-row aggregate.
+    nodes for millions of spans) — the corpus-sized work is the link
+    aggregation feeding this operator, which stays distributed.
+
+    ``power`` picks where the fixed-iteration loop runs (identical
+    integer output, test-pinned):
+
+    - ``"driver"`` (default, r14): ONE bounded collect of the
+      |service-pairs| edge list, the three power rounds as plain Python
+      integer arithmetic (the same bigint multiply / floor-divide / sum,
+      order-independent), ranks re-attached as a broadcast local
+      relation.  Replaces ~3 scheduled jobs per round with zero — the
+      service-catalog-bounded collect class SCALE.md allows.
+    - ``"distributed"``: each round is one broadcast join + one
+      partial-agg shuffle on the child key; the shape to switch to if
+      the graph ever outgrows the driver.
 
     Columns: service, rank_micro.
     """
@@ -297,6 +309,35 @@ def service_pagerank(
     edges = links.select(
         "parent", "child", "call_count"
     ).localCheckpoint(eager=False)
+    if power == "driver":
+        spark = links.sparkSession
+        erows = edges.collect()  # |service-pairs|-catalog-bounded
+        svcs = sorted(
+            {r["parent"] for r in erows} | {r["child"] for r in erows}
+        )
+        n = len(svcs)
+        if n == 0:
+            return spark.createDataFrame(
+                [], "service string, rank_micro long"
+            )
+        oc: dict[str, int] = {}
+        for row in erows:
+            oc[row["parent"]] = oc.get(row["parent"], 0) + row["call_count"]
+        rank = {s: scale // n for s in svcs}
+        base = (scale - damping_micro) // n
+        for _ in range(iterations):
+            inc = dict.fromkeys(svcs, 0)
+            for row in erows:
+                inc[row["child"]] += (
+                    rank[row["parent"]] * row["call_count"]
+                ) // oc[row["parent"]]
+            rank = {
+                s: base + (damping_micro * inc[s]) // scale for s in svcs
+            }
+        ranks_df = spark.createDataFrame(
+            sorted(rank.items()), "service string, rank_micro long"
+        )
+        return ranks_df
     nodes = (
         edges.select(F.col("parent").alias("service"))
         .union(edges.select(F.col("child").alias("service")))
@@ -656,7 +697,10 @@ def service_triangles(links: DataFrame) -> DataFrame:
 
 
 def service_kcore(
-    links: DataFrame, ks: tuple[int, ...] = (2, 3), rounds: int = 8
+    links: DataFrame,
+    ks: tuple[int, ...] = (2, 3),
+    rounds: int = 8,
+    peel: str = "driver",
 ) -> DataFrame:
     """k-core decomposition of the HEAVY-TRAFFIC BACKBONE of the service
     graph: each service's CORE LEVEL — the largest k in ``ks`` whose
@@ -674,13 +718,27 @@ def service_kcore(
     vacuous; the volume filter is what exposes the load-bearing core.
 
     Peeling is iterative: drop nodes with degree < k, re-derive degrees
-    on the induced subgraph, repeat to fixpoint.  Everything runs on the
-    |services|-bounded pair relation (the only corpus-sized work is the
-    pair-count partial-agg feeding it); each round is one k-row
-    aggregate + two semi-joins, lineage-truncated per round, and the
-    loop ASSERTS convergence within ``rounds`` sweeps (raising beats
+    on the induced subgraph, repeat to fixpoint; the loop ASSERTS
+    convergence within ``rounds`` sweeps either way (raising beats
     silently serving a non-fixpoint answer; the oracle unrolls the same
     fixed sweep count, so parity is exact or loud).
+
+    ``peel`` picks where the fixpoint runs (identical output,
+    test-pinned):
+
+    - ``"driver"`` (default, r14): ONE bounded collect of the backbone
+      edge set — |services|-catalog-bounded (the service graph is the
+      reference's dependency-aggregate domain, KB-scale at any data
+      volume; the corpus-sized work is the pair-count partial agg,
+      which stays distributed) — then the peel loop is plain Python
+      sets and the per-service levels re-attach as a broadcast local
+      relation.  Replaces ~4 scheduled jobs per sweep (degree agg, two
+      semi-joins, convergence count) with zero.
+    - ``"distributed"``: each sweep is one k-row aggregate + two
+      semi-joins on the |services|-bounded relation, lineage-truncated
+      per round — the shape to switch to if a graph ever outgrows the
+      driver (e.g. k-core over raw trace pairs rather than the service
+      backbone).
 
     Output: service, core_level (int) — every linked service appears.
     """
@@ -707,6 +765,43 @@ def service_kcore(
         .union(links.select(F.col("child").alias("service")))
         .distinct()
     )
+    if peel == "driver":
+        spark = links.sparkSession
+        edge_rows = e.collect()  # |services|-catalog-bounded backbone
+        cur: set[tuple[str, str]] = {(r["a"], r["b"]) for r in edge_rows}
+        level: dict[str, int] = {}
+        for a, b in cur:
+            level[a] = 1
+            level[b] = 1
+        for k in ks:
+            peeled = set(cur)
+            for _ in range(rounds):
+                deg: dict[str, int] = {}
+                for a, b in peeled:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+                keep = {n for n, d in deg.items() if d >= k}
+                nxt = {
+                    (a, b) for a, b in peeled if a in keep and b in keep
+                }
+                if nxt == peeled:
+                    break
+                peeled = nxt
+            else:
+                raise RuntimeError(
+                    f"k-core peel (k={k}) did not converge in "
+                    f"{rounds} rounds"
+                )
+            for a, b in peeled:
+                level[a] = k
+                level[b] = k
+        levels = spark.createDataFrame(
+            sorted(level.items()), "service string, _lvl int"
+        )
+        return nodes.join(F.broadcast(levels), "service", "left").select(
+            "service",
+            F.coalesce("_lvl", F.lit(0)).cast("int").alias("core_level"),
+        )
     backbone_nodes = (
         e.select(F.col("a").alias("service"))
         .union(e.select(F.col("b").alias("service")))
