@@ -310,3 +310,64 @@ def test_wav_rejects_truncated_chunk():
     payload = encode_wav(synth_samples(7, 10, 1), 8000)
     with _pytest.raises(ValueError, match="truncated"):
         decode_wav(payload[:-6])  # cut mid-data
+
+
+def test_fused_pipelines_match_chained(spark, sf_dir):
+    """r14 fusion contract: every fused single-Arrow-stage pipeline is
+    value-identical to its chained mapInPandas composition — the same
+    codec kernels composed at the pandas level instead of across
+    JVM<->Python boundaries."""
+    import zipkin_storage_kafka_spark.operators.multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    pairs = [
+        (
+            mm.bmp_stats_pipeline(docs),
+            mm.bmp_decode_stats(mm.bmp_media_from_documents(docs)),
+        ),
+        (
+            mm.bmp_stats_pipeline(docs, resize=(16, 16)),
+            mm.bmp_decode_stats(
+                mm.bmp_resize(mm.bmp_media_from_documents(docs), 16, 16)
+            ),
+        ),
+        (
+            mm.wav_stats_pipeline(docs),
+            mm.wav_decode_stats(mm.wav_media_from_documents(docs)),
+        ),
+        (
+            mm.wav_stats_pipeline(docs, resample_sr=4000),
+            mm.wav_decode_stats(
+                mm.wav_resample(mm.wav_media_from_documents(docs), 4000)
+            ),
+        ),
+        (
+            mm.wav_features_pipeline(docs),
+            mm.wav_features(mm.wav_media_from_documents(docs)),
+        ),
+        (
+            mm.audio_fingerprint_pipeline(docs),
+            mm.audio_fingerprint(mm.fm_wav_media_from_documents(docs)),
+        ),
+        (
+            mm.wav_vad_segments_pipeline(docs),
+            mm.wav_vad_segments(mm.wav_media_from_documents(docs)),
+        ),
+        (
+            mm.frv_frame_stats_pipeline(docs),
+            mm.frv_frame_stats(mm.frv_media_from_documents(docs)),
+        ),
+        (
+            mm.frv_scene_cuts_pipeline(docs, threshold=60.0),
+            mm.frv_scene_cuts(mm.frv_media_from_documents(docs)),
+        ),
+        (
+            mm.frv_frame_sample_pipeline(docs, every_n=2),
+            mm.frv_frame_sample(mm.frv_media_from_documents(docs)),
+        ),
+    ]
+    for fused, chained in pairs:
+        assert fused.columns == chained.columns
+        a = sorted(map(tuple, fused.collect()))
+        b = sorted(map(tuple, chained.collect()))
+        assert a == b and len(a) > 0

@@ -1619,7 +1619,9 @@ def test_winnow_decontaminate_joins_on_ids_only(spark, sf_dir):
 def test_active_users_explodes_small_relation(spark, sf_dir):
     """The trailing-window fanout explodes the distinct (user, day)
     relation (Generate AFTER the distinct agg), never the raw corpus;
-    the bounds attach by broadcast; no range join."""
+    the bounds attach by broadcast; no range join.  (r14 note: the
+    interval/prefix-sum kernel exists but lost the in-context A/B —
+    the registry row stays on the explode kernel, so this pin stays.)"""
     import __spark_entry__ as entrymod
 
     plan = _plan(entrymod.queries()["ev_active_users"](spark, sf_dir))

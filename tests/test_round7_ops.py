@@ -2304,6 +2304,41 @@ def test_active_users_fixture(spark):
     }
 
 
+def test_active_users_kernels_agree(spark):
+    """The r14 interval kernel and the explode kernel produce identical
+    DAU/WAU/MAU panels on a randomized activity history that exercises
+    run merges, gaps straddling both window sizes, and window-touching
+    boundaries (gap == n)."""
+    import random
+    from datetime import datetime, timezone
+
+    import zipkin_storage_kafka_spark.operators.analytics as an
+
+    rng = random.Random(23)
+    rows = []
+    for u in range(40):
+        day = 1000 + rng.randint(0, 10)
+        for _ in range(rng.randint(1, 25)):
+            rows.append((u, day))
+            # gaps of 1 (merge), exactly 7/30 (touching), and larger
+            day += rng.choice([1, 1, 2, 5, 7, 8, 30, 31, 45])
+    ud = spark.createDataFrame(rows, "user_id long, day long").distinct()
+    a = {
+        r["day_ms"]: (r["dau"], r["wau"], r["mau"])
+        for r in an.active_users(
+            spark, "ignored", ud=ud, kernel="interval"
+        ).collect()
+    }
+    b = {
+        r["day_ms"]: (r["dau"], r["wau"], r["mau"])
+        for r in an.active_users(
+            spark, "ignored", ud=ud, kernel="explode"
+        ).collect()
+    }
+    assert a == b
+    assert len(a) > 100
+
+
 def test_source_lang_gini_fixture(spark):
     """Monolingual source scores 0; a 2/1 mix scores 1e6 - (4+1)*1e6//9
     = 444445."""

@@ -3125,7 +3125,10 @@ def user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def active_users(
-    spark: SparkSession, sf_dir: str, ud: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    ud: DataFrame | None = None,
+    kernel: str = "explode",
 ) -> DataFrame:
     """Exact DAU / WAU / MAU panel: distinct active users per day, per
     trailing 7 days, per trailing 30 days — the engagement triple every
@@ -3133,51 +3136,190 @@ def active_users(
     family is the approximate flavor for when this is too expensive;
     this is the truth it is measured against).
 
-    Shape: the corpus collapses to the distinct (user, day) relation
-    first; each activity row then explodes to the <= 7 (resp. 30)
-    trailing window days it contributes to and a per-day distinct
-    count finishes — linear fanout of the SMALL relation, never a
-    range join, never a window over users.  Days are integer epoch
-    days; partial windows at the range start count what they see
-    (trailing semantics).
+    ``kernel`` picks the WAU/MAU evaluation shape (identical output,
+    test-pinned):
+
+    - ``"explode"`` (default): each activity day fans out to the <= 7
+      (resp. 30) trailing days it contributes to, one count_distinct
+      per panel — linear fanout of the SMALL relation, never a range
+      join, never a window over users.
+    - ``"interval"`` (r14, MEASURED NEGATIVE at bench scales, kept as
+      the flavor for day-dense user histories): per user, the sorted
+      activity-day array collapses to MERGED trailing-window coverage
+      intervals (array math inside one user-keyed agg), each interval
+      emits one +1/-1 boundary pair, and per-day counts are a prefix
+      sum over the calendar spine (two-level bucketed window).  No
+      count_distinct anywhere and ~18x fewer shuffled rows — yet it
+      LOST the same-session interleaved A/B at both scales
+      (sf0.1 min 1.41 vs 0.89 s; sf1 2.09 vs 1.91 s, over the
+      persisted user_days relation): the explode kernel is one fused
+      fanout+distinct-agg job, while the interval kernel pays ~4 extra
+      stage/job constants (ObjectHashAggregate collect_list, spine
+      join, bucket offsets, window) that dwarf the shuffle-byte saving
+      while the exploded relation is this small.  The crossover needs
+      day-dense histories (fanout mass >> stage constants), e.g.
+      near-daily activity over years — re-measure there before
+      flipping the registry default.
+
+    Days are integer epoch days; partial windows at the range start
+    count what they see (trailing semantics).
 
     Output: day_ms, dau, wau, mau.
     """
     if ud is None:
         ud = user_days(spark, sf_dir)
     bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
 
-    def trailing(n: int, alias: str) -> DataFrame:
-        contrib = ud.select(
-            "user_id",
-            F.explode(
-                F.sequence(F.col("day"), F.col("day") + F.lit(n - 1))
-            ).alias("d"),
+    if kernel == "explode":
+
+        def trailing(n: int, alias: str) -> DataFrame:
+            contrib = ud.select(
+                "user_id",
+                F.explode(
+                    F.sequence(F.col("day"), F.col("day") + F.lit(n - 1))
+                ).alias("d"),
+            )
+            return (
+                contrib.crossJoin(F.broadcast(bounds))
+                .filter(
+                    (F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi"))
+                )
+                .groupBy("d")
+                .agg(F.count_distinct("user_id").alias(alias))
+            )
+
+        dau = ud.groupBy(F.col("day").alias("d")).agg(
+            F.count_distinct("user_id").alias("dau")
         )
+        wau = trailing(7, "wau")
+        mau = trailing(30, "mau")
         return (
-            contrib.crossJoin(F.broadcast(bounds))
-            .filter((F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi")))
-            .groupBy("d")
-            .agg(F.count_distinct("user_id").alias(alias))
+            spine.join(dau, "d", "left")
+            .join(wau, "d", "left")
+            .join(mau, "d", "left")
+            .select(
+                (F.col("d") * 86_400_000).alias("day_ms"),
+                F.coalesce("dau", F.lit(0)).alias("dau"),
+                F.coalesce("wau", F.lit(0)).alias("wau"),
+                F.coalesce("mau", F.lit(0)).alias("mau"),
+            )
         )
 
-    dau = ud.groupBy(F.col("day").alias("d")).agg(
-        F.count_distinct("user_id").alias("dau")
+    # interval kernel: ONE user-keyed agg -> per-user sorted day array.
+    peru = ud.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("day")).alias("ds")
     )
-    wau = trailing(7, "wau")
-    mau = trailing(30, "mau")
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi")).alias("d")
+    ds = F.col("ds")
+
+    def boundary_entries(n: int, tag: str):
+        """array<struct<d,w,tag>> of +1/-1 rows for the merged coverage
+        intervals of trailing window n (a day a covers [a, a+n-1]; a
+        run breaks when the next day is > n after the previous)."""
+        idx = F.sequence(F.lit(0), F.size(ds) - F.lit(1))
+        # 0-based positions where a new coverage run starts (CASE keeps
+        # the 1-based element_at probes in-bounds under ANSI mode).
+        bpos = F.filter(
+            idx,
+            lambda i: F.when(i == F.lit(0), F.lit(True)).otherwise(
+                F.element_at(ds, i + F.lit(1))
+                > F.element_at(ds, i) + F.lit(n)
+            ),
+        )
+        starts = F.transform(bpos, lambda i: F.element_at(ds, i + F.lit(1)))
+        ends = F.transform(
+            F.sequence(F.lit(0), F.size(bpos) - F.lit(1)),
+            lambda k: F.when(
+                k < F.size(bpos) - F.lit(1),
+                F.element_at(ds, F.element_at(bpos, k + F.lit(2))),
+            ).otherwise(F.element_at(ds, F.size(ds)))
+            + F.lit(n - 1),
+        )
+        return F.concat(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.alias("d"),
+                    F.lit(1).alias("w"),
+                    F.lit(tag).alias("tag"),
+                ),
+            ),
+            F.transform(
+                ends,
+                lambda e: F.struct(
+                    (e + F.lit(1)).alias("d"),
+                    F.lit(-1).alias("w"),
+                    F.lit(tag).alias("tag"),
+                ),
+            ),
+        )
+
+    dau_entries = F.transform(
+        ds,
+        lambda a: F.struct(
+            a.alias("d"), F.lit(1).alias("w"), F.lit("d").alias("tag")
+        ),
+    )
+    daily = (
+        peru.select(
+            F.explode(
+                F.concat(
+                    dau_entries,
+                    boundary_entries(7, "w"),
+                    boundary_entries(30, "m"),
+                )
+            ).alias("x")
+        )
+        .select("x.d", "x.w", "x.tag")
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("tag") == "d", F.col("w"))).alias("dc"),
+            F.sum(F.when(F.col("tag") == "w", F.col("w"))).alias("wd"),
+            F.sum(F.when(F.col("tag") == "m", F.col("w"))).alias("md"),
+        )
+    )
+    # Prefix-sum the boundary deltas over the calendar spine: two-level
+    # bucketed window (open_orders_timeline's kernel) — deltas past the
+    # spine's hi day only ever subtract after hi, so the left join
+    # dropping them is exact.
+    bucketed = (
+        spine.join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce("dc", F.lit(0)).alias("dc"),
+            F.coalesce("wd", F.lit(0)).alias("wd"),
+            F.coalesce("md", F.lit(0)).alias("md"),
+        )
+        .withColumn("bkt", F.expr("d div 256"))
+    )
+    per_bucket = bucketed.groupBy("bkt").agg(
+        F.sum("wd").alias("wsum"), F.sum("md").alias("msum")
+    )
+    b2 = per_bucket.select(
+        F.col("bkt").alias("_b2"),
+        F.col("wsum").alias("_w2"),
+        F.col("msum").alias("_m2"),
+    )
+    offsets = (
+        per_bucket.join(b2, F.col("_b2") < F.col("bkt"), "left")
+        .groupBy(F.col("bkt").alias("_bkt"))
+        .agg(
+            F.coalesce(F.sum("_w2"), F.lit(0)).alias("woff"),
+            F.coalesce(F.sum("_m2"), F.lit(0)).alias("moff"),
+        )
+    )
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        spine.join(dau, "d", "left")
-        .join(wau, "d", "left")
-        .join(mau, "d", "left")
+        bucketed.join(F.broadcast(offsets), F.col("bkt") == F.col("_bkt"))
         .select(
             (F.col("d") * 86_400_000).alias("day_ms"),
-            F.coalesce("dau", F.lit(0)).alias("dau"),
-            F.coalesce("wau", F.lit(0)).alias("wau"),
-            F.coalesce("mau", F.lit(0)).alias("mau"),
+            F.col("dc").cast("long").alias("dau"),
+            (F.col("woff") + F.sum("wd").over(w)).cast("long").alias("wau"),
+            (F.col("moff") + F.sum("md").over(w)).cast("long").alias("mau"),
         )
     )
 

@@ -296,29 +296,53 @@ BMP_STATS_SCHEMA = T.StructType(
 )
 
 
-def bmp_media_from_documents(docs: DataFrame) -> DataFrame:
-    """Render a REAL BMP per document: w = n_chars%24+8, h = n_chars%16+8,
-    pixels from :func:`synth_pixels`.  Arrow-batched; payloads never touch
-    the driver."""
-    base = docs.select(
+def _arrow_pipeline(base: DataFrame, schema, *stages) -> DataFrame:
+    """ONE Arrow-batched mapInPandas applying pdf-level ``stages`` in
+    order (r14 fusion, guide sect. 4): Spark pipelines CHAINED
+    mapInPandas operators into a single stage that holds one Python
+    worker PER OPERATOR per task (a 3-operator chain on 32 cores holds
+    96 workers) and ships the intermediate payload bytes JVM<->Python
+    between every pair.  Fusing at the pandas level keeps one worker
+    per task and moves the heavy bytes across the boundary ZERO times —
+    only the small base columns enter and the stat columns leave."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for stage in stages:
+                pdf = stage(pdf)
+            yield pdf
+
+    return base.mapInPandas(run, schema)
+
+
+def _bmp_base(docs: DataFrame) -> DataFrame:
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         (F.col("n_chars") % 24 + 8).cast("int").alias("width"),
         (F.col("n_chars") % 16 + 8).cast("int").alias("height"),
     )
 
+
+def _bmp_render_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    payloads = [
+        encode_bmp(synth_pixels(mid, w, h))
+        for mid, w, h in zip(pdf["media_id"], pdf["width"], pdf["height"])
+    ]
+    out = pdf.copy()
+    out["payload"] = pd.Series(payloads, index=pdf.index, dtype=object)
+    return out
+
+
+def bmp_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Render a REAL BMP per document: w = n_chars%24+8, h = n_chars%16+8,
+    pixels from :func:`synth_pixels`.  Arrow-batched; payloads never touch
+    the driver."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [
-                encode_bmp(synth_pixels(mid, w, h))
-                for mid, w, h in zip(
-                    pdf["media_id"], pdf["width"], pdf["height"]
-                )
-            ]
-            out = pdf.copy()
-            out["payload"] = pd.Series(payloads, index=pdf.index, dtype=object)
-            yield out
+            yield _bmp_render_pdf(pdf)
 
-    return base.mapInPandas(run, BMP_MEDIA_SCHEMA)
+    return _bmp_base(docs).mapInPandas(run, BMP_MEDIA_SCHEMA)
 
 
 def _bmp_stats_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -361,6 +385,21 @@ def bmp_decode_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, BMP_STATS_SCHEMA)
 
 
+def _bmp_resize_pdf(pdf: pd.DataFrame, out_w: int, out_h: int) -> pd.DataFrame:
+    out = pdf.copy()
+    out["payload"] = pd.Series(
+        [
+            encode_bmp(resize_nearest(decode_bmp(p), out_w, out_h))
+            for p in pdf["payload"]
+        ],
+        index=pdf.index,
+        dtype=object,
+    )
+    out["width"] = np.int32(out_w)
+    out["height"] = np.int32(out_h)
+    return out
+
+
 def bmp_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Real resize: decode -> nearest-neighbor -> re-encode.  Unlike
     :func:`resize_images` (metadata-only stub for the generic media kinds),
@@ -368,20 +407,28 @@ def bmp_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pdf.copy()
-            out["payload"] = pd.Series(
-                [
-                    encode_bmp(resize_nearest(decode_bmp(p), out_w, out_h))
-                    for p in pdf["payload"]
-                ],
-                index=pdf.index,
-                dtype=object,
-            )
-            out["width"] = np.int32(out_w)
-            out["height"] = np.int32(out_h)
-            yield out
+            yield _bmp_resize_pdf(pdf, out_w, out_h)
 
     return media.mapInPandas(run, BMP_MEDIA_SCHEMA)
+
+
+def bmp_stats_pipeline(
+    docs: DataFrame, resize: tuple[int, int] | None = None
+) -> DataFrame:
+    """FUSED render [-> resize] -> decode-stats over real BMP bytes in
+    ONE Arrow stage (r14): the same :func:`encode_bmp` /
+    :func:`decode_bmp` / :func:`resize_nearest` kernels as the chained
+    operators, composed at the pandas level, so payload bytes never
+    cross the JVM boundary and each task holds one Python worker
+    instead of two or three.  Value-identical to
+    ``bmp_decode_stats(bmp_resize?(bmp_media_from_documents(docs)))``
+    (test-pinned)."""
+    stages = [_bmp_render_pdf]
+    if resize is not None:
+        ow, oh = resize
+        stages.append(lambda pdf: _bmp_resize_pdf(pdf, ow, oh))
+    stages.append(_bmp_stats_pdf)
+    return _arrow_pipeline(_bmp_base(docs), BMP_STATS_SCHEMA, *stages)
 
 
 # -- real audio codec: 16-bit PCM WAV (RIFF), pure numpy ----------------------
@@ -491,11 +538,8 @@ WAV_STATS_SCHEMA = T.StructType(
 )
 
 
-def wav_media_from_documents(docs: DataFrame) -> DataFrame:
-    """Render a REAL WAV per document: n = n_chars%50+20 samples,
-    channels = doc_id%2+1, rate = 8000 + (doc_id%3)*4000.  Arrow-batched;
-    payloads never touch the driver."""
-    base = docs.select(
+def _wav_base(docs: DataFrame) -> DataFrame:
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         (F.lit(8000) + (F.col("doc_id") % 3) * 4000)
         .cast("int")
@@ -504,20 +548,29 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
         (F.col("n_chars") % 50 + 20).cast("int").alias("n"),
     )
 
+
+def _wav_render_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    payloads = [
+        encode_wav(synth_samples(mid, n, ch), sr)
+        for mid, sr, ch, n in zip(
+            pdf["media_id"], pdf["sample_rate"], pdf["channels"], pdf["n"]
+        )
+    ]
+    out = pdf[["media_id", "sample_rate", "channels"]].copy()
+    out["payload"] = pd.Series(payloads, index=pdf.index, dtype=object)
+    return out[["media_id", "sample_rate", "channels", "payload"]]
+
+
+def wav_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Render a REAL WAV per document: n = n_chars%50+20 samples,
+    channels = doc_id%2+1, rate = 8000 + (doc_id%3)*4000.  Arrow-batched;
+    payloads never touch the driver."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [
-                encode_wav(synth_samples(mid, n, ch), sr)
-                for mid, sr, ch, n in zip(
-                    pdf["media_id"], pdf["sample_rate"],
-                    pdf["channels"], pdf["n"],
-                )
-            ]
-            out = pdf[["media_id", "sample_rate", "channels"]].copy()
-            out["payload"] = pd.Series(payloads, index=pdf.index, dtype=object)
-            yield out[["media_id", "sample_rate", "channels", "payload"]]
+            yield _wav_render_pdf(pdf)
 
-    return base.mapInPandas(run, WAV_MEDIA_SCHEMA)
+    return _wav_base(docs).mapInPandas(run, WAV_MEDIA_SCHEMA)
 
 
 def _wav_stats_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -549,6 +602,17 @@ def wav_decode_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, WAV_STATS_SCHEMA)
 
 
+def _wav_resample_pdf(pdf: pd.DataFrame, out_sr: int) -> pd.DataFrame:
+    payloads = []
+    for payload in pdf["payload"]:
+        arr, sr = decode_wav(payload)
+        payloads.append(encode_wav(resample_nearest(arr, sr, out_sr), out_sr))
+    out = pdf[["media_id", "channels"]].copy()
+    out["sample_rate"] = np.int32(out_sr)
+    out["payload"] = pd.Series(payloads, index=pdf.index, dtype=object)
+    return out[["media_id", "sample_rate", "channels", "payload"]]
+
+
 def wav_resample(media: DataFrame, out_sr: int) -> DataFrame:
     """Real resample: decode -> nearest-sample index map -> re-encode at
     ``out_sr`` — the audio analog of bmp_resize, transforming actual
@@ -556,17 +620,26 @@ def wav_resample(media: DataFrame, out_sr: int) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, rates = [], []
-            for payload in pdf["payload"]:
-                arr, sr = decode_wav(payload)
-                payloads.append(encode_wav(resample_nearest(arr, sr, out_sr), out_sr))
-                rates.append(out_sr)
-            out = pdf[["media_id", "channels"]].copy()
-            out["sample_rate"] = np.int32(out_sr)
-            out["payload"] = pd.Series(payloads, index=pdf.index, dtype=object)
-            yield out[["media_id", "sample_rate", "channels", "payload"]]
+            yield _wav_resample_pdf(pdf, out_sr)
 
     return media.mapInPandas(run, WAV_MEDIA_SCHEMA)
+
+
+def wav_stats_pipeline(
+    docs: DataFrame, resample_sr: int | None = None
+) -> DataFrame:
+    """FUSED render [-> resample] -> decode-stats over real WAV bytes in
+    ONE Arrow stage (r14, see :func:`_arrow_pipeline`): the same
+    :func:`encode_wav` / :func:`decode_wav` / :func:`resample_nearest`
+    kernels as the chained operators, composed at the pandas level.
+    Value-identical to
+    ``wav_decode_stats(wav_resample?(wav_media_from_documents(docs)))``
+    (test-pinned)."""
+    stages = [_wav_render_pdf]
+    if resample_sr is not None:
+        stages.append(lambda pdf: _wav_resample_pdf(pdf, resample_sr))
+    stages.append(_wav_stats_pdf)
+    return _arrow_pipeline(_wav_base(docs), WAV_STATS_SCHEMA, *stages)
 
 
 # Perceptual-hash image near-dup ---------------------------------------------
@@ -811,22 +884,34 @@ def wav_features(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols: dict[str, list] = {
-                k.name: [] for k in WAV_FEATURES_SCHEMA.fields
-            }
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr, _sr = decode_wav(payload)
-                n = arr.shape[0]
-                for c, rms, crossings, zcr in pcm_channel_features(arr):
-                    cols["media_id"].append(int(mid))
-                    cols["channel"].append(c)
-                    cols["n_samples"].append(n)
-                    cols["rms"].append(rms)
-                    cols["zero_crossings"].append(crossings)
-                    cols["zcr"].append(zcr)
-            yield pd.DataFrame(cols)
+            yield _wav_features_pdf(pdf)
 
     return media.mapInPandas(run, WAV_FEATURES_SCHEMA)
+
+
+def _wav_features_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols: dict[str, list] = {k.name: [] for k in WAV_FEATURES_SCHEMA.fields}
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        arr, _sr = decode_wav(payload)
+        n = arr.shape[0]
+        for c, rms, crossings, zcr in pcm_channel_features(arr):
+            cols["media_id"].append(int(mid))
+            cols["channel"].append(c)
+            cols["n_samples"].append(n)
+            cols["rms"].append(rms)
+            cols["zero_crossings"].append(crossings)
+            cols["zcr"].append(zcr)
+    return pd.DataFrame(cols)
+
+
+def wav_features_pipeline(docs: DataFrame) -> DataFrame:
+    """FUSED render -> per-channel RMS/ZCR over real WAV bytes in ONE
+    Arrow stage (r14, see :func:`_arrow_pipeline`).  Value-identical to
+    ``wav_features(wav_media_from_documents(docs))`` (test-pinned)."""
+    return _arrow_pipeline(
+        _wav_base(docs), WAV_FEATURES_SCHEMA, _wav_render_pdf,
+        _wav_features_pdf,
+    )
 
 
 # -- real video codec: FRV1 packed-frame container, pure numpy/struct --------
@@ -928,7 +1013,15 @@ def frv_media_from_documents(docs: DataFrame) -> DataFrame:
     """Render a REAL FRV1 clip per document: n_frames = n_chars%6+2,
     w = n_chars%8+4, h = n_chars%5+3, fps 4; frames from
     :func:`synth_frames`.  Arrow-batched; payloads never on the driver."""
-    base = docs.select(
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _frv_render_pdf(pdf)
+
+    return _frv_base(docs).mapInPandas(run, FRV_MEDIA_SCHEMA)
+
+
+def _frv_base(docs: DataFrame) -> DataFrame:
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         (F.col("n_chars") % 6 + 2).cast("int").alias("n_frames"),
         (F.col("n_chars") % 8 + 4).cast("int").alias("width"),
@@ -936,26 +1029,24 @@ def frv_media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit(4).cast("int").alias("fps"),
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf.copy()
-            out["payload"] = pd.Series(
-                [
-                    encode_frv(synth_frames(mid, n, w, h), fps)
-                    for mid, n, w, h, fps in zip(
-                        pdf["media_id"],
-                        pdf["n_frames"],
-                        pdf["width"],
-                        pdf["height"],
-                        pdf["fps"],
-                    )
-                ],
-                index=pdf.index,
-                dtype=object,
-            )
-            yield out
 
-    return base.mapInPandas(run, FRV_MEDIA_SCHEMA)
+def _frv_render_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    out["payload"] = pd.Series(
+        [
+            encode_frv(synth_frames(mid, n, w, h), fps)
+            for mid, n, w, h, fps in zip(
+                pdf["media_id"],
+                pdf["n_frames"],
+                pdf["width"],
+                pdf["height"],
+                pdf["fps"],
+            )
+        ],
+        index=pdf.index,
+        dtype=object,
+    )
+    return out
 
 
 def frv_frame_stats(media: DataFrame) -> DataFrame:
@@ -967,22 +1058,36 @@ def frv_frame_stats(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols: dict[str, list] = {
-                k.name: [] for k in FRV_FRAME_STATS_SCHEMA.fields
-            }
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr, _fps = decode_frv(payload)
-                n, h, w, _ = arr.shape
-                sums = arr.reshape(n, -1).sum(axis=1, dtype=np.int64)
-                for fi in range(n):
-                    cols["media_id"].append(int(mid))
-                    cols["frame_index"].append(fi)
-                    cols["px000"].append(int(arr[fi, 0, 0, 0]))
-                    cols["px_sum"].append(int(sums[fi]))
-                    cols["mean_px"].append(int(sums[fi]) / (h * w * 3))
-            yield pd.DataFrame(cols)
+            yield _frv_frame_stats_pdf(pdf)
 
     return media.mapInPandas(run, FRV_FRAME_STATS_SCHEMA)
+
+
+def _frv_frame_stats_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols: dict[str, list] = {
+        k.name: [] for k in FRV_FRAME_STATS_SCHEMA.fields
+    }
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        arr, _fps = decode_frv(payload)
+        n, h, w, _ = arr.shape
+        sums = arr.reshape(n, -1).sum(axis=1, dtype=np.int64)
+        for fi in range(n):
+            cols["media_id"].append(int(mid))
+            cols["frame_index"].append(fi)
+            cols["px000"].append(int(arr[fi, 0, 0, 0]))
+            cols["px_sum"].append(int(sums[fi]))
+            cols["mean_px"].append(int(sums[fi]) / (h * w * 3))
+    return pd.DataFrame(cols)
+
+
+def frv_frame_stats_pipeline(docs: DataFrame) -> DataFrame:
+    """FUSED render -> per-frame stats in ONE Arrow stage (r14, see
+    :func:`_arrow_pipeline`).  Value-identical to
+    ``frv_frame_stats(frv_media_from_documents(docs))`` (test-pinned)."""
+    return _arrow_pipeline(
+        _frv_base(docs), FRV_FRAME_STATS_SCHEMA, _frv_render_pdf,
+        _frv_frame_stats_pdf,
+    )
 
 
 def frv_scene_cuts(media: DataFrame, threshold: float = 60.0) -> DataFrame:
@@ -998,28 +1103,40 @@ def frv_scene_cuts(media: DataFrame, threshold: float = 60.0) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols: dict[str, list] = {
-                k.name: [] for k in FRV_CUTS_SCHEMA.fields
-            }
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr, _fps = decode_frv(payload)
-                n, h, w, _ = arr.shape
-                if n < 2:
-                    continue
-                d = np.abs(
-                    arr[1:].astype(np.int64) - arr[:-1].astype(np.int64)
-                )
-                sums = d.reshape(n - 1, -1).sum(axis=1, dtype=np.int64)
-                denom = h * w * 3
-                for fi in range(1, n):
-                    energy = int(sums[fi - 1]) / denom
-                    cols["media_id"].append(int(mid))
-                    cols["frame_index"].append(fi)
-                    cols["diff_energy"].append(energy)
-                    cols["is_cut"].append(energy >= threshold)
-            yield pd.DataFrame(cols)
+            yield _frv_cuts_pdf(pdf, threshold)
 
     return media.mapInPandas(run, FRV_CUTS_SCHEMA)
+
+
+def _frv_cuts_pdf(pdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    cols: dict[str, list] = {k.name: [] for k in FRV_CUTS_SCHEMA.fields}
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        arr, _fps = decode_frv(payload)
+        n, h, w, _ = arr.shape
+        if n < 2:
+            continue
+        d = np.abs(arr[1:].astype(np.int64) - arr[:-1].astype(np.int64))
+        sums = d.reshape(n - 1, -1).sum(axis=1, dtype=np.int64)
+        denom = h * w * 3
+        for fi in range(1, n):
+            energy = int(sums[fi - 1]) / denom
+            cols["media_id"].append(int(mid))
+            cols["frame_index"].append(fi)
+            cols["diff_energy"].append(energy)
+            cols["is_cut"].append(energy >= threshold)
+    return pd.DataFrame(cols)
+
+
+def frv_scene_cuts_pipeline(
+    docs: DataFrame, threshold: float = 60.0
+) -> DataFrame:
+    """FUSED render -> inter-frame cut detection in ONE Arrow stage
+    (r14, see :func:`_arrow_pipeline`).  Value-identical to
+    ``frv_scene_cuts(frv_media_from_documents(docs))`` (test-pinned)."""
+    return _arrow_pipeline(
+        _frv_base(docs), FRV_CUTS_SCHEMA, _frv_render_pdf,
+        lambda pdf: _frv_cuts_pdf(pdf, threshold),
+    )
 
 
 def frv_frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
@@ -1032,26 +1149,36 @@ def frv_frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols: dict[str, list] = {
-                k.name: [] for k in FRV_SAMPLE_SCHEMA.fields
-            }
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                n, w, h, _fps = struct.unpack(
-                    "<HHHH", payload[4:FRV_HEADER_BYTES]
-                )
-                frame_len = h * w * 3
-                for fi in range(0, n, every_n):
-                    start = FRV_HEADER_BYTES + fi * frame_len
-                    frame = np.frombuffer(
-                        payload[start : start + frame_len], dtype=np.uint8
-                    )
-                    cols["media_id"].append(int(mid))
-                    cols["frame_index"].append(fi)
-                    cols["frame_bytes"].append(frame_len)
-                    cols["px_sum"].append(int(frame.sum(dtype=np.int64)))
-            yield pd.DataFrame(cols)
+            yield _frv_sample_pdf(pdf, every_n)
 
     return media.mapInPandas(run, FRV_SAMPLE_SCHEMA)
+
+
+def _frv_sample_pdf(pdf: pd.DataFrame, every_n: int) -> pd.DataFrame:
+    cols: dict[str, list] = {k.name: [] for k in FRV_SAMPLE_SCHEMA.fields}
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        n, w, h, _fps = struct.unpack("<HHHH", payload[4:FRV_HEADER_BYTES])
+        frame_len = h * w * 3
+        for fi in range(0, n, every_n):
+            start = FRV_HEADER_BYTES + fi * frame_len
+            frame = np.frombuffer(
+                payload[start : start + frame_len], dtype=np.uint8
+            )
+            cols["media_id"].append(int(mid))
+            cols["frame_index"].append(fi)
+            cols["frame_bytes"].append(frame_len)
+            cols["px_sum"].append(int(frame.sum(dtype=np.int64)))
+    return pd.DataFrame(cols)
+
+
+def frv_frame_sample_pipeline(docs: DataFrame, every_n: int = 2) -> DataFrame:
+    """FUSED render -> every-Nth-frame byte-slice sampling in ONE Arrow
+    stage (r14, see :func:`_arrow_pipeline`).  Value-identical to
+    ``frv_frame_sample(frv_media_from_documents(docs))`` (test-pinned)."""
+    return _arrow_pipeline(
+        _frv_base(docs), FRV_SAMPLE_SCHEMA, _frv_render_pdf,
+        lambda pdf: _frv_sample_pdf(pdf, every_n),
+    )
 
 
 # Energy-based voice-activity detection ---------------------------------------
@@ -1085,24 +1212,42 @@ def wav_frame_energies(media: DataFrame, frame: int = VAD_FRAME) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols: dict[str, list] = {
-                k.name: [] for k in VAD_FRAME_SCHEMA.fields
-            }
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr, _sr = decode_wav(payload)
-                n, ch = arr.shape
-                nf = n // frame
-                if nf == 0:
-                    continue
-                sq = arr[: nf * frame].astype(np.int64) ** 2
-                e = sq.reshape(nf, frame * ch).sum(axis=1)
-                cols["media_id"].extend([int(mid)] * nf)
-                cols["frame_idx"].extend(range(nf))
-                cols["energy"].extend(int(x) for x in e)
-                cols["n_values"].extend([frame * ch] * nf)
-            yield pd.DataFrame(cols)
+            yield _wav_frame_energies_pdf(pdf, frame)
 
     return media.mapInPandas(run, VAD_FRAME_SCHEMA)
+
+
+def _wav_frame_energies_pdf(pdf: pd.DataFrame, frame: int) -> pd.DataFrame:
+    cols: dict[str, list] = {k.name: [] for k in VAD_FRAME_SCHEMA.fields}
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        arr, _sr = decode_wav(payload)
+        n, ch = arr.shape
+        nf = n // frame
+        if nf == 0:
+            continue
+        sq = arr[: nf * frame].astype(np.int64) ** 2
+        e = sq.reshape(nf, frame * ch).sum(axis=1)
+        cols["media_id"].extend([int(mid)] * nf)
+        cols["frame_idx"].extend(range(nf))
+        cols["energy"].extend(int(x) for x in e)
+        cols["n_values"].extend([frame * ch] * nf)
+    return pd.DataFrame(cols)
+
+
+def wav_frame_energies_pipeline(
+    docs: DataFrame, frame: int = VAD_FRAME
+) -> DataFrame:
+    """FUSED render -> per-frame energy in ONE Arrow stage (r14, see
+    :func:`_arrow_pipeline`); the JVM-side islanding of
+    :func:`wav_vad_segments` composes on top unchanged.  Value-identical
+    to ``wav_frame_energies(wav_media_from_documents(docs))``
+    (test-pinned)."""
+    return _arrow_pipeline(
+        _wav_base(docs),
+        VAD_FRAME_SCHEMA,
+        _wav_render_pdf,
+        lambda pdf: _wav_frame_energies_pdf(pdf, frame),
+    )
 
 
 def wav_vad_segments(
@@ -1128,11 +1273,27 @@ def wav_vad_segments(
     decode stays in the Arrow kernel; islanding and aggregation are
     JVM-side codegen.
     """
+    fe = wav_frame_energies(media, frame)
+    return _vad_tail(fe, ms_threshold)
+
+
+def wav_vad_segments_pipeline(
+    docs: DataFrame,
+    frame: int = VAD_FRAME,
+    ms_threshold: int = VAD_MS_THRESHOLD,
+) -> DataFrame:
+    """:func:`wav_vad_segments` served off the FUSED render->frame-energy
+    Arrow stage (r14, see :func:`_arrow_pipeline`); the JVM islanding
+    tail is shared verbatim.  Value-identical to
+    ``wav_vad_segments(wav_media_from_documents(docs))`` (test-pinned)."""
+    return _vad_tail(wav_frame_energies_pipeline(docs, frame), ms_threshold)
+
+
+def _vad_tail(fe: DataFrame, ms_threshold: int) -> DataFrame:
     from pyspark.sql import Window
 
     from zipkin_storage_kafka_spark.functions.portable import round4
 
-    fe = wav_frame_energies(media, frame)
     active = fe.filter(
         F.col("energy")
         >= F.lit(int(ms_threshold)).cast("long") * F.col("n_values")
@@ -1257,34 +1418,44 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols: dict[str, list] = {k.name: [] for k in AUDIO_FP_SCHEMA.fields}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr, _sr = decode_wav(payload)
-                n = arr.shape[0]
-                n_frames = n // 8
-                for c in range(arr.shape[1]):
-                    v = arr[: n_frames * 8, c].astype(np.int64)
-                    if n_frames >= 1:
-                        energy = (v * v).reshape(n_frames, 4, 2).sum(axis=2)
-                        band_diff = energy[:, :3] - energy[:, 1:]
-                        dd = band_diff[1:] - band_diff[:-1]
-                        bits = (dd > 0).astype(np.int64)
-                        codes = bits[:, 0] * 4 + bits[:, 1] * 2 + bits[:, 2]
-                    else:
-                        codes = np.zeros(0, dtype=np.int64)
-                    cols["media_id"].append(int(mid))
-                    cols["channel"].append(c)
-                    cols["n_frames"].append(int(n_frames))
-                    cols["n_codes"].append(int(codes.shape[0]))
-                    cols["n_distinct_codes"].append(
-                        int(np.unique(codes).shape[0])
-                    )
-                    cols["codes"].append(
-                        ",".join(str(int(x)) for x in codes)
-                    )
-            yield pd.DataFrame(cols)
+            yield _audio_fp_pdf(pdf)
 
     return media.mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def _audio_fp_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols: dict[str, list] = {k.name: [] for k in AUDIO_FP_SCHEMA.fields}
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        arr, _sr = decode_wav(payload)
+        n = arr.shape[0]
+        n_frames = n // 8
+        for c in range(arr.shape[1]):
+            v = arr[: n_frames * 8, c].astype(np.int64)
+            if n_frames >= 1:
+                energy = (v * v).reshape(n_frames, 4, 2).sum(axis=2)
+                band_diff = energy[:, :3] - energy[:, 1:]
+                dd = band_diff[1:] - band_diff[:-1]
+                bits = (dd > 0).astype(np.int64)
+                codes = bits[:, 0] * 4 + bits[:, 1] * 2 + bits[:, 2]
+            else:
+                codes = np.zeros(0, dtype=np.int64)
+            cols["media_id"].append(int(mid))
+            cols["channel"].append(c)
+            cols["n_frames"].append(int(n_frames))
+            cols["n_codes"].append(int(codes.shape[0]))
+            cols["n_distinct_codes"].append(int(np.unique(codes).shape[0]))
+            cols["codes"].append(",".join(str(int(x)) for x in codes))
+    return pd.DataFrame(cols)
+
+
+def audio_fingerprint_pipeline(docs: DataFrame) -> DataFrame:
+    """FUSED oscillatory-fixture render -> Haitsma-Kalker fingerprint in
+    ONE Arrow stage (r14, see :func:`_arrow_pipeline`).  Value-identical
+    to ``audio_fingerprint(fm_wav_media_from_documents(docs))``
+    (test-pinned)."""
+    return _arrow_pipeline(
+        _wav_base(docs), AUDIO_FP_SCHEMA, _fm_wav_render_pdf, _audio_fp_pdf
+    )
 
 
 def synth_fm_samples(doc_id: int, n: int, ch: int) -> np.ndarray:
@@ -1308,26 +1479,20 @@ def fm_wav_media_from_documents(docs: DataFrame) -> DataFrame:
     as :func:`wav_media_from_documents`: n = n_chars%50+20 samples,
     channels = doc_id%2+1, rate 8000 + (doc_id%3)*4000), carrying
     :func:`synth_fm_samples` audio — real bytes, Arrow-batched."""
-    base = docs.select(
-        F.col("doc_id").alias("media_id"),
-        (F.lit(8000) + (F.col("doc_id") % 3) * 4000)
-        .cast("int")
-        .alias("sample_rate"),
-        (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
-        (F.col("n_chars") % 50 + 20).cast("int").alias("n"),
-    )
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [
-                encode_wav(synth_fm_samples(int(mid), int(n), int(ch)), sr)
-                for mid, sr, ch, n in zip(
-                    pdf["media_id"], pdf["sample_rate"],
-                    pdf["channels"], pdf["n"],
-                )
-            ]
-            out = pdf[["media_id", "sample_rate", "channels"]].copy()
-            out["payload"] = pd.Series(payloads, index=pdf.index, dtype=object)
-            yield out[["media_id", "sample_rate", "channels", "payload"]]
+            yield _fm_wav_render_pdf(pdf)
 
-    return base.mapInPandas(run, WAV_MEDIA_SCHEMA)
+    return _wav_base(docs).mapInPandas(run, WAV_MEDIA_SCHEMA)
+
+
+def _fm_wav_render_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    payloads = [
+        encode_wav(synth_fm_samples(int(mid), int(n), int(ch)), sr)
+        for mid, sr, ch, n in zip(
+            pdf["media_id"], pdf["sample_rate"], pdf["channels"], pdf["n"]
+        )
+    ]
+    out = pdf[["media_id", "sample_rate", "channels"]].copy()
+    out["payload"] = pd.Series(payloads, index=pdf.index, dtype=object)
+    return out[["media_id", "sample_rate", "channels", "payload"]]

@@ -1114,8 +1114,10 @@ def pca_explained(
     explained_micro (exact integer micro-units of the double ratio, so
     the headline number never hash-flips on a ulp).
 
-    Scale: the power sweeps (one scan each) + ONE extra scan for the
-    two total-variance moments; everything else is driver floats.  Pass
+    Scale: the power sweeps (one scan each) + ONE extra scan (one
+    scheduled job, r14) for all total-variance moments; everything else
+    is driver floats.  Null/ragged embeddings now fail loudly (per-dim
+    count mismatch) instead of silently inflating the denominator.  Pass
     ``component`` (a :func:`pca_power` result relation — e.g. the
     matcache-materialized one the registry shares between the pca_power
     and pca_explained rows) to skip re-running the sweeps entirely:
@@ -1128,18 +1130,29 @@ def pca_explained(
         component = pca_power(embeddings, iterations)
     lam = component.select("lambda_hat").head()["lambda_hat"]
     e = embeddings.select(_as_double("embedding").alias("emb"))
-    n = e.count()
+    # ONE scan / ONE scheduled job for all three trace moments (r14: the
+    # old shape ran count(), the per-dim sums, and the squared-norm agg
+    # as three separate driver actions — ~0.3 s of scheduling floor
+    # each for a KB-sized reduction).  Per-dim count doubles as the
+    # ragged-input guard: every dimension must see every vector.
     mom = (
         e.select(F.posexplode("emb").alias("i", "vi"))
         .groupBy("i")
-        .agg(F.sum("vi").alias("sv"))
+        .agg(
+            F.sum("vi").alias("sv"),
+            F.sum(F.col("vi") * F.col("vi")).alias("ss"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
         .collect()
     )
-    sq_total = float(
-        e.agg(F.sum(_dot(F.col("emb"), F.col("emb"))).alias("s")).collect()[
-            0
-        ]["s"]
-    )
+    counts = {r["cnt"] for r in mom}
+    if len(counts) > 1:
+        raise ValueError(
+            "pca_explained: ragged embedding dimensions "
+            f"(per-dim counts {sorted(counts)})"
+        )
+    n = counts.pop() if counts else 0
+    sq_total = float(sum(float(r["ss"]) for r in sorted(mom, key=lambda r: r["i"])))
     mu_norm2 = 0.0
     for r in sorted(mom, key=lambda r: r["i"]):
         m = float(r["sv"]) / n

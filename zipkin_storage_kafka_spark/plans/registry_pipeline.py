@@ -788,17 +788,18 @@ def q_mm_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes every statistic closed-form from the pixel
     formula — a decoder bug (orientation, channel order, padding) breaks
     the value hash."""
-    media = mm.bmp_media_from_documents(_docs(spark, sf_dir))
-    return mm.bmp_decode_stats(media)
+    # r14: fused single Arrow stage (mm.bmp_stats_pipeline) — payload
+    # bytes never recross the JVM boundary; same codec kernels.
+    return mm.bmp_stats_pipeline(_docs(spark, sf_dir))
 
 
 def q_mm_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode -> nearest-neighbor 16x16 -> re-encode -> decode again: two
     full codec roundtrips on real bytes; oracle maps the resize index math
     ((dst*src)//16) onto the pixel formula."""
-    media = mm.bmp_media_from_documents(_docs(spark, sf_dir))
-    resized = mm.bmp_resize(media, 16, 16)
-    stats = mm.bmp_decode_stats(resized)
+    # r14: fused single Arrow stage (render -> resize -> stats); the
+    # old 3-operator chain held THREE python workers per task.
+    stats = mm.bmp_stats_pipeline(_docs(spark, sf_dir), resize=(16, 16))
     return stats.select(
         "media_id", "width", "height", "payload_bytes",
         "r_mean", "g_mean", "b_mean",
@@ -816,8 +817,8 @@ def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic) and emit one row per frame (top-left value, exact pixel
     sum, mean).  The oracle recomputes every statistic closed-form — a
     frame-offset or header bug breaks the value hash."""
-    media = mm.frv_media_from_documents(_docs(spark, sf_dir))
-    return mm.frv_frame_stats(media)
+    # r14: fused single Arrow stage.
+    return mm.frv_frame_stats_pipeline(_docs(spark, sf_dir))
 
 
 def q_mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,8 +826,10 @@ def q_mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py:frv_scene_cuts): inter-frame |delta| energy
     + fixed-threshold cut flag; exact-integer ratio so the flag is
     engine-portable."""
-    media = mm.frv_media_from_documents(_docs(spark, sf_dir))
-    return mm.frv_scene_cuts(media, threshold=VIDEO_CUT_THRESHOLD)
+    # r14: fused single Arrow stage.
+    return mm.frv_scene_cuts_pipeline(
+        _docs(spark, sf_dir), threshold=VIDEO_CUT_THRESHOLD
+    )
 
 
 def q_mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,8 +837,10 @@ def q_mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     every-Nth-frame byte-slice out of the packed layout with an exact
     pixel checksum per sampled frame — the real-codec successor of the
     generic frame-sample stub."""
-    media = mm.frv_media_from_documents(_docs(spark, sf_dir))
-    return mm.frv_frame_sample(media, every_n=VIDEO_SAMPLE_EVERY)
+    # r14: fused single Arrow stage.
+    return mm.frv_frame_sample_pipeline(
+        _docs(spark, sf_dir), every_n=VIDEO_SAMPLE_EVERY
+    )
 
 
 def q_mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -845,16 +850,16 @@ def q_mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/peak.  The oracle recomputes every statistic closed-form from
     the sample formula — an endianness, interleave, or chunk-offset bug
     breaks the value hash."""
-    media = mm.wav_media_from_documents(_docs(spark, sf_dir))
-    return mm.wav_decode_stats(media)
+    # r14: fused single Arrow stage.
+    return mm.wav_stats_pipeline(_docs(spark, sf_dir))
 
 
 def q_mm_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode -> nearest-sample resample to 4 kHz -> re-encode -> decode
     again: two full codec roundtrips on real bytes; oracle maps the
     resample index math ((i*sr)//4000) onto the sample formula."""
-    media = mm.wav_media_from_documents(_docs(spark, sf_dir))
-    return mm.wav_decode_stats(mm.wav_resample(media, 4000))
+    # r14: fused single Arrow stage (render -> resample -> stats).
+    return mm.wav_stats_pipeline(_docs(spark, sf_dir), resample_sr=4000)
 
 
 def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1909,8 +1914,8 @@ def q_mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs on the oscillatory fixture WAVs (fm_wav_media_from_documents)
     — the linear ramp fixture is feature-free for a
     difference-of-differences fingerprint (every code would be 0)."""
-    media = mm.fm_wav_media_from_documents(_docs(spark, sf_dir))
-    return mm.audio_fingerprint(media)
+    # r14: fused single Arrow stage.
+    return mm.audio_fingerprint_pipeline(_docs(spark, sf_dir))
 
 
 def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2135,8 +2140,8 @@ def q_mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes both closed-form from the sample formula —
     integer sums make rms/zcr bit-deterministic with no rounding
     (operators/multimodal.py:wav_features)."""
-    media = mm.wav_media_from_documents(_docs(spark, sf_dir))
-    return mm.wav_features(media)
+    # r14: fused single Arrow stage.
+    return mm.wav_features_pipeline(_docs(spark, sf_dir))
 
 
 def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2218,8 +2223,8 @@ def q_mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes (operators/multimodal.py:wav_vad_segments): exact-integer
     activity test, gaps-and-islands merge; the oracle recomputes every
     frame energy closed-form from the sample formula."""
-    media = mm.wav_media_from_documents(_docs(spark, sf_dir))
-    return mm.wav_vad_segments(media)
+    # r14: fused render->frame-energy Arrow stage + shared JVM tail.
+    return mm.wav_vad_segments_pipeline(_docs(spark, sf_dir))
 
 
 def q_text_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
