@@ -873,18 +873,23 @@ def test_verified_pairs_served_from_cache(spark, sf_dir):
 
 
 def test_ivf_nprobe_recall_cell_pruned(spark, sf_dir):
-    """Every probe setting must reach the corpus through the label
-    semi-join (cell pruning) — no cartesian pair enumeration, and the
-    per-nprobe top-k stays a TakeOrdered heap (no global Sort feeding
-    a Limit)."""
+    """The sweep must reach the corpus through label-keyed cell pruning
+    — no cartesian pair enumeration.  r15 shape: ONE broadcast join of
+    the ranked probe labels against the assignment index (rank <= nprobe
+    fan-out) replaces the per-setting orderBy+limit semi-join union, and
+    the per-nprobe top-k is the rank-filtered window that compiles to
+    WindowGroupLimit (per-partition partial top-k)."""
     import __spark_entry__ as entrymod
 
     plan = _plan(
         entrymod.queries()["ann_ivf_nprobe_recall"](spark, sf_dir)
     )
     assert "CartesianProduct" not in plan
-    assert plan.count("LeftSemi") >= 4, plan
-    assert "TakeOrderedAndProject" in plan
+    # cell pruning: the ranked probe-label relation is broadcast into
+    # the assignment join; the exact ground-truth check stays a semi-join
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("LeftSemi") >= 1, plan
+    assert "WindowGroupLimit" in plan, plan
 
 
 def test_orphan_spans_anti_join_trace_keyed(spark, sf_dir):

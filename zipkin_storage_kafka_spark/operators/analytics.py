@@ -3166,6 +3166,11 @@ def active_users(
 
     Output: day_ms, dau, wau, mau.
     """
+    if kernel not in ("explode", "interval"):
+        raise ValueError(
+            f"active_users: unknown kernel {kernel!r} "
+            "(expected 'explode' or 'interval')"
+        )
     if ud is None:
         ud = user_days(spark, sf_dir)
     bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))

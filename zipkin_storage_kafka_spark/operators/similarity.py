@@ -191,12 +191,21 @@ def ann_topk_ivf(
     nprobe: int = 3,
     centroids: DataFrame | None = None,
     assign: DataFrame | None = None,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the query's ``nprobe`` best cells, exact top-k within
     the probed cells.  Pass a prebuilt index (``centroids`` + ``assign``,
     see :func:`ivf_assignments`) to keep the per-query plan index-free —
     the query side then touches only its own centroid scores (1 x cells
     rows) plus the probed ~nprobe/n_cells slice of the corpus.
+
+    ``scores`` optionally supplies the per-vector (vec_id, cos) relation
+    for this exact query (:func:`cosine_scores` output — the eval-query
+    audit artifact the recall family shares, r15): the serve plan then
+    never touches the embedding payload at all — candidate ids are
+    semi-joined against the narrow score relation and top-k'd.  Values
+    are identical by construction (same round4 cosine expression over
+    the same vectors).
 
     Scale (100 TB): assignment is one broadcast crossJoin + per-vector
     argmax, built once at ingest (label = partition column, so the probe is
@@ -218,6 +227,13 @@ def ann_topk_ivf(
     cand_ids = assign.join(F.broadcast(probe), "label", "left_semi").select(
         "vec_id"
     )
+    if scores is not None:
+        return (
+            scores.join(cand_ids, "vec_id", "left_semi")
+            .filter(F.col("vec_id") != query_vec_id)
+            .orderBy(F.col("cos").desc(), F.col("vec_id"))
+            .limit(k)
+        )
     candidates = embeddings.join(cand_ids, "vec_id", "left_semi")
     return cosine_topk(candidates, query_vec_id, k)
 
@@ -832,61 +848,29 @@ def semantic_dedup(
 IVF_NLISTS = (2, 5, 10)
 
 
-def ivf_nlist_recall(
-    embeddings: DataFrame,
-    query_vec_id: int,
-    k: int = 10,
-    nlists: tuple[int, ...] = IVF_NLISTS,
-    exact: DataFrame | None = None,
-    truncate: bool = True,
+def ivf_nlist_assignments(
+    embeddings: DataFrame, nlists: tuple[int, ...] = IVF_NLISTS
 ) -> DataFrame:
-    """The OTHER IVF tuning knob: recall@k AND probe cost as a function
-    of quantizer coarseness (nlist = number of cells), at nprobe=1 —
-    the cost/recall frontier a deployment reads before fixing its cell
-    count (coarser cells -> each probe scans more of the corpus ->
-    higher recall at higher cost; ``ivf_nprobe_recall`` sweeps the
-    query-side knob, this sweeps the index-build side).
+    """The (vec_id, nlist, cell) assignment index for EVERY nlist
+    setting in one relation — the index-build half of
+    :func:`ivf_nlist_recall`, extracted (r15) so the registry can
+    materialize it once per corpus snapshot like :func:`ivf_assignments`
+    (index builds are ingest-time work; the sweep row then serves from
+    a 3-int-column parquet scan).
 
-    Deterministic re-clustering: the nlist-cell quantizer merges the
-    seed labels by ``label % nlist`` and recomputes centroids as the
-    merged-group means — engine-reproducible (no k-means random
-    restarts), monotone in coverage by construction.  ``probed_rows``
-    reports the scanned candidate count (query excluded) so the row
-    shows BOTH axes of the trade.
-
-    Columns: nlist, k, n_hits, recall (round4), probed_rows.  NOTE:
-    recall divides by the requested k and therefore assumes
-    |corpus| > k (true at every registry/bench scale); on a fixture
-    with fewer than k other vectors it reads below 1.0 even for a
-    perfect probe, because the exact baseline itself has < k rows.
-
-    Scale (100 TB): all nlist settings share the scans — ONE corpus x
-    (sum nlists = 17 tagged centroids) broadcast score pass feeds every
-    assignment via a (vec, nlist)-keyed argmax window; the probe rows
-    (one per setting) broadcast-semi-join the assignment; vectors move
-    once through the tagged candidate union, per-setting top-k is a
-    rank-filtered window (WindowGroupLimit, <= |nlists|*k rows
-    shuffled).  Centroid recomputation per setting is the posexplode
-    partial-agg (KB output), ingest-time work in deployment.
+    ONE corpus scan builds every nlist's centroids: the posexplode agg
+    collapses to label-level partial sums first (|labels| x d rows —
+    bounded, KB-scale), and each nlist's cell means are the weighted
+    combine of those label sums (label % nlist merges whole labels, so
+    cell mean = sum of member label sums / sum of member counts —
+    exactly the merged-group mean up to float summation order, which
+    the round6 score grid already absorbs across engines).
     """
     from pyspark.sql import Window
 
     from zipkin_storage_kafka_spark.functions.portable import round6
 
     e = embeddings.select("vec_id", _as_double("embedding").alias("emb"))
-    # ``exact`` lets callers supply the shared materialized ground-truth
-    # relation (one brute-force pass serves the whole recall family)
-    if exact is None:
-        exact = cosine_topk(embeddings, query_vec_id, k)
-    exact = exact.select("vec_id")
-    # ONE corpus scan builds every nlist's centroids: the posexplode agg
-    # collapses to label-level partial sums first (|labels| x d rows —
-    # bounded, KB-scale), and each nlist's cell means are the weighted
-    # combine of those label sums (label % nlist merges whole labels, so
-    # cell mean = sum of member label sums / sum of member counts —
-    # exactly the merged-group mean up to float summation order, which
-    # the round6 score grid already absorbs across engines).  Previously
-    # each nlist re-scanned the corpus: 3 posexplode aggs -> 1.
     lab_sums = (
         embeddings.select(
             "label", F.posexplode(_as_double("embedding")).alias("pos", "x")
@@ -923,21 +907,80 @@ def ivf_nlist_recall(
     wv = Window.partitionBy("vec_id", "nlist").orderBy(
         F.col("s").desc(), F.col("cell")
     )
-    # The assignment index is consumed THREE times below (probe rows,
-    # candidate semi-join, probed-row counts) — without truncation each
-    # consumer re-evaluates the whole corpus x centroid scoring pass +
-    # argmax window (11 parquet scans of the corpus in the r14 before
-    # plan, guide section 2.4 "remove shuffles outright"/3.3 duplicated
-    # subtrees).  The relation is 3 ints per (vector, nlist) — ~1% of
-    # corpus bytes — so the established KB-scale localCheckpoint
-    # contract (SCALE.md r11) applies at every scale.
-    assign = (
+    return (
         scores.withColumn("rk", F.row_number().over(wv))
         .filter(F.col("rk") == 1)
         .select("vec_id", "nlist", "cell")
     )
-    if truncate:
-        assign = assign.localCheckpoint(eager=False)
+
+
+def ivf_nlist_recall(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nlists: tuple[int, ...] = IVF_NLISTS,
+    exact: DataFrame | None = None,
+    truncate: bool = True,
+    assign: DataFrame | None = None,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """The OTHER IVF tuning knob: recall@k AND probe cost as a function
+    of quantizer coarseness (nlist = number of cells), at nprobe=1 —
+    the cost/recall frontier a deployment reads before fixing its cell
+    count (coarser cells -> each probe scans more of the corpus ->
+    higher recall at higher cost; ``ivf_nprobe_recall`` sweeps the
+    query-side knob, this sweeps the index-build side).
+
+    Deterministic re-clustering: the nlist-cell quantizer merges the
+    seed labels by ``label % nlist`` and recomputes centroids as the
+    merged-group means — engine-reproducible (no k-means random
+    restarts), monotone in coverage by construction.  ``probed_rows``
+    reports the scanned candidate count (query excluded) so the row
+    shows BOTH axes of the trade.
+
+    Columns: nlist, k, n_hits, recall (round4), probed_rows.  NOTE:
+    recall divides by the requested k and therefore assumes
+    |corpus| > k (true at every registry/bench scale); on a fixture
+    with fewer than k other vectors it reads below 1.0 even for a
+    perfect probe, because the exact baseline itself has < k rows.
+
+    Scale (100 TB): all nlist settings share the scans — ONE corpus x
+    (sum nlists = 17 tagged centroids) broadcast score pass feeds every
+    assignment via a (vec, nlist)-keyed argmax window; the probe rows
+    (one per setting) broadcast-semi-join the assignment; vectors move
+    once through the tagged candidate union, per-setting top-k is a
+    rank-filtered window (WindowGroupLimit, <= |nlists|*k rows
+    shuffled).  Centroid recomputation per setting is the posexplode
+    partial-agg (KB output), ingest-time work in deployment.
+
+    ``assign`` optionally supplies a prebuilt (vec_id, nlist, cell)
+    index (:func:`ivf_nlist_assignments`, materialized once per corpus
+    snapshot — r15) and ``scores`` the eval query's per-vector
+    (vec_id, cos) relation (:func:`cosine_scores` output): with both,
+    the serve plan never touches the embedding payload — every input
+    is a narrow int/double relation.  Identical values by construction.
+    """
+    from pyspark.sql import Window
+
+    # ``exact`` lets callers supply the shared materialized ground-truth
+    # relation (one brute-force pass serves the whole recall family)
+    if exact is None:
+        exact = cosine_topk(embeddings, query_vec_id, k)
+    exact = exact.select("vec_id")
+    if assign is None:
+        assign = ivf_nlist_assignments(embeddings, nlists)
+        # The assignment index is consumed THREE times below (probe rows,
+        # candidate semi-join, probed-row counts) — without truncation
+        # each consumer re-evaluates the whole corpus x centroid scoring
+        # pass + argmax window (11 parquet scans of the corpus in the r14
+        # before plan, guide section 2.4 "remove shuffles outright"/3.3
+        # duplicated subtrees).  The relation is 3 ints per
+        # (vector, nlist) — ~1% of corpus bytes — so the established
+        # KB-scale localCheckpoint contract (SCALE.md r11) applies at
+        # every scale.  (A materialized ``assign`` needs none of this:
+        # each consumer is a pushdown-filtered parquet scan.)
+        if truncate:
+            assign = assign.localCheckpoint(eager=False)
     probe = assign.filter(F.col("vec_id") == query_vec_id).select(
         "nlist", "cell"
     )
@@ -951,19 +994,24 @@ def ivf_nlist_recall(
     probed = cands.groupBy("nlist").agg(
         F.count(F.lit(1)).alias("probed_rows")
     )
-    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        _as_double("embedding").alias("q_emb")
-    )
-    ec = embeddings.join(
-        cands.select("vec_id", "nlist"), "vec_id"
-    ).select("vec_id", "nlist", _as_double("embedding").alias("emb"))
-    cos = _dot(F.col("emb"), F.col("q_emb")) / (
-        F.sqrt(_dot(F.col("emb"), F.col("emb")))
-        * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
-    )
-    scored = ec.crossJoin(F.broadcast(q)).select(
-        "vec_id", "nlist", round4(cos).alias("cos")
-    )
+    if scores is not None:
+        scored = cands.select("vec_id", "nlist").join(
+            scores, "vec_id"
+        ).select("vec_id", "nlist", "cos")
+    else:
+        q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+            _as_double("embedding").alias("q_emb")
+        )
+        ec = embeddings.join(
+            cands.select("vec_id", "nlist"), "vec_id"
+        ).select("vec_id", "nlist", _as_double("embedding").alias("emb"))
+        cos = _dot(F.col("emb"), F.col("q_emb")) / (
+            F.sqrt(_dot(F.col("emb"), F.col("emb")))
+            * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        )
+        scored = ec.crossJoin(F.broadcast(q)).select(
+            "vec_id", "nlist", round4(cos).alias("cos")
+        )
     wt = Window.partitionBy("nlist").orderBy(
         F.col("cos").desc(), F.col("vec_id")
     )
@@ -1116,8 +1164,11 @@ def pca_explained(
 
     Scale: the power sweeps (one scan each) + ONE extra scan (one
     scheduled job, r14) for all total-variance moments; everything else
-    is driver floats.  Null/ragged embeddings now fail loudly (per-dim
-    count mismatch) instead of silently inflating the denominator.  Pass
+    is driver floats.  RAGGED embeddings fail loudly (per-dim count
+    mismatch); NULL embedding arrays are dropped by the posexplode and
+    therefore silently EXCLUDED from the moment denominator ``n`` (they
+    do not raise — same exclusion the rest of the moment family
+    applies).  Pass
     ``component`` (a :func:`pca_power` result relation — e.g. the
     matcache-materialized one the registry shares between the pca_power
     and pca_explained rows) to skip re-running the sweeps entirely:
@@ -1857,6 +1908,7 @@ def ivf_nprobe_recall(
     centroids: DataFrame | None = None,
     assign: DataFrame | None = None,
     exact: DataFrame | None = None,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """The IVF tuning curve (VERDICT r06 next-round #5): recall@k of the
     probe against brute-force ground truth at each ``nprobes`` setting —
@@ -1876,6 +1928,13 @@ def ivf_nprobe_recall(
     top-k, shuffle carries <= len(nprobes)*k rows — the
     :func:`batch_cosine_topk` pattern).  Only the k-row assignment
     index is read once per setting; vectors move once.
+
+    ``scores`` optionally supplies the eval query's per-vector
+    (vec_id, cos) relation (:func:`cosine_scores` output, materialized
+    once per corpus snapshot — r15): the sweep then reads cosines off
+    the narrow relation instead of re-joining the embedding payload
+    and re-evaluating the O(d) dot folds; vectors move ZERO times.
+    Identical values by construction (same round4 expression).
     """
     from pyspark.sql import Window
 
@@ -1889,36 +1948,56 @@ def ivf_nprobe_recall(
     query_scores = _centroid_scores(
         embeddings.filter(F.col("vec_id") == query_vec_id), centroids
     )
-    cand_parts = []
-    for np_ in nprobes:
-        probe = (
-            query_scores.orderBy(F.col("s").desc(), F.col("label"))
-            .limit(int(np_))
-            .select("label")
+    # ONE probe subtree for the whole sweep (r15): rank the query's
+    # centroid scores once (a 1 x |cells| relation — the scalar-window
+    # class), broadcast-join the ranked labels to the assignment, and
+    # fan each candidate out to every nprobe setting whose prefix its
+    # label rank falls in.  Identical to the old per-setting
+    # orderBy+limit(np) union (same (s desc, label) total order), but
+    # the plan holds one ranked-probe branch instead of len(nprobes)
+    # subtrees + union.
+    wq = Window.orderBy(F.col("s").desc(), F.col("label"))
+    ranked = (
+        query_scores.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= int(max(nprobes)))
+        .select("label", "rk")
+    )
+    cands = (
+        assign.join(F.broadcast(ranked), "label")
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[F.lit(int(np_)).cast("int") for np_ in nprobes]
+                )
+            ).alias("nprobe"),
+            "rk",
         )
-        cand_parts.append(
-            assign.join(F.broadcast(probe), "label", "left_semi").select(
-                "vec_id", F.lit(int(np_)).cast("int").alias("nprobe")
-            )
+        .filter(F.col("rk") <= F.col("nprobe"))
+        .select("vec_id", "nprobe")
+    )
+    if scores is not None:
+        scored = (
+            cands.join(scores, "vec_id")
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", "nprobe", "cos")
         )
-    cands = cand_parts[0]
-    for p in cand_parts[1:]:
-        cands = cands.unionByName(p)
-    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        _as_double("embedding").alias("q_emb")
-    )
-    e = embeddings.join(cands, "vec_id").select(
-        "vec_id", "nprobe", _as_double("embedding").alias("emb")
-    )
-    cos = _dot(F.col("emb"), F.col("q_emb")) / (
-        F.sqrt(_dot(F.col("emb"), F.col("emb")))
-        * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
-    )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != query_vec_id)
-        .select("vec_id", "nprobe", round4(cos).alias("cos"))
-    )
+    else:
+        q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+            _as_double("embedding").alias("q_emb")
+        )
+        e = embeddings.join(cands, "vec_id").select(
+            "vec_id", "nprobe", _as_double("embedding").alias("emb")
+        )
+        cos = _dot(F.col("emb"), F.col("q_emb")) / (
+            F.sqrt(_dot(F.col("emb"), F.col("emb")))
+            * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        )
+        scored = (
+            e.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", "nprobe", round4(cos).alias("cos"))
+        )
     w = Window.partitionBy("nprobe").orderBy(
         F.col("cos").desc(), F.col("vec_id")
     )
