@@ -354,11 +354,18 @@ def test_pq_and_semdedup_caches_keyed_on_operator_source(
     monkeypatch.setattr(rp, "_PQ_INDEX_CACHE", {})
     monkeypatch.setattr(rp, "_SEMDEDUP_AUDIT_CACHE", {})
     monkeypatch.setattr(rp, "_IVF_CACHE", {})
+    monkeypatch.setattr(rp, "_ANN_SCORES_CACHE", {})
+    monkeypatch.setattr(rp, "_NLIST_ASSIGN_CACHE", {})
 
     sf_dir = "/root/testdata/sf0.001"
     codes, codebook = rp._pq_index(spark, sf_dir)
     assert codes.count() > 0 and codebook.count() > 0
     assert rp._semdedup_audit_members(spark, sf_dir).count() > 0
+    # r15 additions to the serve layer: the eval query's per-vector
+    # cosine relation and the nlist assignment index — same fingerprint
+    # contract as the PQ index
+    assert rp._ann_scores(spark, sf_dir).count() > 0
+    assert rp._nlist_assign(spark, sf_dir).count() > 0
 
     fp = matcache.code_fingerprint((sim, tables))
     persisted = {
@@ -367,5 +374,11 @@ def test_pq_and_semdedup_caches_keyed_on_operator_source(
         for d in ds
         if "-" in d
     }
-    for table in ("pq_codes", "pq_codebook", "semdedup_audit"):
+    for table in (
+        "pq_codes",
+        "pq_codebook",
+        "semdedup_audit",
+        f"ann_scores_cosine_q{rp.ANN_QUERY_VEC}",
+        "ivf_nlist_assign",
+    ):
         assert f"{table}-{fp}" in persisted, (table, sorted(persisted))

@@ -2671,6 +2671,38 @@ def test_service_kcore_peel_flavors_agree(spark):
     assert drv == dst
 
 
+def test_service_hits_loop_flavors_agree(spark):
+    """The r15 driver HITS loop and the distributed one produce
+    bit-identical integer micro hub/auth scores on the fixture graph
+    and on a denser random graph (the kcore/pagerank precedent)."""
+    import random
+
+    from zipkin_storage_kafka_spark.operators.dependency_links import (
+        service_hits,
+    )
+
+    rows = []
+    for pair in (("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")):
+        rows += [pair] * 3
+    rows += [("d", "e")]
+    rng = random.Random(11)
+    svcs = [f"s{i}" for i in range(10)]
+    for _ in range(50):
+        a, b = rng.sample(svcs, 2)
+        rows += [(a, b)] * rng.randint(1, 3)
+    links = spark.createDataFrame(rows, "parent string, child string")
+    drv = {
+        r["service"]: (r["hub_micro"], r["auth_micro"])
+        for r in service_hits(links, loop="driver").collect()
+    }
+    dst = {
+        r["service"]: (r["hub_micro"], r["auth_micro"])
+        for r in service_hits(links, loop="distributed").collect()
+    }
+    assert drv == dst
+    assert len(drv) > 0
+
+
 def test_service_pagerank_power_flavors_agree(spark):
     """The r14 driver power loop and the distributed one produce
     bit-identical integer micro ranks on a weighted random graph."""

@@ -625,7 +625,16 @@ def dedup_clusters(pairs: DataFrame, flavor: str = "propagation") -> DataFrame:
         "propagation": connected_components,
         "star": connected_components_star,
     }[flavor](pairs)
-    return cc.groupBy("component_id").agg(
+    return cluster_report(cc)
+
+
+def cluster_report(labels: DataFrame) -> DataFrame:
+    """The cluster report grain over a (doc_id, component_id) label
+    relation — extracted (r15) so rows serving from a MATERIALIZED
+    label map (the CC fixpoint is dedup-time work, like the r10
+    survivorship map) share the exact output contract with the live
+    :func:`dedup_clusters` flavors."""
+    return labels.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.concat_ws(
             ",",
