@@ -65,56 +65,57 @@ _PINNED_ZIPKIN_CORE = (
 # excludes driver artifacts from rounds >= this (the round's own
 # delivery necessarily contains exactly these keys — VERDICT r09
 # next-round #2).
-_ROTATION_ROUND = 14
+_ROTATION_ROUND = 15
 
-# Round-14 rotation, spent by the encoded drained-era rule (ROTATION.md
+# Round-15 rotation, spent by the encoded drained-era rule (ROTATION.md
 # "r13+ re-proof policy", recomputed and asserted by
 # test_first50_prefix_contract's drained-era branch):
 #   1. rows whose physical plans THIS round's diff changed — the four
-#      ADC rows gained the prebuilt-index consistency projection and
-#      the rp_simhash row's Arrow kernel gained the malformed-embedding
-#      assertion (ADVICE r13 fixes); then
+#      cosine-side ANN rows now serve from the materialized eval-query
+#      score relation (+ the nlist assignment index), pipe_clean_corpus
+#      was fused to one docs scan with a window dedup gate,
+#      dedup_winnow_clusters serves from the materialized component
+#      map, and z_service_hits runs its HITS loop on the driver; then
 #   2. the registry in OLDEST-PROOF-FIRST order recomputed from the
-#      CORRECTNESS_r*.json files (< r14): the r03 cohort tail, the r04
-#      cohort, and the r05 head.
+#      CORRECTNESS_r*.json files (< r15): the r03/r04 cohort tail.
 _ROTATION_PLAN_CHANGED = (
-    "ann_pq_adc",               # r14: per-vector subspace-count guard
-    "ann_ivfpq_topk",           # r14: same guard via ann_topk_ivfpq
-    "ann_ivfpq_recall",         # r14: same guard via ann_topk_ivfpq
-    "ann_pq_recall",            # r14: same guard via pq_recall
-    "emb_rp_simhash",           # r14: kernel null/ragged assertion
+    "ann_ivf_topk",             # r15: serves from _ann_scores
+    "ann_ivf_recall",           # r15: serves from _ann_scores
+    "ann_ivf_nprobe_recall",    # r15: _ann_scores + one ranked probe
+    "ann_ivf_nlist_recall",     # r15: _ann_scores + _nlist_assign
+    "pipe_clean_corpus",        # r15: single-scan fusion + window dedup
+    "dedup_winnow_clusters",    # r15: materialized component map
+    "z_service_hits",           # r15: driver HITS loop
 )
 _ROTATION_STALENESS_FILL = (
-    "mm_extract_features",
-    "mm_resize_meta",
-    "pipe_clean_corpus",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_token_stats",
-    "ann_batch_topk",
-    "dedup_cluster_resolve",
-    "emb_kmeans_step",
-    "emb_pq_encode",
-    "ev_cohort_retention",
-    "ev_event_funnel",
-    "h20_excess_stock",
-    "h2_min_cost_supplier",
-    "hr_pricing_cube",
-    "text_bpe_train",
-    "text_length_buckets",
-    "text_pii_scrub",
-    "w1_stream_traces",
-    "w_customer_deciles",
-    "z_anomalous_spans",
-    "z_critical_path",
-    "z_self_time",
-    "z_service_pagerank",
-    "dedup_cluster_star",
-    "dedup_semantic",
-    "dedup_substring",
-    "mm_bmp_resize",
-    "mm_bmp_roundtrip",
+    "mm_wav_roundtrip",
+    "pipe_alignment_audit",
+    "pipe_corpus_diff",
+    "text_curriculum_order",
+    "w2_stream_dedup",
+    "w3_stream_links",
+    "w4_stream_remote_services",
+    "w4_stream_span_names",
+    "w5_stream_dependency_windows",
+    "z_hll_service_traces",
+    "z_trace_concurrency",
+    "z_window_active_spans",
+    "a9_setops_service_names",
+    "ann_truncated_recall",
+    "dedup_semantic_curve",
+    "ev_locf_fill",
+    "j1_links_bucketed",
+    "mm_wav_features",
+    "pipe_dedup_agreement",
+    "text_dsir_weights",
+    "text_gopher_rules",
+    "text_ngram_novelty",
+    "text_zipf_fit",
+    "w4_stream_autocomplete_tags",
+    "w6_stream_error_windows",
+    "w7_stream_trace_upsert",
+    "z_slo_burn",
+    "a5_remote_service_names",
 )
 _ROTATION = _ROTATION_PLAN_CHANGED + _ROTATION_STALENESS_FILL
 

@@ -1949,18 +1949,34 @@ def ivf_nprobe_recall(
         embeddings.filter(F.col("vec_id") == query_vec_id), centroids
     )
     # ONE probe subtree for the whole sweep (r15): rank the query's
-    # centroid scores once (a 1 x |cells| relation — the scalar-window
-    # class), broadcast-join the ranked labels to the assignment, and
-    # fan each candidate out to every nprobe setting whose prefix its
-    # label rank falls in.  Identical to the old per-setting
-    # orderBy+limit(np) union (same (s desc, label) total order), but
-    # the plan holds one ranked-probe branch instead of len(nprobes)
-    # subtrees + union.
-    wq = Window.orderBy(F.col("s").desc(), F.col("label"))
+    # centroid scores once, broadcast-join the ranked labels to the
+    # assignment, and fan each candidate out to every nprobe setting
+    # whose prefix its label rank falls in.  Identical to the old
+    # per-setting orderBy+limit(np) union (same (s desc, label) total
+    # order), but the plan holds one ranked-probe branch instead of
+    # len(nprobes) subtrees + union.  The rank comes from a 1-row
+    # sorted-array reduction (collect the 1 x |cells| score relation,
+    # array_sort on (-s, label), slice, posexplode) — the scalar-
+    # reduction class, NOT an unpartitioned window (PLAN_AUDIT hard
+    # rule; |cells| is quantizer-bounded, KB at any corpus size).
     ranked = (
-        query_scores.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= int(max(nprobes)))
-        .select("label", "rk")
+        query_scores.select(
+            F.struct(
+                (-F.col("s")).alias("ns"), F.col("label").alias("label")
+            ).alias("st")
+        )
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("st")),
+                1,
+                int(max(nprobes)),
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("rk0", "st"))
+        .select(
+            F.col("st.label").alias("label"),
+            (F.col("rk0") + 1).cast("int").alias("rk"),
+        )
     )
     cands = (
         assign.join(F.broadcast(ranked), "label")
