@@ -11,7 +11,9 @@ Each experiment is one unmodified ``bench.py`` run (same warm + min-of-2
 protocol) with the knob injected via SPARK_GRAFT_EXTRA_CONF
 (session.py env passthrough, r14).
 
-Usage: python tools/premium_sweep.py [out.json]
+Usage: python tools/premium_sweep.py [out.json] [experiment ...]
+(no experiment names = run all; names let a session resume the sweep
+without re-running legs a prior round already settled)
 """
 
 from __future__ import annotations
@@ -53,8 +55,12 @@ EXPERIMENTS = {
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PREMIUM_SWEEP.json"
+    selected = sys.argv[2:] or list(EXPERIMENTS)
+    unknown = [n for n in selected if n not in EXPERIMENTS]
+    if unknown:
+        raise SystemExit(f"unknown experiments: {unknown}")
     results = {}
-    for name, conf in EXPERIMENTS.items():
+    for name, conf in ((n, EXPERIMENTS[n]) for n in selected):
         env = dict(
             os.environ, SPARK_GRAFT_SF_DIR=SF_DIR, SPARK_GRAFT_EXTRA_CONF=conf
         )
